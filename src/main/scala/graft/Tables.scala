@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver testdata tables (TESTDATA.md).
+  *
+  * All `SparkEntry.queries` are phrased over these parquet tables so the
+  * driver can run the DuckDB oracle on the identical inputs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4 rejects by
+    // default; read nanos as long (queries convert explicitly when needed).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, d: String): DataFrame  = t(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame    = t(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame  = t(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = t(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = t(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame    = t(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame    = t(spark, d, "region")
+  def events(spark: SparkSession, d: String): DataFrame    = t(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = t(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = t(spark, d, "embeddings")
+}

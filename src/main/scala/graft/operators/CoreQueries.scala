@@ -1,0 +1,273 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exprs._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator queries — SURVEY.md §2.2–§2.8 families phrased
+  * over the driver testdata so the DuckDB oracle can check them.
+  *
+  * Scale notes (100 TB thinking): every aggregation here is a plain
+  * `groupBy` (partial/map-side aggregation + single shuffle); windows
+  * shuffle once on their partition keys; the only theta join (J3) keeps its
+  * small side broadcastable; top-k uses TakeOrderedAndProject (no global
+  * sort materialization).
+  */
+object CoreQueries {
+
+  /** TPC-H Q1 shape — A5/A6/A7 aggregation + F7 range filter.
+    * Exact decimal sums cast to double for bit-identical oracle compare. */
+  val q1Agg = QueryDef("q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (spark, d) =>
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** F1 IN-list + F7 range + P1 projection (seed_aic.py:336,359). */
+  val f1Isin = QueryDef("f1_isin_project",
+    """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      |FROM customer
+      |WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING') AND c_acctbal BETWEEN 0 AND 5000""".stripMargin) { (spark, d) =>
+    Tables.customer(spark, d)
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING") &&
+        col("c_acctbal").between(0, 5000))
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+  }
+
+  /** F2 substring predicate (seed_aic.py:336 `contains`). */
+  val f2Contains = QueryDef("f2_contains_filter",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE contains(text, 'spark window') AND NOT contains(text, 'slow')""".stripMargin) { (spark, d) =>
+    Tables.documents(spark, d)
+      .filter(col("text").contains("spark window") && !col("text").contains("slow"))
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  /** F5 positive + F6 negative regex gates (founded_year.py:87-95 shape). */
+  val f5RegexGate = QueryDef("f5_regex_gate",
+    """SELECT lang, COUNT(*) AS n_docs
+      |FROM documents
+      |WHERE regexp_matches(text, '\b(merge|hash)\b') AND NOT regexp_matches(text, '\bvector\b')
+      |GROUP BY lang""".stripMargin) { (spark, d) =>
+    Tables.documents(spark, d)
+      .filter(col("text").rlike("\\b(merge|hash)\\b") && !col("text").rlike("\\bvector\\b"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** X7 JSON path extraction (seed_aic.py:318; from_json/get_json_object)
+    * + aggregation. Oracle uses a regex twin so it needs no JSON extension. */
+  val x7Json = QueryDef("x7_json_extract",
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  MIN(CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER)) AS min_k,
+      |  MAX(CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER)) AS max_k,
+      |  CAST(SUM(CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type""".stripMargin) { (spark, d) =>
+    Tables.events(spark, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
+        sum("k").as("sum_k"))
+  }
+
+  /** J4 enrichment join chain + group (broadcast the dimension tables). */
+  val j4JoinChain = QueryDef("j4_join_chain",
+    """SELECT r_name, n_name, COUNT(*) AS order_cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin) { (spark, d) =>
+    Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
+  /** W1 first-seen dedup as a window (seed_aic.py:311,336-338). */
+  val w1FirstSeen = QueryDef("w1_first_seen_dedup",
+    """SELECT c_mktsegment, c_nationkey, c_custkey, c_name FROM (
+      |  SELECT c_mktsegment, c_nationkey, c_custkey, c_name,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY c_custkey) AS rn
+      |  FROM customer) t WHERE rn = 1""".stripMargin) { (spark, d) =>
+    val w = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy("c_custkey")
+    Tables.customer(spark, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("c_mktsegment", "c_nationkey", "c_custkey", "c_name")
+  }
+
+  /** W2 keep-highest-score dedup (step3_attempt1.py:497-504). */
+  val w2DedupMax = QueryDef("w2_dedup_max_score",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn = 1""".stripMargin) { (spark, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  /** J1/A8/W3 scoring + per-key argmax (step3_attempt1.py:289-304,401-411).
+    * Integer point scale (x10 of the reference weights) keeps the score
+    * float-free for the oracle. */
+  val j1ScoreArgmax = QueryDef("j1_score_argmax",
+    """SELECT o_custkey, o_orderkey, match_score FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    (CASE WHEN o_orderstatus = 'F' THEN 10 ELSE 0 END
+      |     + CASE WHEN o_orderpriority LIKE '1-%' THEN 9 ELSE 0 END
+      |     + CASE WHEN o_totalprice > 100000 THEN 7 ELSE 0 END
+      |     + CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01 00:00:00' THEN 3 ELSE 0 END) AS match_score,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY
+      |      (CASE WHEN o_orderstatus = 'F' THEN 10 ELSE 0 END
+      |       + CASE WHEN o_orderpriority LIKE '1-%' THEN 9 ELSE 0 END
+      |       + CASE WHEN o_totalprice > 100000 THEN 7 ELSE 0 END
+      |       + CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01 00:00:00' THEN 3 ELSE 0 END) DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn = 1""".stripMargin) { (spark, d) =>
+    val score =
+      when(col("o_orderstatus") === "F", 10).otherwise(0) +
+        when(col("o_orderpriority").startsWith("1-"), 9).otherwise(0) +
+        when(col("o_totalprice") > 100000, 7).otherwise(0) +
+        when(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"), 3).otherwise(0)
+    val w = Window.partitionBy("o_custkey").orderBy(col("match_score").desc, col("o_orderkey"))
+    Tables.orders(spark, d)
+      .withColumn("match_score", score)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "match_score")
+  }
+
+  /** J3/X13 name-substring theta join (step3_attempt1.py:277-287): normalized
+    * equality OR >=3-char containment either way. Small side broadcasts. */
+  val j3NameMatch = QueryDef("j3_name_substring_join",
+    """WITH s AS (SELECT s_suppkey, regexp_replace(s_name, '^Supplier#0*', '') AS sn FROM supplier),
+      |     c AS (SELECT c_custkey, regexp_replace(c_name, '^Customer#0*', '') AS cn FROM customer)
+      |SELECT s_suppkey, c_custkey FROM s JOIN c
+      |  ON sn = cn
+      |  OR (contains(cn, sn) AND length(sn) >= 3)
+      |  OR (contains(sn, cn) AND length(cn) >= 3)""".stripMargin) { (spark, d) =>
+    val s = Tables.supplier(spark, d)
+      .select(col("s_suppkey"), regexp_replace(col("s_name"), "^Supplier#0*", "").as("sn"))
+    val c = Tables.customer(spark, d)
+      .select(col("c_custkey"), regexp_replace(col("c_name"), "^Customer#0*", "").as("cn"))
+    val cond = (col("sn") === col("cn")) ||
+      (col("cn").contains(col("sn")) && length(col("sn")) >= 3) ||
+      (col("sn").contains(col("cn")) && length(col("cn")) >= 3)
+    broadcast(s).join(c, cond).select("s_suppkey", "c_custkey")
+  }
+
+  /** Semi join — customers having at least one open order. */
+  val jSemi = QueryDef("j_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin) { (spark, d) =>
+    Tables.customer(spark, d)
+      .join(Tables.orders(spark, d).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Anti join — customers with no orders at all. */
+  val jAnti = QueryDef("j_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (spark, d) =>
+    Tables.customer(spark, d)
+      .join(Tables.orders(spark, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** O1/O3 top-k: group-sum, total order (revenue desc, key asc), limit.
+    * Plans as TakeOrderedAndProject — no full sort at scale. */
+  val o1TopK = QueryDef("o1_topk",
+    """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem GROUP BY l_partkey
+      |ORDER BY revenue DESC, l_partkey LIMIT 10""".stripMargin) { (spark, d) =>
+    Tables.lineitem(spark, d)
+      .groupBy("l_partkey").agg(dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_partkey")).limit(10)
+  }
+
+  /** E-family relational INTERSECT (distinct semantics both engines). */
+  val e1Intersect = QueryDef("e1_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin) { (spark, d) =>
+    val o = Tables.orders(spark, d)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+  }
+
+  /** E-family relational EXCEPT. */
+  val e2Except = QueryDef("e2_except",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin) { (spark, d) =>
+    val o = Tables.orders(spark, d)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+  }
+
+  /** A4 nested assembly, oracle-safe string form: per-group ordered id list
+    * (main_portCo.py:113-122; ordering pinned per SURVEY.md §7.3). */
+  val a4Collect = QueryDef("a4_collect_sorted",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+      |FROM (SELECT lang, doc_id FROM documents WHERE n_chars < 200) t
+      |GROUP BY lang""".stripMargin) { (spark, d) =>
+    Tables.documents(spark, d)
+      .filter(col("n_chars") < 200)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("ids"))
+  }
+
+  /** X2/X5/X6/F12 composed: URL construction, bad-extension filter, domain
+    * extraction (step1_attempt1.py:42-53, helper_functions.py:91,
+    * step3_attempt1.py:43-57). */
+  val x6Url = QueryDef("x6_url_domain",
+    """SELECT s_suppkey, candidate,
+      |  regexp_replace(lower(regexp_extract(candidate, 'https?://([^/?#]+)', 1)), '^www\.', '') AS domain
+      |FROM (
+      |  SELECT s_suppkey,
+      |    concat('https://www.', lower(regexp_replace(s_name, '#', '')), '.example.com/portfolio/item-',
+      |           CAST(s_suppkey AS VARCHAR),
+      |           CASE WHEN s_suppkey % 3 = 0 THEN '.pdf' ELSE '' END) AS candidate
+      |  FROM supplier) t
+      |WHERE NOT regexp_matches(candidate, '(?i)\.(pdf|docx?|pptx?|xlsx?)$')""".stripMargin) { (spark, d) =>
+    val candidate = concat(
+      lit("https://www."), lower(regexp_replace(col("s_name"), "#", "")),
+      lit(".example.com/portfolio/item-"), col("s_suppkey").cast("string"),
+      when(col("s_suppkey") % 3 === 0, ".pdf").otherwise(""))
+    Tables.supplier(spark, d)
+      .withColumn("candidate", candidate)
+      .filter(!badContentUrl(col("candidate")))
+      .select(col("s_suppkey"), col("candidate"), urlDomain(col("candidate")).as("domain"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q1Agg, f1Isin, f2Contains, f5RegexGate, x7Json, j4JoinChain,
+    w1FirstSeen, w2DedupMax, j1ScoreArgmax, j3NameMatch, jSemi, jAnti,
+    o1TopK, e1Intersect, e2Except, a4Collect, x6Url)
+}

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exprs._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash. First-class components of the engine (builder brief) layered on
+  * the reference's dedup idioms (W1/W2/E3, SURVEY.md §2.5/§2.7).
+  *
+  * Two shingle-id variants, both pure per-row expressions (no vocabulary
+  * join, no global ordering — the shape that scales to 100 TB):
+  *  - production path (`*Scalable`): ids from `xxhash64` (fastest, codegen).
+  *  - oracle-parity path (used by the declared queries): a positional
+  *    character-polynomial hash spelled out arithmetically so DuckDB
+  *    computes bit-identical ids with plain `ascii`/`substring` calls.
+  */
+object Dedup {
+
+  val P = 2147483647L // 2^31 - 1, Mersenne prime modulus
+  /** MinHash seed pairs (k = 8). */
+  val As: Seq[Long] = Seq(1103L, 12289L, 52361L, 75377L, 104729L, 130363L, 174763L, 224737L)
+  val Bs: Seq[Long] = Seq(12345L, 2971L, 56993L, 11213L, 3571L, 91129L, 40031L, 65537L)
+  /** SimHash seed pairs (16 bits). */
+  val A16: Seq[Long] = Seq(
+    2971L, 4111L, 5557L, 7127L, 9241L, 11633L, 13007L, 15373L,
+    17239L, 19423L, 21911L, 23567L, 25913L, 27361L, 29989L, 31393L)
+  val B16: Seq[Long] = Seq(
+    101L, 211L, 307L, 401L, 503L, 601L, 701L, 809L,
+    907L, 1009L, 1103L, 1201L, 1301L, 1409L, 1499L, 1601L)
+
+  // ---- shingling ----
+  def wordsOf(text: Column): Column = split(normText(text), " ")
+
+  /** Distinct word n-gram shingles of a document. */
+  def shinglesOf(text: Column, n: Int = 3): Column = {
+    val ws = wordsOf(text)
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc_id, shingle) exploded, distinct per doc. */
+  def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shinglesOf(col("text"))).as("shingle"))
+
+  // ---- production-scale shingle ids (no vocab, no global sort) ----
+  def shingleIdScalable(shingle: Column): Column = pmod(xxhash64(shingle), lit(P))
+
+  /** Production MinHash signatures: one narrow scan + one groupBy shuffle. */
+  def minhashScalable(docs: DataFrame): DataFrame = {
+    val dw = docShingles(docs).select(col("doc_id"), shingleIdScalable(col("shingle")).as("wid"))
+    val mins = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("wid") + lit(b)) % lit(P)).as(s"mh$i")
+    }
+    dw.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  // ---- oracle-parity shingle ids: positional char-polynomial hash ----
+  /** Width of the hashed prefix; shingles agreeing on their first 24 chars
+    * collide (acceptable for a sketch id). */
+  val HashWidth = 24
+  /** 31^i mod P coefficient table, embedded as literals on both sides. */
+  val Coef: IndexedSeq[Long] =
+    (1 to HashWidth).scanLeft(31L)((c, _) => c * 31L % P).init.toIndexedSeq
+
+  /** wid(s) = (sum_i Coef(i) * ascii(rpad(s,24,'@')[i]) + 31*length(s)) % P
+    * — deterministic, expression-only, identical in Spark and DuckDB. */
+  def shingleIdChar(s: Column): Column = {
+    val padded = rpad(s, HashWidth, "@")
+    val terms = (1 to HashWidth).map(i =>
+      lit(Coef(i - 1)) * ascii(substring(padded, i, 1)))
+    (terms.reduce(_ + _) + lit(31L) * length(s)) % lit(P)
+  }
+
+  /** DuckDB twin of [[shingleIdChar]] over a column named `shingle`. */
+  val shingleIdCharSql: String = {
+    val terms = (1 to HashWidth).map(i =>
+      s"CAST(${Coef(i - 1)} AS BIGINT)*ascii(substring(rpad(shingle, $HashWidth, '@'), $i, 1))")
+    s"(${terms.mkString(" + ")} + 31*length(shingle)) % $P"
+  }
+
+  def docShingleIds(docs: DataFrame): DataFrame =
+    docShingles(docs).select(col("doc_id"), shingleIdChar(col("shingle")).as("wid"))
+
+  /** MinHash signature columns mh0..mh7 from (doc_id, wid). */
+  def minhashAgg(dw: DataFrame): DataFrame = {
+    val mins = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("wid") + lit(b)) % lit(P)).as(s"mh$i")
+    }
+    dw.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs (production API): docs sharing any of the 4
+    * two-row bands. Pairs are (a < b) distinct — the pre-filter before an
+    * exact-Jaccard verify at scale. */
+  def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map { bid =>
+      struct(lit(bid).as("band_id"),
+        concat_ws(",", col(s"mh${2 * bid}").cast("string"),
+          col(s"mh${2 * bid + 1}").cast("string")).as("band_sig"))
+    }: _*)).as("band")).select(col("doc_id"), col("band.*"))
+    val a = bands.select(col("band_id"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band_id"), col("band_sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "band_sig")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  // ---- shared oracle SQL fragments (DuckDB dialect of the same pipeline) ----
+  private val wordsSql =
+    "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+  /** CTEs: w(doc_id,w,pos) -> sh(doc_id,shingle) -> vocab -> dw(doc_id,wid). */
+  // NOTE: embedded into outer stripMargin strings — no line here may start
+  // with '|' (a leading '||' would lose its first char to the outer strip).
+  val shingleCtes: String =
+    s"""w AS (SELECT doc_id, unnest($wordsSql) AS w, generate_subscripts($wordsSql, 1) AS pos FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, concat_ws(' ', w, lead(w,1) OVER (PARTITION BY doc_id ORDER BY pos), lead(w,2) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle,
+       |         lead(w,2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM w) t WHERE w2 IS NOT NULL),
+       |dw AS (SELECT doc_id, $shingleIdCharSql AS wid FROM sh)""".stripMargin
+
+  // ---- declared queries ----
+
+  /** Exact dedup: hash-groupBy on full content (builder brief; reference
+    * analogue is the seen-set E3 at seed_aic.py:311). */
+  val ddExact = QueryDef("dd_exact",
+    """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin) { (spark, d) =>
+    Tables.documents(spark, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(md5(col("text")).as("text_hash"), col("keeper_id"), col("n_copies"))
+  }
+
+  /** 3-gram Jaccard similarity between each doc and its successor (doc_id+1):
+    * near-dup scoring with array set ops (E1/E2 on arrays). */
+  val ddJaccard = QueryDef("dd_ngram_jaccard",
+    s"""WITH $shingleCtes,
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id, COUNT(*) AS i FROM sh a JOIN sh b
+      |          ON b.doc_id = a.doc_id + 1 AND b.shingle = a.shingle GROUP BY a.doc_id)
+      |SELECT ca.doc_id AS doc_id, CAST(COALESCE(i.i, 0) AS BIGINT) AS inter_n,
+      |  CAST(ca.n + cb.n - COALESCE(i.i, 0) AS BIGINT) AS union_n,
+      |  CAST(COALESCE(i.i, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.i, 0)) AS jaccard
+      |FROM cnt ca JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
+      |LEFT JOIN inter i ON i.doc_id = ca.doc_id""".stripMargin) { (spark, d) =>
+    val docs = Tables.documents(spark, d)
+    val sets = docs.select(col("doc_id"), shinglesOf(col("text")).as("sh"))
+    val a = sets.select(col("doc_id"), col("sh").as("sa"))
+    val b = sets.select((col("doc_id") - 1).as("doc_id"), col("sh").as("sb"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter_n"),
+        size(array_union(col("sa"), col("sb"))).cast("long").as("union_n"))
+      .withColumn("jaccard",
+        when(col("union_n") > 0, col("inter_n").cast("double") / col("union_n"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** MinHash signatures (oracle-parity wid). */
+  val ddMinhash: QueryDef = {
+    val minsSql = As.zip(Bs).map { case (a, b) =>
+      s"CAST(MIN(($a*wid+$b)%$P) AS VARCHAR)"
+    }.mkString(", ")
+    QueryDef("dd_minhash_sig",
+      s"""WITH $shingleCtes
+        |SELECT doc_id, concat_ws(',', $minsSql) AS sig
+        |FROM dw GROUP BY doc_id""".stripMargin) { (spark, d) =>
+      val sigs = minhashAgg(docShingleIds(Tables.documents(spark, d)))
+      sigs.select(col("doc_id"),
+        concat_ws(",", (0 until 8).map(i => col(s"mh$i").cast("string")): _*).as("sig"))
+    }
+  }
+
+  /** LSH banding: 4 bands x 2 rows; buckets with >1 doc are the candidate
+    * groups. Output stays bounded (bucket stats, not the pair explosion). */
+  val ddLshBuckets: QueryDef = {
+    val mhSql = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a*wid+$b)%$P) AS mh$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { bid =>
+      s"SELECT $bid AS band_id, CAST(mh${2 * bid} AS VARCHAR) || ',' || CAST(mh${2 * bid + 1} AS VARCHAR) AS band_sig, doc_id FROM sig"
+    }.mkString("\n  UNION ALL ")
+    QueryDef("dd_lsh_buckets",
+      s"""WITH $shingleCtes,
+        |sig AS (SELECT doc_id, $mhSql FROM dw GROUP BY doc_id),
+        |bands AS ($bandSelects)
+        |SELECT band_id, band_sig, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        |FROM bands GROUP BY band_id, band_sig HAVING COUNT(*) > 1""".stripMargin) { (spark, d) =>
+      val sigs = minhashAgg(docShingleIds(Tables.documents(spark, d)))
+      sigs.select(col("doc_id"), explode(array((0 until 4).map { bid =>
+        struct(lit(bid).as("band_id"),
+          concat_ws(",", col(s"mh${2 * bid}").cast("string"),
+            col(s"mh${2 * bid + 1}").cast("string")).as("band_sig"))
+      }: _*)).as("band"))
+        .select(col("doc_id"), col("band.*"))
+        .groupBy("band_id", "band_sig")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .filter(col("n_docs") > 1)
+    }
+  }
+
+  /** 16-bit SimHash per document over shingle ids. */
+  val ddSimhash: QueryDef = {
+    val sumsSql = (0 until 16).map { j =>
+      s"SUM(CASE WHEN ((${A16(j)}*wid+${B16(j)})%$P)%2 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val bitsSql = (0 until 16).map { j =>
+      s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    QueryDef("dd_simhash",
+      s"""WITH $shingleCtes,
+        |sums AS (SELECT doc_id, $sumsSql FROM dw GROUP BY doc_id)
+        |SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM sums""".stripMargin) { (spark, d) =>
+      val dw = docShingleIds(Tables.documents(spark, d))
+      val sums = (0 until 16).map { j =>
+        sum(when(((lit(A16(j)) * col("wid") + lit(B16(j))) % lit(P)) % 2 === 1, 1)
+          .otherwise(-1)).as(s"s$j")
+      }
+      val sig = (0 until 16).map { j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      dw.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash)
+}

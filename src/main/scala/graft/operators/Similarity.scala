@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`, builder brief).
+  *
+  * - `cosineTopK` — brute-force double-precision path (codegen'd higher-order
+  *   functions, broadcast probes): the baseline, O(probes x corpus).
+  * - `cosineTopKBucketed` — IVF-style path: neighbors restricted to the
+  *   probe's coarse cell (here the `label` column stands in for a centroid
+  *   assignment), cutting the scanned fraction to ~1/cells; at 100 TB the
+  *   corpus is pre-partitioned/bucketed by cell so each probe touches only
+  *   its cell's partitions.
+  * - declared oracle queries use exact DECIMAL dot products (cast back to
+  *   double) so Spark and DuckDB agree bit-for-bit regardless of summation
+  *   order — float summation order is the classic cross-engine mismatch.
+  */
+object Similarity {
+
+  /** Sequential-fold double dot product (production path). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Exact decimal dot product — order-independent, oracle-parity path. */
+  def dotDec(a: Column, b: Column): Column = {
+    val prod = zip_with(a, b,
+      (x, y) => x.cast("double").cast("decimal(18,9)") * y.cast("double").cast("decimal(18,9)"))
+    aggregate(prod, lit(0).cast("decimal(38,18)"),
+      (acc, x) => (acc + x).cast("decimal(38,18)"))
+  }
+
+  /** Brute-force cosine top-k (production): probes broadcast against the
+    * corpus; per-probe heap via window over (probe) partitions. */
+  def cosineTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("qid"), col("embedding").as("va"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("vb"))
+    val scored = broadcast(p).crossJoin(c).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotD(col("va"), col("vb")) /
+          (sqrt(dotD(col("va"), col("va"))) * sqrt(dotD(col("vb"), col("vb"))))).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "nid", "cosine")
+  }
+
+  // ---- oracle fragments ----
+  private def unnestSql(filter: String): String =
+    s"SELECT vec_id, CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS v, " +
+      s"generate_subscripts(embedding, 1) AS i FROM embeddings$filter"
+
+  private def topkOracle(probeFilter: String, cellJoin: String, k: Int): String =
+    s"""WITH a AS (${unnestSql(probeFilter)}),
+      |b AS (${unnestSql("")}),
+      |lbl AS (SELECT vec_id, label FROM embeddings),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.v * b.v) AS dot
+      |  FROM a JOIN b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |  $cellJoin
+      |  GROUP BY a.vec_id, b.vec_id),
+      |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM b GROUP BY vec_id)
+      |SELECT qid, nid, cosine FROM (
+      |  SELECT qid, nid,
+      |    round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+      |      round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) DESC, nid) AS rn
+      |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
+      |WHERE rn <= $k""".stripMargin
+
+  private def sparkTopKDec(spark: SparkSession, d: String, probeMax: Int,
+                           sameCell: Boolean, k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    // Precompute each vector's norm once (tiny table, broadcastable) instead
+    // of re-deriving it per candidate pair — at scale this is the difference
+    // between O(corpus) and O(probes x corpus) norm work.
+    val norms = emb.select(col("vec_id"),
+      sqrt(dotDec(col("embedding"), col("embedding")).cast("double")).as("norm"))
+    val p = emb.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("embedding").as("va"))
+      .join(norms.withColumnRenamed("vec_id", "qid").withColumnRenamed("norm", "qnorm"), "qid")
+    val c = emb
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"), col("embedding").as("vb"))
+      .join(norms.withColumnRenamed("vec_id", "nid").withColumnRenamed("norm", "nnorm"), "nid")
+    val joined =
+      if (sameCell) broadcast(p).join(c, col("qlabel") === col("nlabel") && col("qid") =!= col("nid"))
+      else broadcast(p).crossJoin(c).filter(col("qid") =!= col("nid"))
+    // round(…, 6) both here and in the oracle: DuckDB's decimal->double cast
+    // is not always correctly rounded, so raw doubles can differ by 1 ulp.
+    val scored = joined.select(col("qid"), col("nid"),
+      round(dotDec(col("va"), col("vb")).cast("double") /
+        (col("qnorm") * col("nnorm")), 6).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "nid", "cosine")
+  }
+
+  /** Brute-force cosine top-5 for probe vectors vec_id < 20 (oracle-checked,
+    * exact decimal arithmetic). */
+  val simCosineTopK = QueryDef("sim_cosine_topk",
+    topkOracle(" WHERE vec_id < 20", "", 5)) { (spark, d) =>
+    sparkTopKDec(spark, d, probeMax = 20, sameCell = false, k = 5)
+  }
+
+  /** IVF-bucketed variant: neighbors restricted to the probe's cell
+    * (label = coarse centroid id); probes vec_id < 100. */
+  val simIvfBucketed = QueryDef("sim_ivf_bucketed",
+    topkOracle(" WHERE vec_id < 100",
+      "JOIN lbl la ON la.vec_id = a.vec_id JOIN lbl lb ON lb.vec_id = b.vec_id AND la.label = lb.label", 3)) { (spark, d) =>
+    sparkTopKDec(spark, d, probeMax = 100, sameCell = true, k = 3)
+  }
+
+  val all: Seq[QueryDef] = Seq(simCosineTopK, simIvfBucketed)
+}

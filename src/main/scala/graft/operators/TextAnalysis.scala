@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exprs._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (builder brief):
+  * language-ID (marker n-gram heuristic), quality scoring, token counting,
+  * positional document fingerprinting. All pure column expressions — one
+  * scan + at most one shuffle each.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** (cand_lang, marker) heuristic profile — broadcast lookup table, the
+    * Spark analogue of the reference's planned YAML rubric config tables
+    * (SURVEY.md §1.1). */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "is",
+    "es" -> "el", "es" -> "la", "es" -> "los",
+    "de" -> "der", "de" -> "die", "de" -> "und",
+    "fr" -> "le", "fr" -> "les", "fr" -> "est",
+    "zh" -> "shi", "zh" -> "de", "zh" -> "ma")
+
+  /** Language-ID: count marker-word hits per candidate language, argmax.
+    * Honest n-gram-profile scaffold; on the synthetic corpus (shared
+    * vocabulary across langs) most docs score 0 everywhere and fall to the
+    * deterministic tie-break. */
+  val taLangId: QueryDef = {
+    val valuesSql = LangMarkers.map { case (l, m) => s"('$l','$m')" }.mkString(", ")
+    QueryDef("ta_langid",
+      s"""WITH prof AS (SELECT * FROM (VALUES $valuesSql) p(cand_lang, marker)),
+        |hits AS (
+        |  SELECT d.doc_id, d.lang, p.cand_lang,
+        |    SUM(CASE WHEN contains(' ' || trim(regexp_replace(d.text, '\\s+', ' ', 'g')) || ' ', ' ' || p.marker || ' ') THEN 1 ELSE 0 END) AS n_hits
+        |  FROM documents d CROSS JOIN prof p
+        |  GROUP BY d.doc_id, d.lang, p.cand_lang)
+        |SELECT doc_id, cand_lang AS pred_lang, CAST(n_hits AS BIGINT) AS n_hits,
+        |  (cand_lang = lang) AS is_match
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang) AS rn FROM hits) t
+        |WHERE rn = 1""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      val prof = LangMarkers.toDF("cand_lang", "marker")
+      val docs = Tables.documents(spark, d)
+      val padded = concat(lit(" "), normText(col("text")), lit(" "))
+      val hits = docs.crossJoin(broadcast(prof))
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(sum(when(padded.contains(concat(lit(" "), col("marker"), lit(" "))), 1)
+          .otherwise(0)).as("n_hits"))
+      val w = Window.partitionBy("doc_id").orderBy(col("n_hits").desc, col("cand_lang"))
+      hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang").as("pred_lang"),
+          col("n_hits").cast("long").as("n_hits"),
+          (col("cand_lang") === col("lang")).as("is_match"))
+    }
+  }
+
+  /** Quality scoring: token count, stopword ratio, mean word length,
+    * composite score — fixed left-to-right double arithmetic for parity. */
+  val taQuality: QueryDef = {
+    val stopOr = Stopwords.map(s => s"x = '$s'").mkString(" OR ")
+    QueryDef("ta_quality",
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(words, x -> $stopOr)) AS BIGINT) AS stop_cnt,
+        |  CAST(len(list_filter(words, x -> $stopOr)) AS DOUBLE) / len(words) AS stop_ratio,
+        |  CAST(length(norm) - (len(words) - 1) AS DOUBLE) / len(words) AS avg_word_len,
+        |  (CASE WHEN len(words) BETWEEN 20 AND 300 THEN 0.5 ELSE 0.0 END
+        |   + (1.0 - CAST(len(list_filter(words, x -> $stopOr)) AS DOUBLE) / len(words)) * 0.3
+        |   + CASE WHEN CAST(length(norm) - (len(words) - 1) AS DOUBLE) / len(words) BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) AS quality
+        |FROM t""".stripMargin) { (spark, d) =>
+      val norm = normText(col("text"))
+      val words = split(norm, " ")
+      val nTok = size(words)
+      val stopCnt = size(filter(words, x => x.isin(Stopwords: _*)))
+      val stopRatio = stopCnt.cast("double") / nTok
+      val awl = (length(norm) - (nTok - 1)).cast("double") / nTok
+      val quality =
+        when(nTok.between(20, 300), 0.5).otherwise(0.0) +
+          (lit(1.0) - stopRatio) * 0.3 +
+          when(awl.between(3.0, 8.0), 0.2).otherwise(0.0)
+      Tables.documents(spark, d).select(
+        col("doc_id"), nTok.cast("long").as("n_tokens"),
+        stopCnt.cast("long").as("stop_cnt"), stopRatio.as("stop_ratio"),
+        awl.as("avg_word_len"), quality.as("quality"))
+    }
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens
+    * (letters | digits | single punctuation). */
+  val taTokens: QueryDef = {
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    QueryDef("ta_token_count",
+      s"""SELECT doc_id,
+        |  CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin) { (spark, d) =>
+      Tables.documents(spark, d).select(
+        col("doc_id"),
+        size(split(normText(col("text")), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("bpe_tokens"))
+    }
+  }
+
+  /** Positional fingerprint: sum(pos * (256*len(word) + ascii(word[0])))
+    * mod 1e9+7 — an order-sensitive rolling-hash analogue that stays
+    * relational (no fold) so the oracle can replay it. */
+  val taFingerprint = QueryDef("ta_fingerprint",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w,
+      |    generate_subscripts(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '), 1) AS pos
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(SUM(CAST(pos AS BIGINT) * (256 * length(w) + ascii(substring(w, 1, 1)))) % 1000000007 AS BIGINT) AS fingerprint
+      |FROM w GROUP BY doc_id""".stripMargin) { (spark, d) =>
+    Tables.documents(spark, d)
+      .select(col("doc_id"), posexplode(split(normText(col("text")), " ")).as(Seq("pos", "w")))
+      .groupBy("doc_id")
+      .agg((sum((col("pos") + 1).cast("long") *
+        (lit(256) * length(col("w")) + ascii(substring(col("w"), 1, 1)))) % 1000000007L)
+        .as("fingerprint"))
+  }
+
+  val all: Seq[QueryDef] = Seq(taLangId, taQuality, taTokens, taFingerprint)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operator behavior on constructed near-duplicates + testdata. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def docsDf = Seq(
+    (0L, base),
+    (1L, base),                                    // exact dup of 0
+    (2L, base + " with a tiny suffix change here"), // near dup of 0
+    (3L, "completely different content about spark shuffles and partitions only")
+  ).toDF("doc_id", "text")
+
+  test("shinglesOf produces distinct 3-gram shingles") {
+    val sh = docsDf.filter($"doc_id" === 0)
+      .select(Dedup.shinglesOf($"text")).collect().head.getSeq[String](0)
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("quick brown fox"))
+    // 13 words -> 11 shingles, all distinct here
+    assert(sh.size == 11)
+  }
+
+  test("short documents yield no shingles (no crash)") {
+    val sh = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(Dedup.shinglesOf($"text")).collect().head.getSeq[String](0)
+    assert(sh.isEmpty)
+  }
+
+  test("scalable MinHash+LSH finds exact and near dups, not unrelated docs") {
+    val sigs = Dedup.minhashScalable(docsDf)
+    val pairs = Dedup.lshCandidatePairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))   // identical shingle sets -> identical sigs
+    assert(pairs.contains((0L, 2L)))   // high-overlap near dup shares a band
+    assert(!pairs.contains((0L, 3L)))  // unrelated doc shares no band
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("identical docs have identical signatures across both wid paths") {
+    val s1 = Dedup.minhashScalable(docsDf).filter($"doc_id" <= 1)
+      .collect().map(_.toSeq.drop(1)).toSeq
+    assert(s1.head == s1(1))
+    val s2 = Dedup.minhashAgg(Dedup.docShingleIds(docsDf)).filter($"doc_id" <= 1)
+      .collect().map(_.toSeq.drop(1)).toSeq
+    assert(s2.head == s2(1))
+  }
+
+  test("dd_exact groups exact duplicates on testdata") {
+    val out = Dedup.ddExact.fn(spark, sf0001)
+    val total = out.agg(sum("n_copies")).collect().head.getLong(0)
+    assert(total == Tables.documents(spark, sf0001).count())
+  }
+
+  test("jaccard of identical docs is 1.0, of disjoint docs is 0.0") {
+    val sets = docsDf.select($"doc_id", Dedup.shinglesOf($"text").as("sh"))
+    val j = sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          size(array_union($"a.sh", $"b.sh"))).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 3L)) == 0.0)
+    assert(j((0L, 2L)) > 0.5)
+  }
+}

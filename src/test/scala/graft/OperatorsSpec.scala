@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Cross-checks and invariants for the query families on sf0.001. */
+class OperatorsSpec extends SparkSpec {
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs on sf0.001 and has stable column names") {
+    SparkEntry.defs.foreach { q =>
+      val df = q.fn(spark, sf0001)
+      assert(df.columns.nonEmpty, q.name)
+      assert(df.count() >= 0, q.name)
+    }
+  }
+
+  test("every declared oracle references only testdata tables") {
+    val tables = Tables.names.toSet
+    SparkEntry.oracleSql.values.foreach { sql =>
+      val froms = "(?i)(?:from|join)\\s+([a-z_]+)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      assert(froms.intersect(tables).nonEmpty)
+    }
+  }
+
+  test("A1 consensus value is seen by every method of its user") {
+    val cand = Consensus.candidates(spark, sf0001).cache()
+    val res = Consensus.a1Consensus.fn(spark, sf0001).collect()
+    val byUser = cand.collect().groupBy(_.getLong(0))
+    res.foreach { r =>
+      val (u, k) = (r.getLong(0), r.getInt(1))
+      val methods = byUser(u).map(_.getString(1)).toSet
+      val methodsWithK = byUser(u).filter(_.getInt(2) == k).map(_.getString(1)).toSet
+      assert(methodsWithK == methods, s"user $u consensus $k")
+    }
+    cand.unpersist()
+  }
+
+  test("A2 weighted vote only emits candidates backed by purchase + another") {
+    val cand = Consensus.candidates(spark, sf0001).collect()
+      .groupBy(r => (r.getLong(0), r.getInt(2)))
+    Consensus.a2WeightedVote.fn(spark, sf0001).collect().foreach { r =>
+      val rows = cand((r.getLong(0), r.getInt(1)))
+      val methods = rows.map(_.getString(1)).toSet
+      assert(methods.contains("purchase") && methods.exists(_ != "purchase"))
+    }
+  }
+
+  test("W2 dedup keeps exactly one row per customer, the max-price one") {
+    val out = CoreQueries.w2DedupMax.fn(spark, sf0001)
+    val orders = Tables.orders(spark, sf0001)
+    assert(out.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+    val maxes = orders.groupBy("o_custkey").agg(max("o_totalprice").as("mx"))
+    val joined = out.join(maxes, "o_custkey")
+      .filter(col("o_totalprice") =!= col("mx")).count()
+    assert(joined == 0)
+  }
+
+  test("similarity: cosine of a vector with itself is 1.0 (double path)") {
+    import spark.implicits._
+    val v = Seq((1L, Array(0.6f, 0.8f)), (2L, Array(0.6f, 0.8f)), (3L, Array(-0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(v.filter($"vec_id" === 1), v, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(math.abs(top(2L) - 1.0) < 1e-12)       // identical vector
+    assert(math.abs(top(3L)) < 1e-12)             // orthogonal vector
+  }
+
+  test("multimodal mapPartitions path agrees with the expression path") {
+    val viaMap = Multimodal.mediaMeta(Tables.documents(spark, sf0001))
+    val viaExpr = Multimodal.mmMeta.fn(spark, sf0001)
+    assert(viaMap.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.exceptAll(viaMap).count() == 0)
+  }
+
+  test("seed-style dedup W1: one row per (segment, nation), lowest key") {
+    val out = CoreQueries.w1FirstSeen.fn(spark, sf0001)
+    assert(out.groupBy("c_mktsegment", "c_nationkey").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+}

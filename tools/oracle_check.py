@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate (dev tooling only; the
+shipped library is the Scala code under src/).
+
+Usage: python3 tools/oracle_check.py <sfDir> <outDir>
+  1. expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run
+  2. registers each testdata parquet as a DuckDB view
+  3. runs every oracle_sql.json query in DuckDB
+  4. compares against the Spark parquet dump: schema (column names/dtypes),
+     row count, and exact cell values after canonical sort.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            print(f"FAIL {name}: no spark output dir"); failures += 1; continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark parquet: {e}"); failures += 1; continue
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}"); failures += 1; continue
+        got, want = canon(got), canon(want)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns spark={list(got.columns)} duck={list(want.columns)}")
+            failures += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows spark={len(got)} duck={len(want)}")
+            failures += 1; continue
+        bad = []
+        for c in got.columns:
+            a, b = got[c].values, want[c].values
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                eq = np.array_equal(a.astype("float64"), b.astype("float64"), equal_nan=True)
+            else:
+                eq = (pd.Series(a).astype(object).fillna("\0N") ==
+                      pd.Series(b).astype(object).fillna("\0N")).all()
+            if not eq:
+                bad.append(c)
+        if bad:
+            print(f"FAIL {name}: value mismatch in columns {bad}")
+            for c in bad[:2]:
+                m = (got[c].astype(object).fillna("\0N") != want[c].astype(object).fillna("\0N")).to_numpy().nonzero()[0][:3]
+                for i in m:
+                    print(f"   row {i} col {c}: spark={got[c].iloc[i]!r} duck={want[c].iloc[i]!r}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(got)} rows")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
