@@ -85,6 +85,18 @@ object Dedup {
   def docShingleIds(docs: DataFrame): DataFrame =
     docShingles(docs).select(col("doc_id"), shingleIdChar(col("shingle")).as("wid"))
 
+  /** Per-doc shingle-id arrays — pure row-local expressions, zero shuffle.
+    * This is the scale shape: sketches computed in the scan stage. */
+  def docWidArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      transform(shinglesOf(col("text")), s => shingleIdChar(s)).as("wids"))
+
+  /** MinHash columns mh0..mh7 from a `wids` array column (no shuffle). */
+  def minhashArrayCols: Seq[Column] =
+    As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("wids"), w => (lit(a) * w + lit(b)) % lit(P))).as(s"mh$i")
+    }
+
   /** MinHash signature columns mh0..mh7 from (doc_id, wid). */
   def minhashAgg(dw: DataFrame): DataFrame = {
     val mins = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
@@ -121,6 +133,14 @@ object Dedup {
        |         lead(w,2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
        |  FROM w) t WHERE w2 IS NOT NULL),
        |dw AS (SELECT doc_id, $shingleIdCharSql AS wid FROM sh)""".stripMargin
+
+  /** List-typed twin of [[shingleCtes]]: per-doc shingle/wid LISTS, the
+    * DuckDB mirror of the shuffle-free array pipeline. */
+  val shingleListCtes: String =
+    s"""tl AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws)-2),
+       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles FROM tl),
+       |widl AS (SELECT doc_id, list_transform(shingles, shingle -> $shingleIdCharSql) AS wids FROM shl)""".stripMargin
 
   // ---- declared queries ----
 
@@ -160,18 +180,23 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
-  /** MinHash signatures (oracle-parity wid). */
+  /** Per-shingle min SQL over the list pipeline. */
+  private def mhListSql(a: Long, b: Long): String =
+    s"list_min(list_transform(wids, w -> (CAST($a AS BIGINT)*w+$b)%$P))"
+
+  /** MinHash signatures — shuffle-free array pipeline on both sides. */
   val ddMinhash: QueryDef = {
     val minsSql = As.zip(Bs).map { case (a, b) =>
-      s"CAST(MIN(($a*wid+$b)%$P) AS VARCHAR)"
+      s"CAST(${mhListSql(a, b)} AS VARCHAR)"
     }.mkString(", ")
     QueryDef("dd_minhash_sig",
-      s"""WITH $shingleCtes
+      s"""WITH $shingleListCtes
         |SELECT doc_id, concat_ws(',', $minsSql) AS sig
-        |FROM dw GROUP BY doc_id""".stripMargin) { (spark, d) =>
-      val sigs = minhashAgg(docShingleIds(Tables.documents(spark, d)))
-      sigs.select(col("doc_id"),
-        concat_ws(",", (0 until 8).map(i => col(s"mh$i").cast("string")): _*).as("sig"))
+        |FROM widl""".stripMargin) { (spark, d) =>
+      docWidArrays(Tables.documents(spark, d))
+        .select(col("doc_id") +: minhashArrayCols: _*)
+        .select(col("doc_id"),
+          concat_ws(",", (0 until 8).map(i => col(s"mh$i").cast("string")): _*).as("sig"))
     }
   }
 
@@ -179,23 +204,24 @@ object Dedup {
     * groups. Output stays bounded (bucket stats, not the pair explosion). */
   val ddLshBuckets: QueryDef = {
     val mhSql = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
-      s"MIN(($a*wid+$b)%$P) AS mh$i"
+      s"${mhListSql(a, b)} AS mh$i"
     }.mkString(", ")
     val bandSelects = (0 until 4).map { bid =>
       s"SELECT $bid AS band_id, CAST(mh${2 * bid} AS VARCHAR) || ',' || CAST(mh${2 * bid + 1} AS VARCHAR) AS band_sig, doc_id FROM sig"
     }.mkString("\n  UNION ALL ")
     QueryDef("dd_lsh_buckets",
-      s"""WITH $shingleCtes,
-        |sig AS (SELECT doc_id, $mhSql FROM dw GROUP BY doc_id),
+      s"""WITH $shingleListCtes,
+        |sig AS (SELECT doc_id, $mhSql FROM widl),
         |bands AS ($bandSelects)
         |SELECT band_id, band_sig, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_doc
         |FROM bands GROUP BY band_id, band_sig HAVING COUNT(*) > 1""".stripMargin) { (spark, d) =>
-      val sigs = minhashAgg(docShingleIds(Tables.documents(spark, d)))
-      sigs.select(col("doc_id"), explode(array((0 until 4).map { bid =>
-        struct(lit(bid).as("band_id"),
-          concat_ws(",", col(s"mh${2 * bid}").cast("string"),
-            col(s"mh${2 * bid + 1}").cast("string")).as("band_sig"))
-      }: _*)).as("band"))
+      docWidArrays(Tables.documents(spark, d))
+        .select(col("doc_id") +: minhashArrayCols: _*)
+        .select(col("doc_id"), explode(array((0 until 4).map { bid =>
+          struct(lit(bid).as("band_id"),
+            concat_ws(",", col(s"mh${2 * bid}").cast("string"),
+              col(s"mh${2 * bid + 1}").cast("string")).as("band_sig"))
+        }: _*)).as("band"))
         .select(col("doc_id"), col("band.*"))
         .groupBy("band_id", "band_sig")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
@@ -203,27 +229,28 @@ object Dedup {
     }
   }
 
-  /** 16-bit SimHash per document over shingle ids. */
+  /** 16-bit SimHash per document over the shingle-id array (no shuffle). */
   val ddSimhash: QueryDef = {
     val sumsSql = (0 until 16).map { j =>
-      s"SUM(CASE WHEN ((${A16(j)}*wid+${B16(j)})%$P)%2 = 1 THEN 1 ELSE -1 END) AS s$j"
+      s"list_sum(list_transform(wids, w -> CASE WHEN ((CAST(${A16(j)} AS BIGINT)*w+${B16(j)})%$P)%2 = 1 THEN 1 ELSE -1 END)) AS s$j"
     }.mkString(", ")
     val bitsSql = (0 until 16).map { j =>
       s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
     QueryDef("dd_simhash",
-      s"""WITH $shingleCtes,
-        |sums AS (SELECT doc_id, $sumsSql FROM dw GROUP BY doc_id)
+      s"""WITH $shingleListCtes,
+        |sums AS (SELECT doc_id, $sumsSql FROM widl)
         |SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM sums""".stripMargin) { (spark, d) =>
-      val dw = docShingleIds(Tables.documents(spark, d))
       val sums = (0 until 16).map { j =>
-        sum(when(((lit(A16(j)) * col("wid") + lit(B16(j))) % lit(P)) % 2 === 1, 1)
-          .otherwise(-1)).as(s"s$j")
+        aggregate(col("wids"), lit(0),
+          (acc, w) => acc + when(((lit(A16(j)) * w + lit(B16(j))) % lit(P)) % 2 === 1, 1)
+            .otherwise(-1)).as(s"s$j")
       }
       val sig = (0 until 16).map { j =>
         when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
-      dw.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      docWidArrays(Tables.documents(spark, d))
+        .select(col("doc_id") +: sums: _*)
         .select(col("doc_id"), sig.as("simhash"))
     }
   }

@@ -26,13 +26,26 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Exact decimal dot product — order-independent, oracle-parity path. */
+  /** Exact decimal dot product — order-independent, oracle-parity path
+    * (kept for reference; the declared queries use the faster quantized-long
+    * variant below). */
   def dotDec(a: Column, b: Column): Column = {
     val prod = zip_with(a, b,
       (x, y) => x.cast("double").cast("decimal(18,9)") * y.cast("double").cast("decimal(18,9)"))
     aggregate(prod, lit(0).cast("decimal(38,18)"),
       (acc, x) => (acc + x).cast("decimal(38,18)"))
   }
+
+  /** Quantize a float vector to 1e-8-unit longs: integer arithmetic from here
+    * on is exact and order-independent, so Spark and DuckDB agree bit-for-bit
+    * at codegen'd long speed (no BigDecimal). round() is half-away-from-zero
+    * in both engines. */
+  def qvec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(1e8)).cast("long"))
+
+  /** Exact long dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Brute-force cosine top-k (production): probes broadcast against the
     * corpus; per-probe heap via window over (probe) partitions. */
@@ -48,49 +61,50 @@ object Similarity {
       .select("qid", "nid", "cosine")
   }
 
-  // ---- oracle fragments ----
+  // ---- oracle fragments (quantized-long arithmetic, relational unnest) ----
   private def unnestSql(filter: String): String =
-    s"SELECT vec_id, CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS v, " +
+    s"SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE)*100000000.0) AS BIGINT) AS v, " +
       s"generate_subscripts(embedding, 1) AS i FROM embeddings$filter"
 
   private def topkOracle(probeFilter: String, cellJoin: String, k: Int): String =
     s"""WITH a AS (${unnestSql(probeFilter)}),
       |b AS (${unnestSql("")}),
       |lbl AS (SELECT vec_id, label FROM embeddings),
-      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.v * b.v) AS dot
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(CAST(SUM(a.v * b.v) AS BIGINT) AS DOUBLE) AS dot
       |  FROM a JOIN b ON a.i = b.i AND a.vec_id <> b.vec_id
       |  $cellJoin
       |  GROUP BY a.vec_id, b.vec_id),
-      |norms AS (SELECT vec_id, SUM(v * v) AS nn FROM b GROUP BY vec_id)
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE)) AS norm FROM b GROUP BY vec_id)
       |SELECT qid, nid, cosine FROM (
       |  SELECT qid, nid,
-      |    round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS cosine,
+      |    round(dot / (na.norm * nb.norm), 6) AS cosine,
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
-      |      round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) DESC, nid) AS rn
+      |      round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
       |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
       |WHERE rn <= $k""".stripMargin
 
   private def sparkTopKDec(spark: SparkSession, d: String, probeMax: Int,
                            sameCell: Boolean, k: Int): DataFrame = {
+    // Quantize once at the scan, precompute norms once per vector — the
+    // pairwise stage is then a single exact long dot per pair.
     val emb = Tables.embeddings(spark, d)
-    // Precompute each vector's norm once (tiny table, broadcastable) instead
-    // of re-deriving it per candidate pair — at scale this is the difference
-    // between O(corpus) and O(probes x corpus) norm work.
+      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
     val norms = emb.select(col("vec_id"),
-      sqrt(dotDec(col("embedding"), col("embedding")).cast("double")).as("norm"))
+      sqrt(dotQ(col("q"), col("q")).cast("double")).as("norm"))
     val p = emb.filter(col("vec_id") < probeMax)
-      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("embedding").as("va"))
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("q").as("va"))
       .join(norms.withColumnRenamed("vec_id", "qid").withColumnRenamed("norm", "qnorm"), "qid")
     val c = emb
-      .select(col("vec_id").as("nid"), col("label").as("nlabel"), col("embedding").as("vb"))
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"), col("q").as("vb"))
       .join(norms.withColumnRenamed("vec_id", "nid").withColumnRenamed("norm", "nnorm"), "nid")
     val joined =
       if (sameCell) broadcast(p).join(c, col("qlabel") === col("nlabel") && col("qid") =!= col("nid"))
       else broadcast(p).crossJoin(c).filter(col("qid") =!= col("nid"))
-    // round(…, 6) both here and in the oracle: DuckDB's decimal->double cast
-    // is not always correctly rounded, so raw doubles can differ by 1 ulp.
+    // round(…, 6) both here and in the oracle so 1-ulp double formatting
+    // differences can't surface (division/sqrt are IEEE-identical, but keep
+    // the guard for robustness across engines).
     val scored = joined.select(col("qid"), col("nid"),
-      round(dotDec(col("va"), col("vb")).cast("double") /
+      round(dotQ(col("va"), col("vb")).cast("double") /
         (col("qnorm") * col("nnorm")), 6).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
