@@ -9,7 +9,8 @@ object SparkEntry {
   /** All oracle-checked query definitions, grouped by operator family. */
   def defs: Seq[QueryDef] =
     CoreQueries.all ++ Consensus.all ++ Dedup.all ++
-      Similarity.all ++ TextAnalysis.all ++ Multimodal.all
+      Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
+      ExtendedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -168,10 +168,10 @@ object Exprs {
   def tokensOverlap(clsTokens: Column, stepTokens: Column): Column =
     arrays_overlap(clsTokens, stepTokens)
 
-  // ---- X17: dynamic key lookup — value whose key contains "found"
-  // (founded_year.py:72-74) over a MapType column ----
-  def foundedValue(m: Column): Column =
-    element_at(map_values(map_filter(m, (k, _) => k.rlike("(?i)found"))), 1)
+  // ---- X17: dynamic key lookup — value whose key matches a pattern
+  // (founded_year.py:72-74 iterates keys containing "found") ----
+  def foundedValue(m: Column, keyPattern: String = "(?i)found"): Column =
+    get(map_values(map_filter(m, (k, _) => k.rlike(keyPattern))), lit(0))
 
   // ---- helpers for exact numeric parity with the DuckDB oracle ----
   /** Exact decimal sum cast back to double: decimal addition is

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exprs._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended operator coverage beyond the reference's literal surface:
+  * analytic windows with frames, sessionization, rollup, the J2/O4
+  * first-success pattern chain, generator-shaped word counting (X9), map
+  * lookup (X17), distinct-count stats, bucket collect (A6).
+  *
+  * events.ts arrives as raw nanosecond longs (Tables: nanosAsLong); queries
+  * convert with integral `div 1000` to microseconds, exactly matching
+  * DuckDB's epoch_us() truncation — no float in any time arithmetic.
+  */
+object ExtendedQueries {
+
+  private val tsUs = expr("ts div 1000")
+
+  /** Analytic window: lag delta + running decimal sum with ROWS frame. */
+  val waLagDelta = QueryDef("wa_lag_delta",
+    """SELECT user_id, event_id,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin) { (spark, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .select(col("user_id"), col("event_id"),
+        (col("ts_us") - lag("ts_us", 1).over(w)).as("delta_us"),
+        sum("v").over(wf).cast("double").as("run_sum"))
+  }
+
+  /** Sessionization: new session after a 30-minute silence; per-session
+    * stats. Two windows + one groupBy — all integer time math. */
+  val waSession = QueryDef("wa_session",
+    """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |m AS (SELECT user_id, event_id, ts_us,
+      |  CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (SELECT user_id, ts_us,
+      |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM m)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  CAST(MIN(ts_us) AS BIGINT) AS start_us, CAST(MAX(ts_us) AS BIGINT) AS end_us
+      |FROM s GROUP BY user_id, session_seq""".stripMargin) { (spark, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"))
+      .withColumn("new_s",
+        when(lag("ts_us", 1).over(w).isNull ||
+          col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_seq", sum("new_s").over(wf).cast("long"))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+  }
+
+  /** ROLLUP over the region/nation hierarchy (grouping-sets family). */
+  val rollupAgg = QueryDef("rollup_agg",
+    """SELECT r_name, n_name, COUNT(*) AS order_cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin) { (spark, d) =>
+    // via the spark.sql surface (ROLLUP); joins still broadcast the dims
+    Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_rollup_base")
+    spark.sql(
+      """SELECT r_name, n_name, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM graft_rollup_base GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+  }
+
+  /** J2/O4: ranked candidate patterns per firm, first "accessible" wins
+    * (step1_attempt1.py:27-62, main_portCo.py:58-70). The probe is a
+    * deterministic stand-in for check_page_accessible (S6 is an external
+    * effect, SURVEY.md §2.1). */
+  val o4FirstSuccess: QueryDef = {
+    val pats = Seq(1 -> "/portfolio", 2 -> "/investments", 3 -> "/portfolio-companies",
+      4 -> "/companies", 5 -> "/our-investments", 6 -> "/funds")
+    val valuesSql = pats.map { case (r, s) => s"($r, '$s')" }.mkString(", ")
+    QueryDef("o4_first_success",
+      s"""WITH pat AS (SELECT * FROM (VALUES $valuesSql) p(rank, sub)),
+        |cand AS (
+        |  SELECT s_suppkey, rank,
+        |    concat('https://www.', lower(regexp_replace(s_name, '#', '')), '.example.com', sub) AS candidate
+        |  FROM supplier CROSS JOIN pat
+        |  WHERE (s_suppkey * 7 + rank * 13) % 5 <> 0)
+        |SELECT s_suppkey, CAST(rank AS INTEGER) AS chosen_rank, candidate FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey ORDER BY rank) AS rn FROM cand) t
+        |WHERE rn = 1""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      val pat = pats.toDF("rank", "sub")
+      val cand = Tables.supplier(spark, d).crossJoin(broadcast(pat))
+        .withColumn("candidate",
+          concat(lit("https://www."), lower(regexp_replace(col("s_name"), "#", "")),
+            lit(".example.com"), col("sub")))
+        .filter((col("s_suppkey") * 7 + col("rank") * 13) % 5 =!= 0)
+      val w = Window.partitionBy("s_suppkey").orderBy("rank")
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("s_suppkey"), col("rank").cast("int").as("chosen_rank"), col("candidate"))
+    }
+  }
+
+  /** X9 generator shape: explode to words, top-20 frequency. */
+  val x9WordCount = QueryDef("x9_word_count",
+    """SELECT w AS word, COUNT(*) AS n_occ
+      |FROM (SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents) t
+      |GROUP BY w ORDER BY n_occ DESC, word LIMIT 20""".stripMargin) { (spark, d) =>
+    Tables.documents(spark, d)
+      .select(explode(split(normText(col("text")), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("word")).limit(20)
+  }
+
+  /** X17 dynamic key lookup over a MapType column (founded_year.py:72-74):
+    * parse props as map, take the value whose key matches. */
+  val x17MapLookup = QueryDef("x17_map_lookup",
+    """SELECT event_id, CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER) AS k_val
+      |FROM events WHERE event_type = 'purchase'""".stripMargin) { (spark, d) =>
+    Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        foundedValue(from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)), "(?i)k").as("k_val"))
+  }
+
+  /** Distinct-count stats per segment (free aggregation family, §2.4). */
+  val a7DistinctStats = QueryDef("a7_distinct_stats",
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_customers,
+      |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+      |FROM customer GROUP BY c_mktsegment""".stripMargin) { (spark, d) =>
+    Tables.customer(spark, d)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        countDistinct("c_nationkey").as("n_nations"))
+  }
+
+  /** A6 set-dedup within bucket + stable sort (step2_attempt1.py:97-109). */
+  val a6BucketSort = QueryDef("a6_bucket_sort",
+    """SELECT event_type, string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS ks
+      |FROM (SELECT DISTINCT event_type, CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER) % 25 AS k FROM events) t
+      |GROUP BY event_type""".stripMargin) { (spark, d) =>
+    Tables.events(spark, d)
+      .select(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("int") % 25).as("k"))
+      .groupBy("event_type")
+      .agg(concat_ws(",", transform(sort_array(collect_set(col("k"))),
+        x => x.cast("string"))).as("ks"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    waLagDelta, waSession, rollupAgg, o4FirstSuccess, x9WordCount,
+    x17MapLookup, a7DistinctStats, a6BucketSort)
+}
