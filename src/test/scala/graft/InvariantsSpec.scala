@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.Exprs._
+import graft.operators.{Dedup, FoundedYear, Similarity}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style invariants (SURVEY.md §5): randomized inputs with a fixed
+  * seed, evaluated in one batch per property (one Spark job instead of one
+  * per case). */
+class InvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private def randWs(n: Int): String = {
+    val ws = Seq(" ", "\t", "\n", "  ", "")
+    (1 to n).map(_ => ws(rnd.nextInt(ws.size)) + Random.alphanumeric.take(rnd.nextInt(6)).mkString).mkString
+  }
+
+  test("X1 normText is idempotent on 200 random whitespace-heavy strings") {
+    val df = (1 to 200).map(i => randWs(i % 20 + 1)).toDF("s")
+    val bad = df.filter(normText(normText($"s")) =!= normText($"s")).count()
+    assert(bad == 0)
+  }
+
+  test("X13 nameMatches is symmetric on random pairs") {
+    val words = Seq("acme", "acme capital", "ac", "zenith partners", "zen", "capital", "")
+    val pairs = for (a <- words; b <- words) yield (a, b)
+    val df = pairs.toDF("a", "b")
+    val asym = df.filter(nameMatches($"a", $"b") =!= nameMatches($"b", $"a")).count()
+    assert(asym == 0)
+  }
+
+  test("X3 extracted years always lie in 1800..2099") {
+    val df = (1 to 200).map(_ => (1 to 5).map(_ => rnd.nextInt(4000)).mkString(" ")).toDF("s")
+    val bad = df.select(explode(extractYears($"s")).as("y"))
+      .filter($"y" < 1800 || $"y" > 2099).count()
+    assert(bad == 0)
+  }
+
+  test("A1 consensus year is contained in every method's candidate set") {
+    val rows = for {
+      site <- 1 to 30
+      method <- Seq("jsonld", "relevant", "homepage", "google")
+      if rnd.nextInt(4) > 0 // some methods missing per site
+      y <- (1 to rnd.nextInt(5) + 1).map(_ => 1900 + rnd.nextInt(120))
+    } yield (s"https://site$site", method, y)
+    val cand = rows.toDF("website", "method", "year").distinct()
+    val cons = FoundedYear.consensus(cand)
+    val perMethod = cand.collect().groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getInt(2)).toSet).toMap
+    cons.collect().foreach { r =>
+      val (site, y) = (r.getString(0), r.getInt(1))
+      val methods = perMethod.keys.filter(_._1 == site)
+      assert(methods.nonEmpty)
+      methods.foreach { m => assert(perMethod(m).contains(y), s"$site $m missing $y") }
+    }
+  }
+
+  test("similarity: dotQ symmetric and |cosine| <= 1 + quantization slack") {
+    val vecs = (1 to 40).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val q = vecs.select($"vec_id", Similarity.qvec($"embedding").as("q"))
+    val a = q.select($"vec_id".as("ia"), $"q".as("qa"))
+    val b = q.select($"vec_id".as("ib"), $"q".as("qb"))
+    val pairs = a.crossJoin(b)
+      .select($"ia", $"ib",
+        Similarity.dotQ($"qa", $"qb").as("dab"),
+        Similarity.dotQ($"qb", $"qa").as("dba"),
+        (Similarity.dotQ($"qa", $"qb").cast("double") /
+          (sqrt(Similarity.dotQ($"qa", $"qa").cast("double")) *
+            sqrt(Similarity.dotQ($"qb", $"qb").cast("double")))).as("cos"))
+    assert(pairs.filter($"dab" =!= $"dba").count() == 0)
+    assert(pairs.filter(abs($"cos") > 1.0 + 1e-6).count() == 0)
+  }
+
+  test("shingle count is words-2 for docs of unique words") {
+    val docs = (1 to 50).map { i =>
+      (i.toLong, (1 to i % 12).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val bad = docs.select($"doc_id",
+      size(split(normText($"text"), " ")).as("nw"),
+      size(Dedup.shinglesOf($"text")).as("ns"))
+      .filter(!($"ns" === greatest($"nw" - 2, lit(0)) ||
+        ($"nw" === 1 && $"ns" === 0))) // single empty-string word edge
+      .count()
+    assert(bad == 0)
+  }
+
+  test("shingleIdChar is deterministic and collision-reasonable") {
+    val words = (1 to 500).map(i => s"token$i ngram${i * 7 % 97} x${i % 13}").toDF("s")
+    val ids = words.select(Dedup.shingleIdChar($"s").as("id"))
+    assert(ids.distinct().count() >= 490) // near-unique on distinct inputs
+    val again = words.select(Dedup.shingleIdChar($"s").as("id"))
+    assert(ids.exceptAll(again).count() == 0)
+  }
+}

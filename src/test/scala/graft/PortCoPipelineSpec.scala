@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.PortCoPipeline
+import org.apache.spark.sql.functions._
+
+/** End-to-end portCo extraction on synthetic firm pages exercising every
+  * branch: @graph flattening, ItemList expansion, union-typed fields,
+  * type white/blacklists, self-exclusion, scoring, thresholding, dedup. */
+class PortCoPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val acmeHtml =
+    """<html><body>
+      |<div class="portfolio card"><span>cards</span></div>
+      |<div class="site-footer portfolio"><span>noise</span></div>
+      |<script type="application/ld+json">
+      |{"@graph":[
+      |  {"@type":"Organization","name":"Acme Capital","url":"https://www.acme.com"},
+      |  {"@type":["Organization","Brand"],"name":"Hygain Holdings","url":"https://hygain.com.au",
+      |   "logo":{"url":"https://www.acme.com/uploads/Hygain-Holdings-412x412.jpg"}},
+      |  {"@type":"Person","name":"Jane Founder"},
+      |  {"@type":"WebPage","name":"Our Portfolio"}
+      |]}
+      |</script>
+      |<script type="application/ld+json">
+      |{"@type":"ItemList","itemListElement":[
+      |  {"@type":"ListItem","item":{"@type":"Organization","name":"Be Campbell","url":"https://becampbell.com.au","sameAs":"https://linkedin.com/bc"}},
+      |  {"@type":"Organization","name":"Riverlands","url":"https://riverlands.example"}
+      |]}
+      |</script>
+      |</body></html>""".stripMargin
+
+  private def pages = Seq(
+    ("Acme Capital", "https://www.acme.com", acmeHtml)
+  ).toDF("firm_name", "firm_url", "html")
+
+  test("card classes: rank A kept, footer noise blacklisted") {
+    val cards = PortCoPipeline.cardClasses(pages).collect()
+    assert(cards.exists(r => r.getString(2) == "portfolio card" && r.getString(1) == "A"))
+    assert(!cards.exists(_.getString(2).contains("footer")))
+  }
+
+  test("entities: graph flattened, ItemList expanded, Person/WebPage dropped, self excluded") {
+    val ents = PortCoPipeline.entities(pages)
+    val names = ents.select("name").collect().map(_.getString(0)).toSet
+    assert(names == Set("Hygain Holdings", "Be Campbell", "Riverlands"))
+    // union types normalized
+    val hygain = ents.filter($"name" === "Hygain Holdings").collect().head
+    assert(hygain.getAs[String]("jsonld_type") == "Organization")
+    // sameAs string normalized to array
+    val bc = ents.filter($"name" === "Be Campbell").collect().head
+    assert(bc.getSeq[String](bc.fieldIndex("same_as")) == Seq("https://linkedin.com/bc"))
+  }
+
+  test("scoring: logo-domain + whitelist + A-card puts Hygain at rank A") {
+    val out = PortCoPipeline.portcos(pages).collect()
+    val byName = out.map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName.contains("Hygain Holdings"))
+    // typeWL 1.0 + logoDom 0.6 + inside(A card) 0.3 >= 1.8 -> rank A
+    assert(byName("Hygain Holdings").getAs[String]("rank") == "A")
+    assert(byName("Hygain Holdings").getAs[Double]("score") >= 1.8)
+    // ordering: scores non-increasing
+    val scores = out.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("W2 dedup keeps one row per (name, domain) with the best score") {
+    val twice = pages.union(pages) // same page seen twice -> duplicate entities
+    val out = PortCoPipeline.portcos(twice)
+    val grouped = out.groupBy(lower($"name")).count().filter($"count" > 1).count()
+    assert(grouped == 0)
+  }
+
+  test("nested A4 document collects portcos per firm") {
+    val doc = PortCoPipeline.nestedResult(pages).collect().head
+    assert(doc.getAs[String]("firm_name") == "Acme Capital")
+    val portcos = doc.getSeq[org.apache.spark.sql.Row](1)
+    assert(portcos.map(_.getString(0)).contains("Hygain Holdings"))
+  }
+}
