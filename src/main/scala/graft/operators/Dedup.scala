@@ -85,11 +85,46 @@ object Dedup {
   def docShingleIds(docs: DataFrame): DataFrame =
     docShingles(docs).select(col("doc_id"), shingleIdChar(col("shingle")).as("wid"))
 
+  // ---- word-hash shingle ids: hash each word once (12-char poly), combine
+  // three word hashes per shingle — ~3x less string work than hashing the
+  // joined shingle text, still expression-only on both engines ----
+  val WordHashWidth = 12
+  val K2 = 4097L
+  val K3 = 16785409L
+
+  def wordHash(w: Column): Column = {
+    val padded = rpad(w, WordHashWidth, "@")
+    val terms = (1 to WordHashWidth).map(i =>
+      lit(Coef(i - 1)) * ascii(substring(padded, i, 1)))
+    (terms.reduce(_ + _) + lit(31L) * length(w)) % lit(P)
+  }
+
+  /** DuckDB twin of [[wordHash]] over a lambda variable named `w`. */
+  val wordHashSql: String = {
+    val terms = (1 to WordHashWidth).map(i =>
+      s"CAST(${Coef(i - 1)} AS BIGINT)*ascii(substring(rpad(w, $WordHashWidth, '@'), $i, 1))")
+    s"(${terms.mkString(" + ")} + 31*length(w)) % $P"
+  }
+
   /** Per-doc shingle-id arrays — pure row-local expressions, zero shuffle.
-    * This is the scale shape: sketches computed in the scan stage. */
+    * This is the scale shape: sketches computed in the scan stage.
+    *
+    * IMPORTANT: each stage is a separate select so `ws`/`hw` become plan
+    * attributes referenced multiple times — CollapseProject then keeps them
+    * materialized once per row. Inlining everything into one expression
+    * recomputes the word-hash array per shingle (O(words^2) per doc; this
+    * was a 30x slowdown). */
   def docWidArrays(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      transform(shinglesOf(col("text")), s => shingleIdChar(s)).as("wids"))
+    docs
+      .select(col("doc_id"), wordsOf(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("nw"),
+        transform(col("ws"), w => wordHash(w)).as("hw"))
+      .select(col("doc_id"),
+        when(col("nw") >= 3,
+          array_distinct(transform(sequence(lit(1), col("nw") - 2),
+            i => (element_at(col("hw"), i) + lit(K2) * element_at(col("hw"), i + 1) +
+              lit(K3) * element_at(col("hw"), i + 2)) % lit(P))))
+          .otherwise(array().cast("array<long>")).as("wids"))
 
   /** MinHash columns mh0..mh7 from a `wids` array column (no shuffle). */
   def minhashArrayCols: Seq[Column] =
@@ -134,13 +169,14 @@ object Dedup {
        |  FROM w) t WHERE w2 IS NOT NULL),
        |dw AS (SELECT doc_id, $shingleIdCharSql AS wid FROM sh)""".stripMargin
 
-  /** List-typed twin of [[shingleCtes]]: per-doc shingle/wid LISTS, the
-    * DuckDB mirror of the shuffle-free array pipeline. */
+  /** List-typed twin of [[docWidArrays]]: per-doc word-hash LISTS combined
+    * into shingle ids — the DuckDB mirror of the shuffle-free pipeline.
+    * (generate_series(1, n) is empty for n < 1, so short docs fall out.) */
   val shingleListCtes: String =
     s"""tl AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-       |shl AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws)-2),
-       |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles FROM tl),
-       |widl AS (SELECT doc_id, list_transform(shingles, shingle -> $shingleIdCharSql) AS wids FROM shl)""".stripMargin
+       |hwl AS (SELECT doc_id, len(ws) AS nw, list_transform(ws, w -> $wordHashSql) AS hw FROM tl),
+       |widl AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, nw-2),
+       |        i -> (hw[i] + CAST($K2 AS BIGINT)*hw[i+1] + CAST($K3 AS BIGINT)*hw[i+2]) % $P)) AS wids FROM hwl)""".stripMargin
 
   // ---- declared queries ----
 

@@ -126,5 +126,39 @@ object Similarity {
     sparkTopKDec(spark, d, probeMax = 100, sameCell = true, k = 3)
   }
 
-  val all: Seq[QueryDef] = Seq(simCosineTopK, simIvfBucketed)
+  /** Embedding-cosine near-duplicate pairs (dedup method #5 in the brief):
+    * candidate pairs (same cell, id window <= 200 — standing in for an LSH
+    * candidate set, which is what feeds this verify stage at scale) scored
+    * by exact quantized cosine, kept above threshold 0.3. */
+  val ddEmbeddingNearDup = QueryDef("dd_embedding_neardup",
+    s"""WITH a AS (${unnestSql("")}),
+      |lbl AS (SELECT vec_id, label FROM embeddings),
+      |dots AS (SELECT la.vec_id AS vec_a, lb.vec_id AS vec_b,
+      |    CAST(CAST(SUM(x.v * y.v) AS BIGINT) AS DOUBLE) AS dot
+      |  FROM lbl la JOIN lbl lb ON la.label = lb.label AND la.vec_id < lb.vec_id
+      |    AND lb.vec_id - la.vec_id <= 200
+      |  JOIN a x ON x.vec_id = la.vec_id
+      |  JOIN a y ON y.vec_id = lb.vec_id AND y.i = x.i
+      |  GROUP BY la.vec_id, lb.vec_id),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE)) AS norm FROM a GROUP BY vec_id)
+      |SELECT vec_a, vec_b, round(dot / (na.norm * nb.norm), 6) AS cosine
+      |FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+      |WHERE round(dot / (na.norm * nb.norm), 6) >= 0.3""".stripMargin) { (spark, d) =>
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
+    val withNorm = emb.select(col("vec_id"), col("label"), col("q"),
+      sqrt(dotQ(col("q"), col("q")).cast("double")).as("norm"))
+    val a = withNorm.select(col("vec_id").as("vec_a"), col("label"),
+      col("q").as("qa"), col("norm").as("na"))
+    val b = withNorm.select(col("vec_id").as("vec_b"), col("label"),
+      col("q").as("qb"), col("norm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b") && col("vec_b") - col("vec_a") <= 200)
+      .select(col("vec_a"), col("vec_b"),
+        round(dotQ(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+  }
+
+  val all: Seq[QueryDef] = Seq(simCosineTopK, simIvfBucketed, ddEmbeddingNearDup)
 }
