@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.Exprs._
+import graft.operators.FoundedYear
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated inputs, evaluated in one Spark batch per property
+  * (SURVEY.md §5: property tests for consensus invariants, name-match
+  * symmetry, norm idempotence). */
+class GeneratedPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val wsGen: Gen[String] = for {
+    parts <- Gen.listOfN(6, Gen.oneOf("a", "bb", "c d", "", " ", "\t", "\n\n", "e  f"))
+    sep <- Gen.oneOf(" ", "  ", "\t", "\n")
+  } yield parts.mkString(sep)
+
+  private val nameGen: Gen[String] = for {
+    words <- Gen.choose(1, 3)
+    w <- Gen.listOfN(words, Gen.oneOf("acme", "zen", "cap", "partners", "ab", "x"))
+  } yield w.mkString(" ")
+
+  test("normText idempotence over generated whitespace strings") {
+    val df = sample(wsGen, 300).toDF("s")
+    assert(df.filter(normText(normText($"s")) =!= normText($"s")).count() == 0)
+  }
+
+  test("nameMatches symmetry and reflexivity over generated names") {
+    val names = sample(nameGen, 60)
+    val pairs = (for (a <- names; b <- names) yield (a, b)).distinct.toDF("a", "b")
+    assert(pairs.filter(nameMatches($"a", $"b") =!= nameMatches($"b", $"a")).count() == 0)
+    val selfs = names.distinct.toDF("a")
+    assert(selfs.filter(length(trim($"a")) > 0 && !nameMatches($"a", $"a")).count() == 0)
+  }
+
+  test("weighted vote winner always has google support plus another method") {
+    val rowGen: Gen[(String, String, Int)] = for {
+      site <- Gen.choose(1, 20).map(i => s"https://s$i")
+      method <- Gen.oneOf("jsonld", "relevant", "homepage", "google")
+      year <- Gen.choose(1900, 2020)
+    } yield (site, method, year)
+    val cand = sample(rowGen, 600).toDF("website", "method", "year").distinct()
+    val winners = FoundedYear.weightedVote(cand).collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+    val byKey = cand.collect().groupBy(r => (r.getString(0), r.getInt(2)))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    winners.foreach { case (site, y) =>
+      val methods = byKey((site, y))
+      assert(methods.contains("google") && methods.exists(_ != "google"),
+        s"$site/$y won with methods $methods")
+    }
+  }
+
+  test("priority fallback always returns the min of the highest-priority non-empty method") {
+    val rowGen: Gen[(String, String, Int)] = for {
+      site <- Gen.choose(1, 25).map(i => s"https://p$i")
+      method <- Gen.oneOf("jsonld", "relevant", "homepage", "google")
+      year <- Gen.choose(1900, 2020)
+    } yield (site, method, year)
+    val cand = sample(rowGen, 400).toDF("website", "method", "year").distinct()
+    val out = FoundedYear.priorityFallback(cand).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val rows = cand.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val order = Seq("jsonld", "relevant", "homepage", "google")
+    rows.groupBy(_._1).foreach { case (site, rs) =>
+      val expected = order.iterator
+        .map(m => rs.filter(_._2 == m).map(_._3))
+        .find(_.nonEmpty).map(_.min)
+      assert(expected.contains(out(site)), s"$site expected $expected got ${out.get(site)}")
+    }
+  }
+}
