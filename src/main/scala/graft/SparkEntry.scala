@@ -10,7 +10,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     CoreQueries.all ++ Consensus.all ++ Dedup.all ++
       Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
-      ExtendedQueries.all ++ PipelineQueries.all
+      ExtendedQueries.all ++ TemporalQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

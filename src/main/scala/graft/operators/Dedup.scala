@@ -29,6 +29,14 @@ object Dedup {
   val B16: Seq[Long] = Seq(
     101L, 211L, 307L, 401L, 503L, 601L, 701L, 809L,
     907L, 1009L, 1103L, 1201L, 1301L, 1409L, 1499L, 1601L)
+  /** 32-bit SimHash seed pairs (near-dup banding needs wider sigs: 4 bands
+    * of 8 bits keep candidate buckets ~n/256 instead of n/16). */
+  val A32: Seq[Long] = A16 ++ Seq(
+    33791L, 35401L, 37813L, 39233L, 41011L, 43973L, 45989L, 47809L,
+    49999L, 51869L, 53899L, 55933L, 57923L, 59999L, 61843L, 63949L)
+  val B32: Seq[Long] = B16 ++ Seq(
+    1709L, 1801L, 1901L, 2003L, 2111L, 2203L, 2309L, 2411L,
+    2503L, 2609L, 2707L, 2801L, 2903L, 3001L, 3109L, 3203L)
 
   // ---- shingling ----
   def wordsOf(text: Column): Column = split(normText(text), " ")
@@ -291,5 +299,64 @@ object Dedup {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash)
+  /** SimHash near-duplicate pairs at Hamming distance <= 3 over a 32-bit
+    * signature. Candidate generation is exact by pigeonhole: split the sig
+    * into 4 bands of 8 bits — any pair within distance 3 differs in at most
+    * 3 bands, so at least one band matches exactly. Equi-join on
+    * (band_id, band_val) therefore finds EVERY qualifying pair while
+    * scanning ~n/256-sized buckets instead of n^2 pairs; the cheap
+    * bit_count(xor) verify runs only on candidates. The scale shape:
+    * signatures are scan-stage expressions, the join key is 1 of 1024
+    * values, and no similarity work happens outside matched buckets. */
+  val ddSimhashNearDup: QueryDef = {
+    val sumsSql = (0 until 32).map { j =>
+      s"list_sum(list_transform(wids, w -> CASE WHEN ((CAST(${A32(j)} AS BIGINT)*w+${B32(j)})%$P)%2 = 1 THEN 1 ELSE -1 END)) AS s$j"
+    }.mkString(", ")
+    val bitsSql = (0 until 32).map { j =>
+      s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    QueryDef("dd_simhash_neardup",
+      s"""WITH $shingleListCtes,
+        |sums AS (SELECT doc_id, $sumsSql FROM widl),
+        |sig AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM sums),
+        |bands AS (SELECT doc_id, simhash, band_id, (simhash >> (band_id*8)) & 255 AS band_val
+        |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS ha, b.simhash AS hb
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin) { (spark, d) =>
+      val sums = (0 until 32).map { j =>
+        aggregate(col("wids"), lit(0),
+          (acc, w) => acc + when(((lit(A32(j)) * w + lit(B32(j))) % lit(P)) % 2 === 1, 1)
+            .otherwise(-1)).as(s"s$j")
+      }
+      val sigExpr = (0 until 32).map { j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sig = docWidArrays(Tables.documents(spark, d))
+        .select(col("doc_id") +: sums: _*)
+        .select(col("doc_id"), sigExpr.as("simhash"))
+      val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { bid =>
+          struct(lit(bid).as("band_id"),
+            shiftright(col("simhash"), 8 * bid).bitwiseAND(lit(255L)).as("band_val"))
+        }: _*)).as("band"))
+        .select(col("doc_id"), col("simhash"), col("band.*"))
+      val a = bands.select(col("band_id"), col("band_val"),
+        col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      val b = bands.select(col("band_id"), col("band_val"),
+        col("doc_id").as("doc_b"), col("simhash").as("hb"))
+      a.join(b, Seq("band_id", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb").distinct()
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup)
 }

@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
+
+/** Optimizer rule: rewrite the declarative dot product
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0, (acc, x) -> acc + x)`
+  * into the fused codegen'd [[DotProductQ]] / [[DotProductF]] loop.
+  *
+  * Query code keeps the portable `functions._` form (runs on any Spark);
+  * sessions built with [[GraftExtensions]] execute the tight loop instead of
+  * materializing the product array and dispatching two lambdas per element.
+  */
+object RewriteDotProduct extends Rule[LogicalPlan] {
+
+  private def isVars(l: Expression, r: Expression, vars: Seq[NamedExpression]): Boolean =
+    vars.length == 2 &&
+      ((l.semanticEquals(vars.head) && r.semanticEquals(vars(1))) ||
+        (l.semanticEquals(vars(1)) && r.semanticEquals(vars.head)))
+
+  private def isIdentity(f: LambdaFunction): Boolean =
+    f.arguments.length == 1 && f.function.semanticEquals(f.arguments.head)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), mulVars, _)),
+          zero @ Literal(_, zt),
+          LambdaFunction(Add(al, ar, _), addVars, _),
+          finish: LambdaFunction)
+        if isVars(ml, mr, mulVars) && isVars(al, ar, addVars) && isIdentity(finish) &&
+          ((zt == LongType && zero.value == 0L && isArrayOf(a, b, LongType)) ||
+            (zt == DoubleType && zero.value == 0.0 && isArrayOf(a, b, FloatType))) =>
+      if (zt == LongType) DotProductQ(a, b) else DotProductF(a, b)
+  }
+
+  private def isArrayOf(a: Expression, b: Expression,
+                        t: org.apache.spark.sql.types.DataType): Boolean =
+    (a.dataType, b.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _)) => l == t && r == t
+      case _ => false
+    }
+}
+
+/** Session extensions: SQL-callable native functions + the rewrite rule.
+  * Install with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_q"),
+      new ExpressionInfo(classOf[DotProductQ].getName, "graft_dot_q"),
+      (children: Seq[Expression]) => DotProductQ(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "graft_dot_f"),
+      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+  }
+}

@@ -55,6 +55,32 @@ class DedupSpec extends SparkSpec {
     assert(total == Tables.documents(spark, sf0001).count())
   }
 
+  test("dd_simhash_neardup: sound (hamming <= 3) and complete (pigeonhole) vs brute force") {
+    // Recompute the 32-bit signatures the query derives internally, then
+    // brute-force all-pairs hamming as the completeness reference.
+    val sums = (0 until 32).map { j =>
+      aggregate(col("wids"), lit(0),
+        (acc, w) => acc + when(((lit(Dedup.A32(j)) * w + lit(Dedup.B32(j))) % lit(Dedup.P)) % 2 === 1, 1)
+          .otherwise(-1)).as(s"s$j")
+    }
+    val sigExpr = (0 until 32).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = Dedup.docWidArrays(Tables.documents(spark, sf0001))
+      .select(col("doc_id") +: sums: _*)
+      .select(col("doc_id"), sigExpr.as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, ha) <- sigs; (idb, hb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb, java.lang.Long.bitCount(ha ^ hb))).toSet
+
+    val got = Dedup.ddSimhashNearDup.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.forall(_._3 <= 3))
+    assert(got === brute, "band candidate generation must find exactly the <=3-hamming pairs")
+  }
+
   test("jaccard of identical docs is 1.0, of disjoint docs is 0.0") {
     val sets = docsDf.select($"doc_id", Dedup.shinglesOf($"text").as("sh"))
     val j = sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")

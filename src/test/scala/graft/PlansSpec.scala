@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Similarity
+import graft.plans.DotProductQ
+import org.apache.spark.sql.functions._
+
+/** Native expression layer: SQL registration, codegen/interpreted parity
+  * with the declarative form, rewrite-rule firing, null semantics. */
+class PlansSpec extends SparkSpec {
+
+  test("graft_dot_q SQL function matches declarative aggregate(zip_with)") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-7L, 0L, 9L), Seq(2L, 11L, -3L))).toDF("a", "b")
+    df.createOrReplaceTempView("dotq_t")
+    val native = spark.sql("SELECT graft_dot_q(a, b) AS d FROM dotq_t").collect().map(_.getLong(0))
+    val decl = df.select(Similarity.dotQ(col("a"), col("b")).as("d")).collect().map(_.getLong(0))
+    assert(native.toSeq === Seq(32L, -41L))
+    assert(decl.toSeq === native.toSeq)
+  }
+
+  test("graft_dot_f accumulates float products in double") {
+    import spark.implicits._
+    val df = Seq((Seq(1.5f, 2.0f), Seq(2.0f, -0.5f))).toDF("a", "b")
+    df.createOrReplaceTempView("dotf_t")
+    val d = spark.sql("SELECT graft_dot_f(a, b) AS d FROM dotf_t").collect().head.getDouble(0)
+    assert(math.abs(d - 2.0) < 1e-12)
+  }
+
+  test("length mismatch returns null (zip_with pad semantics)") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    df.createOrReplaceTempView("dotq_mismatch")
+    val r = spark.sql("SELECT graft_dot_q(a, b) AS d FROM dotq_mismatch").collect().head
+    assert(r.isNullAt(0))
+    val decl = df.select(Similarity.dotQ(col("a"), col("b")).as("d")).collect().head
+    assert(decl.isNullAt(0))
+  }
+
+  test("RewriteDotProduct rewrites the declarative long form to DotProductQ") {
+    // Must be a non-local source: over literal rows the optimizer constant-
+    // folds the whole projection into a LocalRelation before we could look.
+    val df = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Similarity.qvec(col("embedding")).as("q"))
+      .select(Similarity.dotQ(col("q"), col("q")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan
+    val hasNative = optimized.expressions.exists(e =>
+      e.collectFirst { case d: DotProductQ => d }.isDefined)
+    assert(hasNative, s"expected DotProductQ in optimized plan:\n$optimized")
+    assert(df.limit(5).collect().forall(r => r.getLong(0) > 0L))
+  }
+
+  test("rewrite preserves results on real embedding vectors (quantized path)") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+      .select(col("vec_id"), Similarity.qvec(col("embedding")).as("q"))
+    val a = emb.select(col("vec_id").as("ida"), col("q").as("qa"))
+    val b = emb.select(col("vec_id").as("idb"), col("q").as("qb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb")).limit(500)
+    val viaRule = pairs.select(Similarity.dotQ(col("qa"), col("qb")).as("d"))
+      .agg(sum("d")).collect().head.getLong(0)
+    // interpreted reference: collect and fold on the driver
+    val rows = pairs.select(col("qa"), col("qb")).collect()
+    val expected = rows.map { r =>
+      val x = r.getSeq[Long](0); val y = r.getSeq[Long](1)
+      x.zip(y).map { case (u, v) => u * v }.sum
+    }.sum
+    assert(viaRule === expected)
+  }
+
+  test("DotProductF is registered and matches dotD on embeddings") {
+    val emb = Tables.embeddings(spark, sf0001).limit(20)
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+    val native = pairs.select(expr("graft_dot_f(ea, eb)").as("d"))
+    val decl = pairs.select(Similarity.dotD(col("ea"), col("eb")).as("d"))
+    val n = native.select(sum("d")).collect().head.getDouble(0)
+    val dcl = decl.select(sum("d")).collect().head.getDouble(0)
+    assert(math.abs(n - dcl) < 1e-6, s"native=$n declarative=$dcl")
+  }
+}
