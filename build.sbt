@@ -28,4 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 8g caused multi-second GC pauses in local[32] benches; the box has 125g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Catalyst funnels thousands of distinct expression trees through a few
+  // shared eval call sites; the default recompilation cutoffs (400/200)
+  // eventually mark those methods not-compilable after deopt churn, pinning
+  // interpreted-eval paths in the bytecode interpreter (observed: 100x+
+  // intermittent scan stalls). Raise the cutoffs so HotSpot keeps
+  // recompiling instead of giving up.
+  "-XX:PerMethodRecompilationCutoff=10000",
+  "-XX:PerBytecodeRecompilationCutoff=10000",
 )

@@ -32,6 +32,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Local-scale knob only: testdata is one ~20 MB file per table, so the
+      // default 128 MB split yields single-task scans; 4 MB restores scan
+      // parallelism. On a real cluster the parallelism comes from many files
+      // — keep the default there. (AQE stays ON: its post-shuffle coalescing
+      // is worth ~3x on these micro-queries.)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART", "4194304"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -23,7 +23,10 @@ object Consensus {
     Tables.events(spark, d).select(
       col("user_id"),
       col("event_type").as("method"),
-      (get_json_object(col("props"), "$.k").cast("int") % 25).as("k"))
+      // native fixed-shape probe: props is flat machine-written JSON, and
+      // per-row Jackson parser construction stalls hot scans (see
+      // graft.plans.JsonFieldUtil)
+      (graft.plans.jsonLong(col("props"), "k").cast("int") % 25).as("k"))
 
   private val candidatesSql =
     "SELECT user_id, event_type AS method, CAST(regexp_extract(props, '(\\d+)', 1) AS INTEGER) % 25 AS k FROM events"

@@ -73,8 +73,12 @@ object CoreQueries {
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
   }
 
-  /** X7 JSON path extraction (seed_aic.py:318; from_json/get_json_object)
-    * + aggregation. Oracle uses a regex twin so it needs no JSON extension. */
+  /** X7 JSON field extraction (seed_aic.py:318) + aggregation. Uses the
+    * native fixed-shape probe (graft.plans.JsonLongField): props is a
+    * machine-written flat payload, and per-row Jackson parser construction
+    * (get_json_object/from_json) showed intermittent 30x scan stalls —
+    * full-JSON parsing coverage lives in x17_map_lookup and the seed
+    * pipeline's spark.read.json. Oracle uses a regex twin. */
   val x7Json = QueryDef("x7_json_extract",
     """SELECT event_type,
       |  COUNT(*) AS n,
@@ -83,7 +87,7 @@ object CoreQueries {
       |  CAST(SUM(CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type""".stripMargin) { (spark, d) =>
     Tables.events(spark, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k", graft.plans.jsonLong(col("props"), "k").cast("int"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"),
         sum("k").as("sum_k"))

@@ -114,15 +114,23 @@ object Dedup {
     s"(${terms.mkString(" + ")} + 31*length(w)) % $P"
   }
 
-  /** Per-doc shingle-id arrays — pure row-local expressions, zero shuffle.
-    * This is the scale shape: sketches computed in the scan stage.
+  /** Per-doc shingle-id arrays — one native codegen'd pass per row, zero
+    * shuffle. This is the scale shape: sketches computed in the scan stage.
+    * Declared dd_* queries use this; [[docWidArraysDecl]] is the portable
+    * declarative twin it is tested against. */
+  def docWidArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.plans.wordShingles(col("text"), Coef.take(WordHashWidth), K2, K3, P).as("wids"))
+
+  /** Declarative twin of [[docWidArrays]] (higher-order functions -> the
+    * interpreted evaluator; kept as the cross-checked reference).
     *
     * IMPORTANT: each stage is a separate select so `ws`/`hw` become plan
     * attributes referenced multiple times — CollapseProject then keeps them
     * materialized once per row. Inlining everything into one expression
     * recomputes the word-hash array per shingle (O(words^2) per doc; this
     * was a 30x slowdown). */
-  def docWidArrays(docs: DataFrame): DataFrame =
+  def docWidArraysDecl(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), wordsOf(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("nw"),
@@ -134,11 +142,23 @@ object Dedup {
               lit(K3) * element_at(col("hw"), i + 2)) % lit(P))))
           .otherwise(array().cast("array<long>")).as("wids"))
 
-  /** MinHash columns mh0..mh7 from a `wids` array column (no shuffle). */
+  /** MinHash columns mh0..mh7 from a `wids` array column (no shuffle).
+    * Declarative form — k interpreted lambda folds; kept as the portable
+    * reference the native path is tested against. */
   def minhashArrayCols: Seq[Column] =
     As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("wids"), w => (lit(a) * w + lit(b)) % lit(P))).as(s"mh$i")
     }
+
+  /** (doc_id, mh0..mh7) via the one-pass native sketch (graft.plans
+    * .MinHashSig): all 8 lanes in a single codegen'd array walk. The
+    * two-step select keeps the signature array a plan attribute, so
+    * CollapseProject won't duplicate the sketch per extracted lane. */
+  def minhashNativeDF(docs: DataFrame): DataFrame =
+    docWidArrays(docs)
+      .select(col("doc_id"), graft.plans.minhashSig(col("wids"), As, Bs, P).as("mhsig"))
+      .select(col("doc_id") +:
+        (0 until As.length).map(i => element_at(col("mhsig"), i + 1).as(s"mh$i")): _*)
 
   /** MinHash signature columns mh0..mh7 from (doc_id, wid). */
   def minhashAgg(dw: DataFrame): DataFrame = {
@@ -237,8 +257,7 @@ object Dedup {
       s"""WITH $shingleListCtes
         |SELECT doc_id, concat_ws(',', $minsSql) AS sig
         |FROM widl""".stripMargin) { (spark, d) =>
-      docWidArrays(Tables.documents(spark, d))
-        .select(col("doc_id") +: minhashArrayCols: _*)
+      minhashNativeDF(Tables.documents(spark, d))
         .select(col("doc_id"),
           concat_ws(",", (0 until 8).map(i => col(s"mh$i").cast("string")): _*).as("sig"))
     }
@@ -259,8 +278,7 @@ object Dedup {
         |bands AS ($bandSelects)
         |SELECT band_id, band_sig, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_doc
         |FROM bands GROUP BY band_id, band_sig HAVING COUNT(*) > 1""".stripMargin) { (spark, d) =>
-      docWidArrays(Tables.documents(spark, d))
-        .select(col("doc_id") +: minhashArrayCols: _*)
+      minhashNativeDF(Tables.documents(spark, d))
         .select(col("doc_id"), explode(array((0 until 4).map { bid =>
           struct(lit(bid).as("band_id"),
             concat_ws(",", col(s"mh${2 * bid}").cast("string"),
@@ -285,17 +303,9 @@ object Dedup {
       s"""WITH $shingleListCtes,
         |sums AS (SELECT doc_id, $sumsSql FROM widl)
         |SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM sums""".stripMargin) { (spark, d) =>
-      val sums = (0 until 16).map { j =>
-        aggregate(col("wids"), lit(0),
-          (acc, w) => acc + when(((lit(A16(j)) * w + lit(B16(j))) % lit(P)) % 2 === 1, 1)
-            .otherwise(-1)).as(s"s$j")
-      }
-      val sig = (0 until 16).map { j =>
-        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
       docWidArrays(Tables.documents(spark, d))
-        .select(col("doc_id") +: sums: _*)
-        .select(col("doc_id"), sig.as("simhash"))
+        .select(col("doc_id"),
+          graft.plans.simhashSig(col("wids"), A16, B16, P).as("simhash"))
     }
   }
 
@@ -327,17 +337,9 @@ object Dedup {
         |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
         |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin) { (spark, d) =>
-      val sums = (0 until 32).map { j =>
-        aggregate(col("wids"), lit(0),
-          (acc, w) => acc + when(((lit(A32(j)) * w + lit(B32(j))) % lit(P)) % 2 === 1, 1)
-            .otherwise(-1)).as(s"s$j")
-      }
-      val sigExpr = (0 until 32).map { j =>
-        when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
       val sig = docWidArrays(Tables.documents(spark, d))
-        .select(col("doc_id") +: sums: _*)
-        .select(col("doc_id"), sigExpr.as("simhash"))
+        .select(col("doc_id"),
+          graft.plans.simhashSig(col("wids"), A32, B32, P).as("simhash"))
       val bands = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { bid =>
           struct(lit(bid).as("band_id"),

@@ -159,7 +159,7 @@ object ExtendedQueries {
       |GROUP BY event_type""".stripMargin) { (spark, d) =>
     Tables.events(spark, d)
       .select(col("event_type"),
-        (get_json_object(col("props"), "$.k").cast("int") % 25).as("k"))
+        (graft.plans.jsonLong(col("props"), "k").cast("int") % 25).as("k"))
       .groupBy("event_type")
       .agg(concat_ws(",", transform(sort_array(collect_set(col("k"))),
         x => x.cast("string"))).as("ks"))

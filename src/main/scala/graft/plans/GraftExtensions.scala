@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot_f"),
       (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_json_long"),
+      new ExpressionInfo(classOf[JsonLongField].getName, "graft_json_long"),
+      (children: Seq[Expression]) => JsonLongField(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector hot path (SURVEY.md §7.2's
   * "custom work only where it pays"): a fused dot product that walks the two
@@ -33,6 +34,299 @@ abstract class ArrayDotBase extends BinaryExpression {
         s"$prettyName expects two array<${elemType.simpleString}> arguments, " +
           s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
+}
+
+/** Static loops behind the sketch expressions ([[SimHashSig]],
+  * [[MinHashSig]]) — one pass over the shingle-id array computing every
+  * lane, instead of k interpreted higher-order-function folds (Spark's
+  * array lambdas are CodegenFallback; k passes of interpreted lambda
+  * dispatch dominated the sketch queries). */
+object SketchUtil {
+  /** sig bit j = sign of sum over wids of +-1(((a(j)*w+b(j)) mod p) odd). */
+  def simhash(wids: ArrayData, a: Array[Long], b: Array[Long], p: Long): Long = {
+    val nbits = a.length
+    val sums = new Array[Int](nbits)
+    val n = wids.numElements()
+    var i = 0
+    while (i < n) {
+      val w = wids.getLong(i)
+      var j = 0
+      while (j < nbits) {
+        if (((a(j) * w + b(j)) % p) % 2 == 1) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < nbits) { if (sums(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  /** Polynomial hash of one word: sum over the first `width` codepoints
+    * (padded with '@') of coef(i)*cp(i), plus 31*charlen, mod p. Exactly
+    * mirrors the declarative rpad/substring/ascii pipeline (and its DuckDB
+    * twin) in graft.operators.Dedup. */
+  private def wordHash(cps: Array[Int], len: Int, coef: Array[Long], p: Long): Long = {
+    val width = coef.length
+    var h = 0L
+    var i = 0
+    while (i < width) {
+      val c = if (i < len) cps(i) else '@'.toInt
+      h += coef(i) * c
+      i += 1
+    }
+    (h + 31L * len) % p
+  }
+
+  /** Distinct 3-gram shingle ids of a document in ONE pass: whitespace
+    * tokenize, per-word polynomial hash, combine consecutive word hashes as
+    * (h0 + k2*h1 + k3*h2) mod p, distinct preserving first occurrence.
+    * Semantics identical to the staged declarative pipeline
+    * (Dedup.docWidArrays) and its DuckDB list CTE twin — this exists because
+    * the declarative form runs on the interpreted expression evaluator
+    * (higher-order functions are CodegenFallback), whose shared eval call
+    * sites the JIT intermittently deopt-blacklists, leaving scans 100x+
+    * slower in the bytecode interpreter. */
+  def wordShingleIds(text: UTF8String, coef: Array[Long], k2: Long, k3: Long,
+                     p: Long): ArrayData = {
+    if (text == null) return null
+    val s = text.toString
+    // tokenize on regex-\s runs (the exact set normText collapses on;
+    // Character.isWhitespace would differ on exotic separators)
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < s.length && !isWs(s.charAt(i))) i += 1
+      if (i > start) words.add(s.substring(start, i))
+    }
+    val n = words.size()
+    if (n < 3) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val hs = new Array[Long](n)
+    var w = 0
+    while (w < n) {
+      val cps = words.get(w).codePoints().toArray
+      hs(w) = wordHash(cps, cps.length, coef, p)
+      w += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j + 2 < n) {
+      seen.add(java.lang.Long.valueOf((hs(j) + k2 * hs(j + 1) + k3 * hs(j + 2)) % p))
+      j += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** min over wids of (a(j)*w+b(j)) mod p, per lane j; null for empty input
+    * (mirrors array_min/list_min over an empty list). */
+  def minhash(wids: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
+    val n = wids.numElements()
+    if (n == 0) return null
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val w = wids.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * w + b(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
+/** Base for the one-pass sketch expressions over `array<bigint>` shingle
+  * ids, parameterized by seed tables. */
+abstract class SketchBase extends UnaryExpression {
+  def seedsA: Seq[Long]
+  def seedsB: Seq[Long]
+  def modulus: Long
+
+  protected lazy val aArr: Array[Long] = seedsA.toArray
+  protected lazy val bArr: Array[Long] = seedsB.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${t.simpleString}")
+  }
+}
+
+/** `graft_simhash(wids)`: n-bit SimHash signature in one array pass. */
+case class SimHashSig(child: Expression, seedsA: Seq[Long], seedsB: Seq[Long],
+                      modulus: Long) extends SketchBase {
+  require(seedsA.length == seedsB.length && seedsA.length <= 64)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SketchUtil.simhash(v.asInstanceOf[ArrayData], aArr, bArr, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("simhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("simhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchUtil.simhash($c, $aRef, $bRef, ${modulus}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(wids)`: k-lane MinHash signature in one array pass; null
+  * on an empty shingle set (as array_min of an empty array). */
+case class MinHashSig(child: Expression, seedsA: Seq[Long], seedsB: Seq[Long],
+                      modulus: Long) extends SketchBase {
+  require(seedsA.length == seedsB.length)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SketchUtil.minhash(v.asInstanceOf[ArrayData], aArr, bArr, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.plans.SketchUtil.minhash($c, $aRef, $bRef, ${modulus}L);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_word_shingles(text)`: distinct 3-gram word-hash shingle ids in a
+  * single codegen'd pass (see [[SketchUtil.wordShingleIds]]). */
+case class WordShingleIds(child: Expression, coef: Seq[Long], k2: Long, k3: Long,
+                          modulus: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  private lazy val coefArr: Array[Long] = coef.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    SketchUtil.wordShingleIds(v.asInstanceOf[UTF8String], coefArr, k2, k3, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("shingleCoef", coefArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchUtil.wordShingleIds($c, $cRef, ${k2}L, ${k3}L, ${modulus}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Single-pass scanner behind [[JsonLongField]]. Kept as a plain static
+  * method so both the interpreted path and the generated Java call one
+  * implementation. */
+object JsonFieldUtil {
+  /** Extract the integer value of a top-level `"key": <int>` field from a
+    * flat JSON object, without allocating a parser. Returns null when the
+    * key is absent or its value is not an integer literal.
+    *
+    * Built for fixed-shape machine-written payloads (the events.props
+    * case): per-row general-purpose JSON parsers proved pathologically
+    * unstable in hot scans (intermittent 30x stalls inside per-row parser
+    * construction), and a known-shape field probe is also the right scan
+    * cost at 100 TB. For genuinely nested/unknown JSON use from_json. */
+  def extract(json: UTF8String, key: UTF8String): java.lang.Long = {
+    if (json == null || key == null) return null
+    val s = json.toString
+    val needle = "\"" + key.toString + "\""
+    var from = 0
+    while (from >= 0) {
+      val i = s.indexOf(needle, from)
+      if (i < 0) return null
+      var j = i + needle.length
+      while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
+      if (j < s.length && s.charAt(j) == ':') {
+        j += 1
+        while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
+        var neg = false
+        if (j < s.length && s.charAt(j) == '-') { neg = true; j += 1 }
+        var v = 0L
+        var any = false
+        while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
+          v = v * 10 + (s.charAt(j) - '0'); any = true; j += 1
+        }
+        // an integer literal ends the value; a '.' or exponent means non-int
+        if (any && (j >= s.length ||
+            (s.charAt(j) != '.' && s.charAt(j) != 'e' && s.charAt(j) != 'E'))) {
+          return java.lang.Long.valueOf(if (neg) -v else v)
+        }
+        return null
+      }
+      from = i + 1
+    }
+    null
+  }
+}
+
+/** `graft_json_long(json, key)`: integer field extraction from flat JSON
+  * payloads as a codegen'd byte scan — no per-row parser allocation. */
+case class JsonLongField(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_json_long"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JsonFieldUtil.extract(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+         |java.lang.Long $res = graft.plans.JsonFieldUtil.extract($a, $b);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Exact dot product of two `array<bigint>` vectors (quantized embeddings):

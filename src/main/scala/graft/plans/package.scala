@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Column-API entry points for the native expressions — usable from any
+  * session, extensions installed or not. */
+package object plans {
+
+  private def expr(c: Column) = ColumnBridge.expression(c)
+
+  /** Fixed-shape JSON integer field probe (see [[JsonFieldUtil.extract]]). */
+  def jsonLong(json: Column, key: String): Column =
+    ColumnBridge.column(JsonLongField(expr(json), Literal(key)))
+
+  /** Fused exact dot product over `array<bigint>` (quantized vectors). */
+  def dotQNative(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductQ(expr(a), expr(b)))
+
+  /** Fused double dot product over `array<float>` embeddings. */
+  def dotFNative(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductF(expr(a), expr(b)))
+
+  /** One-pass n-bit SimHash over a shingle-id array. */
+  def simhashSig(wids: Column, seedsA: Seq[Long], seedsB: Seq[Long], p: Long): Column =
+    ColumnBridge.column(SimHashSig(expr(wids), seedsA, seedsB, p))
+
+  /** One-pass k-lane MinHash over a shingle-id array (null when empty). */
+  def minhashSig(wids: Column, seedsA: Seq[Long], seedsB: Seq[Long], p: Long): Column =
+    ColumnBridge.column(MinHashSig(expr(wids), seedsA, seedsB, p))
+
+  /** One-pass distinct 3-gram word-hash shingle ids of a document. */
+  def wordShingles(text: Column, coef: Seq[Long], k2: Long, k3: Long, p: Long): Column =
+    ColumnBridge.column(WordShingleIds(expr(text), coef, k2, k3, p))
+}

@@ -55,9 +55,28 @@ class DedupSpec extends SparkSpec {
     assert(total == Tables.documents(spark, sf0001).count())
   }
 
+  test("native shingle-id pass equals the declarative pipeline (order included)") {
+    val docs = Tables.documents(spark, sf0001)
+    val native = Dedup.docWidArrays(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val decl = Dedup.docWidArraysDecl(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(native.toSeq === decl.toSeq)
+  }
+
+  test("native minhash signature equals the declarative lambda path") {
+    val docs = Tables.documents(spark, sf0001)
+    val native = Dedup.minhashNativeDF(docs).orderBy("doc_id").collect().map(_.toSeq)
+    val decl = Dedup.docWidArraysDecl(docs)
+      .select(col("doc_id") +: Dedup.minhashArrayCols: _*)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(native.toSeq === decl.toSeq)
+  }
+
   test("dd_simhash_neardup: sound (hamming <= 3) and complete (pigeonhole) vs brute force") {
-    // Recompute the 32-bit signatures the query derives internally, then
-    // brute-force all-pairs hamming as the completeness reference.
+    // Recompute the 32-bit signatures DECLARATIVELY (the query itself uses
+    // the native one-pass expression — this doubles as an equality check),
+    // then brute-force all-pairs hamming as the completeness reference.
     val sums = (0 until 32).map { j =>
       aggregate(col("wids"), lit(0),
         (acc, w) => acc + when(((lit(Dedup.A32(j)) * w + lit(Dedup.B32(j))) % lit(Dedup.P)) % 2 === 1, 1)

@@ -68,6 +68,30 @@ class PlansSpec extends SparkSpec {
     assert(viaRule === expected)
   }
 
+  test("graft_json_long: flat-payload field probe semantics") {
+    import spark.implicits._
+    val df = Seq(
+      """{"k": 87}""", """{"k":-5}""", """{"j": 1, "k": 42}""",
+      """{"kk": 9}""", """{"k": 1.5}""", """{"k": "text"}""",
+      """{"j": 2}""", "not json at all").toDF("props")
+    df.createOrReplaceTempView("jl_t")
+    val got = spark.sql("SELECT graft_json_long(props, 'k') FROM jl_t").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq === Seq(Some(87L), Some(-5L), Some(42L), None, None, None, None, None))
+    // Column-API path (no extension needed) agrees
+    val viaCol = df.select(graft.plans.jsonLong(col("props"), "k")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(viaCol.toSeq === got.toSeq)
+  }
+
+  test("graft_json_long matches get_json_object on the events table") {
+    val n = Tables.events(spark, sf0001).select(
+      graft.plans.jsonLong(col("props"), "k").as("a"),
+      get_json_object(col("props"), "$.k").cast("long").as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(n === 0)
+  }
+
   test("DotProductF is registered and matches dotD on embeddings") {
     val emb = Tables.embeddings(spark, sf0001).limit(20)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
