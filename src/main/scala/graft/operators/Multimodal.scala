@@ -68,5 +68,58 @@ object Multimodal {
       (lit(1) + nb % 8).cast("int").as("n_frames"))
   }
 
-  val all: Seq[QueryDef] = Seq(mmMeta)
+  /** Frame sampling over the media column: slice each payload into the
+    * stub-decoded n_frames equal chunks, keep every 2nd frame, digest each.
+    * The Spark shape is the point: metadata-driven explode (generator) of a
+    * binary payload into per-frame rows with no shuffle — what a video
+    * pipeline does between decode and per-frame featurization. Framing is
+    * character-based in the oracle-checked query (both engines' substring
+    * is character-indexed; the byte-exact path is [[frameSampleBatch]]). */
+  val mmFrameSample = QueryDef("mm_frame_sample",
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
+      |  FROM documents),
+      |s AS (SELECT doc_id, text, n_frames, length(text) // n_frames AS fs FROM m),
+      |f AS (SELECT doc_id, fs, unnest(generate_series(0, n_frames - 1)) AS frame_idx, text FROM s)
+      |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(fs AS BIGINT) AS frame_chars,
+      |  md5(substring(text, CAST(frame_idx * fs + 1 AS INTEGER), CAST(fs AS INTEGER))) AS frame_md5
+      |FROM f WHERE frame_idx % 2 = 0 AND fs > 0""".stripMargin) { (spark, d) =>
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"),
+        (lit(1) + length(encode(col("text"), "UTF-8")) % 8).cast("int").as("n_frames"))
+      .withColumn("fs", expr("length(text) div n_frames"))
+      .select(col("doc_id"), col("fs"), col("text"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % 2 === 0 && col("fs") > 0)
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("fs").cast("long").as("frame_chars"),
+        md5(encode(expr("substring(text, cast(frame_idx * fs + 1 as int), cast(fs as int))"),
+          "UTF-8")).as("frame_md5"))
+  }
+
+  /** Byte-exact frame sampling as a per-partition batch stage (the shape a
+    * real codec integration uses; STUB framing = equal byte chunks from the
+    * stub metadata). Equality with the expression path on ASCII payloads is
+    * asserted by spec. */
+  def frameSampleBatch(docs: DataFrame, every: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val nFrames = decodeStub(bytes)._3
+          val fs = bytes.length / nFrames
+          if (fs == 0) Iterator.empty
+          else (0 until nFrames by every).iterator.map { i =>
+            val frame = java.util.Arrays.copyOfRange(bytes, i * fs, i * fs + fs)
+            val digest = java.security.MessageDigest.getInstance("MD5").digest(frame)
+            (id, i, fs.toLong, digest.map("%02x".format(_)).mkString)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "frame_chars", "frame_md5")
+  }
+
+  val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample)
 }

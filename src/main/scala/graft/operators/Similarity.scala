@@ -160,5 +160,85 @@ object Similarity {
       .filter(col("cosine") >= 0.3)
   }
 
-  val all: Seq[QueryDef] = Seq(simCosineTopK, simIvfBucketed, ddEmbeddingNearDup)
+  // ---- hyperplane LSH (random-projection signs) ----
+  /** Deterministic pseudo-random hyperplane component for lane j, dim i
+    * (1-based): ((Aj*i + Bj) mod 7) - 3 in {-3..3} — tiny integers so the
+    * dot with a 1e-8-quantized vector stays an exact long on both engines. */
+  val HA: Seq[Long] = Seq(104729L, 130363L, 174763L, 224737L, 12289L, 52361L,
+    75377L, 1103L, 2971L, 56993L, 11213L, 3571L, 91129L, 40031L, 65537L, 12345L)
+  val HB: Seq[Long] = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L,
+    37L, 41L, 43L, 47L, 53L, 59L, 61L, 67L)
+  val Dim = 64
+
+  private def hyperplane(j: Int): Seq[Long] =
+    (1 to Dim).map(i => ((HA(j) * i + HB(j)) % 7) - 3)
+
+  /** 16-bit sign sketch of a quantized vector: bit j set iff dot(q, h_j)>=0.
+    * Each lane is a fused codegen'd dot against a literal hyperplane. */
+  private def lshSig(q: Column): Column =
+    (0 until 16).map { j =>
+      when(graft.plans.dotQNative(q, typedlit(hyperplane(j))) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def lshSigSql(q: String): String =
+    (0 until 16).map { j =>
+      s"CASE WHEN list_sum(list_transform(generate_series(1, len($q)), i -> $q[i] * (((${HA(j)}*i + ${HB(j)}) % 7) - 3))) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+
+  /** Hyperplane-LSH ANN: candidates = vectors sharing either 8-bit band of
+    * the 16-bit sign sketch with the probe (sign sketches of near-parallel
+    * vectors agree on most bits -> some band collides); exact quantized
+    * cosine on candidates only; top-3 per probe. The second LSH family next
+    * to IVF (sim_ivf_bucketed): no centroids needed, candidate volume
+    * ~n/256 per band at uniform spread. Probes vec_id < 100. */
+  val simLshHyperplane: QueryDef = {
+    val k = 3
+    QueryDef("sim_lsh_ann",
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
+        |sig AS (SELECT vec_id, qv, ${lshSigSql("qv")} AS sg FROM q),
+        |bands AS (SELECT vec_id, qv, band_id, (sg >> (band_id*8)) & 255 AS band_val
+        |          FROM sig CROSS JOIN (VALUES (0),(1)) b(band_id)),
+        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+        |    AND a.vec_id < 100 AND a.vec_id <> b.vec_id),
+        |dots AS (SELECT c.qid, c.nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(x.qv)), i -> x.qv[i] * y.qv[i])) AS DOUBLE) AS dot
+        |  FROM cand c JOIN q x ON x.vec_id = c.qid JOIN q y ON y.vec_id = c.nid),
+        |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q)
+        |SELECT qid, nid, cosine FROM (
+        |  SELECT qid, nid, round(dot / (na.norm * nb.norm), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
+        |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
+        |WHERE rn <= $k""".stripMargin) { (spark, d) =>
+      val emb = Tables.embeddings(spark, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("q"))
+      val sig = emb
+        .select(col("vec_id"), col("q"), lshSig(col("q")).as("sg"),
+          sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm"))
+      val bands = sig.select(col("vec_id"), col("q"), col("norm"),
+        explode(array((0 until 2).map { bid =>
+          struct(lit(bid).as("band_id"),
+            shiftright(col("sg"), 8 * bid).bitwiseAND(lit(255L)).as("band_val"))
+        }: _*)).as("band"))
+        .select(col("vec_id"), col("q"), col("norm"), col("band.*"))
+      val a = bands.filter(col("vec_id") < 100)
+        .select(col("band_id"), col("band_val"), col("vec_id").as("qid"),
+          col("q").as("qa"), col("norm").as("na"))
+      val b = bands.select(col("band_id"), col("band_val"), col("vec_id").as("nid"),
+        col("q").as("qb"), col("norm").as("nb"))
+      val cand = a.join(b, Seq("band_id", "band_val"))
+        .filter(col("qid") =!= col("nid"))
+        .select("qid", "nid", "qa", "qb", "na", "nb").distinct()
+      val scored = cand.select(col("qid"), col("nid"),
+        round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb")), 6).as("cosine"))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("qid", "nid", "cosine")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup)
 }

