@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream shape (§2.9 beyond
+  * the reference's surface, per the builder brief): watermarked tumbling-
+  * window aggregation and arbitrary-state sessionization.
+  *
+  * Both take an already-constructed streaming Dataset so batch fixtures,
+  * MemoryStream tests, and file/kafka sources share one code path — source
+  * choice is the caller's concern, mirroring how the seed ingest treats its
+  * logs directory (StreamingSeed).
+  */
+object StreamingEvents {
+
+  case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  /** Open-session state kept per user between micro-batches (epoch ms). */
+  case class OpenSession(startMs: Long, endMs: Long, n: Int)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+
+  /** Tumbling 5-minute windows with a 10-minute watermark: per-window
+    * per-type counts and value sums. Append mode — a window emits once its
+    * end passes the watermark, late rows beyond it are dropped (the
+    * reference has no late-data story; this is the standard Spark answer). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Arbitrary-state sessionization via flatMapGroupsWithState: a session
+    * closes when the next event of the same user arrives more than `gapMs`
+    * later; closed sessions are emitted, the open one rides in state. The
+    * streaming twin of the batch `wa_session` query (ExtendedQueries). */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.endMs <= gapMs =>
+                open = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+              case Some(s) =>
+                closed += Session(userId, s.startMs, s.endMs, s.n)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

@@ -56,6 +56,48 @@ class GeneratedPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("native word-shingle pass equals the declarative pipeline on generated text") {
+    val docs = sample(wsGen, 200).zipWithIndex
+      .map { case (s, i) => (i.toLong, s + " alpha beta gamma " + s) }
+      .toDF("doc_id", "text")
+    val native = graft.operators.Dedup.docWidArrays(docs)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val decl = graft.operators.Dedup.docWidArraysDecl(docs)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(native.toSeq === decl.toSeq)
+  }
+
+  test("graft_json_long equals get_json_object over generated flat payloads") {
+    val payloadGen: Gen[String] = for {
+      k <- Gen.choose(-1000000, 1000000)
+      pad <- Gen.oneOf("", " ", "\t")
+      extra <- Gen.oneOf("", "\"other\": 7, ", "\"kk\": 1, ")
+      shape <- Gen.oneOf(0, 1, 2)
+    } yield shape match {
+      case 0 => s"""{$extra"k":$pad$k}"""
+      case 1 => s"""{$extra"k": $k, "z": 2}"""
+      case 2 => s"""{$extra"j": $k}""" // key absent
+    }
+    val df = sample(payloadGen, 400).toDF("props")
+    val n = df.select(
+      graft.plans.jsonLong(col("props"), "k").as("a"),
+      get_json_object(col("props"), "$.k").cast("long").as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(n === 0)
+  }
+
+  test("fused dot product equals driver-side fold over generated vectors") {
+    val vecGen: Gen[Seq[Long]] = Gen.listOfN(16, Gen.choose(-100000L, 100000L))
+    val rows = sample(Gen.zip(vecGen, vecGen), 200).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"), graft.plans.dotQNative(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      assert(got(id) === a.zip(b).map { case (x, y) => x * y }.sum, s"id=$id")
+    }
+  }
+
   test("priority fallback always returns the min of the highest-priority non-empty method") {
     val rowGen: Gen[(String, String, Int)] = for {
       site <- Gen.choose(1, 25).map(i => s"https://p$i")

@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.StreamingEvents
+import graft.streaming.StreamingEvents.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Watermarked windowed aggregation + arbitrary-state sessionization over
+  * MemoryStream fixtures (deterministic micro-batches). */
+class StreamingEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts emit once the watermark passes the window end") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingEvents.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("win_counts").outputMode("append").start()
+    try {
+      // two events in [10:00,10:05), one in [10:05,10:10)
+      in.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 2L, "click", 2.0),
+        Event(ts(6), 1L, "error", 5.0))
+      q.processAllAvailable()
+      // advance event time far enough that watermark (10 min) passes both windows
+      in.addData(Event(ts(40), 3L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3), r.getDouble(4)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 10:05:00.0", "error", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingEvents.sessionize(in.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // batch 1: user 1 session A (10:01,10:02), then an event 2h later
+      // closes A within the batch
+      in.addData(Event(ts(1), 1L, "click", 0.0), Event(ts(2), 1L, "click", 0.0),
+        Event(Timestamp.valueOf("2024-01-01 12:30:00"), 1L, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: another 2h later closes session B; user 2 opens (stays in state)
+      in.addData(Event(Timestamp.valueOf("2024-01-01 14:45:00"), 1L, "click", 0.0),
+        Event(ts(3), 2L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[StreamingEvents.Session]
+        .collect().sortBy(_.start_ms)
+      assert(got.length == 2)
+      assert(got(0).user_id == 1L && got(0).n_events == 2 &&
+        got(0).start_ms == ts(1).getTime && got(0).end_ms == ts(2).getTime)
+      assert(got(1).user_id == 1L && got(1).n_events == 1 &&
+        got(1).start_ms == Timestamp.valueOf("2024-01-01 12:30:00").getTime)
+    } finally q.stop()
+  }
+}
