@@ -85,6 +85,34 @@ object ExtendedQueries {
         |FROM graft_rollup_base GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
   }
 
+  /** CUBE over (region, order priority) with GROUPING() markers — the rest
+    * of the grouping-sets family next to rollup_agg. */
+  val cubeAgg = QueryDef("cube_agg",
+    """SELECT r_name, o_orderpriority,
+      |  CAST(GROUPING(r_name) AS INTEGER) AS g_r,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+      |  COUNT(*) AS order_cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE(r_name, o_orderpriority)""".stripMargin) { (spark, d) =>
+    Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("o_orderpriority"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_cube_base")
+    spark.sql(
+      """SELECT r_name, o_orderpriority,
+        |  CAST(GROUPING(r_name) AS INTEGER) AS g_r,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+        |  COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM graft_cube_base GROUP BY CUBE(r_name, o_orderpriority)""".stripMargin)
+  }
+
   /** J2/O4: ranked candidate patterns per firm, first "accessible" wins
     * (step1_attempt1.py:27-62, main_portCo.py:58-70). The probe is a
     * deterministic stand-in for check_page_accessible (S6 is an external
@@ -166,6 +194,6 @@ object ExtendedQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    waLagDelta, waSession, rollupAgg, o4FirstSuccess, x9WordCount,
+    waLagDelta, waSession, rollupAgg, cubeAgg, o4FirstSuccess, x9WordCount,
     x17MapLookup, a7DistinctStats, a6BucketSort)
 }
