@@ -193,7 +193,21 @@ object ExtendedQueries {
         x => x.cast("string"))).as("ks"))
   }
 
+  /** Approximate sketch aggregates (HyperLogLog++ distinct, quantile
+    * sketch): the single-pass mergeable answer to COUNT(DISTINCT)/
+    * percentile at 100 TB. No cross-engine oracle — sketch estimates are
+    * engine-specific — so the driver records the weaker rows-only check;
+    * accuracy vs the exact values is asserted by spec instead. */
+  val approxStats = QueryDef.noOracle("approx_stats") { (spark, d) =>
+    Tables.orders(spark, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     waLagDelta, waSession, rollupAgg, cubeAgg, o4FirstSuccess, x9WordCount,
-    x17MapLookup, a7DistinctStats, a6BucketSort)
+    x17MapLookup, a7DistinctStats, a6BucketSort, approxStats)
 }

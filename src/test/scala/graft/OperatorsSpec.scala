@@ -94,6 +94,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(2) >= -1.000001 && r.getDouble(2) <= 1.000001))
   }
 
+  test("approx sketch aggregates land within tolerance of the exact values") {
+    val approx = ExtendedQueries.approxStats.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sf0001)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("d"),
+        expr("percentile(o_totalprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (d, m)) =>
+      val (ad, am) = approx(k)
+      // default HLL++ rsd is 5%; allow ~2 sigma
+      assert(math.abs(ad - d).toDouble / d < 0.12, s"$k hll: $ad vs $d")
+      assert(math.abs(am - m) / m < 0.10, s"$k median: $am vs $m")
+    }
+  }
+
   test("seed-style dedup W1: one row per (segment, nation), lowest key") {
     val out = CoreQueries.w1FirstSeen.fn(spark, sf0001)
     assert(out.groupBy("c_mktsegment", "c_nationkey").count()
