@@ -359,6 +359,75 @@ object Dedup {
     }
   }
 
+  /** Connected components by iterative min-label propagation: each vertex
+    * repeatedly takes the minimum label among itself and its neighbors
+    * until a fixpoint. Converges in O(component diameter) rounds — near-dup
+    * clusters are shallow, so this is 2-4 shuffles in practice. The
+    * distributed union-find a dedup pipeline runs between candidate
+    * generation and canonical-doc selection. */
+  def labelPropagation(edges: DataFrame): DataFrame = {
+    // symmetric edge list (a->b and b->a), vertices from the edge set
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("cluster_id", "n_label"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("n_label").as("n_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-duplicate clusters: connected components over the simhash
+    * near-dup pairs (hamming <= 3), cluster id = min doc_id in the
+    * component. Oracle replays the transitive closure with a recursive CTE
+    * — the iterative Spark loop and the recursive SQL must agree exactly. */
+  val ddDupClusters: QueryDef = {
+    // reuse the dd_simhash_neardup CTE chain up to `pairs`
+    val sumsSql = (0 until 32).map { j =>
+      s"list_sum(list_transform(wids, w -> CASE WHEN ((CAST(${A32(j)} AS BIGINT)*w+${B32(j)})%$P)%2 = 1 THEN 1 ELSE -1 END)) AS s$j"
+    }.mkString(", ")
+    val bitsSql = (0 until 32).map { j =>
+      s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    QueryDef("dd_dup_clusters",
+      s"""WITH RECURSIVE $shingleListCtes,
+        |sums AS (SELECT doc_id, $sumsSql FROM widl),
+        |sig AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM sums),
+        |bands AS (SELECT doc_id, simhash, band_id, (simhash >> (band_id*8)) & 255 AS band_val
+        |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin) { (spark, d) =>
+      val pairs = ddSimhashNearDup.fn(spark, d).select("doc_a", "doc_b")
+      labelPropagation(pairs)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup)
+    ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
+    ddDupClusters)
 }

@@ -133,5 +133,40 @@ object TextAnalysis {
         .as("fingerprint"))
   }
 
-  val all: Seq[QueryDef] = Seq(taLangId, taQuality, taTokens, taFingerprint)
+  /** TF-IDF-style top-5 terms per document. Weight = (tf/doc_len)*(N/df)
+    * as ONE double division over exact integer products — no ln(), so both
+    * engines compute bit-identical weights (round(6) guards the division).
+    * Plan shape: one explode -> one (doc,word) aggregate; doc lengths and
+    * document frequencies both DERIVE from that aggregate (sum / count per
+    * side) instead of re-exploding — one wide shuffle, two narrow ones. */
+  val taTermWeight = QueryDef("ta_term_weight",
+    """WITH w AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, term, tf, weight FROM (
+      |  SELECT tf.doc_id, tf.w AS term, CAST(tf.tf AS BIGINT) AS tf,
+      |    round(CAST(tf.tf * n.n AS DOUBLE) / (dl.dl * df.df), 6) AS weight,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY
+      |      round(CAST(tf.tf * n.n AS DOUBLE) / (dl.dl * df.df), 6) DESC, tf.w) AS rn
+      |  FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.w = tf.w CROSS JOIN n) t
+      |WHERE rn <= 5""".stripMargin) { (spark, d) =>
+    val docs = Tables.documents(spark, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n")))
+    val weighted = tf
+      .join(dl, "doc_id").join(df, "w").crossJoin(n)
+      .select(col("doc_id"), col("w").as("term"), col("tf").cast("long").as("tf"),
+        round((col("tf") * col("n")).cast("double") / (col("dl") * col("df")), 6).as("weight"))
+    val win = Window.partitionBy("doc_id").orderBy(col("weight").desc, col("term"))
+    weighted.withColumn("rn", row_number().over(win)).filter(col("rn") <= 5)
+      .select("doc_id", "term", "tf", "weight")
+  }
+
+  val all: Seq[QueryDef] = Seq(taLangId, taQuality, taTokens, taFingerprint, taTermWeight)
 }

@@ -100,6 +100,34 @@ class DedupSpec extends SparkSpec {
     assert(got === brute, "band candidate generation must find exactly the <=3-hamming pairs")
   }
 
+  test("label propagation equals driver-side union-find on testdata pairs") {
+    // hand-built: chain 1-2-3, pair 10-11, triangle 20-21-22 (+ 21-20 dup)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+
+    // real pairs: compare to union-find over the collected edge list
+    val pairs = Dedup.ddSimhashNearDup.fn(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val lp = Dedup.ddDupClusters.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == expected)
+  }
+
   test("jaccard of identical docs is 1.0, of disjoint docs is 0.0") {
     val sets = docsDf.select($"doc_id", Dedup.shinglesOf($"text").as("sh"))
     val j = sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
