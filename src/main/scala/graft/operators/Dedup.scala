@@ -359,6 +359,40 @@ object Dedup {
     }
   }
 
+  /** Persist the per-doc MinHash signature table. At 100 TB the sketch pass
+    * is the expensive scan — storing (doc_id, mh0..7) once amortizes it
+    * across every later dedup run, and the table is ~16 bytes/doc. */
+  def writeSignatureStore(docs: DataFrame, path: String): Unit =
+    minhashNativeDF(docs).write.mode("overwrite").parquet(path)
+
+  def readSignatureStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental LSH: candidate pairs touching a NEW batch of documents —
+    * (new x store) plus (new x new) — without recomputing stored sketches.
+    * Bands of the store are joined against bands of the batch only, so
+    * work scales with batch size, not corpus size. */
+  def lshCandidatesIncremental(storeSigs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def bandsOf(sigs: DataFrame): DataFrame =
+      sigs.select(col("doc_id"), explode(array((0 until 4).map { bid =>
+        struct(lit(bid).as("band_id"),
+          concat_ws(",", col(s"mh${2 * bid}").cast("string"),
+            col(s"mh${2 * bid + 1}").cast("string")).as("band_sig"))
+      }: _*)).as("band")).select(col("doc_id"), col("band.*"))
+    val newSigs = minhashNativeDF(newDocs)
+    val newBands = bandsOf(newSigs)
+    val allBands = bandsOf(storeSigs).union(newBands)
+    // right side is always the new batch; canonicalize with least/greatest
+    // so store-new pairs survive regardless of id order
+    allBands.select(col("band_id"), col("band_sig"), col("doc_id").as("ida"))
+      .join(newBands.select(col("band_id"), col("band_sig"), col("doc_id").as("idb")),
+        Seq("band_id", "band_sig"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
+      .distinct()
+  }
+
   /** Connected components by iterative min-label propagation: each vertex
     * repeatedly takes the minimum label among itself and its neighbors
     * until a fixpoint. Converges in O(component diameter) rounds — near-dup

@@ -128,6 +128,22 @@ class DedupSpec extends SparkSpec {
     assert(lp == expected)
   }
 
+  test("incremental LSH over a signature store finds exactly the new-touching pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs").toString + "/sigs"
+    val docs = Tables.documents(spark, sf0001)
+    val store = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    Dedup.writeSignatureStore(store, dir)
+    val inc = Dedup.lshCandidatesIncremental(Dedup.readSignatureStore(spark, dir), batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: full-corpus candidate pairs, restricted to new-touching
+    val full = Dedup.lshCandidatePairs(Dedup.minhashNativeDF(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a >= 400 || b >= 400 }
+    assert(inc === expected)
+    assert(inc.forall { case (a, b) => a < b })
+  }
+
   test("jaccard of identical docs is 1.0, of disjoint docs is 0.0") {
     val sets = docsDf.select($"doc_id", Dedup.shinglesOf($"text").as("sh"))
     val j = sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
