@@ -121,5 +121,58 @@ object Multimodal {
       }.toDF("doc_id", "frame_idx", "frame_chars", "frame_md5")
   }
 
-  val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample)
+  /** Resize planning: aspect-preserving scale of each media item to a max
+    * side of 224 px, from the stub-decoded dimensions. All-integer inputs,
+    * one double division (both engines IEEE-identical), integral floor
+    * dims; out_bytes = out_w*out_h*3 (RGB) — the buffer size a real
+    * resizer would allocate. */
+  val mmResize = QueryDef("mm_resize",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(16 + octet_length(encode(text)) % 32 AS INTEGER) AS w,
+      |    CAST(16 + (octet_length(encode(text)) // 32) % 32 AS INTEGER) AS h
+      |  FROM documents),
+      |s AS (SELECT doc_id, w, h,
+      |  round(224.0 / CASE WHEN w > h THEN w ELSE h END, 6) AS scale FROM m)
+      |SELECT doc_id, w, h, scale,
+      |  CAST(floor(w * scale) AS INTEGER) AS out_w,
+      |  CAST(floor(h * scale) AS INTEGER) AS out_h,
+      |  CAST(CAST(floor(w * scale) AS BIGINT) * CAST(floor(h * scale) AS BIGINT) * 3 AS BIGINT) AS out_bytes
+      |FROM s""".stripMargin) { (spark, d) =>
+    val nb = length(encode(col("text"), "UTF-8"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        (lit(16) + nb % 32).cast("int").as("w"),
+        (lit(16) + floor(nb / lit(32)).cast("long") % 32).cast("int").as("h"))
+      .withColumn("scale", round(lit(224.0) / greatest(col("w"), col("h")), 6))
+      .select(col("doc_id"), col("w"), col("h"), col("scale"),
+        floor(col("w") * col("scale")).cast("int").as("out_w"),
+        floor(col("h") * col("scale")).cast("int").as("out_h"),
+        (floor(col("w") * col("scale")) * floor(col("h") * col("scale")) * 3L)
+          .cast("long").as("out_bytes"))
+  }
+
+  /** Byte-level resize as a batch stage: allocates the out_w*out_h*3 RGB
+    * buffer a real resampler would fill (STUB fill: repeating source bytes).
+    * Buffer shapes are spec-checked against the expression plan above. */
+  def resizeBatch(docs: DataFrame, maxSide: Int = 224): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
+      .as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, _) = decodeStub(bytes)
+          // same rounding as the expression side (Spark round = HALF_UP)
+          val scale = BigDecimal(maxSide.toDouble / math.max(w, h))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val (ow, oh) = (math.floor(w * scale).toInt, math.floor(h * scale).toInt)
+          val out = new Array[Byte](ow * oh * 3)
+          var i = 0
+          while (i < out.length && bytes.nonEmpty) { out(i) = bytes(i % bytes.length); i += 1 }
+          (id, ow, oh, out)
+        }
+      }.toDF("doc_id", "out_w", "out_h", "resized")
+  }
+
+  val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample, mmResize)
 }

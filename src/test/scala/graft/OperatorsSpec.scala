@@ -85,6 +85,18 @@ class OperatorsSpec extends SparkSpec {
     assert(viaExpr.exceptAll(viaBatch).count() == 0)
   }
 
+  test("multimodal resize: batch buffers match the expression plan's shapes") {
+    val plan = Multimodal.mmResize.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5), r.getLong(6))).toMap
+    val batch = Multimodal.resizeBatch(Tables.documents(spark, sf0001)).collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      val (ow, oh, ob) = plan(r.getLong(0))
+      assert(r.getInt(1) === ow && r.getInt(2) === oh)
+      assert(r.getAs[Array[Byte]](3).length.toLong === ob)
+    }
+  }
+
   test("sim_lsh_ann: every reported neighbor is a true candidate with correct cosine") {
     // soundness: reported cosines match the exact quantized cosine; bounded k
     val out = Similarity.simLshHyperplane.fn(spark, sf0001).collect()
