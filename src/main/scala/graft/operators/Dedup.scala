@@ -393,13 +393,39 @@ object Dedup {
       .distinct()
   }
 
-  /** Connected components by iterative min-label propagation: each vertex
-    * repeatedly takes the minimum label among itself and its neighbors
-    * until a fixpoint. Converges in O(component diameter) rounds — near-dup
-    * clusters are shallow, so this is 2-4 shuffles in practice. The
-    * distributed union-find a dedup pipeline runs between candidate
-    * generation and canonical-doc selection. */
-  def labelPropagation(edges: DataFrame): DataFrame = {
+  /** Connected components over a (doc_a, doc_b) edge list — the union-find
+    * a dedup pipeline runs between candidate generation and canonical-doc
+    * selection. Size-adaptive, like Spark's own broadcast threshold: an
+    * edge set small enough to collect is solved with driver union-find
+    * (one job instead of one per propagation round); above the threshold
+    * it iterates distributed min-label propagation. Both paths produce
+    * identical labels (spec-checked). */
+  def labelPropagation(edges: DataFrame, driverMaxEdges: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val cached = edges.cache()
+    if (cached.count() <= driverMaxEdges) {
+      val pairs = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+      cached.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => (v, find(v))).toSeq
+      import spark.implicits._
+      rows.toDF("doc_id", "cluster_id")
+    } else labelPropagationDistributed(cached)
+  }
+
+  /** Distributed path: each vertex repeatedly takes the minimum label among
+    * itself and its neighbors until a fixpoint — O(component diameter)
+    * shuffle rounds; lineage truncated by caching each round's labels. */
+  def labelPropagationDistributed(edges: DataFrame): DataFrame = {
     // symmetric edge list (a->b and b->a), vertices from the edge set
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))

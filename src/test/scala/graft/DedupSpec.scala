@@ -108,6 +108,10 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // distributed path must agree with the driver path
+    val dist = Dedup.labelPropagation(edges, driverMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == got)
 
     // real pairs: compare to union-find over the collected edge list
     val pairs = Dedup.ddSimhashNearDup.fn(spark, sf0001)
