@@ -193,6 +193,44 @@ object ExtendedQueries {
         x => x.cast("string"))).as("ks"))
   }
 
+  /** Relational PIVOT: per-user event counts spread across one column per
+    * event type (explicit value list -> deterministic schema; Spark plans
+    * this as a single pivot aggregate, the oracle states the equivalent
+    * conditional aggregation). */
+  val pivotAgg: QueryDef = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val caseCols = types.map(t =>
+      s"CAST(COALESCE(SUM(CASE WHEN event_type = '$t' THEN 1 END), 0) AS BIGINT) AS $t").mkString(",\n      |  ")
+    QueryDef("pivot_agg",
+      s"""SELECT user_id,
+        |  $caseCols
+        |FROM events GROUP BY user_id""".stripMargin) { (spark, d) =>
+      val pivoted = Tables.events(spark, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(pivoted)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L))))
+    }
+  }
+
+  /** Relational UNPIVOT (melt): lineitem's three numeric measures to a long
+    * (key, metric, value) table — Spark's unpivot operator, the oracle's
+    * UNION ALL of projections. */
+  val unpivotMetrics = QueryDef("unpivot_metrics",
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin) { (spark, d) =>
+    Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+  }
+
   /** Approximate sketch aggregates (HyperLogLog++ distinct, quantile
     * sketch): the single-pass mergeable answer to COUNT(DISTINCT)/
     * percentile at 100 TB. No cross-engine oracle — sketch estimates are
@@ -209,5 +247,6 @@ object ExtendedQueries {
 
   val all: Seq[QueryDef] = Seq(
     waLagDelta, waSession, rollupAgg, cubeAgg, o4FirstSuccess, x9WordCount,
-    x17MapLookup, a7DistinctStats, a6BucketSort, approxStats)
+    x17MapLookup, a7DistinctStats, a6BucketSort, pivotAgg, unpivotMetrics,
+    approxStats)
 }
