@@ -168,5 +168,44 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "weight")
   }
 
-  val all: Seq[QueryDef] = Seq(taLangId, taQuality, taTokens, taFingerprint, taTermWeight)
+  /** Deterministic sampling + split assignment — the reproducible (seeded
+    * RNG-free) shape a training pipeline needs: membership is a pure
+    * function of the key, so it is stable across runs, engines, executors,
+    * and retries. Hash buckets come from the same char-polynomial the
+    * dedup sketches use; per-language stratified keep-rates and a
+    * train/val/test split in one pass. */
+  val taSample: QueryDef = {
+    val hashSql = Dedup.shingleIdCharSql // over a column named `shingle`
+    // independent hash streams: 's'-salted bucket decides KEEP (stratified
+    // per-language rate), 'p'-salted bucket decides SPLIT — so low-rate
+    // strata still spread across train/val/test
+    QueryDef("ta_sample_split",
+      s"""WITH h AS (
+        |  SELECT doc_id, lang,
+        |    (SELECT ($hashSql) % 100 FROM (SELECT concat('s', CAST(t.doc_id AS VARCHAR)) AS shingle) s) AS keep_b,
+        |    (SELECT ($hashSql) % 100 FROM (SELECT concat('p', CAST(t.doc_id AS VARCHAR)) AS shingle) s) AS split_b
+        |  FROM documents t),
+        |kept AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN split_b < 80 THEN 'train' WHEN split_b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM h
+        |  WHERE keep_b < CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 50 ELSE 25 END)
+        |SELECT lang, split, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        |FROM kept GROUP BY lang, split""".stripMargin) { (spark, d) =>
+      def bucket(salt: String) =
+        pmod(Dedup.shingleIdChar(concat(lit(salt), col("doc_id").cast("string"))), lit(100))
+      Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"),
+          bucket("s").as("keep_b"), bucket("p").as("split_b"))
+        .filter(col("keep_b") <
+          when(col("lang") === "en", 100).when(col("lang") === "es", 50).otherwise(25))
+        .withColumn("split",
+          when(col("split_b") < 80, "train").when(col("split_b") < 90, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample)
 }
