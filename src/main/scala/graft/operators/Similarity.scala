@@ -37,9 +37,18 @@ object Similarity {
   }
 
   /** Quantize a float vector to 1e-8-unit longs: integer arithmetic from here
-    * on is exact and order-independent, so Spark and DuckDB agree bit-for-bit
-    * at codegen'd long speed (no BigDecimal). round() is half-away-from-zero
-    * in both engines. */
+    * on is exact and order-independent, so Spark and DuckDB agree bit-for-bit.
+    * round() is half-away-from-zero in both engines.
+    *
+    * Deliberately the DECLARATIVE form: a native codegen'd twin exists
+    * (graft.plans.quantizeVec, equality spec-checked) but measured 2x
+    * SLOWER inside the cosine queries — the interpreted-fallback lambda
+    * forces a materialization boundary (q computed once per row), while the
+    * codegen-capable expression inlines into the fused consuming stage and
+    * recomputes the BigDecimal-heavy rounding per reference (norms use q
+    * twice, the join output a third time). Fusion is only a win when the
+    * fused expression is cheap per call or referenced once — dot products
+    * and sketches qualify, decimal rounding under multi-reference does not. */
   def qvec(c: Column): Column =
     transform(c, x => round(x.cast("double") * lit(1e8)).cast("long"))
 

@@ -39,4 +39,10 @@ object Sinks {
   def writeRunPartitioned(df: DataFrame, path: String, runTs: String): Unit =
     df.withColumn("run_ts", lit(runTs))
       .write.mode(SaveMode.Append).partitionBy("run_ts").parquet(path)
+
+  /** Columnar interchange beyond parquet: ORC with the same
+    * predicate-pushdown/column-pruning behavior (`spark.read.orc` shows
+    * PushedFilters in the scan like parquet does). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

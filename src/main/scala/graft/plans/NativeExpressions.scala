@@ -148,6 +148,50 @@ object SketchUtil {
   }
 }
 
+/** `graft_qvec(embedding)`: quantize an `array<float>` vector to 1e-8-unit
+  * longs in one codegen'd pass. Replaces the declarative
+  * `transform(v, x -> cast(round(x*1e8) as long))`, whose lambda runs on
+  * the interpreted evaluator. Rounding is the SAME BigDecimal HALF_UP Spark's
+  * `Round` uses, so results are identical to the declarative form by
+  * construction (and to DuckDB's round on this data, as the oracle gate
+  * verifies). */
+case class QuantizeVec(child: Expression, unit: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_qvec"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    QuantizeVec.quantize(v.asInstanceOf[ArrayData], unit)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.QuantizeVec.quantize($c, ${unit}d);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeVec {
+  def quantize(v: ArrayData, unit: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // identical to Spark's Round(double, 0): BigDecimal HALF_UP, then the
+      // long cast of the integral double
+      out(i) = java.math.BigDecimal.valueOf(v.getFloat(i).toDouble * unit)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Base for the one-pass sketch expressions over `array<bigint>` shingle
   * ids, parameterized by seed tables. */
 abstract class SketchBase extends UnaryExpression {

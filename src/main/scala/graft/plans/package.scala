@@ -33,4 +33,8 @@ package object plans {
   /** One-pass distinct 3-gram word-hash shingle ids of a document. */
   def wordShingles(text: Column, coef: Seq[Long], k2: Long, k3: Long, p: Long): Column =
     ColumnBridge.column(WordShingleIds(expr(text), coef, k2, k3, p))
+
+  /** One-pass float-vector quantization to `unit`-scaled longs. */
+  def quantizeVec(v: Column, unit: Double = 1e8): Column =
+    ColumnBridge.column(QuantizeVec(expr(v), unit))
 }

@@ -92,6 +92,15 @@ class PlansSpec extends SparkSpec {
     assert(n === 0)
   }
 
+  test("native quantization equals the declarative round path on all embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.select(
+      graft.plans.quantizeVec(col("embedding")).as("a"),
+      Similarity.qvec(col("embedding")).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(n === 0)
+  }
+
   test("DotProductF is registered and matches dotD on embeddings") {
     val emb = Tables.embeddings(spark, sf0001).limit(20)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
