@@ -407,9 +407,19 @@ object Dedup {
       val pairs = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
       cached.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      // iterative path-halving: O(1) stack depth regardless of component
+      // shape (a recursive find with path compression can overflow the stack
+      // on a long chain whose edges arrive in unlucky order)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrElse(x, x)
+        while (p != x) {
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp
+          x = gp
+          p = parent.getOrElse(x, x)
+        }
+        x
       }
       pairs.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

@@ -5,11 +5,20 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Optimizer rule: rewrite the declarative dot product
-  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0, (acc, x) -> acc + x)`
-  * into the fused codegen'd [[DotProductQ]] / [[DotProductF]] loop.
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)`
+  * over `array<bigint>` into the fused codegen'd [[DotProductQ]] loop.
+  * Sound with no containsNull guard: DotProductQ returns NULL on a NULL
+  * element or a length mismatch, exactly as the declarative fold does.
+  *
+  * Only the quantized long form is matched. The float form never survives
+  * analysis in this shape — the analyzer wraps the float elements in Casts
+  * (to double) inside both lambdas, so a pattern on raw lambda variables
+  * cannot fire, and matching the Cast form would silently change rounding
+  * (per-product double widening vs a float accumulate). Float callers use
+  * `graft_dot_f` explicitly.
   *
   * Query code keeps the portable `functions._` form (runs on any Spark);
   * sessions built with [[GraftExtensions]] execute the tight loop instead of
@@ -28,13 +37,12 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
           ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), mulVars, _)),
-          zero @ Literal(_, zt),
+          zero @ Literal(_, LongType),
           LambdaFunction(Add(al, ar, _), addVars, _),
           finish: LambdaFunction)
         if isVars(ml, mr, mulVars) && isVars(al, ar, addVars) && isIdentity(finish) &&
-          ((zt == LongType && zero.value == 0L && isArrayOf(a, b, LongType)) ||
-            (zt == DoubleType && zero.value == 0.0 && isArrayOf(a, b, FloatType))) =>
-      if (zt == LongType) DotProductQ(a, b) else DotProductF(a, b)
+          zero.value == 0L && isArrayOf(a, b, LongType) =>
+      DotProductQ(a, b)
   }
 
   private def isArrayOf(a: Expression, b: Expression,

@@ -21,9 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
 abstract class ArrayDotBase extends BinaryExpression {
   protected def elemType: DataType
 
-  /** Length mismatch yields NULL — mirrors the declarative
+  /** Length mismatch OR a NULL element yields NULL — mirrors the declarative
     * aggregate(zip_with(...)) form, where zip_with pads the shorter array
-    * with NULLs and the Add folds the result to NULL. */
+    * with NULLs, Multiply maps a NULL operand to a NULL product, and the Add
+    * fold carries any NULL through to a NULL total. */
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -156,7 +157,13 @@ object SketchUtil {
   * construction (and to DuckDB's round on this data, as the oracle gate
   * verifies). */
 case class QuantizeVec(child: Expression, unit: Double) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  /** NULL elements pass through as NULL elements, exactly as the declarative
+    * transform's cast(round(...)) lambda maps them — so containsNull follows
+    * the input array's. */
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(LongType, containsNull = cn)
+    case _ => ArrayType(LongType, containsNull = true)
+  }
   override def prettyName: String = "graft_qvec"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -177,23 +184,43 @@ case class QuantizeVec(child: Expression, unit: Double) extends UnaryExpression 
 }
 
 object QuantizeVec {
+  // identical to Spark's Round(double, 0): BigDecimal HALF_UP, then the
+  // long cast of the integral double
+  @inline private def q1(f: Float, unit: Double): Long =
+    java.math.BigDecimal.valueOf(f.toDouble * unit)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
   def quantize(v: ArrayData, unit: Double): ArrayData = {
     val n = v.numElements()
-    val out = new Array[Long](n)
+    var hasNull = false
     var i = 0
-    while (i < n) {
-      // identical to Spark's Round(double, 0): BigDecimal HALF_UP, then the
-      // long cast of the integral double
-      out(i) = java.math.BigDecimal.valueOf(v.getFloat(i).toDouble * unit)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
-      i += 1
+    while (i < n && !hasNull) { hasNull = v.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) { out(i) = q1(v.getFloat(i), unit); i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      // slow path only for rows that actually carry NULL elements: box and
+      // keep the NULLs in place, as the declarative transform does
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) = if (v.isNullAt(i)) null else java.lang.Long.valueOf(q1(v.getFloat(i), unit))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
 /** Base for the one-pass sketch expressions over `array<bigint>` shingle
-  * ids, parameterized by seed tables. */
+  * ids, parameterized by seed tables.
+  *
+  * Input is restricted to `containsNull = false` arrays (what
+  * [[WordShingleIds]] produces): the tight loops index elements with
+  * `getLong` and a silently-skipped null would diverge from the declarative
+  * lambda twins, so nullable-element arrays are rejected at analysis time. */
 abstract class SketchBase extends UnaryExpression {
   def seedsA: Seq[Long]
   def seedsB: Seq[Long]
@@ -203,9 +230,10 @@ abstract class SketchBase extends UnaryExpression {
   protected lazy val bArr: Array[Long] = seedsB.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<bigint>, got ${t.simpleString}")
+      s"$prettyName expects array<bigint> with non-nullable elements " +
+        s"(the graft_word_shingles output shape), got ${t.simpleString}")
   }
 }
 
@@ -297,7 +325,11 @@ case class WordShingleIds(child: Expression, coef: Seq[Long], k2: Long, k3: Long
 object JsonFieldUtil {
   /** Extract the integer value of a top-level `"key": <int>` field from a
     * flat JSON object, without allocating a parser. Returns null when the
-    * key is absent or its value is not an integer literal.
+    * key is absent or its value is not an integer literal. Quoted integer
+    * values (`"k": "12"`) are accepted — get_json_object + CAST, which this
+    * replaces in the scan hot path, also yields 12 for them. Values that
+    * overflow a signed 64-bit long (including Long.MinValue, whose magnitude
+    * can't be accumulated positively) return null instead of wrapping.
     *
     * Built for fixed-shape machine-written payloads (the events.props
     * case): per-row general-purpose JSON parsers proved pathologically
@@ -317,16 +349,27 @@ object JsonFieldUtil {
       if (j < s.length && s.charAt(j) == ':') {
         j += 1
         while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
+        var quoted = false
+        if (j < s.length && s.charAt(j) == '"') { quoted = true; j += 1 }
         var neg = false
         if (j < s.length && s.charAt(j) == '-') { neg = true; j += 1 }
         var v = 0L
         var any = false
         while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
-          v = v * 10 + (s.charAt(j) - '0'); any = true; j += 1
+          val d = s.charAt(j) - '0'
+          if (v > (Long.MaxValue - d) / 10) return null // would overflow
+          v = v * 10 + d; any = true; j += 1
+        }
+        if (!any) return null
+        if (quoted) {
+          // a quoted value must be exactly the integer: closing quote next
+          if (j < s.length && s.charAt(j) == '"')
+            return java.lang.Long.valueOf(if (neg) -v else v)
+          return null
         }
         // an integer literal ends the value; a '.' or exponent means non-int
-        if (any && (j >= s.length ||
-            (s.charAt(j) != '.' && s.charAt(j) != 'e' && s.charAt(j) != 'E'))) {
+        if (j >= s.length ||
+            (s.charAt(j) != '.' && s.charAt(j) != 'e' && s.charAt(j) != 'E')) {
           return java.lang.Long.valueOf(if (neg) -v else v)
         }
         return null
@@ -388,7 +431,11 @@ case class DotProductQ(left: Expression, right: Expression) extends ArrayDotBase
       val n = x.numElements()
       var acc = 0L
       var i = 0
-      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
       acc
     }
   }
@@ -405,9 +452,12 @@ case class DotProductQ(left: Expression, right: Expression) extends ArrayDotBase
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $a.getLong($i) * $b.getLong($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })
@@ -432,7 +482,11 @@ case class DotProductF(left: Expression, right: Expression) extends ArrayDotBase
       val n = x.numElements()
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
       acc
     }
   }
@@ -449,9 +503,12 @@ case class DotProductF(left: Expression, right: Expression) extends ArrayDotBase
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

@@ -132,6 +132,19 @@ class DedupSpec extends SparkSpec {
     assert(lp == expected)
   }
 
+  test("driver union-find survives a long chain in adversarial edge order") {
+    // 60k-vertex chain, edges high-to-low so naive path compression would
+    // build a deep parent chain; the iterative find must stay O(1) stack
+    val n = 60000L
+    val edges = spark.range(1, n)
+      .orderBy(col("id").desc)
+      .select((col("id") - 1).as("doc_a"), col("id").as("doc_b"))
+    val labels = Dedup.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L))
+  }
+
   test("incremental LSH over a signature store finds exactly the new-touching pairs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sigs").toString + "/sigs"
     val docs = Tables.documents(spark, sf0001)

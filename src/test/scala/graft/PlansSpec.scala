@@ -38,6 +38,32 @@ class PlansSpec extends SparkSpec {
     assert(decl.isNullAt(0))
   }
 
+  test("null elements yield null, matching the declarative fold") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L))).toDF("a", "b")
+    df.createOrReplaceTempView("dotq_nulls")
+    val native = spark.sql("SELECT graft_dot_q(a, b) AS d FROM dotq_nulls").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val decl = df.select(Similarity.dotQ(col("a"), col("b")).as("d")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(native.toSeq === Seq(None, Some(11L)))
+    assert(decl.toSeq === native.toSeq)
+  }
+
+  test("graft_qvec preserves null elements like the declarative transform") {
+    import spark.implicits._
+    val df = Seq(Seq[java.lang.Float](1.5f, null, -2.25f)).toDF("embedding")
+    val native = df.select(graft.plans.quantizeVec(col("embedding")).as("q"))
+      .collect().head.getSeq[Any](0)
+    val decl = df.select(
+      transform(col("embedding"), x => round(x * lit(1e8)).cast("long")).as("q"))
+      .collect().head.getSeq[Any](0)
+    assert(native === decl)
+    assert(native(1) == null)
+  }
+
   test("RewriteDotProduct rewrites the declarative long form to DotProductQ") {
     // Must be a non-local source: over literal rows the optimizer constant-
     // folds the whole projection into a LocalRelation before we could look.
@@ -56,7 +82,10 @@ class PlansSpec extends SparkSpec {
       .select(col("vec_id"), Similarity.qvec(col("embedding")).as("q"))
     val a = emb.select(col("vec_id").as("ida"), col("q").as("qa"))
     val b = emb.select(col("vec_id").as("idb"), col("q").as("qb"))
-    val pairs = a.crossJoin(b).filter(col("ida") < col("idb")).limit(500)
+    // total order before the limit: the two executions below are separate
+    // jobs, and an unordered limit is free to pick different rows per run
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+      .orderBy("ida", "idb").limit(500)
     val viaRule = pairs.select(Similarity.dotQ(col("qa"), col("qb")).as("d"))
       .agg(sum("d")).collect().head.getLong(0)
     // interpreted reference: collect and fold on the driver
@@ -73,11 +102,16 @@ class PlansSpec extends SparkSpec {
     val df = Seq(
       """{"k": 87}""", """{"k":-5}""", """{"j": 1, "k": 42}""",
       """{"kk": 9}""", """{"k": 1.5}""", """{"k": "text"}""",
-      """{"j": 2}""", "not json at all").toDF("props")
+      """{"j": 2}""", "not json at all",
+      """{"k": "12"}""",                     // quoted integer: accepted (= get_json_object+CAST)
+      """{"k": "12x"}""",                    // quoted non-integer: null
+      """{"k": 99999999999999999999}""",     // > Long.MaxValue: null, not a wrap
+      """{"k": 9223372036854775807}""") .toDF("props")
     df.createOrReplaceTempView("jl_t")
     val got = spark.sql("SELECT graft_json_long(props, 'k') FROM jl_t").collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-    assert(got.toSeq === Seq(Some(87L), Some(-5L), Some(42L), None, None, None, None, None))
+    assert(got.toSeq === Seq(Some(87L), Some(-5L), Some(42L), None, None, None, None, None,
+      Some(12L), None, None, Some(Long.MaxValue)))
     // Column-API path (no extension needed) agrees
     val viaCol = df.select(graft.plans.jsonLong(col("props"), "k")).collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
