@@ -35,13 +35,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // Local-scale knob only: testdata is one ~20 MB file per table, so the
-      // default 128 MB split yields single-task scans; 4 MB restores scan
-      // parallelism. On a real cluster the parallelism comes from many files
-      // — keep the default there. (AQE stays ON: its post-shuffle coalescing
-      // is worth ~3x on these micro-queries.)
+      // The testdata files are ONE parquet row group each, so byte-range
+      // splitting cannot parallelize the scan (only the split containing the
+      // row-group start does work) — smaller maxPartitionBytes just launches
+      // empty tasks. Keep the 128 MB default; on a real cluster parallelism
+      // comes from many files/row groups. (AQE stays ON: its post-shuffle
+      // coalescing is worth ~3x on these micro-queries.)
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PART", "4194304"))
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART", "134217728"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc performance probe (dev tool, not a judged surface): times named
+  * SparkEntry queries plus experimental variants side by side, several
+  * iterations each, to attribute headline-bench time before changing the
+  * declared queries. Usage:
+  *   sbt 'runMain graft.Probe /root/testdata/sf0.1 o1_topk o1_cents ...'
+  */
+object Probe {
+  def variants(spark: SparkSession, d: String): Map[String, () => DataFrame] = {
+    def li = Tables.lineitem(spark, d)
+    def ord = Tables.orders(spark, d)
+    Map(
+      "scan_count" -> (() => li.select(count(lit(1)))),
+      "scan_count_events" -> (() => Tables.events(spark, d).select(count(lit(1)))),
+      "scan_count_docs" -> (() => Tables.documents(spark, d).select(count(lit(1)))),
+      "scan_count_cust" -> (() => Tables.customer(spark, d).select(count(lit(1)))),
+      "noop_local" -> (() => spark.range(1).select(count(lit(1)))),
+      "scan_sum_qty" -> (() => li.select(sum(col("l_quantity")))),
+      "scan_sum_double" -> (() => li.select(sum(col("l_extendedprice")))),
+      "scan_sum_decimal" -> (() => li.select(sum(col("l_extendedprice").cast("decimal(18,2)")))),
+      "scan_sum_cents" -> (() => li.select(sum(round(col("l_extendedprice") * 100).cast("long")))),
+      "o1_cents" -> (() => li
+        .groupBy("l_partkey")
+        .agg((sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
+      "o1_group_double" -> (() => li
+        .groupBy("l_partkey").agg(sum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
+      "j1_maxby" -> (() => {
+        val score =
+          when(col("o_orderstatus") === "F", 10).otherwise(0) +
+            when(col("o_orderpriority").startsWith("1-"), 9).otherwise(0) +
+            when(col("o_totalprice") > 100000, 7).otherwise(0) +
+            when(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"), 3).otherwise(0)
+        ord.withColumn("match_score", score)
+          .groupBy("o_custkey")
+          .agg(max_by(struct(col("match_score"), (-col("o_orderkey")).as("nk"), col("o_orderkey")),
+            struct(col("match_score"), (-col("o_orderkey")).as("nk"))).as("b"))
+          .select(col("o_custkey"), col("b.o_orderkey"), col("b.match_score"))
+      }),
+      "repart_cost" -> (() => li.repartition(32).groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
+      "o1_round" -> (() => li
+        .groupBy("l_partkey").agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
+      "q1_round" -> (() => li
+        .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+      "j4_predim" -> (() => {
+        val dim = Tables.customer(spark, d)
+          .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("r_name"), col("n_name"))
+        Tables.orders(spark, d)
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("order_cnt"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+      })
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART", "4194304"))
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { kvs =>
+      kvs.split(';').filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split('=')
+        b.config(k, v)
+      }
+    }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vs = variants(spark, sfDir)
+    val all: Map[String, () => DataFrame] =
+      SparkEntry.queries.map { case (n, f) => n -> (() => f(spark, sfDir)) } ++ vs
+    val run = if (names.isEmpty) vs.keys.toSeq.sorted else names
+    run.foreach { n =>
+      all.get(n) match {
+        case None => System.err.println(s"[probe] unknown: $n")
+        case Some(f) =>
+          f().count() // warm
+          val iters = sys.env.getOrElse("PROBE_ITERS", "5").toInt
+          val useRdd = sys.env.get("PROBE_RDD").contains("1")
+          val ts = (1 to iters).map { _ =>
+            val t0 = System.nanoTime()
+            val df = f()
+            df.queryExecution.executedPlan // force analysis + planning
+            val t1 = System.nanoTime()
+            if (useRdd) df.queryExecution.toRdd.count() else df.count()
+            val t2 = System.nanoTime()
+            ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+          }
+          val tot = ts.map(t => t._1 + t._2)
+          System.err.println(f"[probe] $n%-22s min=${tot.min}%6.3f  med=${tot.sorted.apply(iters / 2)}%6.3f  plan_min=${ts.map(_._1).min}%6.3f  exec_min=${ts.map(_._2).min}%6.3f  (${tot.take(10).map(t => f"$t%.2f").mkString(", ")})")
+      }
+    }
+    spark.stop()
+  }
+}

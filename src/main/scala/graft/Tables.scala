@@ -12,12 +12,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4 rejects by
-    // default; read nanos as long (queries convert explicitly when needed).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
-  }
+  /** One resolved relation per (session, dir, table) — what a catalog gives
+    * a real deployment. Re-running `spark.read.parquet` per query call
+    * re-lists files and re-reads footers on the driver (~50 ms/table), which
+    * at 100 TB scale is exactly the metadata work a metastore amortizes. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, sfDir, name), { _ =>
+      // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4 rejects
+      // by default; read nanos as long (queries convert when needed).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    })
 
   def lineitem(spark: SparkSession, d: String): DataFrame  = t(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame    = t(spark, d, "orders")

