@@ -41,23 +41,28 @@ object TextAnalysis {
         |  (cand_lang = lang) AS is_match
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang) AS rn FROM hits) t
         |WHERE rn = 1""".stripMargin) { (spark, d) =>
-      import spark.implicits._
-      val prof = LangMarkers.toDF("cand_lang", "marker")
-      // Normalize ONCE per doc below the join: the cross join replicates
-      // each doc row |prof| times, so computing the regex-normalized text
-      // above the join would redo it per marker (15x the regex work).
-      val docsNorm = Tables.documents(spark, d).select(
-        col("doc_id"), col("lang"),
-        concat(lit(" "), normText(col("text")), lit(" ")).as("padded"))
-      val hits = docsNorm.crossJoin(broadcast(prof))
-        .groupBy("doc_id", "lang", "cand_lang")
-        .agg(sum(when(col("padded").contains(concat(lit(" "), col("marker"), lit(" "))), 1)
-          .otherwise(0)).as("n_hits"))
-      val w = Window.partitionBy("doc_id").orderBy(col("n_hits").desc, col("cand_lang"))
-      hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("cand_lang").as("pred_lang"),
-          col("n_hits").cast("long").as("n_hits"),
-          (col("cand_lang") === col("lang")).as("is_match"))
+      // The marker profile is tiny and literal, so compile it INTO the scan:
+      // per-language hit counts as summed contains() columns and the argmax
+      // as array_max over (n_hits, -langRank) structs. Zero joins, zero
+      // shuffles, zero windows — one narrow projection. (The broadcast-join
+      // form this replaces shipped every padded document 15x through a
+      // shuffle; at 100 TB a few hundred markers still fit in scan-stage
+      // literals.) Tie semantics match the oracle's ROW_NUMBER: max n_hits,
+      // then lexicographically-least cand_lang = greatest negated rank.
+      val langs = LangMarkers.map(_._1).distinct.sorted
+      val perLang = langs.zipWithIndex.map { case (l, rank) =>
+        val nHits = LangMarkers.filter(_._1 == l).map { case (_, m) =>
+          when(col("padded").contains(s" $m "), 1).otherwise(0)
+        }.reduce(_ + _)
+        struct(nHits.as("n_hits"), lit(-rank).as("neg_rank"), lit(l).as("cand_lang"))
+      }
+      Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"),
+          concat(lit(" "), normText(col("text")), lit(" ")).as("padded"))
+        .select(col("doc_id"), col("lang"), array_max(array(perLang: _*)).as("best"))
+        .select(col("doc_id"), col("best.cand_lang").as("pred_lang"),
+          col("best.n_hits").cast("long").as("n_hits"),
+          (col("best.cand_lang") === col("lang")).as("is_match"))
     }
   }
 
