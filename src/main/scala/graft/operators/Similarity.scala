@@ -94,18 +94,20 @@ object Similarity {
 
   private def sparkTopKDec(spark: SparkSession, d: String, probeMax: Int,
                            sameCell: Boolean, k: Int): DataFrame = {
-    // Quantize once at the scan, precompute norms once per vector — the
-    // pairwise stage is then a single exact long dot per pair.
-    val emb = Tables.embeddings(spark, d)
+    // Quantize AND norm in one scan-stage projection (norm = sqrt(q.q), a
+    // fused codegen'd dot) — joining a separate norms relation back would
+    // recompute the quantization subplan per join side (4x the BigDecimal
+    // rounding work) and add two shuffles for what is a per-row value.
+    val withNorm = Tables.embeddings(spark, d)
       .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
-    val norms = emb.select(col("vec_id"),
-      sqrt(dotQ(col("q"), col("q")).cast("double")).as("norm"))
-    val p = emb.filter(col("vec_id") < probeMax)
-      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("q").as("va"))
-      .join(norms.withColumnRenamed("vec_id", "qid").withColumnRenamed("norm", "qnorm"), "qid")
-    val c = emb
-      .select(col("vec_id").as("nid"), col("label").as("nlabel"), col("q").as("vb"))
-      .join(norms.withColumnRenamed("vec_id", "nid").withColumnRenamed("norm", "nnorm"), "nid")
+      .select(col("vec_id"), col("label"), col("q"),
+        sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm"))
+    val p = withNorm.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("q").as("va"), col("norm").as("qnorm"))
+    val c = withNorm
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("q").as("vb"), col("norm").as("nnorm"))
     val joined =
       if (sameCell) broadcast(p).join(c, col("qlabel") === col("nlabel") && col("qid") =!= col("nid"))
       else broadcast(p).crossJoin(c).filter(col("qid") =!= col("nid"))
@@ -220,6 +222,10 @@ object Similarity {
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
         |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
         |WHERE rn <= $k""".stripMargin) { (spark, d) =>
+      // Bucket-grouped candidate generation (like dd_simhash_neardup): a
+      // band self-join would compute the sketch pipeline once per side;
+      // grouping by band key sketches once and expands probe x member pairs
+      // inside each bucket.
       val emb = Tables.embeddings(spark, d)
         .select(col("vec_id"), qvec(col("embedding")).as("q"))
       val sig = emb
@@ -231,14 +237,16 @@ object Similarity {
             shiftright(col("sg"), 8 * bid).bitwiseAND(lit(255L)).as("band_val"))
         }: _*)).as("band"))
         .select(col("vec_id"), col("q"), col("norm"), col("band.*"))
-      val a = bands.filter(col("vec_id") < 100)
-        .select(col("band_id"), col("band_val"), col("vec_id").as("qid"),
-          col("q").as("qa"), col("norm").as("na"))
-      val b = bands.select(col("band_id"), col("band_val"), col("vec_id").as("nid"),
-        col("q").as("qb"), col("norm").as("nb"))
-      val cand = a.join(b, Seq("band_id", "band_val"))
-        .filter(col("qid") =!= col("nid"))
-        .select("qid", "nid", "qa", "qb", "na", "nb").distinct()
+      val cand = bands.groupBy("band_id", "band_val")
+        .agg(collect_list(struct(col("vec_id"), col("q"), col("norm"))).as("bucket"))
+        .select(explode(col("bucket")).as("x"), col("bucket"))
+        .filter(col("x.vec_id") < 100)
+        .select(col("x"), explode(col("bucket")).as("y"))
+        .filter(col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
+          col("x.q").as("qa"), col("y.q").as("qb"),
+          col("x.norm").as("na"), col("y.norm").as("nb"))
+        .distinct()
       val scored = cand.select(col("qid"), col("nid"),
         round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
           (col("na") * col("nb")), 6).as("cosine"))
