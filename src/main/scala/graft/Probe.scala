@@ -45,6 +45,30 @@ object Probe {
       "repart_cost" -> (() => li.repartition(32).groupBy("l_partkey")
         .agg(sum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
+      // fixed-point via +0.5 truncating cast (positive inputs): avoids the
+      // per-row BigDecimal inside Spark's Round-on-double
+      "o1_cents_fast" -> (() => li
+        .groupBy("l_partkey")
+        .agg((sum((col("l_extendedprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
+      "q1_cents" -> (() => li
+        .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")) / 10000.0).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+      "q1_cents_fast" -> (() => li
+        .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum((col("l_extendedprice") * 100 + 0.5).cast("long")) / 100.0).as("sum_base_price"),
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5).cast("long")) / 10000.0).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
       "o1_round" -> (() => li
         .groupBy("l_partkey").agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
@@ -81,16 +105,26 @@ object Probe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Same default as Bench so probe timings attribute headline behavior.
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PART", "4194304"))
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART", "134217728"))
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { kvs =>
       kvs.split(';').filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split('=')
+        val Array(k, v) = kv.split("=", 2)
         b.config(k, v)
       }
     }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Optional warm-buffer experiment: cache every table relation in memory
+    // (columnar), the Spark analogue of the DuckDB baseline's warm page
+    // cache. Combine with SPARK_GRAFT_TABLE_REPART for parallel cached scans.
+    if (sys.env.get("PROBE_CACHE_TABLES").contains("1")) {
+      Tables.names.foreach { n =>
+        val df = Tables.t(spark, sfDir, n); df.persist(); df.count()
+      }
+    }
 
     val vs = variants(spark, sfDir)
     val all: Map[String, () => DataFrame] =

@@ -23,16 +23,29 @@ object CoreQueries {
     *  - sum_qty / avg_qty: quantities are integer-valued, so double sums are
     *    EXACT (no accumulation error) and the division of two exact values
     *    is correctly rounded — bit-identical on both engines.
-    *  - money sums: per-row terms are the same doubles on both engines; only
-    *    accumulation order differs (~1e-9 relative), and the true totals are
-    *    2dp/4dp rationals, so round(·,2)/round(·,4) lands both engines on
-    *    the same decimal >>1e4 error-margins away from any rounding
-    *    boundary. */
+    *  - money sums use exact fixed-point: per-row terms are the same IEEE
+    *    doubles on both engines (identical parenthesization), scaled to the
+    *    value's decimal precision and rounded to LONG per row, summed as
+    *    longs (order-independent, exact), then divided back once. This is
+    *    oracle-exact at ANY scale and partitioning, unlike a double SUM
+    *    whose accumulation error is partition-order-dependent. Headroom:
+    *    a 1e4-scaled long overflows past ~9e14 in summed value — beyond
+    *    that, widen to sum(decimal) of the per-row longs (still cheap:
+    *    the per-row round stays in codegen).
+    *
+    *    The per-row round is spelled `(x*s + 0.5).cast(long)`: for the
+    *    POSITIVE money values here this equals round-half-away (including
+    *    exact .5 ties) while staying a codegen'd multiply-add — Spark's
+    *    Round on a double routes through BigDecimal per row (~1.5x the
+    *    whole aggregate's cost, measured in Probe: o1_cents 0.23s vs
+    *    o1_cents_fast 0.15s). The oracle's round(x*s) is identical on the
+    *    same IEEE product. Do NOT use this form on columns that can go
+    *    negative (truncation-toward-zero would floor instead of round). */
   val q1Agg = QueryDef("q1_agg",
     """SELECT l_returnflag, l_linestatus,
       |  SUM(l_quantity) AS sum_qty,
-      |  round(SUM(l_extendedprice), 2) AS sum_base_price,
-      |  round(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+      |  SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
       |  SUM(l_quantity) / COUNT(*) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem
@@ -43,9 +56,10 @@ object CoreQueries {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-          .as("sum_disc_price"),
+        (sum((col("l_extendedprice") * 100 + 0.5).cast("long")) / 100.0)
+          .as("sum_base_price"),
+        (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5)
+          .cast("long")) / 10000.0).as("sum_disc_price"),
         (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
   }
@@ -102,10 +116,10 @@ object CoreQueries {
   }
 
   /** J4 enrichment join chain + group (broadcast the dimension tables;
-    * round(·,2) money sum per the q1_agg parity note). */
+    * exact fixed-point money sum per the q1_agg parity note). */
   val j4JoinChain = QueryDef("j4_join_chain",
     """SELECT r_name, n_name, COUNT(*) AS order_cnt,
-      |  round(SUM(o_totalprice), 2) AS revenue
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -116,7 +130,8 @@ object CoreQueries {
       .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("order_cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .agg(count(lit(1)).as("order_cnt"),
+        (sum((col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
   }
 
   /** W1 first-seen dedup as a window (seed_aic.py:311,336-338). */
@@ -220,15 +235,17 @@ object CoreQueries {
   }
 
   /** O1/O3 top-k: group-sum, total order (revenue desc, key asc), limit.
-    * Plans as TakeOrderedAndProject — no full sort at scale. Double sum +
-    * round(·,2) is oracle-exact here (2dp inputs; see q1_agg note) and ~3x
-    * cheaper than a decimal aggregation buffer per group. */
+    * Plans as TakeOrderedAndProject — no full sort at scale. Exact
+    * fixed-point cents sum (see q1_agg note): order-independent, so the
+    * top-k cut line is deterministic at any partitioning, and ~3x cheaper
+    * than a decimal aggregation buffer per group. */
   val o1TopK = QueryDef("o1_topk",
-    """SELECT l_partkey, round(SUM(l_extendedprice), 2) AS revenue
+    """SELECT l_partkey, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
       |FROM lineitem GROUP BY l_partkey
       |ORDER BY revenue DESC, l_partkey LIMIT 10""".stripMargin) { (spark, d) =>
     Tables.lineitem(spark, d)
-      .groupBy("l_partkey").agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .groupBy("l_partkey")
+      .agg((sum((col("l_extendedprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
       .orderBy(col("revenue").desc, col("l_partkey")).limit(10)
   }
 

@@ -337,28 +337,33 @@ object Dedup {
         |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
         |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin) { (spark, d) =>
-      // Bucket-grouped pair generation instead of a band self-join: a self-
-      // join's two sides are distinct subplans, so Spark would compute the
-      // whole sketch pipeline TWICE (ReuseExchange can't fire across the
-      // rename projections). Grouping by band key and expanding in-bucket
-      // pairs sketches once and shuffles once; in-bucket expansion is the
-      // same quadratic the join bucket had.
-      val sig = docWidArrays(Tables.documents(spark, d))
-        .select(col("doc_id"),
-          graft.plans.simhashSig(col("wids"), A32, B32, P).as("simhash"))
-      val bands = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map { bid =>
-          struct(lit(bid).as("band_id"),
-            shiftright(col("simhash"), 8 * bid).bitwiseAND(lit(255L)).as("band_val"))
-        }: _*)).as("band"))
-        .select(col("doc_id"), col("simhash"), col("band.*"))
-      bands.groupBy("band_id", "band_val")
-        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("bucket"))
-        .select(explode(col("bucket")).as("x"), col("bucket"))
-        .select(col("x"), explode(col("bucket")).as("y"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      // Band self-join over a PERSISTED bands relation. Persisting gives
+      // compute-once (both join sides scan the same InMemoryRelation —
+      // without it the sketch pipeline runs twice, since ReuseExchange
+      // can't fire across the rename projections), while the join itself
+      // streams the quadratic bucket expansion with bounded memory: a
+      // sort-merge group buffer spills, and AQE splits a skewed band_val
+      // (e.g. degenerate simhash 0 of empty docs) across tasks. A
+      // collect_list bucket expansion held the whole O(N) bucket in one
+      // aggregation buffer — an executor OOM at 100 TB.
+      val bands = graft.Persisted.of(spark, s"$d#simhash32_bands") {
+        docWidArrays(Tables.documents(spark, d))
+          .select(col("doc_id"),
+            graft.plans.simhashSig(col("wids"), A32, B32, P).as("simhash"))
+          .select(col("doc_id"), col("simhash"),
+            explode(array((0 until 4).map { bid =>
+              struct(lit(bid).as("band_id"),
+                shiftright(col("simhash"), 8 * bid).bitwiseAND(lit(255L)).as("band_val"))
+            }: _*)).as("band"))
+          .select(col("doc_id"), col("simhash"), col("band.*"))
+      }
+      val a = bands.select(col("band_id"), col("band_val"),
+        col("doc_id").as("doc_a"), col("simhash").as("ha"))
+      val b = bands.select(col("band_id"), col("band_val"),
+        col("doc_id").as("doc_b"), col("simhash").as("hb"))
+      a.join(b, Seq("band_id", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
         .distinct()
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))

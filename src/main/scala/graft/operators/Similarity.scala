@@ -222,30 +222,34 @@ object Similarity {
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
         |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
         |WHERE rn <= $k""".stripMargin) { (spark, d) =>
-      // Bucket-grouped candidate generation (like dd_simhash_neardup): a
-      // band self-join would compute the sketch pipeline once per side;
-      // grouping by band key sketches once and expands probe x member pairs
-      // inside each bucket.
-      val emb = Tables.embeddings(spark, d)
-        .select(col("vec_id"), qvec(col("embedding")).as("q"))
-      val sig = emb
-        .select(col("vec_id"), col("q"), lshSig(col("q")).as("sg"),
-          sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm"))
-      val bands = sig.select(col("vec_id"), col("q"), col("norm"),
-        explode(array((0 until 2).map { bid =>
-          struct(lit(bid).as("band_id"),
-            shiftright(col("sg"), 8 * bid).bitwiseAND(lit(255L)).as("band_val"))
-        }: _*)).as("band"))
-        .select(col("vec_id"), col("q"), col("norm"), col("band.*"))
-      val cand = bands.groupBy("band_id", "band_val")
-        .agg(collect_list(struct(col("vec_id"), col("q"), col("norm"))).as("bucket"))
-        .select(explode(col("bucket")).as("x"), col("bucket"))
-        .filter(col("x.vec_id") < 100)
-        .select(col("x"), explode(col("bucket")).as("y"))
-        .filter(col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"),
-          col("x.q").as("qa"), col("y.q").as("qb"),
-          col("x.norm").as("na"), col("y.norm").as("nb"))
+      // Band join over a PERSISTED bands relation (like dd_simhash_neardup):
+      // persisting gives compute-once across the two join sides, and the
+      // join streams bucket expansion with bounded memory (sort-merge
+      // spill + AQE skew split) where a collect_list bucket held an entire
+      // — possibly O(N)-skewed — LSH bucket in one aggregation buffer.
+      // The probe side (vec_id < 100) is tiny, so it broadcasts: the
+      // corpus never shuffles, which is the 100 TB shape for ANN probing.
+      val bands = graft.Persisted.of(spark, s"$d#hyperlsh_bands") {
+        Tables.embeddings(spark, d)
+          .select(col("vec_id"), qvec(col("embedding")).as("q"))
+          .select(col("vec_id"), col("q"), lshSig(col("q")).as("sg"),
+            sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm"))
+          .select(col("vec_id"), col("q"), col("norm"),
+            explode(array((0 until 2).map { bid =>
+              struct(lit(bid).as("band_id"),
+                shiftright(col("sg"), 8 * bid).bitwiseAND(lit(255L)).as("band_val"))
+            }: _*)).as("band"))
+          .select(col("vec_id"), col("q"), col("norm"), col("band.*"))
+      }
+      val probe = bands.filter(col("vec_id") < 100)
+        .select(col("band_id"), col("band_val"), col("vec_id").as("qid"),
+          col("q").as("qa"), col("norm").as("na"))
+      val corpus = bands
+        .select(col("band_id"), col("band_val"), col("vec_id").as("nid"),
+          col("q").as("qb"), col("norm").as("nb"))
+      val cand = broadcast(probe).join(corpus, Seq("band_id", "band_val"))
+        .filter(col("qid") =!= col("nid"))
+        .select("qid", "nid", "qa", "qb", "na", "nb")
         .distinct()
       val scored = cand.select(col("qid"), col("nid"),
         round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /

@@ -326,8 +326,10 @@ object JsonFieldUtil {
   /** Extract the integer value of a top-level `"key": <int>` field from a
     * flat JSON object, without allocating a parser. Returns null when the
     * key is absent or its value is not an integer literal. Quoted integer
-    * values (`"k": "12"`) are accepted — get_json_object + CAST, which this
-    * replaces in the scan hot path, also yields 12 for them. Values that
+    * values (`"k": "12"`, including CAST-style surrounding whitespace and a
+    * leading '+' sign, e.g. `" 12 "` or `"+12"`) are accepted —
+    * get_json_object + CAST, which this replaces in the scan hot path, trims
+    * and also yields 12 for them. Values that
     * overflow a signed 64-bit long (including Long.MinValue, whose magnitude
     * can't be accumulated positively) return null instead of wrapping.
     *
@@ -350,9 +352,14 @@ object JsonFieldUtil {
         j += 1
         while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
         var quoted = false
-        if (j < s.length && s.charAt(j) == '"') { quoted = true; j += 1 }
+        if (j < s.length && s.charAt(j) == '"') {
+          quoted = true; j += 1
+          // CAST trims whitespace inside the quotes: "  12 " -> 12
+          while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
+        }
         var neg = false
         if (j < s.length && s.charAt(j) == '-') { neg = true; j += 1 }
+        else if (quoted && j < s.length && s.charAt(j) == '+') j += 1 // CAST accepts '+'
         var v = 0L
         var any = false
         while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
@@ -362,7 +369,8 @@ object JsonFieldUtil {
         }
         if (!any) return null
         if (quoted) {
-          // a quoted value must be exactly the integer: closing quote next
+          // the quoted value must be the integer up to trailing whitespace
+          while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
           if (j < s.length && s.charAt(j) == '"')
             return java.lang.Long.valueOf(if (neg) -v else v)
           return null
