@@ -50,8 +50,20 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // Optional warm buffer pool (SPARK_GRAFT_CACHE_TABLES=1): cache each
+    // table columnar + ingest-repartitioned, the analogue of DuckDB's warm
+    // page cache. MEASURED SLOWER here: the single-task vectorized parquet
+    // scan beats a 32-partition InMemoryTableScan (batch decompression +
+    // task overhead) on these sub-second queries, so the default stays on
+    // the parquet reader; the knob remains for cold-vs-warm attribution.
+    val cacheTables = sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("1")
+    if (cacheTables) spark.conf.set("graft.table.repartition", cpus)
     Tables.names.foreach { n =>
-      try Tables.t(spark, sfDir, n).count() catch { case _: Throwable => () }
+      try {
+        val df = Tables.t(spark, sfDir, n)
+        if (cacheTables) df.persist()
+        df.count()
+      } catch { case _: Throwable => () }
     }
 
     // Steady-state timing: best of 3 runs per query (matches the warm-cache

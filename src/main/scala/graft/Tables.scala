@@ -44,9 +44,9 @@ object Tables {
       // parallelize by byte ranges — optional ingest repartition restores
       // scan parallelism when the relation is cached (Bench warm path). On
       // a real deployment parallelism comes from many files/row groups and
-      // this stays unset.
-      sys.env.get("SPARK_GRAFT_TABLE_REPART") match {
-        case Some(n) if n.toInt > 0 => df.repartition(n.toInt)
+      // this stays unset (0).
+      spark.conf.getOption("graft.table.repartition").map(_.toInt) match {
+        case Some(n) if n > 0 => df.repartition(n)
         case _ => df
       }
     })
