@@ -69,6 +69,18 @@ object Probe {
           (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5).cast("long")) / 10000.0).as("sum_disc_price"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))),
+      "j4_bcast_cust" -> (() => Tables.orders(spark, d)
+        .join(broadcast(Tables.customer(spark, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("order_cnt"),
+          (sum((col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))),
+      "w1_minby" -> (() => Tables.customer(spark, d)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(min_by(struct(col("c_custkey"), col("c_name")), col("c_custkey")).as("b"))
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          col("b.c_custkey").as("c_custkey"), col("b.c_name").as("c_name"))),
       "o1_round" -> (() => li
         .groupBy("l_partkey").agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
@@ -134,6 +146,7 @@ object Probe {
       all.get(n) match {
         case None => System.err.println(s"[probe] unknown: $n")
         case Some(f) =>
+          if (sys.env.get("PROBE_EXPLAIN").contains("1")) f().explain("formatted")
           f().count() // warm
           val iters = sys.env.getOrElse("PROBE_ITERS", "5").toInt
           val useRdd = sys.env.get("PROBE_RDD").contains("1")

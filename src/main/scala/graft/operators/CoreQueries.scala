@@ -134,16 +134,23 @@ object CoreQueries {
         (sum((col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
   }
 
-  /** W1 first-seen dedup as a window (seed_aic.py:311,336-338). */
+  /** W1 first-seen dedup (seed_aic.py:311,336-338). Planned as
+    * groupBy + min_by rather than a ROW_NUMBER window: identical rows out
+    * (min key per group plus its payload), but a hash aggregate with
+    * map-side combine shuffles one row per (task, group) where the window
+    * form shuffles and SORTS every input row — at 100 TB that is a partial
+    * agg versus a full-data sort. The window idiom itself stays covered by
+    * w2_dedup_max_score. */
   val w1FirstSeen = QueryDef("w1_first_seen_dedup",
     """SELECT c_mktsegment, c_nationkey, c_custkey, c_name FROM (
       |  SELECT c_mktsegment, c_nationkey, c_custkey, c_name,
       |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY c_custkey) AS rn
       |  FROM customer) t WHERE rn = 1""".stripMargin) { (spark, d) =>
-    val w = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy("c_custkey")
     Tables.customer(spark, d)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("c_mktsegment", "c_nationkey", "c_custkey", "c_name")
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(min_by(struct(col("c_custkey"), col("c_name")), col("c_custkey")).as("b"))
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        col("b.c_custkey").as("c_custkey"), col("b.c_name").as("c_name"))
   }
 
   /** W2 keep-highest-score dedup (step3_attempt1.py:497-504). */
