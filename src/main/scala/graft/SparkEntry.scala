@@ -10,7 +10,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     CoreQueries.all ++ Consensus.all ++ Dedup.all ++
       Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
-      ExtendedQueries.all ++ TemporalQueries.all ++ PipelineQueries.all
+      ExtendedQueries.all ++ TemporalQueries.all ++ PipelineQueries.all ++
+      SpecExtractors.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

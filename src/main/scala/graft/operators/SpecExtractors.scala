@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** The reference's spec'd-but-stubbed extraction attempts and the remaining
+  * grouping/join-shape coverage:
+  *
+  *  - X15 src-path name extraction (step3_attempt3.py:32-68 — spec'd in its
+  *    docstring, body stubbed): image `src` under `/uploads/…` contributes
+  *    an entity name from the alphabetic token run, `-`/`_`/extension
+  *    bounded, dashes to spaces.
+  *  - X16 href slug extraction (step3_attempt4.py:32-61 — spec'd, stubbed):
+  *    ranked keyword sets {investments,portfolio,companies} >
+  *    {company,funds}; slug is the path segment after the keyword.
+  *  - GROUPING SETS via the Dataset.groupingSets API (the third member of
+  *    the grouping family next to rollup_agg/cube_agg).
+  *  - Salt-spread join: the manual skew mitigation for a hot key — fact
+  *    rows hash into S salt lanes, the dimension replicates S times, the
+  *    join key widens to (key, salt) so one hot key occupies S reducer
+  *    partitions instead of one. Results are identical to the plain join
+  *    (the oracle runs the unsalted SQL). AQE's skew-join split is the
+  *    adaptive alternative; this is the static form that also works where
+  *    AQE can't see the skew (e.g. a broadcast-ineligible dimension).
+  *
+  * All inputs are synthesized column-wise from the driver tables so the
+  * DuckDB oracle replays the identical strings.
+  */
+object SpecExtractors {
+
+  /** Shared X15 pattern (Java and RE2 compatible). */
+  private val srcNameRe = "/uploads/(?:[^/]*/)*([A-Za-z][A-Za-z-]*?)(?:-\\d|[_.])"
+
+  /** X15: `/uploads/2024/01/<Name-With-Dashes>-412x412.jpg` -> `Name With
+    * Dashes`. The capture is the maximal alphabetic/dash run before the
+    * first `-digit`, `_` or `.` boundary. */
+  val x15SrcName = QueryDef("x15_src_name",
+    s"""SELECT p_partkey, src,
+      |  replace(regexp_extract(src, '$srcNameRe', 1), '-', ' ') AS card_name
+      |FROM (
+      |  SELECT p_partkey,
+      |    concat('/uploads/2024/01/', replace(p_name, ' ', '-'), '-',
+      |           CAST(p_partkey AS VARCHAR), 'x412.jpg') AS src
+      |  FROM part) t
+      |WHERE regexp_extract(src, '$srcNameRe', 1) <> ''""".stripMargin) { (spark, d) =>
+    Tables.part(spark, d)
+      .select(col("p_partkey"),
+        concat(lit("/uploads/2024/01/"), regexp_replace(col("p_name"), " ", "-"),
+          lit("-"), col("p_partkey").cast("string"), lit("x412.jpg")).as("src"))
+      .withColumn("card_name",
+        regexp_replace(regexp_extract(col("src"), srcNameRe, 1), "-", " "))
+      .filter(col("card_name") =!= "")
+      .select("p_partkey", "src", "card_name")
+  }
+
+  private val slugRe = "(?:investments|portfolio|companies|company|funds)/([^/?#]+)"
+
+  /** X16: ranked href slug — rank 1 for {investments,portfolio,companies},
+    * rank 2 for {company,funds}; hrefs without a keyword drop out. */
+  val x16HrefSlug = QueryDef("x16_href_slug",
+    s"""SELECT s_suppkey, href, rank, regexp_extract(href, '$slugRe', 1) AS slug
+      |FROM (
+      |  SELECT s_suppkey,
+      |    CASE WHEN s_suppkey % 4 = 0 THEN concat('/investments/', slug0)
+      |         WHEN s_suppkey % 4 = 1 THEN concat('/portfolio/', slug0, '?ref=nav')
+      |         WHEN s_suppkey % 4 = 2 THEN concat('/company/', slug0, '/about')
+      |         ELSE concat('/team/', slug0) END AS href,
+      |    CASE WHEN s_suppkey % 4 IN (0, 1) THEN 1
+      |         WHEN s_suppkey % 4 = 2 THEN 2 END AS rank
+      |  FROM (SELECT s_suppkey, replace(replace(lower(s_name), '#', ''), ' ', '-') AS slug0
+      |        FROM supplier) b) t
+      |WHERE rank IS NOT NULL""".stripMargin) { (spark, d) =>
+    val slug0 = regexp_replace(regexp_replace(lower(col("s_name")), "#", ""), " ", "-")
+    Tables.supplier(spark, d)
+      .select(col("s_suppkey"), slug0.as("slug0"))
+      .select(col("s_suppkey"),
+        when(col("s_suppkey") % 4 === 0, concat(lit("/investments/"), col("slug0")))
+          .when(col("s_suppkey") % 4 === 1, concat(lit("/portfolio/"), col("slug0"), lit("?ref=nav")))
+          .when(col("s_suppkey") % 4 === 2, concat(lit("/company/"), col("slug0"), lit("/about")))
+          .otherwise(concat(lit("/team/"), col("slug0"))).as("href"),
+        when(col("s_suppkey") % 4 === 0 || col("s_suppkey") % 4 === 1, 1)
+          .when(col("s_suppkey") % 4 === 2, 2).as("rank"))
+      .filter(col("rank").isNotNull)
+      .withColumn("slug", regexp_extract(col("href"), slugRe, 1))
+      .select("s_suppkey", "href", "rank", "slug")
+  }
+
+  /** GROUPING SETS ((r_name, n_name), (r_name), ()) over the customer
+    * dimension chain — Dataset.groupingSets API, dims broadcast.
+    * c_acctbal can be negative, so the fixed-point per-row round uses
+    * round() (half-away both engines), not the positive-only +0.5 cast. */
+  val gsGroupingSets = QueryDef("gs_grouping_sets",
+    """SELECT r_name, n_name,
+      |  CAST(GROUPING(r_name) AS INTEGER) AS g_r,
+      |  CAST(GROUPING(n_name) AS INTEGER) AS g_n,
+      |  COUNT(*) AS n_cust,
+      |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS acctbal_sum
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""".stripMargin) { (spark, d) =>
+    Tables.customer(spark, d)
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(
+        grouping(col("r_name")).cast("int").as("g_r"),
+        grouping(col("n_name")).cast("int").as("g_n"),
+        count(lit(1)).as("n_cust"),
+        (sum(round(col("c_acctbal") * 100).cast("long")) / 100.0).as("acctbal_sum"))
+      .select("r_name", "n_name", "g_r", "g_n", "n_cust", "acctbal_sum")
+  }
+
+  /** Salt factor: a hot key spreads over this many reducer lanes. */
+  val Salts = 8
+
+  /** Salt-spread equi-join, aggregated per segment. The oracle replays the
+    * PLAIN join — salting must be invisible in the result. */
+  val jSalted = QueryDef("j_salted",
+    """SELECT c_mktsegment, COUNT(*) AS order_cnt,
+      |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin) { (spark, d) =>
+    val fact = Tables.orders(spark, d)
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(Salts.toLong)))
+    val dim = Tables.customer(spark, d)
+      .withColumn("salt", explode(sequence(lit(0L), lit(Salts.toLong - 1))))
+    fact.join(dim, fact("o_custkey") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("order_cnt"),
+        (sum((col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
+  }
+
+  val all: Seq[QueryDef] = Seq(x15SrcName, x16HrefSlug, gsGroupingSets, jSalted)
+}

@@ -127,4 +127,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.groupBy("c_mktsegment", "c_nationkey").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("salted join equals the plain join exactly") {
+    val salted = SpecExtractors.jSalted.fn(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("order_cnt"),
+        (sum((col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("x15/x16 extraction recovers the synthesized names and slugs") {
+    val x15 = SpecExtractors.x15SrcName.fn(spark, sf0001)
+    // the extracted card_name must equal p_name for every part
+    val bad = x15.withColumnRenamed("p_partkey", "k")
+      .join(Tables.part(spark, sf0001), col("k") === col("p_partkey"))
+      .filter(col("card_name") =!= col("p_name")).count()
+    assert(bad == 0)
+    assert(x15.count() == Tables.part(spark, sf0001).count())
+    val x16 = SpecExtractors.x16HrefSlug.fn(spark, sf0001)
+    assert(x16.filter(col("slug") === "").count() == 0)
+    // rank-1 keywords only from the first keyword set
+    assert(x16.filter(col("rank") === 1 &&
+      !col("href").rlike("^/(investments|portfolio)/")).count() == 0)
+  }
 }
