@@ -69,6 +69,25 @@ object Probe {
           (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5).cast("long")) / 10000.0).as("sum_disc_price"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))),
+      "tw_grouptopk" -> (() => {
+        import graft.functions.Exprs.normText
+        val docs = Tables.documents(spark, d)
+        val tf = docs
+          .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val n = broadcast(docs.agg(count(lit(1)).as("n")))
+        val weighted = tf.join(dl, "doc_id").join(dfq, "w").crossJoin(n)
+          .select(col("doc_id"), col("w").as("term"), col("tf").cast("long").as("tf"),
+            round((col("tf") * col("n")).cast("double") / (col("dl") * col("df")), 6).as("weight"))
+        weighted.groupBy("doc_id")
+          .agg(slice(sort_array(collect_list(struct(
+            (-col("weight")).as("nw"), col("term"), col("tf"), col("weight")))), 1, 5).as("top"))
+          .select(col("doc_id"), explode(col("top")).as("t"))
+          .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"),
+            col("t.weight").as("weight"))
+      }),
       "j4_bcast_cust" -> (() => Tables.orders(spark, d)
         .join(broadcast(Tables.customer(spark, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
