@@ -133,5 +133,52 @@ object SpecExtractors {
         (sum((col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
   }
 
-  val all: Seq[QueryDef] = Seq(x15SrcName, x16HrefSlug, gsGroupingSets, jSalted)
+  /** F8: type white/blacklist set-overlap gate (step3_attempt1.py:72-73,
+    * 156-173,364-367): reject when the entity's @type set overlaps the
+    * blacklist UNLESS it also overlaps the whitelist. Types synthesized by
+    * tokenizing p_type. */
+  val f8TypeGate = QueryDef("f8_type_gate",
+    """SELECT p_partkey, p_type FROM (
+      |  SELECT p_partkey, p_type, string_split(p_type, ' ') AS types FROM part) t
+      |WHERE len(list_intersect(types, ['BRUSHED','ANODIZED','PLATED'])) > 0
+      |   OR NOT len(list_intersect(types, ['TIN','COPPER'])) > 0""".stripMargin) { (spark, d) =>
+    val types = split(col("p_type"), " ")
+    val wl = array(Seq("BRUSHED", "ANODIZED", "PLATED").map(lit): _*)
+    val bl = array(Seq("TIN", "COPPER").map(lit): _*)
+    Tables.part(spark, d)
+      .filter(arrays_overlap(types, wl) || !arrays_overlap(types, bl))
+      .select("p_partkey", "p_type")
+  }
+
+  /** X20: has-all-words substring rank match (step2_attempt1.py:44-52,
+    * 69-77): rank by the first word set whose every word substring-matches
+    * some class token; counted per rank to keep the output compact. Pure
+    * higher-order lambdas on both engines (forall/exists vs list_filter). */
+  val x20RankMatch: QueryDef = {
+    def filtSql(words: String, n: Int) =
+      s"len(list_filter([$words], w -> len(list_filter(toks, t -> contains(t, w))) > 0)) = $n"
+    QueryDef("x20_rank_match",
+      s"""WITH t AS (SELECT p_partkey,
+        |    string_split(lower(concat(p_type, ' ', p_brand)), ' ') AS toks FROM part),
+        |r AS (SELECT p_partkey,
+        |    CASE WHEN ${filtSql("'stand','bra'", 2)} THEN 1
+        |         WHEN ${filtSql("'econ'", 1)} THEN 2
+        |         WHEN len(list_filter(toks, t -> contains(t, 'promo'))) > 0 THEN 3 END AS rank
+        |  FROM t)
+        |SELECT rank, COUNT(*) AS n FROM r WHERE rank IS NOT NULL GROUP BY rank""".stripMargin) { (spark, d) =>
+      val toks = split(lower(concat(col("p_type"), lit(" "), col("p_brand"))), " ")
+      def matchAll(words: Seq[String]) =
+        forall(array(words.map(lit): _*),
+          w => exists(toks, t => t.contains(w)))
+      Tables.part(spark, d)
+        .select(when(matchAll(Seq("stand", "bra")), 1)
+          .when(matchAll(Seq("econ")), 2)
+          .when(exists(toks, t => t.contains("promo")), 3).as("rank"))
+        .filter(col("rank").isNotNull)
+        .groupBy("rank").agg(count(lit(1)).as("n"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    x15SrcName, x16HrefSlug, gsGroupingSets, jSalted, f8TypeGate, x20RankMatch)
 }
