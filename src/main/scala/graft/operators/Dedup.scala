@@ -347,28 +347,40 @@ object Dedup {
       // collect_list bucket expansion held the whole O(N) bucket in one
       // aggregation buffer — an executor OOM at 100 TB.
       val bands = graft.Persisted.of(spark, s"$d#simhash32_bands") {
-        docWidArrays(Tables.documents(spark, d))
-          .select(col("doc_id"),
-            graft.plans.simhashSig(col("wids"), A32, B32, P).as("simhash"))
-          .select(col("doc_id"), col("simhash"),
-            explode(array((0 until 4).map { bid =>
-              struct(lit(bid).as("band_id"),
-                shiftright(col("simhash"), 8 * bid).bitwiseAND(lit(255L)).as("band_val"))
-            }: _*)).as("band"))
-          .select(col("doc_id"), col("simhash"), col("band.*"))
+        simhash32Bands(Tables.documents(spark, d))
       }
-      val a = bands.select(col("band_id"), col("band_val"),
-        col("doc_id").as("doc_a"), col("simhash").as("ha"))
-      val b = bands.select(col("band_id"), col("band_val"),
-        col("doc_id").as("doc_b"), col("simhash").as("hb"))
-      a.join(b, Seq("band_id", "band_val"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-        .filter(col("hamming") <= 3)
+      simhashNearDupPairs(bands)
     }
+  }
+
+  /** (doc_id, simhash, band_id, band_val): 32-bit simhash split into 4
+    * 8-bit pigeonhole bands, exploded in the scan stage. */
+  def simhash32Bands(docs: DataFrame): DataFrame =
+    docWidArrays(docs)
+      .select(col("doc_id"),
+        graft.plans.simhashSig(col("wids"), A32, B32, P).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { bid =>
+          struct(lit(bid).as("band_id"),
+            shiftright(col("simhash"), 8 * bid).bitwiseAND(lit(255L)).as("band_val"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.*"))
+
+  /** Streaming band self-join: every pair within `maxHamming` (pigeonhole-
+    * exact for maxHamming <= 3 over 4 bands). Bounded memory per bucket —
+    * pass a persisted/cached bands relation for compute-once. */
+  def simhashNearDupPairs(bands: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val a = bands.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = bands.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb")
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Persist the per-doc MinHash signature table. At 100 TB the sketch pass

@@ -161,6 +161,25 @@ class DedupSpec extends SparkSpec {
     assert(inc.forall { case (a, b) => a < b })
   }
 
+  test("neardup band join survives a degenerate all-one-bucket skew") {
+    // 200 identical docs: every doc lands in the SAME bucket of every band
+    // (the skew shape ADVICE flagged for the collect_list expansion) plus a
+    // handful of distinct docs. The streaming join must return exactly
+    // C(200,2) hamming-0 pairs for the clones and nothing linking the
+    // distinct docs to them.
+    val clones = (0L until 200L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val others = Seq(
+      (900L, "completely different content about spark physical plans here"),
+      (901L, "yet another unrelated document mentioning shuffle exchanges"))
+    val docs = spark.createDataFrame(clones ++ others).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(Dedup.simhash32Bands(docs)).cache()
+    val clonePairs = pairs.filter($"doc_a" < 200 && $"doc_b" < 200)
+    assert(clonePairs.count() == 200L * 199 / 2)
+    assert(clonePairs.filter($"hamming" =!= 0).count() == 0)
+    assert(pairs.filter($"doc_a" < 200 && $"doc_b" >= 900).count() == 0)
+    pairs.unpersist()
+  }
+
   test("jaccard of identical docs is 1.0, of disjoint docs is 0.0") {
     val sets = docsDf.select($"doc_id", Dedup.shinglesOf($"text").as("sh"))
     val j = sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")

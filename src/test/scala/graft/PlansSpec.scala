@@ -106,16 +106,25 @@ class PlansSpec extends SparkSpec {
       """{"k": "12"}""",                     // quoted integer: accepted (= get_json_object+CAST)
       """{"k": "12x"}""",                    // quoted non-integer: null
       """{"k": 99999999999999999999}""",     // > Long.MaxValue: null, not a wrap
-      """{"k": 9223372036854775807}""") .toDF("props")
+      """{"k": 9223372036854775807}""",
+      """{"k": " 12 "}""",                   // CAST trims whitespace in quotes
+      """{"k": "+12"}""",                    // CAST accepts a leading '+'
+      """{"k": "+ 12"}""") .toDF("props")    // but not an inner space: null
     df.createOrReplaceTempView("jl_t")
     val got = spark.sql("SELECT graft_json_long(props, 'k') FROM jl_t").collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(got.toSeq === Seq(Some(87L), Some(-5L), Some(42L), None, None, None, None, None,
-      Some(12L), None, None, Some(Long.MaxValue)))
+      Some(12L), None, None, Some(Long.MaxValue), Some(12L), Some(12L), None))
     // Column-API path (no extension needed) agrees
     val viaCol = df.select(graft.plans.jsonLong(col("props"), "k")).collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(viaCol.toSeq === got.toSeq)
+    // and the documented equivalence holds: get_json_object + try_cast
+    // (ANSI mode: plain CAST throws on malformed input)
+    val viaGjo = df.select(
+      expr("try_cast(get_json_object(props, '$.k') AS long)")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(viaGjo.toSeq === got.toSeq)
   }
 
   test("graft_json_long matches get_json_object on the events table") {
