@@ -277,7 +277,12 @@ object CoreQueries {
   }
 
   /** A4 nested assembly, oracle-safe string form: per-group ordered id list
-    * (main_portCo.py:113-122; ordering pinned per SURVEY.md §7.3). */
+    * (main_portCo.py:113-122; ordering pinned per SURVEY.md §7.3).
+    * Boundedness: like the reference's per-firm portco lists, the collected
+    * group is assumed small (here: short docs per language); A4 semantics
+    * are inherently "one output row per group carrying the whole group", so
+    * an unbounded group means an unbounded ROW, not a usable query — cap or
+    * pre-aggregate upstream when group sizes are open-ended. */
   val a4Collect = QueryDef("a4_collect_sorted",
     """SELECT lang, COUNT(*) AS n_docs,
       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
