@@ -179,6 +179,38 @@ object SpecExtractors {
     }
   }
 
+  /** FULL OUTER join — both null sides exercised: customers in arrears with
+    * no finished orders, and finished-order customers not in arrears. */
+  val jFullOuter = QueryDef("j_full_outer",
+    """SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey, o.f_orders, c.c_acctbal
+      |FROM (SELECT o_custkey, COUNT(*) AS f_orders FROM orders
+      |      WHERE o_orderstatus = 'F' GROUP BY o_custkey) o
+      |FULL JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0) c
+      |  ON o.o_custkey = c.c_custkey""".stripMargin) { (spark, d) =>
+    val o = Tables.orders(spark, d).filter(col("o_orderstatus") === "F")
+      .groupBy("o_custkey").agg(count(lit(1)).as("f_orders"))
+    val c = Tables.customer(spark, d).filter(col("c_acctbal") < 0)
+      .select("c_custkey", "c_acctbal")
+    o.join(c, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("f_orders"), col("c_acctbal"))
+  }
+
+  /** X18 date bucketing, timezone-free by construction: epoch-nanos ts to a
+    * pure DATE via integer day arithmetic (no session-timezone rendering —
+    * the cross-engine hazard of date_format/strftime on TIMESTAMP). */
+  val x18DateBucket = QueryDef("x18_date_bucket",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""".stripMargin) { (spark, d) =>
+    Tables.events(spark, d)
+      .withColumn("day",
+        expr("CAST(date_add(DATE'1970-01-01', CAST(ts div 86400000000000 AS INT)) AS STRING)"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    x15SrcName, x16HrefSlug, gsGroupingSets, jSalted, f8TypeGate, x20RankMatch)
+    x15SrcName, x16HrefSlug, gsGroupingSets, jSalted, f8TypeGate, x20RankMatch,
+    jFullOuter, x18DateBucket)
 }
