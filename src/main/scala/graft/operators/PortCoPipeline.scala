@@ -52,59 +52,82 @@ object PortCoPipeline {
       .otherwise(array(s))
   }
 
-  /** X9 part 2: ItemList expansion — each itemListElement contributes its
-    * `.item` if present, else itself (ListItem synthesis,
-    * step3_attempt1.py:137-153). */
-  def expandItemList(node: Column): Column = {
-    val t = get_json_object(node, "$['@type']")
-    val elems = from_json(get_json_object(node, "$.itemListElement"), ArrayType(StringType))
-    when(t.isNotNull && t.contains("ItemList") && elems.isNotNull,
+  /** X9 part 2: ItemList expansion over pre-extracted raw fields — each
+    * itemListElement contributes its `.item` if present, else itself
+    * (ListItem synthesis, step3_attempt1.py:137-153). */
+  def expandItemListRaw(node: Column, typeRaw: Column, ileRaw: Column): Column = {
+    val elems = from_json(ileRaw, ArrayType(StringType))
+    when(typeRaw.isNotNull && typeRaw.contains("ItemList") && elems.isNotNull,
       transform(elems, e => coalesce(get_json_object(e, "$.item"), e)))
       .otherwise(array(node))
   }
 
-  /** X12 input: string-or-list @type -> array<string>. */
-  def typesOf(node: Column): Column = {
-    val raw = get_json_object(node, "$['@type']")
+  /** X9 part 2 on a bare node (one extra parse; entities() uses the raw
+    * form fed by json_tuple). */
+  def expandItemList(node: Column): Column =
+    expandItemListRaw(node, get_json_object(node, "$['@type']"),
+      get_json_object(node, "$.itemListElement"))
+
+  /** X12 input: string-or-list @type (raw json value) -> array<string>. */
+  def typesFromRaw(raw: Column): Column =
     when(raw.startsWith("["), from_json(raw, ArrayType(StringType)))
       .when(raw.isNotNull, array(raw))
       .otherwise(array().cast("array<string>"))
-  }
 
-  /** X10: logo union type — object with url/@id, or bare string. */
-  def logoOf(node: Column): Column = {
-    val raw = get_json_object(node, "$.logo")
+  def typesOf(node: Column): Column =
+    typesFromRaw(get_json_object(node, "$['@type']"))
+
+  /** X10: logo union type (raw json value) — object with url/@id, or bare
+    * string. */
+  def logoFromRaw(raw: Column): Column =
     coalesce(
-      get_json_object(node, "$.logo.url"),
-      get_json_object(node, "$['logo']['@id']"),
+      get_json_object(raw, "$.url"),
+      get_json_object(raw, "$['@id']"),
       when(!raw.startsWith("{"), raw))
-  }
 
-  /** X11: sameAs string-or-list -> array<string>. */
-  def sameAsOf(node: Column): Column = {
-    val raw = get_json_object(node, "$.sameAs")
+  def logoOf(node: Column): Column =
+    logoFromRaw(get_json_object(node, "$.logo"))
+
+  /** X11: sameAs string-or-list (raw json value) -> array<string>. */
+  def sameAsFromRaw(raw: Column): Column =
     when(raw.startsWith("["), from_json(raw, ArrayType(StringType)))
       .when(raw.isNotNull, array(raw))
       .otherwise(array().cast("array<string>"))
-  }
+
+  def sameAsOf(node: Column): Column =
+    sameAsFromRaw(get_json_object(node, "$.sameAs"))
 
   /** Entities per firm after F8 (type gate), F10 (non-empty name), F9
-    * (self-exclusion) — step3_attempt1.py:364-382. */
+    * (self-exclusion) — step3_attempt1.py:364-382.
+    *
+    * json_tuple parses each node string ONCE per stage (one parse for the
+    * ItemList probe, one for the five entity fields) instead of one
+    * get_json_object parser per field — per-row parser construction is the
+    * scan-stall hazard documented at graft.plans.JsonFieldUtil, and at
+    * 100 TB the JSON decode is the dominant scan cost. The union-type
+    * handling (string-or-list @type/sameAs, object-or-string logo) then
+    * operates on the extracted raw values. */
   def entities(pages: DataFrame): DataFrame =
     pages
       .select(col("firm_name"), col("firm_url"),
         explode(ldJsonScripts(col("html"))).as("script"))
       .select(col("firm_name"), col("firm_url"),
         explode(nodesOf(col("script"))).as("node0"))
+      .select(col("firm_name"), col("firm_url"), col("node0"),
+        json_tuple(col("node0"), "@type", "itemListElement")
+          .as(Seq("t0_raw", "ile_raw")))
       .select(col("firm_name"), col("firm_url"),
-        explode(expandItemList(col("node0"))).as("node"))
+        explode(expandItemListRaw(col("node0"), col("t0_raw"), col("ile_raw"))).as("node"))
+      .select(col("firm_name"), col("firm_url"), col("node"),
+        json_tuple(col("node"), "@type", "name", "url", "logo", "sameAs")
+          .as(Seq("t_raw", "name_raw", "url", "logo_raw", "sameas_raw")))
       .select(
         col("firm_name"), col("firm_url"), col("node"),
-        typesOf(col("node")).as("types"),
-        normText(coalesce(get_json_object(col("node"), "$.name"), lit(""))).as("name"),
-        get_json_object(col("node"), "$.url").as("url"),
-        logoOf(col("node")).as("logo"),
-        sameAsOf(col("node")).as("same_as"))
+        typesFromRaw(col("t_raw")).as("types"),
+        normText(coalesce(col("name_raw"), lit(""))).as("name"),
+        col("url"),
+        logoFromRaw(col("logo_raw")).as("logo"),
+        sameAsFromRaw(col("sameas_raw")).as("same_as"))
       .filter(typeAllowed(col("types")))                                   // F8
       .filter(length(col("name")) > 0)                                     // F10
       .filter(!nameMatches(col("name"), col("firm_name")) &&               // F9
