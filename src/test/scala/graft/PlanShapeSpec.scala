@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan regression guards: the judged claims in PLANS.md must stay
+  * true of the plans Catalyst actually produces, not just of the prose. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q1_agg: date filter pushed to the scan, columns pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"),
+      s"expected pushed date filter:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"))
+  }
+
+  test("j4_join_chain: every dimension joins as a broadcast") {
+    val p = plan("j4_join_chain")
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size == 3, s"expected 3 BHJ:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("o1_topk: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("o1_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("w1_first_seen_dedup: partial-agg argmin, no window sort") {
+    val p = plan("w1_first_seen_dedup")
+    assert(p.contains("min_by"), s"expected min_by aggregate:\n$p")
+    assert(!p.contains("Window"), s"expected no window operator:\n$p")
+    assert(p.contains("partial_min_by"), s"expected map-side partial agg:\n$p")
+  }
+
+  test("j1_score_argmax: argmax is a hash aggregate with map-side combine") {
+    val p = plan("j1_score_argmax")
+    assert(p.contains("max_by") && p.contains("partial_max_by"))
+    assert(!p.contains("Window"))
+  }
+
+  test("j_salted: fact side joins without its own shuffle") {
+    val p = plan("j_salted")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim:\n$p")
+    // the only exchange below the join is the broadcast build
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dd_simhash_neardup: both join sides read one persisted bands relation") {
+    val p = plan("dd_simhash_neardup")
+    assert("InMemoryTableScan".r.findAllMatchIn(p).size >= 2,
+      s"expected both sides on the cached bands relation:\n$p")
+    assert(!p.contains("collect_list"), s"no bucket materialization allowed:\n$p")
+  }
+
+  test("gs_grouping_sets: one Expand feeds a single partial+final aggregate") {
+    val p = plan("gs_grouping_sets")
+    assert("Expand".r.findAllMatchIn(p).size == 1, s"expected one Expand:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"expected a single agg shuffle:\n$p")
+  }
+}
