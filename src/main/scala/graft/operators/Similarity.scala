@@ -92,16 +92,23 @@ object Similarity {
       |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
       |WHERE rn <= $k""".stripMargin
 
+  /** (vec_id, label, q, norm): quantized vectors + norms, computed in one
+    * scan-stage projection (norm = sqrt(q.q), fused codegen'd dot) and
+    * PERSISTED once per session — every similarity query consumes this
+    * relation on both join sides (probe + corpus), and at 100 TB the
+    * quantize+norm pass is the expensive scan a vector store amortizes,
+    * exactly like the MinHash signature store (Dedup.writeSignatureStore). */
+  def qnormRelation(spark: SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#emb_qnorm") {
+      Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
+        .select(col("vec_id"), col("label"), col("q"),
+          sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm"))
+    }
+
   private def sparkTopKDec(spark: SparkSession, d: String, probeMax: Int,
                            sameCell: Boolean, k: Int): DataFrame = {
-    // Quantize AND norm in one scan-stage projection (norm = sqrt(q.q), a
-    // fused codegen'd dot) — joining a separate norms relation back would
-    // recompute the quantization subplan per join side (4x the BigDecimal
-    // rounding work) and add two shuffles for what is a per-row value.
-    val withNorm = Tables.embeddings(spark, d)
-      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
-      .select(col("vec_id"), col("label"), col("q"),
-        sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm"))
+    val withNorm = qnormRelation(spark, d)
     val p = withNorm.filter(col("vec_id") < probeMax)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("q").as("va"), col("norm").as("qnorm"))
@@ -155,10 +162,7 @@ object Similarity {
       |SELECT vec_a, vec_b, round(dot / (na.norm * nb.norm), 6) AS cosine
       |FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
       |WHERE round(dot / (na.norm * nb.norm), 6) >= 0.3""".stripMargin) { (spark, d) =>
-    val emb = Tables.embeddings(spark, d)
-      .select(col("vec_id"), col("label"), qvec(col("embedding")).as("q"))
-    val withNorm = emb.select(col("vec_id"), col("label"), col("q"),
-      sqrt(dotQ(col("q"), col("q")).cast("double")).as("norm"))
+    val withNorm = qnormRelation(spark, d)
     val a = withNorm.select(col("vec_id").as("vec_a"), col("label"),
       col("q").as("qa"), col("norm").as("na"))
     val b = withNorm.select(col("vec_id").as("vec_b"), col("label"),
@@ -230,10 +234,8 @@ object Similarity {
       // The probe side (vec_id < 100) is tiny, so it broadcasts: the
       // corpus never shuffles, which is the 100 TB shape for ANN probing.
       val bands = graft.Persisted.of(spark, s"$d#hyperlsh_bands") {
-        Tables.embeddings(spark, d)
-          .select(col("vec_id"), qvec(col("embedding")).as("q"))
-          .select(col("vec_id"), col("q"), lshSig(col("q")).as("sg"),
-            sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm"))
+        qnormRelation(spark, d)
+          .select(col("vec_id"), col("q"), col("norm"), lshSig(col("q")).as("sg"))
           .select(col("vec_id"), col("q"), col("norm"),
             explode(array((0 until 2).map { bid =>
               struct(lit(bid).as("band_id"),
