@@ -17,6 +17,27 @@ class InvariantsSpec extends SparkSpec {
     (1 to n).map(_ => ws(rnd.nextInt(ws.size)) + Random.alphanumeric.take(rnd.nextInt(6)).mkString).mkString
   }
 
+  test("fixed-point money sums are partition-invariant (order-independent)") {
+    // The core claim behind q1_agg/j4/o1's cents sums: the result is
+    // IDENTICAL (bitwise) under any partitioning/accumulation order, where
+    // a raw double SUM drifts. 50k random 2dp money values, grouped 7 ways.
+    val rows = (1 to 50000).map { i =>
+      (i % 7, math.round(rnd.nextDouble() * 1e7) / 100.0)
+    }
+    def centsSum(parts: Int) = rows.toDF("g", "x").repartition(parts)
+      .groupBy("g")
+      .agg((sum((col("x") * 100 + 0.5).cast("long")) / 100.0).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val p1 = centsSum(1)
+    val p32 = centsSum(32)
+    assert(p1 === p32) // exact equality, not a tolerance
+    // and it equals the exact rational total
+    val exactCents = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(t => math.round(t._2 * 100)).sum
+    }
+    exactCents.foreach { case (g, c) => assert(p1(g) == c / 100.0, s"group $g") }
+  }
+
   test("X1 normText is idempotent on 200 random whitespace-heavy strings") {
     val df = (1 to 200).map(i => randWs(i % 20 + 1)).toDF("s")
     val bad = df.filter(normText(normText($"s")) =!= normText($"s")).count()
