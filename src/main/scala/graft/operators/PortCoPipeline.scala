@@ -111,13 +111,12 @@ object PortCoPipeline {
     pages
       .select(col("firm_name"), col("firm_url"),
         explode(ldJsonScripts(col("html"))).as("script"))
+      // graft.plans.jsonLdNodes: ONE Generate pass does @graph/array
+      // flattening + ItemList expansion (the declarative nodesOf ->
+      // json_tuple -> expandItemListRaw chain is kept and spec-matched;
+      // the generator parses each script once on a JVM-shared mapper)
       .select(col("firm_name"), col("firm_url"),
-        explode(nodesOf(col("script"))).as("node0"))
-      .select(col("firm_name"), col("firm_url"), col("node0"),
-        json_tuple(col("node0"), "@type", "itemListElement")
-          .as(Seq("t0_raw", "ile_raw")))
-      .select(col("firm_name"), col("firm_url"),
-        explode(expandItemListRaw(col("node0"), col("t0_raw"), col("ile_raw"))).as("node"))
+        graft.plans.jsonLdNodes(col("script")).as("node"))
       .select(col("firm_name"), col("firm_url"), col("node"),
         json_tuple(col("node"), "@type", "name", "url", "logo", "sameAs")
           .as(Seq("t_raw", "name_raw", "url", "logo_raw", "sameas_raw")))
