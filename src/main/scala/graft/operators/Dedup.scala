@@ -160,6 +160,16 @@ object Dedup {
       .select(col("doc_id") +:
         (0 until As.length).map(i => element_at(col("mhsig"), i + 1).as(s"mh$i")): _*)
 
+  /** In-session MinHash signature store over the documents table of `d` —
+    * the Persisted twin of [[writeSignatureStore]]: every MinHash consumer
+    * (signatures, LSH buckets) reads ONE materialized sketch pass, which is
+    * the 100 TB shape (the sketch scan dominates; the store is
+    * ~16 bytes/doc). */
+  def minhashSigRelation(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#minhash_sigs") {
+      minhashNativeDF(Tables.documents(spark, d))
+    }
+
   /** MinHash signature columns mh0..mh7 from (doc_id, wid). */
   def minhashAgg(dw: DataFrame): DataFrame = {
     val mins = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
@@ -257,7 +267,7 @@ object Dedup {
       s"""WITH $shingleListCtes
         |SELECT doc_id, concat_ws(',', $minsSql) AS sig
         |FROM widl""".stripMargin) { (spark, d) =>
-      minhashNativeDF(Tables.documents(spark, d))
+      minhashSigRelation(spark, d)
         .select(col("doc_id"),
           concat_ws(",", (0 until 8).map(i => col(s"mh$i").cast("string")): _*).as("sig"))
     }
@@ -278,7 +288,7 @@ object Dedup {
         |bands AS ($bandSelects)
         |SELECT band_id, band_sig, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_doc
         |FROM bands GROUP BY band_id, band_sig HAVING COUNT(*) > 1""".stripMargin) { (spark, d) =>
-      minhashNativeDF(Tables.documents(spark, d))
+      minhashSigRelation(spark, d)
         .select(col("doc_id"), explode(array((0 until 4).map { bid =>
           struct(lit(bid).as("band_id"),
             concat_ws(",", col(s"mh${2 * bid}").cast("string"),
