@@ -4,9 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped persisted intermediate relations (sketch tables, banded
-  * signatures): built once per (session, key), stored MEMORY_AND_DISK so a
-  * skewed or oversized relation spills instead of OOMing, and weakly keyed
-  * on the session so stopped sessions release their blocks.
+  * signatures, term stores): built once per (session, key), stored
+  * MEMORY_AND_DISK so a skewed or oversized relation spills instead of
+  * OOMing.
+  *
+  * Lifecycle: a cached DataFrame strongly references its SparkSession, so
+  * weak keys alone can never collect an entry — instead, entries of
+  * STOPPED sessions are explicitly evicted on the next access from any
+  * session, which is what actually releases their plans and cache blocks
+  * across session churn.
   *
   * This is what lets a self-join read its input once without collecting
   * whole join groups into a single aggregation buffer: both join sides
@@ -15,18 +21,29 @@ import org.apache.spark.storage.StorageLevel
   * even when one LSH bucket degenerates to O(N).
   */
 object Persisted {
-  private val cache = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private val cache = new java.util.HashMap[
+    SparkSession, java.util.HashMap[String, DataFrame]]()
 
-  def of(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val perSession = cache.synchronized {
+  /** Build-or-get. The per-session build runs inside a reentrant monitor,
+    * so a builder may itself call `Persisted.of` for a sub-relation (e.g.
+    * LSH bands built over the persisted qnorm relation) without the
+    * recursive-update hazard a ConcurrentHashMap.computeIfAbsent has. */
+  def of(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.synchronized {
+      // evict entries of stopped sessions (see scaladoc)
+      val it = cache.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       var m = cache.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.HashMap[String, DataFrame]()
         cache.put(spark, m)
       }
-      m
+      val existing = m.get(key)
+      if (existing != null) existing
+      else {
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        m.put(key, df)
+        df
+      }
     }
-    perSession.computeIfAbsent(key, _ => build.persist(StorageLevel.MEMORY_AND_DISK))
-  }
 }

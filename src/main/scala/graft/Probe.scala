@@ -45,12 +45,9 @@ object Probe {
       "repart_cost" -> (() => li.repartition(32).groupBy("l_partkey")
         .agg(sum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
-      // fixed-point via +0.5 truncating cast (positive inputs): avoids the
-      // per-row BigDecimal inside Spark's Round-on-double
-      "o1_cents_fast" -> (() => li
-        .groupBy("l_partkey")
-        .agg((sum((col("l_extendedprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
+      // NOTE: the winning "+0.5 cast" fixed-point forms were PROMOTED into
+      // the declared queries (q1_agg/j4/o1/w1) — probe them by their real
+      // names; the variants kept below are the measured alternatives.
       "q1_cents" -> (() => li
         .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -58,15 +55,6 @@ object Probe {
           sum(col("l_quantity")).as("sum_qty"),
           (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_base_price"),
           (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")) / 10000.0).as("sum_disc_price"),
-          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-          count(lit(1)).as("count_order"))),
-      "q1_cents_fast" -> (() => li
-        .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          (sum((col("l_extendedprice") * 100 + 0.5).cast("long")) / 100.0).as("sum_base_price"),
-          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5).cast("long")) / 10000.0).as("sum_disc_price"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))),
       "tw_grouptopk" -> (() => {
@@ -88,18 +76,6 @@ object Probe {
           .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"),
             col("t.weight").as("weight"))
       }),
-      "j4_bcast_cust" -> (() => Tables.orders(spark, d)
-        .join(broadcast(Tables.customer(spark, d)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
-        .groupBy("r_name", "n_name")
-        .agg(count(lit(1)).as("order_cnt"),
-          (sum((col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))),
-      "w1_minby" -> (() => Tables.customer(spark, d)
-        .groupBy("c_mktsegment", "c_nationkey")
-        .agg(min_by(struct(col("c_custkey"), col("c_name")), col("c_custkey")).as("b"))
-        .select(col("c_mktsegment"), col("c_nationkey"),
-          col("b.c_custkey").as("c_custkey"), col("b.c_name").as("c_name"))),
       "o1_round" -> (() => li
         .groupBy("l_partkey").agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
@@ -150,8 +126,12 @@ object Probe {
 
     // Optional warm-buffer experiment: cache every table relation in memory
     // (columnar), the Spark analogue of the DuckDB baseline's warm page
-    // cache. Combine with SPARK_GRAFT_TABLE_REPART for parallel cached scans.
+    // cache. SPARK_GRAFT_TABLE_REPART=<n> additionally repartitions each
+    // relation on ingest (wired to the graft.table.repartition conf Tables
+    // reads) so the cached scans parallelize.
     if (sys.env.get("PROBE_CACHE_TABLES").contains("1")) {
+      sys.env.get("SPARK_GRAFT_TABLE_REPART")
+        .foreach(n => spark.conf.set("graft.table.repartition", n))
       Tables.names.foreach { n =>
         val df = Tables.t(spark, sfDir, n); df.persist(); df.count()
       }

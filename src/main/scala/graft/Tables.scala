@@ -17,17 +17,20 @@ object Tables {
     * re-lists files and re-reads footers on the driver (~50 ms/table), which
     * at 100 TB scale is exactly the metadata work a metastore amortizes.
     *
-    * Scoped per SparkSession via weak keys so a stopped session (and the
-    * DataFrames pinned to it) can be collected — a process-lifetime strong
-    * map would leak across session churn. Static-data assumption: the file
-    * listing is frozen at first read per (session, dir, table); rewriting a
-    * directory mid-session requires a new session (or `refreshByPath`),
-    * exactly like a metastore-cached relation. */
-  private val cache = new java.util.WeakHashMap[
+    * Scoped per SparkSession; a cached DataFrame strongly references its
+    * session, so weak keys could never collect an entry — instead, entries
+    * of STOPPED sessions are evicted on the next access from any session,
+    * which releases their relations across session churn. Static-data
+    * assumption: the file listing is frozen at first read per (session,
+    * dir, table); rewriting a directory mid-session requires a new session
+    * (or `refreshByPath`), exactly like a metastore-cached relation. */
+  private val cache = new java.util.HashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       var m = cache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()

@@ -116,18 +116,23 @@ object SpecExtractors {
   /** Salt factor: a hot key spreads over this many reducer lanes. */
   val Salts = 8
 
-  /** Salt-spread equi-join, aggregated per segment. The oracle replays the
-    * PLAIN join — salting must be invisible in the result. */
+  /** Salt-spread equi-join (via Scale.saltedJoin), aggregated per segment.
+    * The dimension is SHUFFLE_HASH-hinted: under an auto-broadcast the
+    * salting would be inert (a broadcast join has no reducer-side key skew
+    * to spread), so the query pins the shuffled-join regime it exists to
+    * demonstrate — the widened (key, salt) pair spreads one hot customer
+    * over 8 reducer partitions. The oracle replays the PLAIN join — salting
+    * must be invisible in the result. */
   val jSalted = QueryDef("j_salted",
     """SELECT c_mktsegment, COUNT(*) AS order_cnt,
       |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin) { (spark, d) =>
-    val fact = Tables.orders(spark, d)
-      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(Salts.toLong)))
+    val fact = Tables.orders(spark, d).select("o_custkey", "o_totalprice")
     val dim = Tables.customer(spark, d)
-      .withColumn("salt", explode(sequence(lit(0L), lit(Salts.toLong - 1))))
-    fact.join(dim, fact("o_custkey") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      .hint("shuffle_hash")
+    Scale.saltedJoin(fact, dim, "o_custkey", Salts)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("order_cnt"),
         (sum((col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
@@ -198,12 +203,18 @@ object SpecExtractors {
 
   /** X18 date bucketing, timezone-free by construction: epoch-nanos ts to a
     * pure DATE via integer day arithmetic (no session-timezone rendering —
-    * the cross-engine hazard of date_format/strftime on TIMESTAMP). */
+    * the cross-engine hazard of date_format/strftime on TIMESTAMP).
+    * Restricted to ts >= 0 on BOTH sides: for pre-epoch nanos Spark's `div`
+    * truncates toward zero while a timestamp->date cast floors, so the
+    * equivalence is only by-construction on the non-negative domain (the
+    * events table is entirely post-epoch; the filter makes the parity claim
+    * hold regardless of data). */
   val x18DateBucket = QueryDef("x18_date_bucket",
     """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
       |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
-      |FROM events GROUP BY 1""".stripMargin) { (spark, d) =>
+      |FROM events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' GROUP BY 1""".stripMargin) { (spark, d) =>
     Tables.events(spark, d)
+      .filter(col("ts") >= 0)
       .withColumn("day",
         expr("CAST(date_add(DATE'1970-01-01', CAST(ts div 86400000000000 AS INT)) AS STRING)"))
       .groupBy("day")

@@ -38,11 +38,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
-  test("j_salted: fact side joins without its own shuffle") {
+  test("j_salted: pinned to the shuffled-join regime where salting matters") {
     val p = plan("j_salted")
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim:\n$p")
-    // the only exchange below the join is the broadcast build
-    assert(!p.contains("SortMergeJoin"))
+    // under a broadcast the salt would be inert (no reducer-side skew to
+    // spread); the SHUFFLE_HASH hint keeps the demonstrated regime real
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"broadcast would make salting inert:\n$p")
   }
 
   test("dd_simhash_neardup: both join sides read one persisted bands relation") {
