@@ -218,15 +218,20 @@ object Dedup {
 
   // ---- declared queries ----
 
-  /** Exact dedup: hash-groupBy on full content (builder brief; reference
-    * analogue is the seen-set E3 at seed_aic.py:311). */
+  /** Exact dedup (builder brief; reference analogue is the seen-set E3 at
+    * seed_aic.py:311), grouped on the content DIGEST computed in the scan
+    * stage: the shuffle then carries 16 bytes + aggregates per row instead
+    * of the full document text — at 100 TB the difference between
+    * shuffling the corpus and shuffling fingerprints. "Exact" is modulo
+    * md5 collision (~2^-64 at corpus scale); a byte-equality verify within
+    * digest groups upgrades it where that matters. */
   val ddExact = QueryDef("dd_exact",
     """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keeper_id, COUNT(*) AS n_copies
-      |FROM documents GROUP BY text""".stripMargin) { (spark, d) =>
+      |FROM documents GROUP BY md5(text)""".stripMargin) { (spark, d) =>
     Tables.documents(spark, d)
-      .groupBy("text")
+      .select(md5(col("text")).as("text_hash"), col("doc_id"))
+      .groupBy("text_hash")
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
-      .select(md5(col("text")).as("text_hash"), col("keeper_id"), col("n_copies"))
   }
 
   /** 3-gram Jaccard similarity between each doc and its successor (doc_id+1):
