@@ -48,6 +48,41 @@ class JsonLdNodesSpec extends SparkSpec {
     assert(out.count() == 9) // 2 graph + 2 array + 1 single + 2 itemlist + 1 typed-itemlist + 1 garbage
   }
 
+  test("generator equals declarative chain on 150 randomized scripts") {
+    val rnd = new scala.util.Random(7)
+    def name(): String = {
+      val pool = Seq("Acme", "Øre & Søn", "株式会社テスト", "Quote\\\"d", "tab\\there", "plain")
+      pool(rnd.nextInt(pool.size)) + rnd.nextInt(100)
+    }
+    def node(): String = {
+      val sp = if (rnd.nextBoolean()) " " else ""
+      s"""{$sp"@type":$sp"Organization",$sp"name":$sp"${name()}",$sp"url":$sp"https://x${rnd.nextInt(10)}.com"$sp}"""
+    }
+    def script(): String = rnd.nextInt(4) match {
+      case 0 => s"""{ "@graph": [${Seq.fill(1 + rnd.nextInt(3))(node()).mkString(", ")}] }"""
+      case 1 => s"""[ ${Seq.fill(1 + rnd.nextInt(3))(node()).mkString(" , ")} ]"""
+      case 2 => node()
+      case _ =>
+        val items = Seq.fill(1 + rnd.nextInt(3)) {
+          if (rnd.nextBoolean()) s"""{"@type":"ListItem","item":${node()}}"""
+          else s"""{"@type":"ListItem","name":"${name()}"}"""
+        }
+        s"""{"@type":"ItemList","itemListElement":[${items.mkString(",")}]}"""
+    }
+    val df = Seq.fill(150)(script()).toDF("script")
+    val gen = df.select(graft.plans.jsonLdNodes(col("script")).as("node"))
+    val decl = df
+      .select(explode(PortCoPipeline.nodesOf(col("script"))).as("node0"))
+      .select(explode(PortCoPipeline.expandItemList(col("node0"))).as("node"))
+    assert(gen.count() == decl.count())
+    assert(names(gen) === names(decl))
+    // url extraction must agree too (field-level equivalence, not just name)
+    def urls(d: org.apache.spark.sql.DataFrame) =
+      d.select(get_json_object(col("node"), "$.url").as("u"))
+        .collect().map(r => Option(r.getString(0)).getOrElse("<null>")).toSeq.sorted
+    assert(urls(gen) === urls(decl))
+  }
+
   test("null and empty inputs yield no rows / raw pass-through") {
     val df = Seq[Option[String]](None, Some("")).toDF("script")
     val out = df.select(graft.plans.jsonLdNodes(col("script")).as("node")).collect()
