@@ -72,17 +72,19 @@ object ExtendedQueries {
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP(r_name, n_name)""".stripMargin) { (spark, d) =>
-    // via the spark.sql surface (ROLLUP); joins still broadcast the dims
+    // Dataset.rollup directly — no temp view, so concurrent queries in one
+    // session can't collide on a fixed global view name
     Tables.orders(spark, d)
       .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name"), col("n_name"), col("o_totalprice"))
-      .createOrReplaceTempView("graft_rollup_base")
-    spark.sql(
-      """SELECT r_name, n_name, COUNT(*) AS order_cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM graft_rollup_base GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+      // Column-based overload: the String overload resolves via df.col, whose
+      // dataset-id tags false-positive Spark 4's ambiguous-self-join check
+      // under the rollup Expand
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("order_cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
   }
 
   /** CUBE over (region, order priority) with GROUPING() markers — the rest
@@ -98,19 +100,20 @@ object ExtendedQueries {
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY CUBE(r_name, o_orderpriority)""".stripMargin) { (spark, d) =>
+    // Dataset.cube + grouping() markers — same no-temp-view rationale as
+    // rollup_agg above
     Tables.orders(spark, d)
       .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name"), col("o_orderpriority"), col("o_totalprice"))
-      .createOrReplaceTempView("graft_cube_base")
-    spark.sql(
-      """SELECT r_name, o_orderpriority,
-        |  CAST(GROUPING(r_name) AS INTEGER) AS g_r,
-        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
-        |  COUNT(*) AS order_cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM graft_cube_base GROUP BY CUBE(r_name, o_orderpriority)""".stripMargin)
+      // Column-based overload — same self-join-check rationale as rollup_agg
+      .cube(col("r_name"), col("o_orderpriority"))
+      .agg(grouping(col("r_name")).cast("int").as("g_r"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"),
+        count(lit(1)).as("order_cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .select("r_name", "o_orderpriority", "g_r", "g_p", "order_cnt", "revenue")
   }
 
   /** J2/O4: ranked candidate patterns per firm, first "accessible" wins

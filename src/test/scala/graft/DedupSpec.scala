@@ -132,6 +132,21 @@ class DedupSpec extends SparkSpec {
     assert(lp == expected)
   }
 
+  test("labelPropagation size gate routes to the distributed path above driverMaxEdges") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    // at or under the gate: driver union-find -> a purely local result plan
+    val small = Dedup.labelPropagation(edges, driverMaxEdges = 2L)
+    assert(small.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      "<= gate must use the driver path (local relation result)")
+    // above the gate: min-label propagation -> a distributed join/agg plan
+    val big = Dedup.labelPropagation(edges, driverMaxEdges = 1L)
+    assert(!big.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      "> gate must use the distributed path")
+    assert(big.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      small.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("driver union-find survives a long chain in adversarial edge order") {
     // 60k-vertex chain, edges high-to-low so naive path compression would
     // build a deep parent chain; the iterative find must stay O(1) stack
