@@ -158,17 +158,19 @@ object ExtendedQueries {
       .orderBy(col("n_occ").desc, col("word")).limit(20)
   }
 
-  /** X17 dynamic key lookup over a MapType column (founded_year.py:72-74):
-    * parse props as map, take the value whose key matches. */
+  /** X17 dynamic key lookup (founded_year.py:72-74): value of the first key
+    * containing "k". Native `graft_json_key_long` byte scan — the declarative
+    * twin `foundedValue(from_json(props, map<string,int>), "(?i)k")` is
+    * spec-matched in PlansSpec but runs from_json on the interpreted
+    * evaluator (per-row parser construction, the deopt-stall hazard family
+    * documented at graft.plans.JsonFieldUtil). */
   val x17MapLookup = QueryDef("x17_map_lookup",
     """SELECT event_id, CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER) AS k_val
       |FROM events WHERE event_type = 'purchase'""".stripMargin) { (spark, d) =>
     Tables.events(spark, d)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"),
-        foundedValue(from_json(col("props"), org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.IntegerType)), "(?i)k").as("k_val"))
+        graft.plans.jsonKeyLong(col("props"), "k").cast("int").as("k_val"))
   }
 
   /** Distinct-count stats per segment (free aggregation family, §2.4). */

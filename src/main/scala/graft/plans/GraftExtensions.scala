@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JsonLongField].getName, "graft_json_long"),
       (children: Seq[Expression]) => JsonLongField(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_json_key_long"),
+      new ExpressionInfo(classOf[JsonKeyLong].getName, "graft_json_key_long"),
+      (children: Seq[Expression]) => JsonKeyLong(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_jsonld_nodes"),
       new ExpressionInfo(classOf[JsonLdNodes].getName, "graft_jsonld_nodes"),
       (children: Seq[Expression]) => JsonLdNodes(children.head)))

@@ -388,6 +388,137 @@ object JsonFieldUtil {
   }
 }
 
+/** `graft_json_key_long(json, needle)` scanner: the value of the FIRST
+  * top-level key whose name case-insensitively CONTAINS `needle`, as a long.
+  * X17 dynamic-key lookup (reference founded_year.py:72-74 scans
+  * `"found" in key.lower()`; its reassignment loop only differs from
+  * first-match on payloads with several matching keys, where the reference
+  * itself is order-dependent).
+  *
+  * Declarative twin (spec-matched): `Exprs.foundedValue(from_json(props,
+  * map<string,int>), "(?i)<needle>")`. On valid flat integer objects the two
+  * are identical; on payloads from_json rejects wholesale (a non-integer
+  * value under ANY key) the twin nulls the row while this probe still
+  * returns a well-formed matching field — null only when the matching key's
+  * own value is not an integer literal. Exists for the same reason as
+  * [[JsonLongField]]: from_json is CodegenFallback and allocates a parser
+  * per row — the interpreted-eval deopt-stall family — while this is a
+  * single codegen'd byte scan. */
+object JsonKeyUtil {
+  def extract(json: UTF8String, needle: UTF8String): java.lang.Long = {
+    if (json == null || needle == null) return null
+    val s = json.toString
+    val nd = needle.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    var i = 0
+    while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    if (i >= n || s.charAt(i) != '{') return null
+    i += 1
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i >= n || s.charAt(i) == '}') return null
+      if (s.charAt(i) != '"') return null
+      i += 1
+      val kb = new java.lang.StringBuilder()
+      while (i < n && s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\' && i + 1 < n) { kb.append(s.charAt(i + 1)); i += 2 }
+        else { kb.append(s.charAt(i)); i += 1 }
+      }
+      if (i >= n) return null
+      i += 1
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i >= n || s.charAt(i) != ':') return null
+      i += 1
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i >= n) return null
+      if (kb.toString.toLowerCase(java.util.Locale.ROOT).contains(nd)) {
+        // matching key: value must be an unquoted integer literal
+        var neg = false
+        if (s.charAt(i) == '-') { neg = true; i += 1 }
+        var v = 0L
+        var any = false
+        while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
+          val d = s.charAt(i) - '0'
+          if (v > (Long.MaxValue - d) / 10) return null
+          v = v * 10 + d; any = true; i += 1
+        }
+        if (!any) return null
+        if (i < n && (s.charAt(i) == '.' || s.charAt(i) == 'e' || s.charAt(i) == 'E'))
+          return null
+        return java.lang.Long.valueOf(if (neg) -v else v)
+      }
+      // skip this value: string, object/array (balanced, string-aware), or scalar
+      s.charAt(i) match {
+        case '"' =>
+          i += 1
+          while (i < n && s.charAt(i) != '"') {
+            if (s.charAt(i) == '\\') i += 1
+            i += 1
+          }
+          i += 1
+        case '{' | '[' =>
+          var depth = 0
+          var inStr = false
+          var done = false
+          while (i < n && !done) {
+            val ch = s.charAt(i)
+            if (inStr) {
+              if (ch == '\\') i += 1
+              else if (ch == '"') inStr = false
+            } else {
+              if (ch == '"') inStr = true
+              else if (ch == '{' || ch == '[') depth += 1
+              else if (ch == '}' || ch == ']') { depth -= 1; if (depth == 0) done = true }
+            }
+            i += 1
+          }
+        case _ =>
+          while (i < n && s.charAt(i) != ',' && s.charAt(i) != '}') i += 1
+      }
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < n && s.charAt(i) == ',') i += 1
+      else return null // '}' closes the object: no matching key
+    }
+    null
+  }
+}
+
+/** `graft_json_key_long(json, needle)`: first-matching-key integer lookup
+  * as a codegen'd byte scan (see [[JsonKeyUtil.extract]]). */
+case class JsonKeyLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_json_key_long"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JsonKeyUtil.extract(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+         |java.lang.Long $res = graft.plans.JsonKeyUtil.extract($a, $b);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_json_long(json, key)`: integer field extraction from flat JSON
   * payloads as a codegen'd byte scan — no per-row parser allocation. */
 case class JsonLongField(left: Expression, right: Expression) extends BinaryExpression {

@@ -14,6 +14,11 @@ package object plans {
   def jsonLong(json: Column, key: String): Column =
     ColumnBridge.column(JsonLongField(expr(json), Literal(key)))
 
+  /** First key case-insensitively containing `needle` -> its integer value
+    * (X17 dynamic-key lookup; see [[JsonKeyUtil.extract]]). */
+  def jsonKeyLong(json: Column, needle: String): Column =
+    ColumnBridge.column(JsonKeyLong(expr(json), Literal(needle)))
+
   /** Fused exact dot product over `array<bigint>` (quantized vectors). */
   def dotQNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductQ(expr(a), expr(b)))

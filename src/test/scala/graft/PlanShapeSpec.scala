@@ -38,6 +38,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("x17_map_lookup: native key probe in the plan, no from_json") {
+    val p = plan("x17_map_lookup")
+    assert(p.contains("graft_json_key_long"), s"expected native key probe:\n$p")
+    assert(!p.contains("from_json"), s"interpreted from_json must be gone:\n$p")
+  }
+
   test("j_salted: pinned to the shuffled-join regime where salting matters") {
     val p = plan("j_salted")
     // under a broadcast the salt would be inert (no reducer-side skew to

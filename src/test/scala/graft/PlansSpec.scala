@@ -127,6 +127,56 @@ class PlansSpec extends SparkSpec {
     assert(viaGjo.toSeq === got.toSeq)
   }
 
+  test("graft_json_key_long: first-matching-key probe semantics + declarative twin") {
+    import spark.implicits._
+    val df = Seq(
+      """{"k": 87}""", """{"founded": 1999}""",
+      """{"a": 1, "xkx": 42}""",              // contains-match, not equality
+      """{"K_up": 7}""",                      // case-insensitive key match
+      """{"a": "s", "b": [1,2], "kq": 3}""",  // skips string + array values...
+      """{"c": {"k": 9}, "kz": 4}""",         // ...and nested objects (their "k" is not top-level)
+      """{"j": 2}""", "not json at all",
+      """{"k1": 1, "k2": 2}""",               // several matches: FIRST wins
+      """{"k": "12"}""",                      // matching key, quoted value: null
+      """{"k": 1.5}""") .toDF("props")
+    df.createOrReplaceTempView("jkl_t")
+    val got = spark.sql("SELECT graft_json_key_long(props, 'k') FROM jkl_t").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq === Seq(Some(87L), None, Some(42L), Some(7L), Some(3L),
+      Some(4L), None, None, Some(1L), None, None))
+    val viaCol = df.select(graft.plans.jsonKeyLong(col("props"), "k")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(viaCol.toSeq === got.toSeq)
+    // "found" needle — the reference's actual use
+    val f = df.select(graft.plans.jsonKeyLong(col("props"), "found")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(f.toSeq === Seq(None, Some(1999L), None, None, None, None, None,
+      None, None, None, None))
+  }
+
+  test("graft_json_key_long equals the from_json declarative twin on valid flat maps") {
+    import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+    // events fixture: every props row is a valid flat integer object, so the
+    // two forms must agree row-for-row
+    val n = Tables.events(spark, sf0001).select(
+      graft.plans.jsonKeyLong(col("props"), "k").cast("int").as("a"),
+      graft.functions.Exprs.foundedValue(
+        from_json(col("props"), MapType(StringType, IntegerType)), "(?i)k").as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(n === 0)
+    // generated valid flat maps: multiple keys, negative values, no-match rows
+    import spark.implicits._
+    val gen = (0 until 200).map { i =>
+      s"""{"a$i": ${i - 100}, "${if (i % 3 == 0) "key" else "zz"}$i": ${i * 7 - 400}, "b": $i}"""
+    }.toDF("props")
+    val m = gen.select(
+      graft.plans.jsonKeyLong(col("props"), "k").cast("int").as("a"),
+      graft.functions.Exprs.foundedValue(
+        from_json(col("props"), MapType(StringType, IntegerType)), "(?i)k").as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(m === 0)
+  }
+
   test("graft_json_long matches get_json_object on the events table") {
     val n = Tables.events(spark, sf0001).select(
       graft.plans.jsonLong(col("props"), "k").as("a"),
