@@ -117,6 +117,40 @@ object Exprs {
       (aa.contains(bb) && length(bb) >= 3)
   }
 
+  // ---- X22: per-card name-hint extraction (step3_attempt1.py:266-272) ----
+  /** Element text: strip tags, join with spaces, normalize — the
+    * `get_text(" ")` + `_norm` composition. */
+  private def tagText(inner: Column): Column =
+    normText(regexp_replace(inner, "<[^>]+>", " "))
+
+  private def nonEmpty(c: Column): Column = when(length(c) > 0, c)
+
+  /** First anchor href / first img src in a card element (the reference's
+    * `el.find("a", href=True)` / `el.find("img", src=True)` signals). */
+  def firstHref(el: Column): Column =
+    regexp_extract(el, "(?is)<a\\b[^>]*\\bhref\\s*=\\s*\"([^\"]*)\"", 1)
+  def firstImgSrc(el: Column): Column =
+    regexp_extract(el, "(?is)<img\\b[^>]*\\bsrc\\s*=\\s*\"([^\"]*)\"", 1)
+
+  /** Name hint: first NON-EMPTY (after normalization) of the reference's
+    * selector chain ["[aria-label]","img[alt]","h1","h2","h3","h4",".title",
+    * ".name","strong"] — each regex takes the first occurrence in the card
+    * element, like `select_one`. Weak-confidence by design (the reference
+    * note: alts/headings may not be the portCo name); feeds the X14
+    * nameMatch term. */
+  def nameHint(el: Column): Column = {
+    def byClass(word: String) = regexp_extract(el,
+      s"""(?is)<(\\w+)[^>]*\\bclass\\s*=\\s*"[^"]*\\b$word\\b[^"]*"[^>]*>(.*?)</\\1>""", 2)
+    def heading(h: Int) = regexp_extract(el, s"(?is)<h$h\\b[^>]*>(.*?)</h$h>", 1)
+    coalesce(
+      nonEmpty(normText(regexp_extract(el, "(?is)\\baria-label\\s*=\\s*\"([^\"]*)\"", 1))),
+      nonEmpty(normText(regexp_extract(el, "(?is)<img\\b[^>]*\\balt\\s*=\\s*\"([^\"]*)\"", 1))),
+      nonEmpty(tagText(heading(1))), nonEmpty(tagText(heading(2))),
+      nonEmpty(tagText(heading(3))), nonEmpty(tagText(heading(4))),
+      nonEmpty(tagText(byClass("title"))), nonEmpty(tagText(byClass("name"))),
+      nonEmpty(tagText(regexp_extract(el, "(?is)<strong\\b[^>]*>(.*?)</strong>", 1))))
+  }
+
   // ---- X14: entity<->card match score (step3_attempt1.py:289-304) ----
   /** 1.0*typeWL + 0.9*urlDomainEq + 0.6*logoDomainHit + 0.7*nameMatch +
     * 0.3*insideCard; fixed left-to-right double addition so Spark and any

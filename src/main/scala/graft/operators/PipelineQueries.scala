@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  /** Synthetic page per supplier: one A-rank card + one Organization node.
-    * Expected per supplier: that portco at score 1.0 (type whitelist) + 0.3
-    * (inside A card) = 1.3, rank B. */
+  /** Synthetic page per supplier: one A-rank card whose JSON-LD script sits
+    * INSIDE the card element. Expected per supplier: that portco at score
+    * 1.0 (type whitelist) + 0.3 (script inside card) = 1.3, rank B. */
   val portcoE2E = QueryDef("pipe_portco_e2e",
     """SELECT s_name AS firm_name,
       |  'PortCo ' || CAST(s_suppkey AS VARCHAR) AS name,
@@ -25,11 +25,58 @@ object PipelineQueries {
       |  'B' AS rank
       |FROM supplier""".stripMargin) { (spark, d) =>
     val html = concat(
-      lit("""<div class="portfolio card"></div><script type="application/ld+json">{"@graph":[{"@type":"Organization","name":"PortCo """),
+      lit("""<div class="portfolio card"><script type="application/ld+json">{"@graph":[{"@type":"Organization","name":"PortCo """),
       col("s_suppkey").cast("string"),
       lit("""","url":"https://pc"""),
       col("s_suppkey").cast("string"),
-      lit(""".example.com"}]}</script>"""))
+      lit(""".example.com"}]}</script></div>"""))
+    val pages = Tables.supplier(spark, d).select(
+      col("s_name").as("firm_name"),
+      concat(lit("https://www."), lower(regexp_replace(col("s_name"), "#", "")),
+        lit(".example.com")).as("firm_url"),
+      html.as("html"))
+    PortCoPipeline.portcos(pages)
+      .select("firm_name", "name", "url", "jsonld_type", "score", "rank")
+  }
+
+  /** X14 confidence-rank coverage (step3_attempt1.py:415-493): five page
+    * shapes cycling on s_suppkey % 5, one per scoring regime —
+    *   0: A card + anchor matching the entity url + script inside
+    *      -> 1.0 + 0.9 + 0.3 = 2.2, rank A (url-domain signal);
+    *   1: A card + script inside -> 1.3, rank B;
+    *   2: B-rank card present, script OUTSIDE it -> 1.0 < 1.2 but org-like
+    *      -> rank C keeping the weak score;
+    *   3: NO classed element on the page -> no card -> rank D, score 0.0;
+    *   4: A card + <strong> name hint equal to the entity name + script
+    *      inside -> 1.0 + 0.7 + 0.3 = 2.0, rank A (X22 hint drives it). */
+  val portcoRanks = QueryDef("pipe_portco_ranks",
+    """SELECT s_name AS firm_name,
+      |  'PortCo ' || CAST(s_suppkey AS VARCHAR) AS name,
+      |  'https://pc' || CAST(s_suppkey AS VARCHAR) || '.example.com' AS url,
+      |  'Organization' AS jsonld_type,
+      |  CAST(CASE s_suppkey % 5 WHEN 0 THEN 2.2 WHEN 1 THEN 1.3 WHEN 2 THEN 1.0
+      |       WHEN 3 THEN 0.0 ELSE 2.0 END AS DOUBLE) AS score,
+      |  CASE s_suppkey % 5 WHEN 0 THEN 'A' WHEN 1 THEN 'B' WHEN 2 THEN 'C'
+      |       WHEN 3 THEN 'D' ELSE 'A' END AS rank
+      |FROM supplier""".stripMargin) { (spark, d) =>
+    val k = col("s_suppkey").cast("string")
+    val node = concat(
+      lit("""{"@type":"Organization","name":"PortCo """), k,
+      lit("""","url":"https://pc"""), k, lit(""".example.com"}"""))
+    val script = concat(lit("""<script type="application/ld+json">"""),
+      node, lit("</script>"))
+    val html = when(col("s_suppkey") % 5 === 0,
+        concat(lit("""<div class="portfolio card"><a href="https://pc"""), k,
+          lit(""".example.com/about">go</a>"""), script, lit("</div>")))
+      .when(col("s_suppkey") % 5 === 1,
+        concat(lit("""<div class="portfolio card">"""), script, lit("</div>")))
+      .when(col("s_suppkey") % 5 === 2,
+        concat(lit("""<div class="portfolio">x</div>"""), script))
+      .when(col("s_suppkey") % 5 === 3,
+        concat(lit("<p>nothing here</p>"), script))
+      .otherwise(
+        concat(lit("""<div class="investment item"><strong>PortCo """), k,
+          lit("</strong>"), script, lit("</div>")))
     val pages = Tables.supplier(spark, d).select(
       col("s_name").as("firm_name"),
       concat(lit("https://www."), lower(regexp_replace(col("s_name"), "#", "")),
@@ -65,5 +112,5 @@ object PipelineQueries {
       .select(col("website"), col("FullName"), col("Founded_Year"))
   }
 
-  val all: Seq[QueryDef] = Seq(portcoE2E, foundedYearE2E)
+  val all: Seq[QueryDef] = Seq(portcoE2E, portcoRanks, foundedYearE2E)
 }

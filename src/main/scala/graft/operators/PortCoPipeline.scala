@@ -36,6 +36,29 @@ object PortCoPipeline {
       .groupBy("firm_name", "rank", "cls")
       .agg(first("tokens").as("tokens"))
 
+  /** Candidate card ELEMENTS with their signals — `_collect_cards`
+    * (step3_attempt1.py:240-275): every class-attributed element whose
+    * tokens rank (X20) and survive the blacklist (F11), carrying the
+    * signals the reference reads off each card: first-anchor link domain,
+    * first-img domain, and the X22 name hint (aria-label / img alt / h1-h4
+    * / .title / .name / strong, first non-empty). Elements come from the
+    * codegen'd graft_html_class_elements tag-balance scan, so nested cards
+    * and card-internal wrappers survive (a flat regex would truncate or
+    * swallow them). */
+  def cards(pages: DataFrame): DataFrame =
+    pages.select(col("firm_name"),
+        explode(graft.plans.htmlClassElements(col("html"))).as("el"))
+      .withColumn("cls", normText(
+        regexp_extract(col("el"), "(?is)\\bclass\\s*=\\s*\"([^\"]*)\"", 1)))
+      .withColumn("tokens", classTokens(col("cls")))
+      .filter(!classBlacklisted(col("tokens")))
+      .withColumn("rank", classRank(col("tokens")))
+      .filter(col("rank").isNotNull)
+      .withColumn("link_domain", urlDomain(firstHref(col("el"))))
+      .withColumn("img_domain", urlDomain(firstImgSrc(col("el"))))
+      .withColumn("name_hint", nameHint(col("el")))
+      .distinct()
+
   // ---- step 3: JSON-LD scripts -> entity nodes (X7, X9) ----
 
   /** ld+json script bodies. */
@@ -114,14 +137,16 @@ object PortCoPipeline {
       // graft.plans.jsonLdNodes: ONE Generate pass does @graph/array
       // flattening + ItemList expansion (the declarative nodesOf ->
       // json_tuple -> expandItemListRaw chain is kept and spec-matched;
-      // the generator parses each script once on a JVM-shared mapper)
-      .select(col("firm_name"), col("firm_url"),
+      // the generator parses each script once on a JVM-shared mapper).
+      // The script body rides along: scoring's inside-card check needs it
+      // (the reference's `el in script.find_parents()` provenance).
+      .select(col("firm_name"), col("firm_url"), col("script"),
         graft.plans.jsonLdNodes(col("script")).as("node"))
-      .select(col("firm_name"), col("firm_url"), col("node"),
+      .select(col("firm_name"), col("firm_url"), col("script"), col("node"),
         json_tuple(col("node"), "@type", "name", "url", "logo", "sameAs")
           .as(Seq("t_raw", "name_raw", "url", "logo_raw", "sameas_raw")))
       .select(
-        col("firm_name"), col("firm_url"), col("node"),
+        col("firm_name"), col("firm_url"), col("script"), col("node"),
         typesFromRaw(col("t_raw")).as("types"),
         normText(coalesce(col("name_raw"), lit(""))).as("name"),
         col("url"),
@@ -135,37 +160,58 @@ object PortCoPipeline {
       .withColumn("jsonld_type", preferWhitelisted(col("types")))          // X12
 
   /** J1: score every entity against every candidate card of its firm (X14
-    * weights), keep the best card per entity (W3 argmax). "inside card" has
-    * no DOM position here; the A-rank card stands in for containment. */
+    * weights, step3_attempt1.py:289-304), keep the best card per entity (W3
+    * argmax). Signals are the reference's own: entity url domain vs the
+    * card's first-anchor domain, logo domain vs the card's anchor/img
+    * domains, nameMatches against the X22 name hint, and the inside-card
+    * bonus from actual containment (the entity's script body occurring
+    * inside the card's outer HTML — the regex-level analogue of
+    * `el in script.find_parents()`). Empty-string domains never match
+    * (the reference's `if entity["_url_domain"] and ...` falsy guard). */
   def scoredEntities(pages: DataFrame): DataFrame = {
     val ents = entities(pages)
-    val cards = cardClasses(pages)
-    val joined = ents.join(cards, Seq("firm_name"), "left")
+    val cs = cards(pages)
+    val joined = ents.join(cs, Seq("firm_name"), "left")
+    val entDom = urlDomain(col("url"))
+    val logoDom = urlDomain(col("logo"))
     val score = matchScore(
       typeWl = typeWhitelisted(col("types")),
-      urlDomEq = urlDomain(col("url")) === urlDomain(col("firm_url")),
-      logoDomHit = urlDomain(col("logo")) === urlDomain(col("firm_url")),
-      nameMatch = exists(coalesce(col("tokens"), array().cast("array<string>")),
-        t => lower(col("name")).contains(t)),
-      inside = coalesce(col("rank") === "A", lit(false)))
+      urlDomEq = length(entDom) > 0 && entDom === col("link_domain"),
+      logoDomHit = length(logoDom) > 0 &&
+        (logoDom === col("link_domain") || logoDom === col("img_domain")),
+      nameMatch = nameMatches(col("name"), col("name_hint")),
+      inside = col("el").contains(col("script")))
     val w = Window.partitionBy("firm_name", "name", "url")
-      .orderBy(col("sc").desc, col("cls").asc_nulls_last)
+      .orderBy(col("sc").desc, col("cls").asc_nulls_last, col("el").asc_nulls_last)
     joined.withColumn("sc", round(score, 3))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("firm_name"), col("name"), col("url"), col("jsonld_type"),
         col("logo"), col("same_as"), col("sc").as("score"),
-        col("cls").as("matched_class"))
+        col("cls").as("matched_class"),
+        typeWhitelisted(col("types")).as("type_wl"),
+        col("cls").isNotNull.as("has_card"))
   }
 
-  /** Full step-3 result: keep >= 1.2, rank A at >= 1.8 (thresholds at
-    * step3_attempt1.py:415,426), W2 dedup on (lower(name), url domain)
-    * keeping the highest score, O1 ordering (score desc, name asc). */
+  /** Full step-3 result with the reference's four confidence ranks
+    * (step3_attempt1.py:415-493): best-card score >= 1.8 -> "A", >= 1.2 ->
+    * "B"; below threshold but org-like (whitelisted type) -> "C" keeping
+    * the weak score; NO card on the page but org-like -> "D" at score 0.0.
+    * Non-whitelisted entities below threshold drop. Then W2 dedup on
+    * (lower(name), url domain) keeping the highest score, O1 ordering
+    * (score desc, name asc). */
   def portcos(pages: DataFrame): DataFrame = {
-    val scored = scoredEntities(pages).filter(col("score") >= 1.2)
+    val scored = scoredEntities(pages)
     val w = Window.partitionBy(lower(col("name")), urlDomain(col("url")))
-      .orderBy(col("score").desc, lower(col("name")))
+      .orderBy(col("score").desc, col("rank").asc, col("matched_class").asc_nulls_last)
     scored
-      .withColumn("rank", when(col("score") >= 1.8, "A").otherwise("B"))
+      .withColumn("rank",
+        when(col("has_card") && col("score") >= 1.8, "A")
+          .when(col("has_card") && col("score") >= 1.2, "B")
+          .when(col("has_card") && col("type_wl"), "C")
+          .when(!col("has_card") && col("type_wl"), "D"))
+      .filter(col("rank").isNotNull)
+      .withColumn("score", when(col("rank") === "D", lit(0.0)).otherwise(col("score")))
+      .drop("type_wl", "has_card")
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       .orderBy(col("score").desc, lower(col("name")))
   }

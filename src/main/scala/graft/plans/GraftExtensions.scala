@@ -76,6 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JsonKeyLong].getName, "graft_json_key_long"),
       (children: Seq[Expression]) => JsonKeyLong(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_html_class_elements"),
+      new ExpressionInfo(classOf[HtmlClassElements].getName, "graft_html_class_elements"),
+      (children: Seq[Expression]) => HtmlClassElements(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_jsonld_nodes"),
       new ExpressionInfo(classOf[JsonLdNodes].getName, "graft_jsonld_nodes"),
       (children: Seq[Expression]) => JsonLdNodes(children.head)))

@@ -47,4 +47,10 @@ package object plans {
     * use in `select(..., jsonLdNodes(col).as("node"))` like `explode`. */
   def jsonLdNodes(script: Column): Column =
     ColumnBridge.column(JsonLdNodes(expr(script)))
+
+  /** Outer-HTML of every class-attributed element, document order — the
+    * `soup.find_all(True, class_=True)` analogue (see
+    * [[HtmlUtil.classElements]]). */
+  def htmlClassElements(html: Column): Column =
+    ColumnBridge.column(HtmlClassElements(expr(html)))
 }

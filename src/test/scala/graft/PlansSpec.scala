@@ -127,6 +127,40 @@ class PlansSpec extends SparkSpec {
     assert(viaGjo.toSeq === got.toSeq)
   }
 
+  test("graft_html_class_elements: tag-balance scan finds nested/void/raw-text classed elements") {
+    import spark.implicits._
+    val html =
+      """<!DOCTYPE html><!-- <div class="ghost"> -->
+        |<div class="outer grid"><div class="card"><div class="thumb"><img class="logo" src="x.png"></div><h3>Name</h3></div></div>
+        |<script class="ld">var s = "<div class=\"fake\">";</script>
+        |<span class="open">never closed""".stripMargin
+    val els = Seq(html).toDF("h")
+      .select(graft.plans.htmlClassElements(col("h"))).collect().head.getSeq[String](0)
+    // document order; commented-out "ghost" and the fake div inside the
+    // script's raw text are NOT elements
+    assert(els.length == 6, els.mkString("\n---\n"))
+    assert(els(0).startsWith("<div class=\"outer grid\">") && els(0).endsWith("</div></div>"))
+    assert(els(1).startsWith("<div class=\"card\">") && els(1).contains("<h3>Name</h3>")
+      && !els(1).endsWith("</div></div>"))
+    assert(els(2) == "<div class=\"thumb\"><img class=\"logo\" src=\"x.png\"></div>")
+    assert(els(3) == "<img class=\"logo\" src=\"x.png\">")
+    assert(els(4).startsWith("<script class=\"ld\">") && els(4).endsWith("</script>"))
+    assert(els(5) == "<span class=\"open\">never closed")
+  }
+
+  test("graft_html_class_elements: lxml-style recovery on unclosed children") {
+    import spark.implicits._
+    // <p> left open when the parent div closes: the child must end where the
+    // parent's close tag begins, the parent keeps its full extent
+    val html = """<div class="a"><p class="b">text</div><i class="c">t</i>"""
+    val els = Seq(html).toDF("h")
+      .select(graft.plans.htmlClassElements(col("h"))).collect().head.getSeq[String](0)
+    assert(els.length == 3, els.mkString("\n---\n"))
+    assert(els(0) == """<div class="a"><p class="b">text</div>""")
+    assert(els(1) == """<p class="b">text""")
+    assert(els(2) == """<i class="c">t</i>""")
+  }
+
   test("graft_json_key_long: first-matching-key probe semantics + declarative twin") {
     import spark.implicits._
     val df = Seq(

@@ -11,7 +11,7 @@ class PortCoPipelineSpec extends SparkSpec {
 
   private val acmeHtml =
     """<html><body>
-      |<div class="portfolio card"><span>cards</span></div>
+      |<div class="portfolio card"><img src="https://www.acme.com/uploads/Hygain-Holdings-412x412.jpg" alt="Hygain Holdings"><span>cards</span></div>
       |<div class="site-footer portfolio"><span>noise</span></div>
       |<script type="application/ld+json">
       |{"@graph":[
@@ -52,16 +52,64 @@ class PortCoPipelineSpec extends SparkSpec {
     assert(bc.getSeq[String](bc.fieldIndex("same_as")) == Seq("https://linkedin.com/bc"))
   }
 
-  test("scoring: logo-domain + whitelist + A-card puts Hygain at rank A") {
+  test("scoring: whitelist + card img-domain + alt name hint put Hygain at rank A") {
     val out = PortCoPipeline.portcos(pages).collect()
     val byName = out.map(r => r.getAs[String]("name") -> r).toMap
     assert(byName.contains("Hygain Holdings"))
-    // typeWL 1.0 + logoDom 0.6 + inside(A card) 0.3 >= 1.8 -> rank A
+    // typeWL 1.0 + logo domain = card img domain 0.6 + alt-hint nameMatch 0.7
+    // = 2.3 >= 1.8 -> rank A
     assert(byName("Hygain Holdings").getAs[String]("rank") == "A")
-    assert(byName("Hygain Holdings").getAs[Double]("score") >= 1.8)
+    assert(byName("Hygain Holdings").getAs[Double]("score") == 2.3)
+    // Be Campbell / Riverlands: org-like but no card signal -> weak rank C
+    // at the raw type score (step3_attempt1.py:447-469)
+    assert(byName("Be Campbell").getAs[String]("rank") == "C")
+    assert(byName("Be Campbell").getAs[Double]("score") == 1.0)
+    assert(byName("Riverlands").getAs[String]("rank") == "C")
     // ordering: scores non-increasing
     val scores = out.map(_.getAs[Double]("score")).toSeq
     assert(scores == scores.sorted.reverse)
+  }
+
+  test("X22: the name hint decides which card an entity matches") {
+    // two rank-A cards; the one whose img alt matches the entity name LOSES
+    // the alphabetical class tiebreak, so only the 0.7 hint term can pick it
+    val html =
+      """<div class="portfolio item"><img alt="Zeta Corp"></div>
+        |<div class="investment box">plain</div>
+        |<script type="application/ld+json">{"@type":"Organization","name":"Zeta Corp","url":"https://zeta.example"}</script>
+        |""".stripMargin
+    val p = Seq(("F Cap", "https://www.fcap.example", html))
+      .toDF("firm_name", "firm_url", "html")
+    val out = PortCoPipeline.portcos(p).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("matched_class") == "portfolio item")
+    assert(out.head.getAs[Double]("score") == 1.7) // 1.0 type + 0.7 hint
+    assert(out.head.getAs[String]("rank") == "B")
+  }
+
+  test("X14 fallback ranks: C for weak-scored org-like, D when no card exists") {
+    val scriptC =
+      """<div class="portfolio">x</div>
+        |<script type="application/ld+json">{"@type":"Organization","name":"Weak Co","url":"https://weak.example"}</script>""".stripMargin
+    val scriptD =
+      """<p>no classed elements at all</p>
+        |<script type="application/ld+json">{"@graph":[
+        |  {"@type":"Organization","name":"Orphan Co","url":"https://orphan.example"},
+        |  {"@type":"Product","name":"Not Org"}]}</script>""".stripMargin
+    val p = Seq(
+      ("C Firm", "https://www.cfirm.example", scriptC),
+      ("D Firm", "https://www.dfirm.example", scriptD)
+    ).toDF("firm_name", "firm_url", "html")
+    val out = PortCoPipeline.portcos(p).collect()
+    val byName = out.map(r => r.getAs[String]("name") -> r).toMap
+    // card present, score 1.0 < 1.2, whitelisted type -> C, raw score kept
+    assert(byName("Weak Co").getAs[String]("rank") == "C")
+    assert(byName("Weak Co").getAs[Double]("score") == 1.0)
+    // no card on the page, whitelisted type -> D, score forced to 0.0
+    assert(byName("Orphan Co").getAs[String]("rank") == "D")
+    assert(byName("Orphan Co").getAs[Double]("score") == 0.0)
+    // non-whitelisted entity with no card match drops entirely
+    assert(!byName.contains("Not Org"))
   }
 
   test("W2 dedup keeps one row per (name, domain) with the best score") {
