@@ -216,6 +216,45 @@ object PortCoPipeline {
       .orderBy(col("score").desc, lower(col("name")))
   }
 
+  /** step3_attempt2 (step3_attempt2.py:33-45): per-card name extraction by
+    * the `<a>` inner-text -> `<img alt>` -> `<figcaption>` fallback chain.
+    * The FIRST tag kind present in the card decides the method for the
+    * whole card (the reference falls through only when NO tag of the prior
+    * kind exists), every occurrence of that kind contributes a name, and
+    * the extraction rank grades method x class confidence: A/B/C for
+    * anchor/img/figcaption inside a step-2 class ranked A-B, D/E/F for the
+    * same chain inside lower-ranked classes. */
+  def attempt2(pages: DataFrame): DataFrame = {
+    val anchors = regexp_extract_all(col("el"), lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
+    val imgAlts = regexp_extract_all(col("el"),
+      lit("(?is)<img\\b[^>]*\\balt\\s*=\\s*\"([^\"]*)\""), lit(1))
+    val figs = regexp_extract_all(col("el"),
+      lit("(?is)<figcaption\\b[^>]*>(.*?)</figcaption>"), lit(1))
+    val method = when(size(anchors) > 0, 1)
+      .when(size(imgAlts) > 0, 2)
+      .when(size(figs) > 0, 3)
+    val raw = when(col("step3_method") === 1, anchors)
+      .when(col("step3_method") === 2, imgAlts)
+      .otherwise(figs)
+    val high = col("rank").isin("A", "B")
+    cards(pages)
+      .withColumn("step3_method", method)
+      .filter(col("step3_method").isNotNull)
+      .withColumn("extraction_rank",
+        when(high && col("step3_method") === 1, "A")
+          .when(high && col("step3_method") === 2, "B")
+          .when(high && col("step3_method") === 3, "C")
+          .when(col("step3_method") === 1, "D")
+          .when(col("step3_method") === 2, "E")
+          .otherwise("F"))
+      .select(col("firm_name"), col("cls").as("class_used"), col("step3_method"),
+        col("extraction_rank"), explode(raw).as("raw_name"))
+      .select(col("firm_name"), col("class_used"), col("step3_method"),
+        col("extraction_rank"),
+        normText(regexp_replace(col("raw_name"), "<[^>]+>", " ")).as("name"))
+      .filter(length(col("name")) > 0)
+  }
+
   /** A4: nested per-firm document (main_portCo.py:113-122). */
   def nestedResult(pages: DataFrame): DataFrame =
     portcos(pages)

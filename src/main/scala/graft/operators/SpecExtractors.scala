@@ -85,6 +85,34 @@ object SpecExtractors {
       .select("s_suppkey", "href", "rank", "slug")
   }
 
+  /** step3_attempt2 anchor chain (step3_attempt2.py:33-45): six page shapes
+    * cycling on s_suppkey % 6, one per extraction rank — anchor/img-alt/
+    * figcaption inside an A-B class (ranks A/B/C), then the same chain
+    * inside a low-ranked class (ranks D/E/F). Runs the real
+    * PortCoPipeline.attempt2 operator over graft_html_class_elements
+    * cards. */
+  val xa2AnchorChain = QueryDef("xa2_anchor_chain",
+    """SELECT s_name AS firm_name,
+      |  CASE WHEN s_suppkey % 6 < 3 THEN 'portfolio card' ELSE 'logo' END AS class_used,
+      |  CAST(s_suppkey % 6 % 3 + 1 AS INTEGER) AS step3_method,
+      |  CASE s_suppkey % 6 WHEN 0 THEN 'A' WHEN 1 THEN 'B' WHEN 2 THEN 'C'
+      |       WHEN 3 THEN 'D' WHEN 4 THEN 'E' ELSE 'F' END AS extraction_rank,
+      |  'PortCo ' || CAST(s_suppkey AS VARCHAR) AS name
+      |FROM supplier""".stripMargin) { (spark, d) =>
+    val k = col("s_suppkey").cast("string")
+    val m = col("s_suppkey") % 6
+    val inner = when(m % 3 === 0, concat(lit("""<a href="/x">PortCo """), k, lit("</a>")))
+      .when(m % 3 === 1, concat(lit("""<img alt="PortCo """), k, lit("\">")))
+      .otherwise(concat(lit("<figcaption>PortCo "), k, lit("</figcaption>")))
+    val cls = when(m < 3, "portfolio card").otherwise("logo")
+    val html = concat(lit("<div class=\""), cls, lit("\">"), inner, lit("</div>"))
+    val pages = Tables.supplier(spark, d).select(
+      col("s_name").as("firm_name"),
+      lit("https://www.firm.example.com").as("firm_url"),
+      html.as("html"))
+    PortCoPipeline.attempt2(pages)
+  }
+
   /** GROUPING SETS ((r_name, n_name), (r_name), ()) over the customer
     * dimension chain — Dataset.groupingSets API, dims broadcast.
     * c_acctbal can be negative, so the fixed-point per-row round uses
@@ -222,6 +250,6 @@ object SpecExtractors {
   }
 
   val all: Seq[QueryDef] = Seq(
-    x15SrcName, x16HrefSlug, gsGroupingSets, jSalted, f8TypeGate, x20RankMatch,
-    jFullOuter, x18DateBucket)
+    x15SrcName, x16HrefSlug, xa2AnchorChain, gsGroupingSets, jSalted, f8TypeGate,
+    x20RankMatch, jFullOuter, x18DateBucket)
 }

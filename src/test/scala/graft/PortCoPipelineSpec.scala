@@ -112,6 +112,22 @@ class PortCoPipelineSpec extends SparkSpec {
     assert(!byName.contains("Not Org"))
   }
 
+  test("attempt2: first present tag kind decides the method for the whole card") {
+    val html =
+      """<div class="portfolio card"><a href="/x"><span>Alpha</span> Co</a><img alt="IgnoredAlt"><figcaption>IgnoredCap</figcaption></div>
+        |<div class="logo"><img alt="Beta Co"><figcaption>IgnoredCap</figcaption></div>""".stripMargin
+    val p = Seq(("F", "https://f.example", html)).toDF("firm_name", "firm_url", "html")
+    val out = PortCoPipeline.attempt2(p).collect()
+    assert(out.length == 2, out.mkString("\n"))
+    val byName = out.map(r => r.getAs[String]("name") -> r).toMap
+    // anchors present -> img alt and figcaption ignored; nested tags stripped
+    assert(byName("Alpha Co").getAs[String]("extraction_rank") == "A")
+    assert(byName("Alpha Co").getAs[Int]("step3_method") == 1)
+    // no anchor -> img alt; low-ranked class -> E
+    assert(byName("Beta Co").getAs[String]("extraction_rank") == "E")
+    assert(byName("Beta Co").getAs[Int]("step3_method") == 2)
+  }
+
   test("W2 dedup keeps one row per (name, domain) with the best score") {
     val twice = pages.union(pages) // same page seen twice -> duplicate entities
     val out = PortCoPipeline.portcos(twice)
