@@ -222,6 +222,52 @@ object CoreQueries {
     broadcast(s).join(c, cond).select("s_suppkey", "c_custkey")
   }
 
+  /** J3 at scale: the same containment-join semantics as
+    * j3_name_substring_join, but as trigram-bucketed candidate generation +
+    * exact verify instead of an O(|S|*|C|) broadcast nested-loop. If a
+    * (len >= 3) string is contained in another, its leading trigram occurs
+    * among the other's trigrams — so each side's leading trigram equi-joins
+    * against the other side's exploded distinct trigrams, the containment
+    * predicate verifies candidates exactly, and a distinct over (s, c)
+    * collapses pairs that matched through several grams/branches. Equality
+    * (any length) is its own equi-join branch. Trigram explode is
+    * explode(sequence)+substr — plain codegen'd rows, no array lambdas
+    * (CodegenFallback) on the hot path. At 100x the work scales with
+    * total trigrams (~ total chars), shuffles hash-partition by gram, and
+    * AQE splits hot-gram skew — no broadcast ceiling, no quadratic
+    * comparison count (SURVEY.md §4's candidate-generation extension). */
+  val j3Bucketed = QueryDef("j3_bucketed",
+    """WITH s AS (SELECT s_suppkey, regexp_replace(s_name, '^Supplier#0*', '') AS sn FROM supplier),
+      |     c AS (SELECT c_custkey, regexp_replace(c_name, '^Customer#0*', '') AS cn FROM customer)
+      |SELECT s_suppkey, c_custkey FROM s JOIN c
+      |  ON sn = cn
+      |  OR (contains(cn, sn) AND length(sn) >= 3)
+      |  OR (contains(sn, cn) AND length(cn) >= 3)""".stripMargin) { (spark, d) =>
+    val s = Tables.supplier(spark, d)
+      .select(col("s_suppkey"), regexp_replace(col("s_name"), "^Supplier#0*", "").as("sn"))
+    val c = Tables.customer(spark, d)
+      .select(col("c_custkey"), regexp_replace(col("c_name"), "^Customer#0*", "").as("cn"))
+    def grams(df: org.apache.spark.sql.DataFrame, str: String): org.apache.spark.sql.DataFrame =
+      df.filter(length(col(str)) >= 3)
+        .select(df.columns.map(col) :+
+          explode(sequence(lit(0), length(col(str)) - 3)).as("i"): _*)
+        .select(df.columns.map(col) :+
+          col(str).substr(col("i") + 1, lit(3)).as("g"): _*)
+        .distinct()
+    def prefix(df: org.apache.spark.sql.DataFrame, str: String): org.apache.spark.sql.DataFrame =
+      df.filter(length(col(str)) >= 3)
+        .select(df.columns.map(col) :+ col(str).substr(lit(1), lit(3)).as("g"): _*)
+    val eq = s.join(c, col("sn") === col("cn"))
+    val snInCn = prefix(s, "sn").join(grams(c, "cn"), "g")
+      .filter(col("cn").contains(col("sn")))
+    val cnInSn = grams(s, "sn").join(prefix(c, "cn"), "g")
+      .filter(col("sn").contains(col("cn")))
+    eq.select("s_suppkey", "c_custkey")
+      .union(snInCn.select("s_suppkey", "c_custkey"))
+      .union(cnInSn.select("s_suppkey", "c_custkey"))
+      .distinct()
+  }
+
   /** Semi join — customers having at least one open order. */
   val jSemi = QueryDef("j_semi",
     """SELECT c_custkey, c_name FROM customer
@@ -321,6 +367,6 @@ object CoreQueries {
 
   val all: Seq[QueryDef] = Seq(
     q1Agg, f1Isin, f2Contains, f5RegexGate, x7Json, j4JoinChain,
-    w1FirstSeen, w2DedupMax, j1ScoreArgmax, j3NameMatch, jSemi, jAnti,
+    w1FirstSeen, w2DedupMax, j1ScoreArgmax, j3NameMatch, j3Bucketed, jSemi, jAnti,
     o1TopK, e1Intersect, e2Except, a4Collect, x6Url)
 }

@@ -44,6 +44,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("from_json"), s"interpreted from_json must be gone:\n$p")
   }
 
+  test("j3_bucketed: equi-joins on grams, no nested-loop; rows identical to the theta join") {
+    val p = plan("j3_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed variant must not nested-loop:\n$p")
+    val theta = SparkEntry.queries("j3_name_substring_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = SparkEntry.queries("j3_bucketed")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === theta, "candidate generation + verify must reproduce the theta join")
+  }
+
   test("j_salted: pinned to the shuffled-join regime where salting matters") {
     val p = plan("j_salted")
     // under a broadcast the salt would be inert (no reducer-side skew to
