@@ -57,7 +57,9 @@ object PortCoPipeline {
       .withColumn("link_domain", urlDomain(firstHref(col("el"))))
       .withColumn("img_domain", urlDomain(firstImgSrc(col("el"))))
       .withColumn("name_hint", nameHint(col("el")))
-      .distinct()
+      // no dedup: the reference keeps every card instance, identical
+      // duplicates cannot change the per-entity argmax, and skipping the
+      // distinct saves a full shuffle of the card relation
 
   // ---- step 3: JSON-LD scripts -> entity nodes (X7, X9) ----
 
