@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N-x inflation of a testdata directory, for bench scale
+  * points beyond the largest driver-provided SF (the testdata dirs are
+  * read-only; output goes to a scratch dir).
+  *
+  * Each replica remaps every key column by `key + rep * span` (spans chosen
+  * above each table's key range) and regenerates key-embedding name strings
+  * (`Customer#…`/`Supplier#…`) from the new key, so cross-table join
+  * fan-out, name-join selectivity, and group cardinalities all scale the
+  * way a larger generated SF would — NOT like naive row duplication, which
+  * multiplies join outputs quadratically. Document text is word-salted per
+  * replica (every word gets a replica suffix), preserving each replica's
+  * internal dup/near-dup structure while keeping replicas disjoint in
+  * shingle space — dedup work scales with corpus size, not with artificial
+  * cross-replica duplicate cliques. region/nation stay as-is (fixed dims at
+  * every TPC-H SF). Timestamps, prices, types, and embedding vectors are
+  * untouched.
+  *
+  * Usage: runMain graft.Inflate [srcDir] [dstDir] [factor]
+  */
+object Inflate {
+
+  private val Span = 100000000L // > every key range in any testdata SF
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors()))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    def remap(k: String): Column = col(k) + col("rep") * Span
+    def inflate(table: String)(cols: DataFrame => Seq[Column]): Unit = {
+      val df = Tables.t(spark, src, table).crossJoin(broadcast(reps))
+      df.select(cols(df): _*)
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+    }
+    def keyName(prefix: String, k: String): Column =
+      concat(lit(prefix), lpad(remap(k).cast("string"), 9, "0"))
+
+    inflate("customer")(_ => Seq(
+      remap("c_custkey").as("c_custkey"),
+      keyName("Customer#", "c_custkey").as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+    inflate("supplier")(_ => Seq(
+      remap("s_suppkey").as("s_suppkey"),
+      keyName("Supplier#", "s_suppkey").as("s_name"),
+      col("s_nationkey"), col("s_acctbal")))
+    inflate("part")(_ => Seq(
+      remap("p_partkey").as("p_partkey"),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice")))
+    inflate("orders")(_ => Seq(
+      remap("o_orderkey").as("o_orderkey"),
+      remap("o_custkey").as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")))
+    inflate("lineitem")(_ => Seq(
+      remap("l_orderkey").as("l_orderkey"),
+      remap("l_partkey").as("l_partkey"),
+      remap("l_suppkey").as("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")))
+    inflate("events")(_ => Seq(
+      remap("event_id").as("event_id"),
+      col("ts"),
+      remap("user_id").as("user_id"),
+      col("event_type"), col("value"), col("props")))
+    inflate("documents")(_ => Seq(
+      remap("doc_id").as("doc_id"),
+      // word-salt: replicas disjoint in shingle space, internal structure kept
+      regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1x"), col("rep").cast("string"))).as("text"),
+      col("lang"), col("source"), col("n_chars")))
+    inflate("embeddings")(_ => Seq(
+      remap("vec_id").as("vec_id"),
+      col("embedding"), col("label")))
+    // fixed dims: straight copies
+    Seq("region", "nation").foreach { t =>
+      Tables.t(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    spark.stop()
+  }
+}

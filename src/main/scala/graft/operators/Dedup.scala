@@ -37,6 +37,21 @@ object Dedup {
   val B32: Seq[Long] = B16 ++ Seq(
     1709L, 1801L, 1901L, 2003L, 2111L, 2203L, 2309L, 2411L,
     2503L, 2609L, 2707L, 2801L, 2903L, 3001L, 3109L, 3203L)
+  /** 64-bit SimHash seed pairs — the production-path width: 4 bands of 16
+    * bits give 65536 bucket values per band, vs 256 for the 32-bit parity
+    * variant whose buckets saturate at large corpora (ARCHITECTURE.md
+    * "Measured scaling": ~quadratic candidate growth already at 10x
+    * sf0.1). */
+  val A64: Seq[Long] = A32 ++ Seq(
+    65921L, 67901L, 69877L, 71849L, 73823L, 75797L, 77773L, 79757L,
+    81737L, 83717L, 85691L, 87671L, 89653L, 91631L, 93607L, 95581L,
+    97553L, 99527L, 101501L, 103483L, 105467L, 107441L, 109423L, 111409L,
+    113381L, 115361L, 117353L, 119359L, 121333L, 123307L, 125287L, 127261L)
+  val B64: Seq[Long] = B32 ++ Seq(
+    3301L, 3407L, 3511L, 3613L, 3719L, 3821L, 3919L, 4019L,
+    4127L, 4229L, 4327L, 4441L, 4547L, 4649L, 4751L, 4861L,
+    4967L, 5077L, 5179L, 5279L, 5381L, 5479L, 5581L, 5683L,
+    5783L, 5881L, 5981L, 6079L, 6197L, 6299L, 6397L, 6521L)
 
   // ---- shingling ----
   def wordsOf(text: Column): Column = split(normText(text), " ")
@@ -378,6 +393,24 @@ object Dedup {
         explode(array((0 until 4).map { bid =>
           struct(lit(bid).as("band_id"),
             shiftright(col("simhash"), 8 * bid).bitwiseAND(lit(255L)).as("band_val"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.*"))
+
+  /** Production-path 64-bit bands: same machinery as [[simhash32Bands]],
+    * 4 x 16-bit pigeonhole bands. Still exact for Hamming <= 3 (a pair
+    * within distance 3 differs in at most 3 of the 4 bands), but band
+    * buckets are ~n/65536 instead of ~n/256 — the remedy for the 32-bit
+    * parity variant's measured band saturation. No DuckDB oracle (a 64-lane
+    * list_transform twin is impractical); spec-checked against brute force
+    * on the fixture corpus. */
+  def simhash64Bands(docs: DataFrame): DataFrame =
+    docWidArrays(docs)
+      .select(col("doc_id"),
+        graft.plans.simhashSig(col("wids"), A64, B64, P).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { bid =>
+          struct(lit(bid).as("band_id"),
+            shiftright(col("simhash"), 16 * bid).bitwiseAND(lit(65535L)).as("band_val"))
         }: _*)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.*"))
 

@@ -100,6 +100,22 @@ class DedupSpec extends SparkSpec {
     assert(got === brute, "band candidate generation must find exactly the <=3-hamming pairs")
   }
 
+  test("64-bit production bands find exactly the <=3-hamming pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val sigs = Dedup.docWidArrays(docs)
+      .select(col("doc_id"),
+        graft.plans.simhashSig(col("wids"), Dedup.A64, Dedup.B64, Dedup.P).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, ha) <- sigs; (idb, hb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb)).toSet
+    val got = Dedup.simhashNearDupPairs(Dedup.simhash64Bands(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute,
+      "16-bit pigeonhole bands over the 64-bit signature must stay exact for hamming <= 3")
+  }
+
   test("label propagation equals driver-side union-find on testdata pairs") {
     // hand-built: chain 1-2-3, pair 10-11, triangle 20-21-22 (+ 21-20 dup)
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
