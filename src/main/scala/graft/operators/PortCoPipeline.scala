@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.Exprs._
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -183,15 +182,24 @@ object PortCoPipeline {
         (logoDom === col("link_domain") || logoDom === col("img_domain")),
       nameMatch = nameMatches(col("name"), col("name_hint")),
       inside = col("el").contains(col("script")))
-    val w = Window.partitionBy("firm_name", "name", "url")
-      .orderBy(col("sc").desc, col("cls").asc_nulls_last, col("el").asc_nulls_last)
+    // per-entity argmax over cards as a partial aggregate (min_by on
+    // (-score, cls, el)), not a ROW_NUMBER window: the shuffle carries one
+    // row per entity instead of sorting every entity x card row — the same
+    // measured win as w1/j1 (see PLANS.md "window replaced by aggregate").
+    // Tie order matches the old window (score desc, cls asc, el asc);
+    // null cls/el occur only in no-card singleton groups, so null placement
+    // in the struct ordering can never decide a tie.
     joined.withColumn("sc", round(score, 3))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("firm_name"), col("name"), col("url"), col("jsonld_type"),
-        col("logo"), col("same_as"), col("sc").as("score"),
-        col("cls").as("matched_class"),
-        typeWhitelisted(col("types")).as("type_wl"),
-        col("cls").isNotNull.as("has_card"))
+      .groupBy("firm_name", "name", "url")
+      .agg(min_by(
+        struct(col("jsonld_type"), col("logo"), col("same_as"), col("sc"),
+          col("cls"), typeWhitelisted(col("types")).as("type_wl")),
+        struct((-col("sc")).as("nsc"), col("cls"), col("el"))).as("b"))
+      .select(col("firm_name"), col("name"), col("url"), col("b.jsonld_type"),
+        col("b.logo"), col("b.same_as"), col("b.sc").as("score"),
+        col("b.cls").as("matched_class"),
+        col("b.type_wl").as("type_wl"),
+        col("b.cls").isNotNull.as("has_card"))
   }
 
   /** Full step-3 result with the reference's four confidence ranks
@@ -202,10 +210,7 @@ object PortCoPipeline {
     * (lower(name), url domain) keeping the highest score, O1 ordering
     * (score desc, name asc). */
   def portcos(pages: DataFrame): DataFrame = {
-    val scored = scoredEntities(pages)
-    val w = Window.partitionBy(lower(col("name")), urlDomain(col("url")))
-      .orderBy(col("score").desc, col("rank").asc, col("matched_class").asc_nulls_last)
-    scored
+    val ranked = scoredEntities(pages)
       .withColumn("rank",
         when(col("has_card") && col("score") >= 1.8, "A")
           .when(col("has_card") && col("score") >= 1.2, "B")
@@ -214,7 +219,16 @@ object PortCoPipeline {
       .filter(col("rank").isNotNull)
       .withColumn("score", when(col("rank") === "D", lit(0.0)).otherwise(col("score")))
       .drop("type_wl", "has_card")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    // W2 dedup as an aggregate argmax (same rationale as scoredEntities):
+    // keep the best-scored row per (lower(name), url domain); ties break by
+    // rank then matched_class — null matched_class occurs only on rank-D
+    // rows, so the null never competes inside a rank.
+    ranked
+      .groupBy(lower(col("name")).as("k_name"), urlDomain(col("url")).as("k_dom"))
+      .agg(min_by(
+        struct(ranked.columns.map(col): _*),
+        struct((-col("score")).as("nsc"), col("rank"), col("matched_class"))).as("b"))
+      .select(col("b.*"))
       .orderBy(col("score").desc, lower(col("name")))
   }
 
