@@ -412,17 +412,16 @@ object HtmlUtil {
   /** True when the tag text `s[tagStart..tagEnd]` carries a class attribute:
     * whitespace, then `class` (any case), optional ws, `=`. */
   private def hasClassAttr(s: String, tagStart: Int, tagEnd: Int): Boolean = {
-    var k = tagStart
-    while (k >= 0) {
-      k = s.indexOf("lass", k + 1)
-      if (k < 0 || k + 4 > tagEnd) return false
-      val c = s.charAt(k - 1)
-      if ((c == 'c' || c == 'C') && k - 2 >= tagStart &&
-          Character.isWhitespace(s.charAt(k - 2))) {
-        var j = k + 4
+    var k = tagStart + 1
+    while (k + 5 <= tagEnd) {
+      val c = s.charAt(k)
+      if ((c == 'c' || c == 'C') && Character.isWhitespace(s.charAt(k - 1)) &&
+          s.regionMatches(true, k + 1, "lass", 0, 4)) {
+        var j = k + 5
         while (j < tagEnd && Character.isWhitespace(s.charAt(j))) j += 1
         if (j < tagEnd && s.charAt(j) == '=') return true
       }
+      k += 1
     }
     false
   }

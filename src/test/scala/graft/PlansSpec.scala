@@ -159,6 +159,10 @@ class PlansSpec extends SparkSpec {
     assert(els(0) == """<div class="a"><p class="b">text</div>""")
     assert(els(1) == """<p class="b">text""")
     assert(els(2) == """<i class="c">t</i>""")
+    // attribute-name matching is case-insensitive, like an HTML parser's
+    val up = Seq("""<div CLASS="x">u</div><span data-class="no">v</span>""").toDF("h")
+      .select(graft.plans.htmlClassElements(col("h"))).collect().head.getSeq[String](0)
+    assert(up == Seq("""<div CLASS="x">u</div>"""))
   }
 
   test("graft_json_key_long: first-matching-key probe semantics + declarative twin") {
