@@ -175,13 +175,19 @@ object PortCoPipeline {
     val joined = ents.join(cs, Seq("firm_name"), "left")
     val entDom = urlDomain(col("url"))
     val logoDom = urlDomain(col("logo"))
-    val score = matchScore(
-      typeWl = typeWhitelisted(col("types")),
-      urlDomEq = length(entDom) > 0 && entDom === col("link_domain"),
-      logoDomHit = length(logoDom) > 0 &&
-        (logoDom === col("link_domain") || logoDom === col("img_domain")),
-      nameMatch = nameMatches(col("name"), col("name_hint")),
-      inside = col("el").contains(col("script")))
+    val typeWl = typeWhitelisted(col("types"))
+    val urlEq = length(entDom) > 0 && entDom === col("link_domain")
+    val logoHit = length(logoDom) > 0 &&
+      (logoDom === col("link_domain") || logoDom === col("img_domain"))
+    val nameM = nameMatches(col("name"), col("name_hint"))
+    val inside = col("el").contains(col("script"))
+    val score = matchScore(typeWl, urlEq, logoHit, nameM, inside)
+    // matched_by provenance (step3_attempt1.py:418-423), built codegen-side:
+    // concat_ws skips the null (false) flags — no interpreted array lambda
+    val reasonsCsv = concat_ws(",",
+      when(typeWl, "type_whitelist"), when(urlEq, "url_domain_match"),
+      when(logoHit, "logo_domain_match"), when(nameM, "name_match"),
+      when(inside, "inside_card"))
     // per-entity argmax over cards as a partial aggregate (min_by on
     // (-score, cls, el)), not a ROW_NUMBER window: the shuffle carries one
     // row per entity instead of sorting every entity x card row — the same
@@ -193,13 +199,14 @@ object PortCoPipeline {
       .groupBy("firm_name", "name", "url")
       .agg(min_by(
         struct(col("jsonld_type"), col("logo"), col("same_as"), col("sc"),
-          col("cls"), typeWhitelisted(col("types")).as("type_wl")),
+          col("cls"), typeWl.as("type_wl"), reasonsCsv.as("reasons_csv")),
         struct((-col("sc")).as("nsc"), col("cls"), col("el"))).as("b"))
       .select(col("firm_name"), col("name"), col("url"), col("b.jsonld_type"),
         col("b.logo"), col("b.same_as"), col("b.sc").as("score"),
         col("b.cls").as("matched_class"),
         col("b.type_wl").as("type_wl"),
-        col("b.cls").isNotNull.as("has_card"))
+        col("b.cls").isNotNull.as("has_card"),
+        col("b.reasons_csv").as("reasons_csv"))
   }
 
   /** Full step-3 result with the reference's four confidence ranks
@@ -218,7 +225,13 @@ object PortCoPipeline {
           .when(!col("has_card") && col("type_wl"), "D"))
       .filter(col("rank").isNotNull)
       .withColumn("score", when(col("rank") === "D", lit(0.0)).otherwise(col("score")))
-      .drop("type_wl", "has_card")
+      // matched_by: computed provenance for threshold matches; the C/D
+      // fallbacks record the fixed ["type_whitelist"] reason, as the
+      // reference hardcodes (step3_attempt1.py:461,486)
+      .withColumn("matched_by",
+        when(col("rank").isin("A", "B"), split(col("reasons_csv"), ","))
+          .otherwise(array(lit("type_whitelist"))))
+      .drop("type_wl", "has_card", "reasons_csv")
     // W2 dedup as an aggregate argmax (same rationale as scoredEntities):
     // keep the best-scored row per (lower(name), url domain); ties break by
     // rank then matched_class — null matched_class occurs only on rank-D

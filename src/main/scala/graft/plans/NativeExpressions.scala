@@ -413,10 +413,13 @@ object HtmlUtil {
     * whitespace, then `class` (any case), optional ws, `=`. */
   private def hasClassAttr(s: String, tagStart: Int, tagEnd: Int): Boolean = {
     var k = tagStart + 1
-    while (k + 5 <= tagEnd) {
+    var quote: Char = 0
+    while (k < tagEnd) {
       val c = s.charAt(k)
-      if ((c == 'c' || c == 'C') && Character.isWhitespace(s.charAt(k - 1)) &&
-          s.regionMatches(true, k + 1, "lass", 0, 4)) {
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if ((c == 'c' || c == 'C') && Character.isWhitespace(s.charAt(k - 1)) &&
+          k + 5 <= tagEnd && s.regionMatches(true, k + 1, "lass", 0, 4)) {
         var j = k + 5
         while (j < tagEnd && Character.isWhitespace(s.charAt(j))) j += 1
         if (j < tagEnd && s.charAt(j) == '=') return true

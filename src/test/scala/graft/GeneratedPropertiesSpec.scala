@@ -25,6 +25,61 @@ class GeneratedPropertiesSpec extends SparkSpec {
     w <- Gen.listOfN(words, Gen.oneOf("acme", "zen", "cap", "partners", "ab", "x"))
   } yield w.mkString(" ")
 
+  test("graft_html_class_elements equals the generator's own span ledger on random well-formed pages") {
+    // Build random nested HTML while recording, for every class-attributed
+    // element, its outer-HTML span as generated — then the scanner must
+    // return exactly those substrings in document order. Covers nested
+    // same-tag elements, void/self-closed tags, raw-text scripts containing
+    // fake markup, comments, '>' inside quoted attributes, stray '<' in
+    // text, and upper/lower-case tag and attribute names.
+    def page(seed: Int): (String, Seq[String]) = {
+      val rnd = new scala.util.Random(seed)
+      val sb = new StringBuilder
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def node(depth: Int): Unit = rnd.nextInt(7) match {
+        case 0 => sb.append(s"t${rnd.nextInt(100)} < ${rnd.nextInt(9)} ")
+        case 1 => sb.append(s"""<!-- <div class="ghost${rnd.nextInt(9)}"> -->""")
+        case 2 =>
+          val cls = rnd.nextBoolean()
+          val start = sb.length
+          sb.append(if (rnd.nextBoolean()) "<img" else "<IMG")
+          if (cls) sb.append(s""" class="logo c${rnd.nextInt(9)}"""")
+          sb.append(s""" src="x${rnd.nextInt(9)}.png"""")
+          sb.append(if (rnd.nextBoolean()) "/>" else ">")
+          if (cls) spans += ((start, sb.length))
+        case 3 =>
+          val cls = rnd.nextBoolean()
+          val start = sb.length
+          sb.append("<script")
+          if (cls) sb.append(s""" CLASS="s${rnd.nextInt(9)}"""")
+          sb.append(s""">var a = "<div class=\\"fake${rnd.nextInt(9)}\\">";</script>""")
+          if (cls) spans += ((start, sb.length))
+        case _ =>
+          val tag = Seq("div", "span", "p", "section", "DIV")(rnd.nextInt(5))
+          val cls = rnd.nextBoolean()
+          val start = sb.length
+          sb.append(s"<$tag")
+          if (rnd.nextBoolean()) sb.append(s""" id="i${rnd.nextInt(99)}"""")
+          if (cls) sb.append(s""" ${if (rnd.nextBoolean()) "class" else "Class"} ="c${rnd.nextInt(9)} item"""")
+          if (rnd.nextBoolean()) sb.append(s""" data-x="a>b${rnd.nextInt(9)}"""")
+          sb.append(">")
+          if (depth < 3) (0 until rnd.nextInt(3)).foreach(_ => node(depth + 1))
+          sb.append(s"</$tag>")
+          if (cls) spans += ((start, sb.length))
+      }
+      (0 until 1 + rnd.nextInt(5)).foreach(_ => node(0))
+      val html = sb.toString
+      (html, spans.sortBy(_._1).map { case (a, b) => html.substring(a, b) }.toSeq)
+    }
+    val cases = (0 until 60).map(page)
+    val got = cases.map(_._1).toDF("h")
+      .select(graft.plans.htmlClassElements($"h")).collect()
+      .map(_.getSeq[String](0))
+    cases.zip(got).foreach { case ((html, expected), actual) =>
+      assert(actual == expected, s"scanner mismatch on:\n$html")
+    }
+  }
+
   test("normText idempotence over generated whitespace strings") {
     val df = sample(wsGen, 300).toDF("s")
     assert(df.filter(normText(normText($"s")) =!= normText($"s")).count() == 0)

@@ -159,8 +159,11 @@ class PlansSpec extends SparkSpec {
     assert(els(0) == """<div class="a"><p class="b">text</div>""")
     assert(els(1) == """<p class="b">text""")
     assert(els(2) == """<i class="c">t</i>""")
-    // attribute-name matching is case-insensitive, like an HTML parser's
-    val up = Seq("""<div CLASS="x">u</div><span data-class="no">v</span>""").toDF("h")
+    // attribute-name matching is case-insensitive, like an HTML parser's,
+    // and " class =" inside a quoted attribute VALUE is not an attribute
+    val up = Seq(
+      """<div CLASS="x">u</div><span data-class="no">v</span>""" +
+        """<p title="my class = y">w</p>""").toDF("h")
       .select(graft.plans.htmlClassElements(col("h"))).collect().head.getSeq[String](0)
     assert(up == Seq("""<div CLASS="x">u</div>"""))
   }

@@ -65,6 +65,13 @@ class PortCoPipelineSpec extends SparkSpec {
     assert(byName("Be Campbell").getAs[String]("rank") == "C")
     assert(byName("Be Campbell").getAs[Double]("score") == 1.0)
     assert(byName("Riverlands").getAs[String]("rank") == "C")
+    // matched_by provenance: computed reasons for the chosen card on A/B,
+    // the reference's fixed ["type_whitelist"] on the C/D fallbacks
+    val hy = byName("Hygain Holdings")
+    assert(hy.getSeq[String](hy.fieldIndex("matched_by")) ==
+      Seq("type_whitelist", "logo_domain_match", "name_match"))
+    val bc = byName("Be Campbell")
+    assert(bc.getSeq[String](bc.fieldIndex("matched_by")) == Seq("type_whitelist"))
     // ordering: scores non-increasing
     val scores = out.map(_.getAs[Double]("score")).toSeq
     assert(scores == scores.sorted.reverse)
