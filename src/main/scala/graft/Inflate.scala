@@ -39,7 +39,11 @@ object Inflate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factor)
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     val reps = spark.range(factor).select(col("id").as("rep"))
     def remap(k: String): Column = col(k) + col("rep") * Span
     def inflate(table: String)(cols: DataFrame => Seq[Column]): Unit = {
@@ -92,6 +96,5 @@ object Inflate {
     Seq("region", "nation").foreach { t =>
       Tables.t(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
-    spark.stop()
   }
 }

@@ -18,6 +18,29 @@ class ScaleSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("Inflate preserves join fan-out, name shapes, and shingle disjointness") {
+    val dst = java.nio.file.Files.createTempDirectory("graft_infl").toString
+    Inflate.run(spark, sf0001, dst, 2)
+    def cnt(t: String) = spark.read.parquet(s"$dst/$t.parquet").count()
+    val o0 = Tables.orders(spark, sf0001).count()
+    assert(cnt("orders") == 2 * o0)
+    // every order still joins exactly ONE customer (no quadratic blowup)
+    val o = spark.read.parquet(s"$dst/orders.parquet")
+    val c = spark.read.parquet(s"$dst/customer.parquet")
+    assert(o.join(c, col("o_custkey") === col("c_custkey")).count() == 2 * o0)
+    // key-embedding names regenerate, so name joins keep per-replica selectivity
+    val s = spark.read.parquet(s"$dst/supplier.parquet")
+    assert(s.filter(!col("s_name").rlike("^Supplier#\\d{9}$")).count() == 0)
+    assert(s.select("s_name").distinct().count() == s.count())
+    // word-salted replicas share no shingles: exact-dup groups don't grow
+    val d = spark.read.parquet(s"$dst/documents.parquet")
+    val dupGroups0 = Tables.documents(spark, sf0001)
+      .groupBy("text").count().filter(col("count") > 1).count()
+    assert(d.groupBy("text").count().filter(col("count") > 1).count() == 2 * dupGroups0)
+    // fixed dims stay fixed
+    assert(cnt("nation") == Tables.nation(spark, sf0001).count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
