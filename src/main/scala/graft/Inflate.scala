@@ -51,8 +51,15 @@ object Inflate {
       df.select(cols(df): _*)
         .write.mode("overwrite").parquet(s"$dst/$table.parquet")
     }
+    // Pad width must cover the LARGEST remapped key: Spark's lpad TRUNCATES
+    // longer inputs to the target length, so a fixed 9 would silently
+    // collide names across replicas once factor * Span reaches 10 digits —
+    // breaking the name<->key correspondence the j3 name joins rely on
+    // (ADVICE r5). Width follows the factor; 9 keeps the TPC-H shape for
+    // the default factor 10.
+    val padWidth = math.max(9, (factor.toLong * Span - 1).toString.length)
     def keyName(prefix: String, k: String): Column =
-      concat(lit(prefix), lpad(remap(k).cast("string"), 9, "0"))
+      concat(lit(prefix), lpad(remap(k).cast("string"), padWidth, "0"))
 
     inflate("customer")(_ => Seq(
       remap("c_custkey").as("c_custkey"),

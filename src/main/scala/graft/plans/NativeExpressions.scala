@@ -407,11 +407,17 @@ object HtmlUtil {
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
     "meta", "param", "source", "track", "wbr")
 
-  private final class Open(val name: String, val start: Int, val hasClass: Boolean)
+  private final class Open(val name: String, val start: Int, val cls: String)
 
-  /** True when the tag text `s[tagStart..tagEnd]` carries a class attribute:
-    * whitespace, then `class` (any case), optional ws, `=`. */
-  private def hasClassAttr(s: String, tagStart: Int, tagEnd: Int): Boolean = {
+  /** Value of the first `class` attribute in the tag text
+    * `s[tagStart..tagEnd)`, or null when the tag has none. Matching requires
+    * whitespace before `class` (any case), so `data-class=` never matches,
+    * and the VALUE is read quote-style-agnostically — double-quoted,
+    * single-quoted, or unquoted (up to the next whitespace) — like
+    * BeautifulSoup's `el.get("class")`, which the reference reads
+    * (step3_attempt1.py:250). A downstream regex that only accepted
+    * `class="…"` silently dropped single-quoted/unquoted cards (ADVICE r5). */
+  private def classAttrValue(s: String, tagStart: Int, tagEnd: Int): String = {
     var k = tagStart + 1
     var quote: Char = 0
     while (k < tagEnd) {
@@ -422,11 +428,47 @@ object HtmlUtil {
           k + 5 <= tagEnd && s.regionMatches(true, k + 1, "lass", 0, 4)) {
         var j = k + 5
         while (j < tagEnd && Character.isWhitespace(s.charAt(j))) j += 1
-        if (j < tagEnd && s.charAt(j) == '=') return true
+        if (j < tagEnd && s.charAt(j) == '=') {
+          j += 1
+          while (j < tagEnd && Character.isWhitespace(s.charAt(j))) j += 1
+          if (j >= tagEnd) return ""
+          val q = s.charAt(j)
+          if (q == '"' || q == '\'') {
+            var e = j + 1
+            while (e < tagEnd && s.charAt(e) != q) e += 1
+            return s.substring(j + 1, e) // unclosed quote: to end of tag
+          }
+          var e = j
+          while (e < tagEnd && !Character.isWhitespace(s.charAt(e))) e += 1
+          return s.substring(j, e)
+        }
       }
       k += 1
     }
-    false
+    null
+  }
+
+  /** Start of the real close tag of a raw-text element (`</name` followed by
+    * '>', '/', whitespace, or EOF), case-insensitive, scanning forward from
+    * `from`; -1 if absent. regionMatches keeps this allocation-free — the
+    * previous `s.toLowerCase.indexOf` copied the ENTIRE document per
+    * script/style element (O(bytes x scripts) on the 100 TB scan path) and
+    * accepted `</scriptfoo>` as a closer (ADVICE r5). */
+  private def findRawClose(s: String, from: Int, name: String): Int = {
+    val n = s.length
+    val len = name.length
+    var j = from
+    while (j + 2 + len <= n) {
+      if (s.charAt(j) == '<' && s.charAt(j + 1) == '/' &&
+          s.regionMatches(true, j + 2, name, 0, len)) {
+        val after = j + 2 + len
+        if (after >= n) return j
+        val c = s.charAt(after)
+        if (c == '>' || c == '/' || Character.isWhitespace(c)) return j
+      }
+      j += 1
+    }
+    -1
   }
 
   /** End index (exclusive) of a tag that starts at `i` — the first '>'
@@ -444,12 +486,14 @@ object HtmlUtil {
     -1
   }
 
+  private final class Span(val start: Int, val end: Int, val cls: String)
+
   def classElements(html: UTF8String): ArrayData = {
     if (html == null) return null
     val s = html.toString
     val n = s.length
     val stack = new java.util.ArrayList[Open]()
-    val spans = new java.util.ArrayList[Array[Int]]()
+    val spans = new java.util.ArrayList[Span]()
 
     def popTo(name: String, childrenEnd: Int, selfEnd: Int): Unit = {
       var at = -1
@@ -459,7 +503,7 @@ object HtmlUtil {
       while (stack.size() > at) {
         val o = stack.remove(stack.size() - 1)
         val end = if (stack.size() == at) selfEnd else childrenEnd
-        if (o.hasClass) spans.add(Array(o.start, end))
+        if (o.cls != null) spans.add(new Span(o.start, end, o.cls))
       }
     }
 
@@ -487,18 +531,18 @@ object HtmlUtil {
           val name = s.substring(lt + 1, j).toLowerCase(java.util.Locale.ROOT)
           val e = tagEnd(s, j)
           val end = if (e < 0) n else e
-          val cls = e >= 0 && hasClassAttr(s, lt, e - 1)
+          val cls = if (e >= 0) classAttrValue(s, lt, e - 1) else null
           val selfClosed = e >= 2 && s.charAt(e - 2) == '/'
           if (name == "script" || name == "style") {
             // raw-text element: body may contain '<' that is not markup
-            val close = s.toLowerCase(java.util.Locale.ROOT).indexOf("</" + name, end)
+            val close = findRawClose(s, end, name)
             val bodyEnd =
               if (close < 0) n
               else { val ce = s.indexOf('>', close); if (ce < 0) n else ce + 1 }
-            if (cls) spans.add(Array(lt, if (selfClosed) end else bodyEnd))
+            if (cls != null) spans.add(new Span(lt, if (selfClosed) end else bodyEnd, cls))
             i = if (selfClosed) end else bodyEnd
           } else if (selfClosed || VoidTags.contains(name)) {
-            if (cls) spans.add(Array(lt, end))
+            if (cls != null) spans.add(new Span(lt, end, cls))
             i = end
           } else {
             stack.add(new Open(name, lt, cls))
@@ -510,23 +554,33 @@ object HtmlUtil {
     // auto-close whatever is still open at EOF
     while (!stack.isEmpty) {
       val o = stack.remove(stack.size() - 1)
-      if (o.hasClass) spans.add(Array(o.start, n))
+      if (o.cls != null) spans.add(new Span(o.start, n, o.cls))
     }
-    spans.sort((a: Array[Int], b: Array[Int]) => Integer.compare(a(0), b(0)))
+    spans.sort((a: Span, b: Span) => Integer.compare(a.start, b.start))
     val out = new Array[Any](spans.size())
     var k = 0
     while (k < spans.size()) {
-      out(k) = UTF8String.fromString(s.substring(spans.get(k)(0), spans.get(k)(1)))
+      val sp = spans.get(k)
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(s.substring(sp.start, sp.end)),
+        UTF8String.fromString(sp.cls))
       k += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
-/** `graft_html_class_elements(html)`: outer-HTML of every class-attributed
-  * element, document order (see [[HtmlUtil.classElements]]). */
+/** `graft_html_class_elements(html)`: every class-attributed element as
+  * `struct<el: outer-HTML, cls: raw class attribute value>`, document order
+  * (see [[HtmlUtil.classElements]]). The class value comes from the
+  * scanner's own quote-tracking attribute walk, not a downstream regex, so
+  * single-quoted and unquoted `class` attributes carry their value too. */
 case class HtmlClassElements(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("el", StringType, nullable = false),
+      StructField("cls", StringType, nullable = false))),
+    containsNull = false)
   override def prettyName: String = "graft_html_class_elements"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -547,18 +601,20 @@ case class HtmlClassElements(child: Expression) extends UnaryExpression {
 }
 
 /** `graft_json_key_long(json, needle)` scanner: the value of the FIRST
-  * top-level key whose name case-insensitively CONTAINS `needle`, as a long.
-  * X17 dynamic-key lookup (reference founded_year.py:72-74 scans
-  * `"found" in key.lower()`; its reassignment loop only differs from
-  * first-match on payloads with several matching keys, where the reference
-  * itself is order-dependent).
+  * top-level key whose name case-insensitively CONTAINS `needle` AND whose
+  * value is an integer literal, as a long. X17 dynamic-key lookup
+  * (reference founded_year.py:72-74 scans `"found" in key.lower()` over
+  * EVERY key; a matching key with a non-integer value therefore must not end
+  * the scan here. The reassignment loop only differs from first-match on
+  * payloads with several integer-valued matching keys, where the reference
+  * itself is dict-order-dependent).
   *
   * Declarative twin (spec-matched): `Exprs.foundedValue(from_json(props,
   * map<string,int>), "(?i)<needle>")`. On valid flat integer objects the two
   * are identical; on payloads from_json rejects wholesale (a non-integer
   * value under ANY key) the twin nulls the row while this probe still
-  * returns a well-formed matching field — null only when the matching key's
-  * own value is not an integer literal. Exists for the same reason as
+  * returns a well-formed matching field — null only when NO matching key
+  * carries an integer literal. Exists for the same reason as
   * [[JsonLongField]]: from_json is CodegenFallback and allocates a parser
   * per row — the interpreted-eval deopt-stall family — while this is a
   * single codegen'd byte scan. */
@@ -590,20 +646,30 @@ object JsonKeyUtil {
       while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
       if (i >= n) return null
       if (kb.toString.toLowerCase(java.util.Locale.ROOT).contains(nd)) {
-        // matching key: value must be an unquoted integer literal
+        // Matching key whose value is an unquoted integer literal: done.
+        // Any other value shape (string, float, object, overflow) falls
+        // through to the generic skip so LATER matching keys still get a
+        // chance — the reference's founded_year.py:72-74 loop visits every
+        // key, so {"founders":"Jane","founded":1990} must yield 1990, not
+        // null (ADVICE r5). Remaining divergence is ordering only: several
+        // integer-valued matches resolve first-match here vs last-match in
+        // the reference's reassignment loop (where the reference itself is
+        // dict-order-dependent).
+        var j = i
         var neg = false
-        if (s.charAt(i) == '-') { neg = true; i += 1 }
+        if (s.charAt(j) == '-') { neg = true; j += 1 }
         var v = 0L
         var any = false
-        while (i < n && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
-          val d = s.charAt(i) - '0'
-          if (v > (Long.MaxValue - d) / 10) return null
-          v = v * 10 + d; any = true; i += 1
+        var overflow = false
+        while (j < n && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
+          val d = s.charAt(j) - '0'
+          if (v > (Long.MaxValue - d) / 10) overflow = true else v = v * 10 + d
+          any = true; j += 1
         }
-        if (!any) return null
-        if (i < n && (s.charAt(i) == '.' || s.charAt(i) == 'e' || s.charAt(i) == 'E'))
-          return null
-        return java.lang.Long.valueOf(if (neg) -v else v)
+        val intEnds = j >= n ||
+          (s.charAt(j) != '.' && s.charAt(j) != 'e' && s.charAt(j) != 'E')
+        if (any && !overflow && intEnds)
+          return java.lang.Long.valueOf(if (neg) -v else v)
       }
       // skip this value: string, object/array (balanced, string-aware), or scalar
       s.charAt(i) match {

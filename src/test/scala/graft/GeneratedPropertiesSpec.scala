@@ -32,49 +32,63 @@ class GeneratedPropertiesSpec extends SparkSpec {
     // same-tag elements, void/self-closed tags, raw-text scripts containing
     // fake markup, comments, '>' inside quoted attributes, stray '<' in
     // text, and upper/lower-case tag and attribute names.
-    def page(seed: Int): (String, Seq[String]) = {
+    def page(seed: Int): (String, Seq[(String, String)]) = {
       val rnd = new scala.util.Random(seed)
       val sb = new StringBuilder
-      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      // random quote style: double, single, or (spaceless value) unquoted —
+      // the scanner's attribute extraction must be quote-style agnostic
+      def clsAttr(v: String): String = rnd.nextInt(3) match {
+        case 0 => s"""class="$v""""
+        case 1 => s"class='$v'"
+        case _ => s"class=${v.replace(" ", "-")}"
+      }
+      def clsValOf(attr: String): String =
+        attr.replaceAll("(?i)^class=", "").replaceAll("""^["']|["']$""", "")
       def node(depth: Int): Unit = rnd.nextInt(7) match {
         case 0 => sb.append(s"t${rnd.nextInt(100)} < ${rnd.nextInt(9)} ")
         case 1 => sb.append(s"""<!-- <div class="ghost${rnd.nextInt(9)}"> -->""")
         case 2 =>
           val cls = rnd.nextBoolean()
+          val attr = clsAttr(s"logo c${rnd.nextInt(9)}")
           val start = sb.length
           sb.append(if (rnd.nextBoolean()) "<img" else "<IMG")
-          if (cls) sb.append(s""" class="logo c${rnd.nextInt(9)}"""")
+          if (cls) sb.append(" " + attr)
           sb.append(s""" src="x${rnd.nextInt(9)}.png"""")
           sb.append(if (rnd.nextBoolean()) "/>" else ">")
-          if (cls) spans += ((start, sb.length))
+          if (cls) spans += ((start, sb.length, clsValOf(attr)))
         case 3 =>
           val cls = rnd.nextBoolean()
+          val v = s"s${rnd.nextInt(9)}"
           val start = sb.length
           sb.append("<script")
-          if (cls) sb.append(s""" CLASS="s${rnd.nextInt(9)}"""")
+          if (cls) sb.append(s""" CLASS="$v"""")
           sb.append(s""">var a = "<div class=\\"fake${rnd.nextInt(9)}\\">";</script>""")
-          if (cls) spans += ((start, sb.length))
+          if (cls) spans += ((start, sb.length, v))
         case _ =>
           val tag = Seq("div", "span", "p", "section", "DIV")(rnd.nextInt(5))
           val cls = rnd.nextBoolean()
+          val attr = clsAttr(s"c${rnd.nextInt(9)} item")
           val start = sb.length
           sb.append(s"<$tag")
           if (rnd.nextBoolean()) sb.append(s""" id="i${rnd.nextInt(99)}"""")
-          if (cls) sb.append(s""" ${if (rnd.nextBoolean()) "class" else "Class"} ="c${rnd.nextInt(9)} item"""")
+          if (cls) sb.append(s" ${if (rnd.nextBoolean()) attr else attr.capitalize}")
           if (rnd.nextBoolean()) sb.append(s""" data-x="a>b${rnd.nextInt(9)}"""")
           sb.append(">")
           if (depth < 3) (0 until rnd.nextInt(3)).foreach(_ => node(depth + 1))
           sb.append(s"</$tag>")
-          if (cls) spans += ((start, sb.length))
+          if (cls) spans += ((start, sb.length, clsValOf(attr)))
       }
       (0 until 1 + rnd.nextInt(5)).foreach(_ => node(0))
       val html = sb.toString
-      (html, spans.sortBy(_._1).map { case (a, b) => html.substring(a, b) }.toSeq)
+      (html, spans.sortBy(_._1)
+        .map { case (a, b, v) => (html.substring(a, b), v) }.toSeq)
     }
     val cases = (0 until 60).map(page)
     val got = cases.map(_._1).toDF("h")
       .select(graft.plans.htmlClassElements($"h")).collect()
-      .map(_.getSeq[String](0))
+      .map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getString(1))))
     cases.zip(got).foreach { case ((html, expected), actual) =>
       assert(actual == expected, s"scanner mismatch on:\n$html")
     }

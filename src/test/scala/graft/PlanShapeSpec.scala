@@ -63,6 +63,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), s"broadcast would make salting inert:\n$p")
   }
 
+  test("pipe_portco_e2e: ONE scan of the page corpus feeds both cards and entities") {
+    // the artifacts relation is memoized per (session, pages-plan): repeated
+    // derivations return the SAME persisted DataFrame instance
+    val pages = Tables.supplier(spark, sf0001).selectExpr(
+      "s_name AS firm_name", "'https://x.example' AS firm_url",
+      "'<div class=\"card\">x</div>' AS html")
+    val a1 = graft.operators.PortCoPipeline.pageArtifacts(pages)
+    val a2 = graft.operators.PortCoPipeline.pageArtifacts(pages)
+    assert(a1 eq a2, "pageArtifacts must memoize via graft.Persisted")
+    // and the e2e plan reads the page source ONLY inside that cached
+    // relation: the outer plan has no file scan of the synthesized pages,
+    // just two InMemoryTableScans (cards side + entities side)
+    val p = plan("pipe_portco_e2e")
+    assert("InMemoryTableScan".r.findAllMatchIn(p).size >= 2,
+      s"both explode branches must read the persisted artifacts:\n$p")
+    val outer = SparkEntry.queries("pipe_portco_e2e")(spark, sf0001)
+      .queryExecution.executedPlan
+    val outerFileScans = outer.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(outerFileScans.isEmpty,
+      s"page corpus must not be re-scanned outside the artifacts relation:\n$p")
+  }
+
   test("dd_simhash_neardup: both join sides read one persisted bands relation") {
     val p = plan("dd_simhash_neardup")
     assert("InMemoryTableScan".r.findAllMatchIn(p).size >= 2,

@@ -134,8 +134,10 @@ class PlansSpec extends SparkSpec {
         |<div class="outer grid"><div class="card"><div class="thumb"><img class="logo" src="x.png"></div><h3>Name</h3></div></div>
         |<script class="ld">var s = "<div class=\"fake\">";</script>
         |<span class="open">never closed""".stripMargin
-    val els = Seq(html).toDF("h")
-      .select(graft.plans.htmlClassElements(col("h"))).collect().head.getSeq[String](0)
+    val rows = Seq(html).toDF("h")
+      .select(graft.plans.htmlClassElements(col("h"))).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+    val els = rows.map(_.getString(0))
     // document order; commented-out "ghost" and the fake div inside the
     // script's raw text are NOT elements
     assert(els.length == 6, els.mkString("\n---\n"))
@@ -146,6 +148,9 @@ class PlansSpec extends SparkSpec {
     assert(els(3) == "<img class=\"logo\" src=\"x.png\">")
     assert(els(4).startsWith("<script class=\"ld\">") && els(4).endsWith("</script>"))
     assert(els(5) == "<span class=\"open\">never closed")
+    // the scanner extracts the class VALUE itself
+    assert(rows.map(_.getString(1)) ==
+      Seq("outer grid", "card", "thumb", "logo", "ld", "open"))
   }
 
   test("graft_html_class_elements: lxml-style recovery on unclosed children") {
@@ -154,7 +159,8 @@ class PlansSpec extends SparkSpec {
     // parent's close tag begins, the parent keeps its full extent
     val html = """<div class="a"><p class="b">text</div><i class="c">t</i>"""
     val els = Seq(html).toDF("h")
-      .select(graft.plans.htmlClassElements(col("h"))).collect().head.getSeq[String](0)
+      .select(graft.plans.htmlClassElements(col("h"))).collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
     assert(els.length == 3, els.mkString("\n---\n"))
     assert(els(0) == """<div class="a"><p class="b">text</div>""")
     assert(els(1) == """<p class="b">text""")
@@ -164,8 +170,26 @@ class PlansSpec extends SparkSpec {
     val up = Seq(
       """<div CLASS="x">u</div><span data-class="no">v</span>""" +
         """<p title="my class = y">w</p>""").toDF("h")
-      .select(graft.plans.htmlClassElements(col("h"))).collect().head.getSeq[String](0)
+      .select(graft.plans.htmlClassElements(col("h"))).collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
     assert(up == Seq("""<div CLASS="x">u</div>"""))
+  }
+
+  test("graft_html_class_elements: class VALUE extraction is quote-style agnostic") {
+    import spark.implicits._
+    // the reference's soup.get("class") reads single-quoted and unquoted
+    // attributes identically to double-quoted ones (ADVICE r5: a firm whose
+    // site writes class='portfolio card' must not lose its cards)
+    val html =
+      """<div class='portfolio card'>sq</div>""" +
+        """<div class=investment-item>uq</div>""" +
+        """<div class = "spaced eq">dq</div>""" +
+        """<section class="">empty</section>"""
+    val rows = Seq(html).toDF("h")
+      .select(graft.plans.htmlClassElements(col("h"))).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.map(_.getString(1)) ==
+      Seq("portfolio card", "investment-item", "spaced eq", ""))
   }
 
   test("graft_json_key_long: first-matching-key probe semantics + declarative twin") {
@@ -177,22 +201,27 @@ class PlansSpec extends SparkSpec {
       """{"a": "s", "b": [1,2], "kq": 3}""",  // skips string + array values...
       """{"c": {"k": 9}, "kz": 4}""",         // ...and nested objects (their "k" is not top-level)
       """{"j": 2}""", "not json at all",
-      """{"k1": 1, "k2": 2}""",               // several matches: FIRST wins
+      """{"k1": 1, "k2": 2}""",               // several int matches: FIRST wins
       """{"k": "12"}""",                      // matching key, quoted value: null
-      """{"k": 1.5}""") .toDF("props")
+      """{"k": 1.5}""",                       // matching key, float value: null
+      """{"kx": "str", "ky": 9}""",           // non-int match does NOT end the scan
+      """{"founders": "Jane", "founded": 1990}""") // the reference loop's shape
+      .toDF("props")
     df.createOrReplaceTempView("jkl_t")
     val got = spark.sql("SELECT graft_json_key_long(props, 'k') FROM jkl_t").collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(got.toSeq === Seq(Some(87L), None, Some(42L), Some(7L), Some(3L),
-      Some(4L), None, None, Some(1L), None, None))
+      Some(4L), None, None, Some(1L), None, None, Some(9L), None))
     val viaCol = df.select(graft.plans.jsonKeyLong(col("props"), "k")).collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(viaCol.toSeq === got.toSeq)
-    // "found" needle — the reference's actual use
+    // "found" needle — the reference's actual use: founded_year.py:72-74
+    // visits EVERY key, so the string-valued "founders" match must not
+    // swallow the integer "founded" that follows it (ADVICE r5)
     val f = df.select(graft.plans.jsonKeyLong(col("props"), "found")).collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(f.toSeq === Seq(None, Some(1999L), None, None, None, None, None,
-      None, None, None, None))
+      None, None, None, None, None, Some(1990L)))
   }
 
   test("graft_json_key_long equals the from_json declarative twin on valid flat maps") {
