@@ -321,14 +321,24 @@ object Dedup {
     }
   }
 
-  /** 16-bit SimHash per document over the shingle-id array (no shuffle). */
-  val ddSimhash: QueryDef = {
-    val sumsSql = (0 until 16).map { j =>
-      s"list_sum(list_transform(wids, w -> CASE WHEN ((CAST(${A16(j)} AS BIGINT)*w+${B16(j)})%$P)%2 = 1 THEN 1 ELSE -1 END)) AS s$j"
+  /** DuckDB lane SQL shared by every simhash width: per-lane signed sums
+    * over the `wids` list (from [[shingleListCtes]]), then the bit
+    * reassembly. Generated from the seed tables, so the 16/32/64-bit
+    * variants are one definition — `1L << 63` (Long.MinValue) prints as a
+    * literal DuckDB parses exactly (verified: CAST keeps the value). */
+  private def simhashSumsSql(a: Seq[Long], b: Seq[Long]): String =
+    a.indices.map { j =>
+      s"list_sum(list_transform(wids, w -> CASE WHEN ((CAST(${a(j)} AS BIGINT)*w+${b(j)})%$P)%2 = 1 THEN 1 ELSE -1 END)) AS s$j"
     }.mkString(", ")
-    val bitsSql = (0 until 16).map { j =>
+  private def simhashBitsSql(nbits: Int): String =
+    (0 until nbits).map { j =>
       s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
+
+  /** 16-bit SimHash per document over the shingle-id array (no shuffle). */
+  val ddSimhash: QueryDef = {
+    val sumsSql = simhashSumsSql(A16, B16)
+    val bitsSql = simhashBitsSql(16)
     QueryDef("dd_simhash",
       s"""WITH $shingleListCtes,
         |sums AS (SELECT doc_id, $sumsSql FROM widl)
@@ -340,21 +350,23 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs at Hamming distance <= 3 over a 32-bit
-    * signature. Candidate generation is exact by pigeonhole: split the sig
-    * into 4 bands of 8 bits — any pair within distance 3 differs in at most
-    * 3 bands, so at least one band matches exactly. Equi-join on
-    * (band_id, band_val) therefore finds EVERY qualifying pair while
-    * scanning ~n/256-sized buckets instead of n^2 pairs; the cheap
-    * bit_count(xor) verify runs only on candidates. The scale shape:
-    * signatures are scan-stage expressions, the join key is 1 of 1024
-    * values, and no similarity work happens outside matched buckets. */
+    * signature — the LABELED 32-BIT BASELINE, kept for its short DuckDB
+    * twin, like j3_name_substring_join vs j3_bucketed. Candidate generation
+    * is exact by pigeonhole: split the sig into 4 bands of 8 bits — any
+    * pair within distance 3 differs in at most 3 bands, so at least one
+    * band matches exactly. Equi-join on (band_id, band_val) finds EVERY
+    * qualifying pair while scanning ~n/256-sized buckets; the cheap
+    * bit_count(xor) verify runs only on candidates.
+    *
+    * NOT the production path: 4x8-bit bands have only 256 values per band,
+    * so buckets saturate on large corpora (measured 30x candidate growth
+    * for 10x docs at sf1 — ARCHITECTURE.md "Measured scaling"). Production
+    * near-dup and clustering ride [[ddSimhashNearDup64]] /
+    * [[simhash64BandsRelation]], whose 65536-value bands keep buckets
+    * sparse at 100 TB. */
   val ddSimhashNearDup: QueryDef = {
-    val sumsSql = (0 until 32).map { j =>
-      s"list_sum(list_transform(wids, w -> CASE WHEN ((CAST(${A32(j)} AS BIGINT)*w+${B32(j)})%$P)%2 = 1 THEN 1 ELSE -1 END)) AS s$j"
-    }.mkString(", ")
-    val bitsSql = (0 until 32).map { j =>
-      s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-    }.mkString(" + ")
+    val sumsSql = simhashSumsSql(A32, B32)
+    val bitsSql = simhashBitsSql(32)
     QueryDef("dd_simhash_neardup",
       s"""WITH $shingleListCtes,
         |sums AS (SELECT doc_id, $sumsSql FROM widl),
@@ -400,9 +412,11 @@ object Dedup {
     * 4 x 16-bit pigeonhole bands. Still exact for Hamming <= 3 (a pair
     * within distance 3 differs in at most 3 of the 4 bands), but band
     * buckets are ~n/65536 instead of ~n/256 — the remedy for the 32-bit
-    * parity variant's measured band saturation. No DuckDB oracle (a 64-lane
-    * list_transform twin is impractical); spec-checked against brute force
-    * on the fixture corpus. */
+    * parity variant's measured band saturation. Spec-checked against brute
+    * force AND oracle-checked via the generated 64-lane DuckDB twin
+    * ([[ddSimhashNearDup64]]). The sign bit (lane 63) is harmless: both
+    * engines mask the arithmetic shift with & 65535, so the top band reads
+    * bits 48-63 exactly. */
   def simhash64Bands(docs: DataFrame): DataFrame =
     docWidArrays(docs)
       .select(col("doc_id"),
@@ -413,6 +427,46 @@ object Dedup {
             shiftright(col("simhash"), 16 * bid).bitwiseAND(lit(65535L)).as("band_val"))
         }: _*)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.*"))
+
+  /** In-session persisted 64-bit banded signatures over the documents table
+    * of `d` — the PRODUCTION candidate source: every near-dup consumer
+    * (pair query, cluster query, incremental batches) reads one
+    * materialized sketch pass, and the 16-bit bands keep buckets sparse
+    * where the 32-bit baseline's saturate. */
+  def simhash64BandsRelation(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#simhash64_bands") {
+      simhash64Bands(Tables.documents(spark, d))
+    }
+
+  /** 64-lane CTE chain shared by the two production queries' oracles:
+    * widl -> sums -> sig -> bands (16-bit) -> pairs (hamming <= 3). */
+  private val neardup64Ctes: String = {
+    val sumsSql = simhashSumsSql(A64, B64)
+    val bitsSql = simhashBitsSql(64)
+    s"""$shingleListCtes,
+       |sums AS (SELECT doc_id, $sumsSql FROM widl),
+       |sig AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM sums),
+       |bands AS (SELECT doc_id, simhash, band_id, (simhash >> (band_id*16)) & 65535 AS band_val
+       |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS ha, b.simhash AS hb
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+       |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** PRODUCTION near-dup pairs: Hamming <= 3 over the 64-bit signature,
+    * candidates from the persisted 4 x 16-bit bands. Same pigeonhole
+    * exactness as the 32-bit baseline, but buckets stay ~n/65536 — the
+    * shape that holds at 100 TB (the 8-bit bands' saturation measured 30x
+    * candidate growth for 10x docs). The oracle is the generated 64-lane
+    * twin of the 32-bit one. */
+  val ddSimhashNearDup64: QueryDef =
+    QueryDef("dd_simhash_neardup64",
+      s"""WITH $neardup64Ctes
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin) { (spark, d) =>
+      simhashNearDupPairs(simhash64BandsRelation(spark, d))
+    }
 
   /** Streaming band self-join: every pair within `maxHamming` (pigeonhole-
     * exact for maxHamming <= 3 over 4 bands). Bounded memory per bucket —
@@ -546,42 +600,32 @@ object Dedup {
     labels
   }
 
-  /** Near-duplicate clusters: connected components over the simhash
-    * near-dup pairs (hamming <= 3), cluster id = min doc_id in the
-    * component. Oracle replays the transitive closure with a recursive CTE
-    * — the iterative Spark loop and the recursive SQL must agree exactly. */
-  val ddDupClusters: QueryDef = {
-    // reuse the dd_simhash_neardup CTE chain up to `pairs`
-    val sumsSql = (0 until 32).map { j =>
-      s"list_sum(list_transform(wids, w -> CASE WHEN ((CAST(${A32(j)} AS BIGINT)*w+${B32(j)})%$P)%2 = 1 THEN 1 ELSE -1 END)) AS s$j"
-    }.mkString(", ")
-    val bitsSql = (0 until 32).map { j =>
-      s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-    }.mkString(" + ")
+  /** Near-duplicate clusters: connected components over the PRODUCTION
+    * 64-bit near-dup pairs (hamming <= 3), cluster id = min doc_id in the
+    * component. The edge source is [[simhash64BandsRelation]] — the
+    * clusters query inherits the sparse-bucket candidate regime, not the
+    * 32-bit baseline's saturating one. Oracle replays the transitive
+    * closure with a recursive CTE over the same generated 64-lane pairs —
+    * the iterative Spark loop and the recursive SQL must agree exactly. */
+  val ddDupClusters: QueryDef =
     QueryDef("dd_dup_clusters",
-      s"""WITH RECURSIVE $shingleListCtes,
-        |sums AS (SELECT doc_id, $sumsSql FROM widl),
-        |sig AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM sums),
-        |bands AS (SELECT doc_id, simhash, band_id, (simhash >> (band_id*8)) & 255 AS band_val
-        |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
-        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band_id = b.band_id
-        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      s"""WITH RECURSIVE $neardup64Ctes,
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |          WHERE bit_count(xor(ha, hb)) <= 3
+        |          UNION SELECT doc_b, doc_a FROM pairs
+        |          WHERE bit_count(xor(ha, hb)) <= 3),
         |reach AS (
         |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin) { (spark, d) =>
-      val pairs = ddSimhashNearDup.fn(spark, d).select("doc_a", "doc_b")
+      val pairs = simhashNearDupPairs(simhash64BandsRelation(spark, d))
+        .select("doc_a", "doc_b")
       labelPropagation(pairs)
     }
-  }
 
   val all: Seq[QueryDef] = Seq(
     ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
-    ddDupClusters)
+    ddSimhashNearDup64, ddDupClusters)
 }

@@ -129,8 +129,9 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == got)
 
-    // real pairs: compare to union-find over the collected edge list
-    val pairs = Dedup.ddSimhashNearDup.fn(spark, sf0001)
+    // real pairs: compare to union-find over the collected edge list (the
+    // clusters query's edges come from the production 64-bit band path)
+    val pairs = Dedup.ddSimhashNearDup64.fn(spark, sf0001)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {

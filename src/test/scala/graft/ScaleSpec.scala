@@ -41,6 +41,37 @@ class ScaleSpec extends SparkSpec {
     assert(cnt("nation") == Tables.nation(spark, sf0001).count())
   }
 
+  test("64-bit bands keep candidate buckets sparse where the 8-bit baseline saturates") {
+    // Word-salted replicas (the Inflate documents transform, in-memory):
+    // 3000 docs, shingle-disjoint across replicas, so there are no
+    // cross-replica near-dups — any candidate growth beyond ~6x the base
+    // corpus is pure band-bucket saturation. The 32-bit baseline's 8-bit
+    // bands (256 values) are already saturating at this size; the
+    // production 16-bit bands (65536 values) must stay at least an order
+    // of magnitude sparser. This is the count-based (deterministic) twin
+    // of the timed sf1 sweep in ARCHITECTURE.md "Measured scaling".
+    val docs0 = Tables.documents(spark, "/root/testdata/sf0.01").select("doc_id", "text")
+    val reps = spark.range(6).select(col("id").as("rep"))
+    val docs = docs0.crossJoin(broadcast(reps)).select(
+      (col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+      regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1x"), col("rep").cast("string"))).as("text")).cache()
+    def rawCandidates(bands: org.apache.spark.sql.DataFrame): Long = {
+      val b = bands.cache()
+      try {
+        val a1 = b.select(col("band_id"), col("band_val"), col("doc_id").as("doc_a"))
+        val b1 = b.select(col("band_id"), col("band_val"), col("doc_id").as("doc_b"))
+        a1.join(b1, Seq("band_id", "band_val")).filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct().count()
+      } finally b.unpersist()
+    }
+    val c32 = rawCandidates(graft.operators.Dedup.simhash32Bands(docs))
+    val c64 = rawCandidates(graft.operators.Dedup.simhash64Bands(docs))
+    docs.unpersist()
+    assert(c64 * 10 <= c32,
+      s"production bands must cut raw candidates >=10x at 3000 docs (c32=$c32, c64=$c64)")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
