@@ -7,6 +7,16 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  /** The OUTER physical tree (adaptive wrapper stripped): traversal stops
+    * at InMemoryTableScan leaves, so nodes inside a cached relation's build
+    * plan — which plan.toString prints — are not counted. */
+  private def outerPlan(name: String): org.apache.spark.sql.execution.SparkPlan =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
   test("q1_agg: date filter pushed to the scan, columns pruned") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"),
@@ -14,10 +24,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("l_comment"))
   }
 
-  test("j4_join_chain: every dimension joins as a broadcast") {
-    val p = plan("j4_join_chain")
-    assert("BroadcastHashJoin".r.findAllMatchIn(p).size == 3, s"expected 3 BHJ:\n$p")
-    assert(!p.contains("SortMergeJoin"))
+  test("j4_join_chain: one broadcast of the persisted denormalized dim, no shuffle join") {
+    // the nation/region lookups are pre-folded into the persisted cust_geo
+    // relation, so the fact side sees exactly ONE join, and AQE broadcasts
+    // the dim while it fits
+    val root = outerPlan("j4_join_chain")
+    val bhj = root.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+    assert(bhj.size == 1, s"expected exactly 1 outer BHJ:\n$root")
+    assert(root.collect {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }.isEmpty)
+    assert(root.toString.contains("InMemoryTableScan"),
+      s"expected the persisted cust_geo dim:\n$root")
   }
 
   test("o1_topk: top-k is TakeOrderedAndProject, not a global sort") {
@@ -75,15 +93,15 @@ class PlanShapeSpec extends SparkSpec {
     // and the e2e plan reads the page source ONLY inside that cached
     // relation: the outer plan has no file scan of the synthesized pages,
     // just two InMemoryTableScans (cards side + entities side)
-    val p = plan("pipe_portco_e2e")
-    assert("InMemoryTableScan".r.findAllMatchIn(p).size >= 2,
-      s"both explode branches must read the persisted artifacts:\n$p")
-    val outer = SparkEntry.queries("pipe_portco_e2e")(spark, sf0001)
-      .queryExecution.executedPlan
-    val outerFileScans = outer.collect {
+    val root = outerPlan("pipe_portco_e2e")
+    val memScans = root.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m }
+    assert(memScans.size >= 2,
+      s"both explode branches must read the persisted artifacts:\n$root")
+    val outerFileScans = root.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
     assert(outerFileScans.isEmpty,
-      s"page corpus must not be re-scanned outside the artifacts relation:\n$p")
+      s"page corpus must not be re-scanned outside the artifacts relation:\n$root")
   }
 
   test("dd_simhash_neardup: both join sides read one persisted bands relation") {
