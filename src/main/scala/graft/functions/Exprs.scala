@@ -152,16 +152,16 @@ object Exprs {
   }
 
   // ---- X14: entity<->card match score (step3_attempt1.py:289-304) ----
-  /** 1.0*typeWL + 0.9*urlDomainEq + 0.6*logoDomainHit + 0.7*nameMatch +
-    * 0.3*insideCard; fixed left-to-right double addition so Spark and any
-    * oracle evaluate bit-identically. */
+  /** typeWL + urlDomainEq + logoDomainHit + nameMatch + insideCard, each
+    * weighted from the [[Rubric]] config module; fixed left-to-right double
+    * addition so Spark and any oracle evaluate bit-identically. */
   def matchScore(typeWl: Column, urlDomEq: Column, logoDomHit: Column,
                  nameMatch: Column, inside: Column): Column =
-    when(typeWl, 1.0).otherwise(0.0) +
-      when(urlDomEq, 0.9).otherwise(0.0) +
-      when(logoDomHit, 0.6).otherwise(0.0) +
-      when(nameMatch, 0.7).otherwise(0.0) +
-      when(inside, 0.3).otherwise(0.0)
+    when(typeWl, Rubric.TypeWhitelistWeight).otherwise(0.0) +
+      when(urlDomEq, Rubric.UrlDomainWeight).otherwise(0.0) +
+      when(logoDomHit, Rubric.LogoDomainWeight).otherwise(0.0) +
+      when(nameMatch, Rubric.NameMatchWeight).otherwise(0.0) +
+      when(inside, Rubric.InsideCardWeight).otherwise(0.0)
 
   // ---- X15: uploads-path name extraction (step3_attempt3.py:32-68 spec) ----
   def srcPathName(src: Column): Column =
@@ -181,14 +181,13 @@ object Exprs {
   def hasAllWords(tokens: Column, words: Seq[String]): Column =
     words.map(w => exists(tokens, t => t.contains(w))).reduce(_ && _)
 
-  /** Rank A/B/C per step2_attempt1.py RANK_SETS, else null. */
+  /** Rank A/B/C per step2_attempt1.py RANK_SETS (sourced from the
+    * [[Rubric]] config module), else null. */
   def classRank(tokens: Column): Column = {
-    val a = Seq(Seq("portfolio", "card"), Seq("portfolio", "item"),
-      Seq("investment", "card"), Seq("investment", "item"), Seq("investment", "box"))
-    val b = Seq(Seq("portfolio"), Seq("investment"), Seq("company"))
-    val c = Seq(Seq("item"), Seq("box"), Seq("card"), Seq("logo"))
     def anyOf(sets: Seq[Seq[String]]) = sets.map(hasAllWords(tokens, _)).reduce(_ || _)
-    when(anyOf(a), "A").when(anyOf(b), "B").when(anyOf(c), "C")
+    when(anyOf(Rubric.RankSetsA), "A")
+      .when(anyOf(Rubric.RankSetsB), "B")
+      .when(anyOf(Rubric.RankSetsC), "C")
   }
 
   // ---- F11: class blacklist (step2_attempt1.py:55-58,66-67) ----

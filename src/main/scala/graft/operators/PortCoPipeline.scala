@@ -258,8 +258,8 @@ object PortCoPipeline {
   def portcos(pages: DataFrame): DataFrame = {
     val ranked = scoredEntities(pages)
       .withColumn("rank",
-        when(col("has_card") && col("score") >= 1.8, "A")
-          .when(col("has_card") && col("score") >= 1.2, "B")
+        when(col("has_card") && col("score") >= graft.functions.Rubric.RankA, "A")
+          .when(col("has_card") && col("score") >= graft.functions.Rubric.RankB, "B")
           .when(col("has_card") && col("type_wl"), "C")
           .when(!col("has_card") && col("type_wl"), "D"))
       .filter(col("rank").isNotNull)

@@ -10,6 +10,25 @@ class ExprsSpec extends SparkSpec {
   private def one[T](df: org.apache.spark.sql.DataFrame): T =
     df.collect().head.getAs[T](0)
 
+  test("Rubric: expressions read the config module, and asDF renders it") {
+    import graft.functions.Rubric
+    // all five signals on -> the score is exactly the sum of the
+    // configured weights, in rubric order (left-to-right double addition)
+    val t = org.apache.spark.sql.functions.lit(true)
+    val full = Seq(1).toDF("x").select(matchScore(t, t, t, t, t))
+    val expected = Rubric.TypeWhitelistWeight + Rubric.UrlDomainWeight +
+      Rubric.LogoDomainWeight + Rubric.NameMatchWeight + Rubric.InsideCardWeight
+    assert(one[Double](full) == expected)
+    // the DataFrame rendering carries every weight, threshold, and rank set
+    val df = Rubric.asDF(spark).collect()
+    assert(df.count(_.getString(0) == "score_weight") == 5)
+    assert(df.count(_.getString(0) == "rank_threshold") == 2)
+    assert(df.count(_.getString(0) == "class_rank_set") ==
+      (Rubric.RankSetsA ++ Rubric.RankSetsB ++ Rubric.RankSetsC).size)
+    val aThresh = df.find(r => r.getString(0) == "rank_threshold" && r.getString(1) == "A").get
+    assert(aThresh.getDouble(3) == Rubric.RankA)
+  }
+
   test("X1 normText collapses whitespace and trims") {
     val df = Seq("  a \t b\n c  ").toDF("s").select(normText($"s"))
     assert(one[String](df) == "a b c")
