@@ -26,16 +26,19 @@ object PortCoPipeline {
     * two relations are two explodes off the same materialized projection
     * instead of two independent scans of `html`. At 100 TB of HTML the scan
     * IS the pipeline cost; the join in [[scoredEntities]] previously paid
-    * it twice. Keyed by the pages plan's semantic hash, so distinct page
-    * relations (different SF dirs, different fixtures) get distinct
+    * it twice. The projection itself is the fused native
+    * `graft_html_page_scan` — one byte-walk per page produces both arrays,
+    * where the unfused form (element scan + full-page script regex) walked
+    * every page twice; [[ldJsonScripts]] stays as the spec-matched
+    * declarative twin. Keyed by the pages plan's semantic hash, so distinct
+    * page relations (different SF dirs, different fixtures) get distinct
     * artifact relations within a session; non-`html` columns pass through. */
   def pageArtifacts(pages: DataFrame): DataFrame = {
     val passthrough = pages.columns.filterNot(_ == "html").map(col).toSeq
     graft.Persisted.of(pages.sparkSession,
       "portco_pages#" + pages.queryExecution.analyzed.semanticHash()) {
-      pages.select(passthrough :+
-        graft.plans.htmlClassElements(col("html")).as("els") :+
-        ldJsonScripts(col("html")).as("scripts"): _*)
+      pages.select(passthrough :+ graft.plans.htmlPageScan(col("html")).as("ps"): _*)
+        .select(passthrough :+ col("ps.els").as("els") :+ col("ps.scripts").as("scripts"): _*)
     }
   }
 

@@ -80,6 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HtmlClassElements].getName, "graft_html_class_elements"),
       (children: Seq[Expression]) => HtmlClassElements(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_html_page_scan"),
+      new ExpressionInfo(classOf[HtmlPageScan].getName, "graft_html_page_scan"),
+      (children: Seq[Expression]) => HtmlPageScan(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_jsonld_nodes"),
       new ExpressionInfo(classOf[JsonLdNodes].getName, "graft_jsonld_nodes"),
       (children: Seq[Expression]) => JsonLdNodes(children.head)))

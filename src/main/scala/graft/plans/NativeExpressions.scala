@@ -488,9 +488,70 @@ object HtmlUtil {
 
   private final class Span(val start: Int, val end: Int, val cls: String)
 
+  /** True when `ld+json` occurs (case-insensitively) in `s[from..to)` —
+    * the opening-tag test the reference's `<script[^>]*ld\+json[^>]*>`
+    * regex performs, without lowercasing the page. */
+  private def containsLdJson(s: String, from: Int, to: Int): Boolean = {
+    var j = from
+    while (j + 7 <= to) {
+      if (s.regionMatches(true, j, "ld+json", 0, 7)) return true
+      j += 1
+    }
+    false
+  }
+
   def classElements(html: UTF8String): ArrayData = {
     if (html == null) return null
     val s = html.toString
+    elementArray(s, walk(s, null))
+  }
+
+  /** ONE walk of the page producing BOTH portco inputs:
+    * `struct(els: array<struct<el,cls>>, scripts: array<string>)` — the
+    * classed-element structs and the ld+json script bodies. This is the
+    * whole-pipeline scan fusion: [[classElements]] plus a separate
+    * full-page regex pass for scripts walks every byte twice; at 100 TB of
+    * HTML the page walk IS the pipeline cost, so the fused scan halves it.
+    * Script-body semantics mirror the declarative
+    * `regexp_extract_all(html, '(?si)<script[^>]*ld\\+json[^>]*>(.*?)</script>', 1)`
+    * twin (spec-matched): body runs from the opening tag's '>' to the
+    * first real close tag, scripts left unclosed at EOF yield nothing.
+    * Divergence only on pathological markup: a close tag written with
+    * trailing junk (`</script foo>`) is accepted here (lxml-style) but not
+    * by the literal-`</script>` regex. */
+  def pageScan(html: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (html == null) return null
+    val s = html.toString
+    val scripts = new java.util.ArrayList[String]()
+    val spans = walk(s, scripts)
+    val scriptArr = new Array[Any](scripts.size())
+    var k = 0
+    while (k < scripts.size()) {
+      scriptArr(k) = UTF8String.fromString(scripts.get(k)); k += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      elementArray(s, spans),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(scriptArr))
+  }
+
+  private def elementArray(s: String, spans: java.util.ArrayList[Span]): ArrayData = {
+    val out = new Array[Any](spans.size())
+    var k = 0
+    while (k < spans.size()) {
+      val sp = spans.get(k)
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(s.substring(sp.start, sp.end)),
+        UTF8String.fromString(sp.cls))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Tag-balance walk (see object scaladoc). Emits every class-attributed
+    * element span; when `scripts` is non-null, also collects the body of
+    * every closed ld+json script in document order. */
+  private def walk(s: String,
+                   scripts: java.util.ArrayList[String]): java.util.ArrayList[Span] = {
     val n = s.length
     val stack = new java.util.ArrayList[Open]()
     val spans = new java.util.ArrayList[Span]()
@@ -540,6 +601,11 @@ object HtmlUtil {
               if (close < 0) n
               else { val ce = s.indexOf('>', close); if (ce < 0) n else ce + 1 }
             if (cls != null) spans.add(new Span(lt, if (selfClosed) end else bodyEnd, cls))
+            // fused ld+json collection: body of a CLOSED script whose
+            // opening tag mentions ld+json (the reference regex's test)
+            if (scripts != null && name == "script" && !selfClosed &&
+                close >= 0 && e >= 0 && containsLdJson(s, lt, end))
+              scripts.add(s.substring(end, close))
             i = if (selfClosed) end else bodyEnd
           } else if (selfClosed || VoidTags.contains(name)) {
             if (cls != null) spans.add(new Span(lt, end, cls))
@@ -557,16 +623,7 @@ object HtmlUtil {
       if (o.cls != null) spans.add(new Span(o.start, n, o.cls))
     }
     spans.sort((a: Span, b: Span) => Integer.compare(a.start, b.start))
-    val out = new Array[Any](spans.size())
-    var k = 0
-    while (k < spans.size()) {
-      val sp = spans.get(k)
-      out(k) = org.apache.spark.sql.catalyst.InternalRow(
-        UTF8String.fromString(s.substring(sp.start, sp.end)),
-        UTF8String.fromString(sp.cls))
-      k += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    spans
   }
 }
 
@@ -595,6 +652,40 @@ case class HtmlClassElements(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.HtmlUtil.classElements($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_html_page_scan(html)`: ONE walk of the page producing BOTH portco
+  * pipeline inputs — `struct(els: array<struct<el,cls>>, scripts:
+  * array<string>)` (see [[HtmlUtil.pageScan]]). The fused form of
+  * [[HtmlClassElements]] + the ld+json `regexp_extract_all` twin: at 100 TB
+  * of HTML the per-byte page walk is the pipeline's dominant cost, and the
+  * unfused pair pays it twice. */
+case class HtmlPageScan(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("els", ArrayType(
+      StructType(Seq(
+        StructField("el", StringType, nullable = false),
+        StructField("cls", StringType, nullable = false))),
+      containsNull = false), nullable = false),
+    StructField("scripts", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "graft_html_page_scan"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    HtmlUtil.pageScan(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HtmlUtil.pageScan($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

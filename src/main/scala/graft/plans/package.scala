@@ -48,9 +48,15 @@ package object plans {
   def jsonLdNodes(script: Column): Column =
     ColumnBridge.column(JsonLdNodes(expr(script)))
 
-  /** Outer-HTML of every class-attributed element, document order — the
-    * `soup.find_all(True, class_=True)` analogue (see
+  /** Outer-HTML + class value of every class-attributed element, document
+    * order — the `soup.find_all(True, class_=True)` analogue (see
     * [[HtmlUtil.classElements]]). */
   def htmlClassElements(html: Column): Column =
     ColumnBridge.column(HtmlClassElements(expr(html)))
+
+  /** Fused single-walk page scan: `struct(els, scripts)` — classed
+    * elements AND ld+json script bodies in one pass (see
+    * [[HtmlUtil.pageScan]]). */
+  def htmlPageScan(html: Column): Column =
+    ColumnBridge.column(HtmlPageScan(expr(html)))
 }

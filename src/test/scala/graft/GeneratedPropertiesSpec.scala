@@ -94,6 +94,38 @@ class GeneratedPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("fused page scan equals element scan + ld+json regex twin on generated pages") {
+    def page(seed: Int): String = {
+      val rnd = new scala.util.Random(1000 + seed)
+      val sb = new StringBuilder
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => sb.append(s"""<div class="c${rnd.nextInt(5)} item">t${rnd.nextInt(99)}</div>""")
+          case 1 => sb.append(
+            s"""<script type="application/ld+json">{"@type":"Organization","name":"N${rnd.nextInt(99)}"}</script>""")
+          case 2 => sb.append(s"""<script TYPE='application/LD+JSON' class="ld"> [${rnd.nextInt(9)}] </script>""")
+          case 3 => sb.append(s"""<script>var a = "<div class=\\"fake${rnd.nextInt(9)}\\">";</script>""")
+          case 4 => sb.append(s"""<img class=logo-${rnd.nextInt(9)} src="x.png">""")
+          case _ => sb.append(s"text ${rnd.nextInt(99)} < 5 ")
+        }
+      }
+      sb.toString
+    }
+    val df = (0 until 80).map(page).toDF("h")
+    val fused = df.select(graft.plans.htmlPageScan($"h").as("ps"))
+      .select($"ps.els".as("els"), $"ps.scripts".as("scripts")).collect()
+    val elsOnly = df.select(graft.plans.htmlClassElements($"h")).collect()
+    val regexScripts = df.select(
+      graft.operators.PortCoPipeline.ldJsonScripts($"h")).collect()
+    fused.indices.foreach { i =>
+      assert(fused(i).getSeq[org.apache.spark.sql.Row](0) ==
+        elsOnly(i).getSeq[org.apache.spark.sql.Row](0),
+        s"els mismatch on page $i")
+      assert(fused(i).getSeq[String](1) == regexScripts(i).getSeq[String](0),
+        s"scripts mismatch on page $i")
+    }
+  }
+
   test("normText idempotence over generated whitespace strings") {
     val df = sample(wsGen, 300).toDF("s")
     assert(df.filter(normText(normText($"s")) =!= normText($"s")).count() == 0)

@@ -192,6 +192,29 @@ class PlansSpec extends SparkSpec {
       Seq("portfolio card", "investment-item", "spaced eq", ""))
   }
 
+  test("graft_html_page_scan: one walk yields the element structs AND the ld+json bodies") {
+    import spark.implicits._
+    val html =
+      """<div class="portfolio card">x</div>
+        |<script type="application/ld+json">{"@type":"Organization","name":"A"}</script>
+        |<script>var fake = "<script type=x></script>";</script>
+        |<SCRIPT TYPE='application/LD+JSON'>[1,2]</SCRIPT>
+        |<script type="application/ld+json">{"unclosed":true}""".stripMargin
+    val row = Seq(html).toDF("h")
+      .select(graft.plans.htmlPageScan(col("h")).as("ps"))
+      .select(col("ps.els"), col("ps.scripts")).collect().head
+    val els = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(els.map(_.getString(1)) == Seq("portfolio card"))
+    // ld+json bodies only, case-insensitive, unclosed script dropped —
+    // exactly what the declarative regexp_extract_all twin returns
+    val scripts = row.getSeq[String](1)
+    assert(scripts == Seq("""{"@type":"Organization","name":"A"}""", "[1,2]"))
+    val viaRegex = Seq(html).toDF("h")
+      .select(graft.operators.PortCoPipeline.ldJsonScripts(col("h"))).collect()
+      .head.getSeq[String](0)
+    assert(scripts == viaRegex)
+  }
+
   test("graft_json_key_long: first-matching-key probe semantics + declarative twin") {
     import spark.implicits._
     val df = Seq(
