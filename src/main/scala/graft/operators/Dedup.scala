@@ -625,7 +625,75 @@ object Dedup {
       labelPropagation(pairs)
     }
 
+  /** Per-doc shingle-id ARRAY relation, persisted: the verify stage of the
+    * fuzzy pipeline reads it twice (both pair sides) and the sketch pass
+    * runs once. ~8 bytes/shingle — the standard companion store to the
+    * 16-byte/doc signature table. */
+  def widArrayRelation(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#wid_arrays") {
+      docWidArrays(Tables.documents(spark, d))
+    }
+
+  /** The END-TO-END fuzzy dedup pipeline as one query — what a
+    * training-data curation run actually executes: MinHash signatures
+    * (persisted, one sketch pass) -> LSH banded candidate pairs -> EXACT
+    * Jaccard verify on candidates only -> connected components -> keeper
+    * assignment (cluster-min doc_id). Composes the individually-checked
+    * pieces; the oracle replays the whole chain in SQL including the
+    * recursive closure.
+    *
+    * Scale shape: candidates come from the banded equi-join (never
+    * all-pairs), the verify join touches only candidate rows and reads the
+    * persisted shingle-array relation on both sides, and the >= 0.8
+    * threshold is evaluated in INTEGER arithmetic (5*|inter| >= 4*|union|)
+    * so the gate is bit-identical on any engine — no float division on
+    * the hot path. Empty-shingle docs (the degenerate all-match band) die
+    * at the |union| > 0 guard on both engines. */
+  val ddFuzzyKeep: QueryDef = {
+    val mhSql = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      s"${mhListSql(a, b)} AS mh$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { bid =>
+      s"SELECT doc_id, $bid AS band_id, CAST(mh${2 * bid} AS VARCHAR) || ',' || CAST(mh${2 * bid + 1} AS VARCHAR) AS band_sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    QueryDef("dd_fuzzy_keep",
+      s"""WITH RECURSIVE $shingleListCtes,
+        |sig AS (SELECT doc_id, $mhSql FROM widl),
+        |bands AS ($bandSelects),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+        |    AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+        |ver AS (SELECT doc_a, doc_b FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |    len(list_filter(wa.wids, w -> list_contains(wb.wids, w))) AS inter,
+        |    len(wa.wids) + len(wb.wids) - len(list_filter(wa.wids, w -> list_contains(wb.wids, w))) AS uni
+        |  FROM cand c JOIN widl wa ON wa.doc_id = c.doc_a
+        |              JOIN widl wb ON wb.doc_id = c.doc_b) t
+        |  WHERE uni > 0 AND inter * 5 >= uni * 4),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+        |          UNION SELECT doc_b, doc_a FROM ver),
+        |reach AS (
+        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS keeper_id
+        |FROM reach GROUP BY src""".stripMargin) { (spark, d) =>
+      val cand = lshCandidatePairs(minhashSigRelation(spark, d))
+      val wid = widArrayRelation(spark, d)
+      val inter = size(array_intersect(col("wa"), col("wb")))
+      val verified = cand
+        .join(wid.select(col("doc_id").as("doc_a"), col("wids").as("wa")), "doc_a")
+        .join(wid.select(col("doc_id").as("doc_b"), col("wids").as("wb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), inter.as("inter"),
+          (size(col("wa")) + size(col("wb")) - inter).as("uni"))
+        .filter(col("uni") > 0 && col("inter") * 5 >= col("uni") * 4)
+        .select("doc_a", "doc_b")
+      labelPropagation(verified)
+        .select(col("doc_id"), col("cluster_id").as("keeper_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
-    ddSimhashNearDup64, ddDupClusters)
+    ddSimhashNearDup64, ddDupClusters, ddFuzzyKeep)
 }

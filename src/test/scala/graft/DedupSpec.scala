@@ -177,6 +177,45 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_._2 == 0L))
   }
 
+  test("dd_fuzzy_keep: exact dups cluster together, keepers are cluster minima") {
+    val out = Dedup.ddFuzzyKeep.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    // keeper is the cluster minimum, hence <= every member
+    assert(out.forall { case (doc, keeper) => keeper <= doc })
+    // byte-identical documents are jaccard-1.0 pairs in the same bands, so
+    // every exact-dup group must land in one cluster
+    val dupGroups = Tables.documents(spark, sf0001)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .collect().map(_.getSeq[Long](1))
+    dupGroups.foreach { ids =>
+      val keepers = ids.map(out).toSet
+      assert(keepers.size == 1, s"exact dups $ids split across keepers $keepers")
+    }
+    // the verify gate is real: every clustered pair it admitted has
+    // jaccard >= 0.8 against the brute-force shingle sets
+    val wids = Dedup.docWidArrays(Tables.documents(spark, sf0001))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    out.groupBy(_._2).values.filter(_.size > 1).take(20).foreach { cluster =>
+      // within a cluster, SOME spanning structure of >=0.8 pairs exists;
+      // check the weaker per-member invariant: each member has at least one
+      // >=0.8 partner in the cluster
+      val members = cluster.keys.toSeq
+      members.foreach { m =>
+        val ok = members.exists { o =>
+          o != m && {
+            val (a, b) = (wids(m), wids(o))
+            val i = a.intersect(b).size
+            val u = a.size + b.size - i
+            u > 0 && i * 5 >= u * 4
+          }
+        }
+        assert(ok, s"doc $m has no >=0.8 partner in its cluster $members")
+      }
+    }
+  }
+
   test("incremental LSH over a signature store finds exactly the new-touching pairs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sigs").toString + "/sigs"
     val docs = Tables.documents(spark, sf0001)
