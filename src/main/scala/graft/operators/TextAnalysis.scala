@@ -169,11 +169,17 @@ object TextAnalysis {
         .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     }
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = broadcast(docs.agg(count(lit(1)).as("n")))
+    // Doc length folds into the SAME doc_id partitioning the rank needs:
+    // sum(tf) OVER (PARTITION BY doc_id) replaces the former dl aggregate +
+    // equi-join — one Exchange on doc_id serves both window passes (the
+    // unordered sum, then the ordered row_number), dropping a full shuffle
+    // of the tf relation. The rank orders by the SAME round(...,6) value as
+    // the oracle, so rounding-induced ties still break identically on term.
     val weighted = tf
-      .join(dl, "doc_id").join(df, "w").crossJoin(n)
+      .join(df, "w").crossJoin(n)
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
       .select(col("doc_id"), col("w").as("term"), col("tf").cast("long").as("tf"),
         round((col("tf") * col("n")).cast("double") / (col("dl") * col("df")), 6).as("weight"))
     val win = Window.partitionBy("doc_id").orderBy(col("weight").desc, col("term"))
