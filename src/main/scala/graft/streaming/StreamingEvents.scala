@@ -63,4 +63,17 @@ object StreamingEvents {
           closed.result().iterator
       }
   }
+
+  /** Streaming first-seen dedup — the stateful twin of the batch W1/E3
+    * family (the reference's seen-set at seed_aic.py:311): keep the FIRST
+    * row per key, with dedup state BOUNDED by the watermark.
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its event time, so state size tracks the watermark
+    * horizon, not the corpus — the 100 TB streaming answer; a plain
+    * `dropDuplicates` pins every key seen forever and OOMs an unbounded
+    * stream. Within-horizon duplicates (the realistic recrawl/replay case)
+    * are dropped exactly. */
+  def firstSeenDedup(events: DataFrame, keys: Seq[String],
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 }

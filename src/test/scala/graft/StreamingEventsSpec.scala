@@ -32,6 +32,26 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark-bounded streaming dedup keeps the first row per key across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingEvents.firstSeenDedup(in.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      // batch 1: user 1 click appears twice within the batch
+      in.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 1L, "click", 2.0),
+        Event(ts(2), 2L, "click", 3.0))
+      q.processAllAvailable()
+      // batch 2: replay of user 1 click within the watermark horizon is
+      // dropped; a new (user, type) passes
+      in.addData(Event(ts(3), 1L, "click", 4.0), Event(ts(4), 1L, "error", 5.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .collect().map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      assert(got == Set((1L, "click", 1.0), (2L, "click", 3.0), (1L, "error", 5.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions across batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
