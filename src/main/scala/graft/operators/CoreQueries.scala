@@ -242,16 +242,29 @@ object CoreQueries {
   /** J3 at scale: the same containment-join semantics as
     * j3_name_substring_join, but as trigram-bucketed candidate generation +
     * exact verify instead of an O(|S|*|C|) broadcast nested-loop. If a
-    * (len >= 3) string is contained in another, its leading trigram occurs
-    * among the other's trigrams — so each side's leading trigram equi-joins
-    * against the other side's exploded distinct trigrams, the containment
-    * predicate verifies candidates exactly, and a distinct over (s, c)
-    * collapses pairs that matched through several grams/branches. Equality
-    * (any length) is its own equi-join branch. Trigram explode is
+    * (len >= 3) string is contained in another, EVERY one of its trigrams
+    * occurs among the other's trigrams — so joining the contained side on
+    * ANY single one of its grams against the container side's exploded
+    * distinct grams is complete, the containment predicate verifies
+    * candidates exactly, and a distinct over (s, c) collapses pairs that
+    * matched through several grams/branches. Equality (any length) is its
+    * own equi-join branch.
+    *
+    * Gram CHOICE is the candidate-count lever: the contained side picks its
+    * RAREST gram, by carrier count on the container side (the prefix-
+    * filtering / df-ordering trick from the set-similarity-join
+    * literature). A fixed leading-gram choice rides the hottest buckets on
+    * low-entropy keys (these numeric names have a 10-char alphabet), where
+    * the rarest gram bounds each contained row's candidates by the
+    * MINIMUM bucket it participates in; a gram carried by NO container row
+    * proves non-containment and drops the row before any join. The freq
+    * relations are gram-count aggregates (bounded by the distinct-gram
+    * universe, tiny next to the data), and the argmin is a min_by partial
+    * aggregate keyed (freq, gram) for determinism. Trigram explode is
     * explode(sequence)+substr — plain codegen'd rows, no array lambdas
-    * (CodegenFallback) on the hot path. At 100x the work scales with
-    * total trigrams (~ total chars), shuffles hash-partition by gram, and
-    * AQE splits hot-gram skew — no broadcast ceiling, no quadratic
+    * (CodegenFallback) on the hot path. At 100x the work scales with total
+    * trigrams (~ total chars), shuffles hash-partition by gram, and AQE
+    * splits residual hot-gram skew — no broadcast ceiling, no quadratic
     * comparison count (SURVEY.md §4's candidate-generation extension). */
   val j3Bucketed = QueryDef("j3_bucketed",
     """WITH s AS (SELECT s_suppkey, regexp_replace(s_name, '^Supplier#0*', '') AS sn FROM supplier),
@@ -271,13 +284,25 @@ object CoreQueries {
         .select(df.columns.map(col) :+
           col(str).substr(col("i") + 1, lit(3)).as("g"): _*)
         .distinct()
-    def prefix(df: org.apache.spark.sql.DataFrame, str: String): org.apache.spark.sql.DataFrame =
-      df.filter(length(col(str)) >= 3)
-        .select(df.columns.map(col) :+ col(str).substr(lit(1), lit(3)).as("g"): _*)
+    // rarest gram of each `inner` row, by carrier count among `outerGrams`;
+    // a gram absent from the container side keeps freq 0 and matches no
+    // bucket, correctly eliminating the row
+    def rarestGram(innerGrams: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                   outerGrams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val freq = outerGrams.groupBy("g").agg(count(lit(1)).as("freq"))
+      innerGrams.join(freq, Seq("g"), "left")
+        .groupBy(keyCols.map(col): _*)
+        .agg(min_by(col("g"),
+          struct(coalesce(col("freq"), lit(0L)).as("f"), col("g"))).as("g"))
+    }
+    val sGrams = grams(s, "sn")
+    val cGrams = grams(c, "cn")
     val eq = s.join(c, col("sn") === col("cn"))
-    val snInCn = prefix(s, "sn").join(grams(c, "cn"), "g")
+    val snInCn = rarestGram(sGrams, Seq("s_suppkey", "sn"), cGrams)
+      .join(cGrams, "g")
       .filter(col("cn").contains(col("sn")))
-    val cnInSn = grams(s, "sn").join(prefix(c, "cn"), "g")
+    val cnInSn = rarestGram(cGrams, Seq("c_custkey", "cn"), sGrams)
+      .join(sGrams, "g")
       .filter(col("sn").contains(col("cn")))
     eq.select("s_suppkey", "c_custkey")
       .union(snInCn.select("s_suppkey", "c_custkey"))
