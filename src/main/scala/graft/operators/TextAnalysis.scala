@@ -225,6 +225,75 @@ object TextAnalysis {
     }
   }
 
+  /** The curation DECISION — what a corpus filter actually emits: per doc,
+    * keep/drop plus the FIRST failing rule as the reason (the
+    * Gopher/C4-style rule-cascade shape). Rules in fixed order: token-count
+    * band, stopword-ratio ceiling, mean-word-length band, exact-duplicate
+    * keeper (group minimum by content digest). Composes the ta_quality
+    * metrics with the dd_exact keeper choice in ONE query.
+    *
+    * Scale shape: all metrics are scan-stage expressions; the only shuffle
+    * is the digest partition for the keeper window, and it carries the
+    * 16-byte digest plus three numbers per row — never the text. Reasons
+    * are a deterministic CASE cascade, so the output is hash-stable on any
+    * engine (float comparisons see bit-identical doubles: same integer
+    * inputs, same single division). */
+  val taKeepFilter: QueryDef = {
+    val stopOr = Stopwords.map(s => s"x = '$s'").mkString(" OR ")
+    QueryDef("ta_keep_filter",
+      s"""WITH t AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, h, CAST(len(words) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(words, x -> $stopOr)) AS DOUBLE) / len(words) AS stop_ratio,
+        |    CAST(length(norm) - (len(words) - 1) AS DOUBLE) / len(words) AS awl
+        |  FROM t),
+        |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keeper FROM m),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tokens < 20 THEN 'too_short'
+        |         WHEN n_tokens > 300 THEN 'too_long'
+        |         WHEN stop_ratio > 0.6 THEN 'stopword_ratio'
+        |         WHEN NOT (awl BETWEEN 2.0 AND 10.0) THEN 'word_length'
+        |         WHEN doc_id <> keeper THEN 'duplicate'
+        |         ELSE 'keep' END AS reason
+        |  FROM k)
+        |SELECT doc_id, (reason = 'keep') AS keep, reason FROM r""".stripMargin) { (spark, d) =>
+      keepFilter(Tables.documents(spark, d))
+    }
+  }
+
+  /** The keep-gate over any `(doc_id, text)` relation (see [[taKeepFilter]]
+    * for the rule cascade and oracle). */
+  def keepFilter(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val norm = normText(col("text"))
+    val words = split(norm, " ")
+    val nTok = size(words)
+    val stopCnt = size(filter(words, x => x.isin(Stopwords: _*)))
+    // metrics in the scan stage; the keeper shuffle carries only
+    // (doc_id, digest, 3 numbers)
+    val metrics = docs.select(
+      col("doc_id"), md5(col("text")).as("h"),
+      nTok.cast("long").as("n_tokens"),
+      (stopCnt.cast("double") / nTok).as("stop_ratio"),
+      ((length(norm) - (nTok - 1)).cast("double") / nTok).as("awl"))
+    val withKeeper = metrics.withColumn("keeper",
+      min("doc_id").over(Window.partitionBy("h")))
+    val reason =
+      when(col("n_tokens") < 20, "too_short")
+        .when(col("n_tokens") > 300, "too_long")
+        .when(col("stop_ratio") > 0.6, "stopword_ratio")
+        .when(!col("awl").between(2.0, 10.0), "word_length")
+        .when(col("doc_id") =!= col("keeper"), "duplicate")
+        .otherwise("keep")
+    withKeeper.select(col("doc_id"), (reason === "keep").as("keep"),
+      reason.as("reason"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample)
+    taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
+    taKeepFilter)
 }

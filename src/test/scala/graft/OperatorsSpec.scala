@@ -140,6 +140,32 @@ class OperatorsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("ta_keep_filter: first failing rule wins, duplicates keep their group minimum") {
+    import spark.implicits._
+    // the real corpus exercises the metric rules...
+    val out = TextAnalysis.taKeepFilter.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out.values.exists(_._1), "some docs must pass the gate")
+    assert(out.values.exists(!_._1), "some docs must fail the gate")
+    // ...and a synthetic corpus pins the cascade ORDER + the duplicate rule
+    // (the fixture corpora contain no byte-identical documents)
+    val good = ("the quick brown fox jumped over the lazy dog and then " * 3).trim
+    val docs = Seq(
+      (1L, good),                  // keeper: keep
+      (2L, good),                  // byte-identical dup of 1: 'duplicate'
+      (3L, "too short"),           // fails rule 1
+      (4L, "too short"),           // dup of 3, but too_short fires FIRST
+      (5L, ("a " * 40).trim)       // 40 tokens, stop_ratio 1.0: 'stopword_ratio'
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.keepFilter(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(got(1L) == ((true, "keep")))
+    assert(got(2L) == ((false, "duplicate")))
+    assert(got(3L) == ((false, "too_short")))
+    assert(got(4L) == ((false, "too_short")), "earlier rule must outrank 'duplicate'")
+    assert(got(5L) == ((false, "stopword_ratio")))
+  }
+
   test("x15/x16 extraction recovers the synthesized names and slugs") {
     val x15 = SpecExtractors.x15SrcName.fn(spark, sf0001)
     // the extracted card_name must equal p_name for every part
