@@ -485,6 +485,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental 64-bit-band near-dup: pairs at Hamming <= `maxHamming`
+    * touching a NEW batch — (new x store) plus (new x new) — without
+    * recomputing stored signatures. Store bands join against batch bands
+    * only, so work scales with batch size, not corpus size: the production
+    * ingest shape (the banded twin of [[lshCandidatesIncremental]]).
+    * `storeBands` is the persisted/written (doc_id, simhash, band_id,
+    * band_val) relation of [[simhash64Bands]]. */
+  def simhashNearDupIncremental(storeBands: DataFrame, newDocs: DataFrame,
+                                maxHamming: Int = 3): DataFrame = {
+    val newBands = simhash64Bands(newDocs)
+    val allBands = storeBands.union(newBands)
+    allBands.select(col("band_id"), col("band_val"),
+        col("doc_id").as("ida"), col("simhash").as("ha"))
+      .join(newBands.select(col("band_id"), col("band_val"),
+        col("doc_id").as("idb"), col("simhash").as("hb")),
+        Seq("band_id", "band_val"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        // simhash of the pair in (doc_a, doc_b) order for the verify
+        when(col("ida") < col("idb"), col("ha")).otherwise(col("hb")).as("ha"),
+        when(col("ida") < col("idb"), col("hb")).otherwise(col("ha")).as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Persist the per-doc MinHash signature table. At 100 TB the sketch pass
     * is the expensive scan — storing (doc_id, mh0..7) once amortizes it
     * across every later dedup run, and the table is ~16 bytes/doc. */

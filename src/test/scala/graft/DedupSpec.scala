@@ -232,6 +232,18 @@ class DedupSpec extends SparkSpec {
     assert(inc.forall { case (a, b) => a < b })
   }
 
+  test("incremental 64-band near-dup finds exactly the new-touching pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val store = Dedup.simhash64Bands(docs.filter($"doc_id" < 400))
+    val batch = docs.filter($"doc_id" >= 400)
+    val inc = Dedup.simhashNearDupIncremental(store, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.simhashNearDupPairs(Dedup.simhash64Bands(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full.filter { case (a, b) => a >= 400 || b >= 400 })
+    assert(inc.forall { case (a, b) => a < b })
+  }
+
   test("neardup band join survives a degenerate all-one-bucket skew") {
     // 200 identical docs: every doc lands in the SAME bucket of every band
     // (the skew shape ADVICE flagged for the collect_list expansion) plus a
