@@ -132,13 +132,18 @@ object Bench {
     val (tot1, st1) = procStat()
     val stealPct =
       if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
-    val cleanRef = sys.env.getOrElse("SPARK_GRAFT_CLEAN_TOTAL", "13.0").toDouble
+    // The default clean-total reference is calibrated to the judged sf0.1
+    // sweep ONLY; for any other SF dir the ratio check is meaningless (an
+    // sf1 run is legitimately ~5x slower) so it applies only when the
+    // caller provides a reference. The steal check always applies.
+    val cleanRef = sys.env.get("SPARK_GRAFT_CLEAN_TOTAL").map(_.toDouble)
+      .orElse(if (sfDir.endsWith("sf0.1")) Some(13.0) else None)
     val firstTotal = remeasured.map(_._2).sum
-    val poisoned = stealPct > 1.0 || firstTotal > 1.5 * cleanRef
+    val poisoned = stealPct > 1.0 || cleanRef.exists(r => firstTotal > 1.5 * r)
     val finalResults =
       if (poisoned) {
         System.err.println(
-          f"[bench] POISONED window (steal $stealPct%.2f%%, total $firstTotal%.2fs vs clean ref $cleanRef%.1fs) — re-running sweep")
+          f"[bench] POISONED window (steal $stealPct%.2f%%, total $firstTotal%.2fs vs clean ref ${cleanRef.getOrElse(Double.NaN)}%.1fs) — re-running sweep")
         val second = sweep(5, 2).toMap
         remeasured.map { case (k, v) => k -> math.min(v, second.getOrElse(k, v)) }
       } else remeasured
@@ -149,7 +154,10 @@ object Bench {
       .mkString("{", ",", "}")
     val headlineTotal = headline.flatMap(byName.get).sum
     val allTotal = finalResults.map(_._2).sum
-    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all_queries":$allTotal,"sf":"$sfDir","steal_pct":${f"$stealPct%.3f"},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"retried":$poisoned}""")
+    // Double.toString is locale-independent; the f interpolator is NOT
+    // (a comma-decimal locale would corrupt the JSON), so round via math
+    val steal3 = math.round(stealPct * 1000.0) / 1000.0
+    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all_queries":$allTotal,"sf":"$sfDir","steal_pct":$steal3,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"retried":$poisoned}""")
     spark.stop()
   }
 }

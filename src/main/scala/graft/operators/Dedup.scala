@@ -495,7 +495,11 @@ object Dedup {
   def simhashNearDupIncremental(storeBands: DataFrame, newDocs: DataFrame,
                                 maxHamming: Int = 3): DataFrame = {
     val newBands = simhash64Bands(newDocs)
-    val allBands = storeBands.union(newBands)
+    // unionByName: a store that was written/projected with a different
+    // column order (e.g. partitioned by band) must not silently match
+    // doc ids against band ids the way a positional union would
+    val allBands = storeBands.select("doc_id", "simhash", "band_id", "band_val")
+      .unionByName(newBands.select("doc_id", "simhash", "band_id", "band_val"))
     allBands.select(col("band_id"), col("band_val"),
         col("doc_id").as("ida"), col("simhash").as("ha"))
       .join(newBands.select(col("band_id"), col("band_val"),

@@ -32,7 +32,15 @@ object PortCoPipeline {
     * every page twice; [[ldJsonScripts]] stays as the spec-matched
     * declarative twin. Keyed by the pages plan's semantic hash, so distinct
     * page relations (different SF dirs, different fixtures) get distinct
-    * artifact relations within a session; non-`html` columns pass through. */
+    * artifact relations within a session; non-`html` columns pass through.
+    *
+    * Cache lifetime: entries live until the session stops (graft.Persisted
+    * is session-scoped by design — same contract as the sketch/term
+    * stores); a job cycling through MANY distinct page corpora in one
+    * session should `spark.catalog.clearCache()` between corpora or manage
+    * its own artifacts relation. The 32-bit plan-hash key means two
+    * semantically different corpora collide with ~2^-32 probability per
+    * pair — accepted, like Spark's own statistics-hash shortcuts. */
   def pageArtifacts(pages: DataFrame): DataFrame = {
     val passthrough = pages.columns.filterNot(_ == "html").map(col).toSeq
     graft.Persisted.of(pages.sparkSession,
@@ -51,11 +59,15 @@ object PortCoPipeline {
     transform(graft.plans.htmlClassElements(html), e => e.getField("cls"))
 
   /** Ranked candidate card classes per firm: tokenize (X19), blacklist
-    * (F11), rank A/B/C by word-subset match (X20), dedup + stable sort (A6). */
+    * (F11), rank A/B/C by word-subset match (X20), dedup + stable sort
+    * (A6). Reads the persisted [[pageArtifacts]] relation, so a session
+    * running step-2 AND the step-3 pipeline over the same pages pays the
+    * page walk once, not twice. */
   def cardClasses(pages: DataFrame): DataFrame =
-    pages.select(col("firm_name"), explode(classAttrs(col("html"))).as("cls"))
-      .select(col("firm_name"), normText(col("cls")).as("cls"),
-        classTokens(normText(col("cls"))).as("tokens"))
+    pageArtifacts(pages)
+      .select(col("firm_name"), explode(col("els")).as("e"))
+      .select(col("firm_name"), normText(col("e.cls")).as("cls"))
+      .select(col("firm_name"), col("cls"), classTokens(col("cls")).as("tokens"))
       .filter(!classBlacklisted(col("tokens")))
       .withColumn("rank", classRank(col("tokens")))
       .filter(col("rank").isNotNull)

@@ -14,6 +14,32 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Shared quality-metric definitions — [[taQuality]] (the score) and
+    * [[keepFilter]] (the gate) read THESE, on both the Spark and the
+    * DuckDB side, so a retuned stopword list or metric formula can never
+    * make the two silently disagree (the scattered-constants hazard
+    * Rubric.scala closes for the portco weights). */
+  private object Metrics {
+    import org.apache.spark.sql.Column
+    def norm: Column = normText(col("text"))
+    def words: Column = split(norm, " ")
+    def nTok: Column = size(words)
+    def stopCnt: Column = size(filter(words, x => x.isin(Stopwords: _*)))
+    def stopRatio: Column = stopCnt.cast("double") / nTok
+    def awl: Column = (length(norm) - (nTok - 1)).cast("double") / nTok
+
+    val stopOrSql: String = Stopwords.map(s => s"x = '$s'").mkString(" OR ")
+    /** CTE body: (doc_id, norm, words) from documents. */
+    val normCteSql: String =
+      """SELECT doc_id, md5(text) AS h,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents""".stripMargin
+    val stopCntSql: String = s"len(list_filter(words, x -> $stopOrSql))"
+    val stopRatioSql: String = s"CAST($stopCntSql AS DOUBLE) / len(words)"
+    val awlSql: String = "CAST(length(norm) - (len(words) - 1) AS DOUBLE) / len(words)"
+  }
+
   /** (cand_lang, marker) heuristic profile — broadcast lookup table, the
     * Spark analogue of the reference's planned YAML rubric config tables
     * (SURVEY.md §1.1). */
@@ -67,30 +93,23 @@ object TextAnalysis {
   }
 
   /** Quality scoring: token count, stopword ratio, mean word length,
-    * composite score — fixed left-to-right double arithmetic for parity. */
+    * composite score — fixed left-to-right double arithmetic for parity.
+    * Metric definitions come from [[Metrics]], shared with the
+    * [[keepFilter]] gate on both engines. */
   val taQuality: QueryDef = {
-    val stopOr = Stopwords.map(s => s"x = '$s'").mkString(" OR ")
     QueryDef("ta_quality",
       s"""WITH t AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
-        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
-        |  FROM documents)
+        |  ${Metrics.normCteSql})
         |SELECT doc_id,
         |  CAST(len(words) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_filter(words, x -> $stopOr)) AS BIGINT) AS stop_cnt,
-        |  CAST(len(list_filter(words, x -> $stopOr)) AS DOUBLE) / len(words) AS stop_ratio,
-        |  CAST(length(norm) - (len(words) - 1) AS DOUBLE) / len(words) AS avg_word_len,
+        |  CAST(${Metrics.stopCntSql} AS BIGINT) AS stop_cnt,
+        |  ${Metrics.stopRatioSql} AS stop_ratio,
+        |  ${Metrics.awlSql} AS avg_word_len,
         |  (CASE WHEN len(words) BETWEEN 20 AND 300 THEN 0.5 ELSE 0.0 END
-        |   + (1.0 - CAST(len(list_filter(words, x -> $stopOr)) AS DOUBLE) / len(words)) * 0.3
-        |   + CASE WHEN CAST(length(norm) - (len(words) - 1) AS DOUBLE) / len(words) BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) AS quality
+        |   + (1.0 - ${Metrics.stopRatioSql}) * 0.3
+        |   + CASE WHEN ${Metrics.awlSql} BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) AS quality
         |FROM t""".stripMargin) { (spark, d) =>
-      val norm = normText(col("text"))
-      val words = split(norm, " ")
-      val nTok = size(words)
-      val stopCnt = size(filter(words, x => x.isin(Stopwords: _*)))
-      val stopRatio = stopCnt.cast("double") / nTok
-      val awl = (length(norm) - (nTok - 1)).cast("double") / nTok
+      import Metrics._
       val quality =
         when(nTok.between(20, 300), 0.5).otherwise(0.0) +
           (lit(1.0) - stopRatio) * 0.3 +
@@ -239,17 +258,13 @@ object TextAnalysis {
     * engine (float comparisons see bit-identical doubles: same integer
     * inputs, same single division). */
   val taKeepFilter: QueryDef = {
-    val stopOr = Stopwords.map(s => s"x = '$s'").mkString(" OR ")
     QueryDef("ta_keep_filter",
       s"""WITH t AS (
-        |  SELECT doc_id, md5(text) AS h,
-        |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
-        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
-        |  FROM documents),
+        |  ${Metrics.normCteSql}),
         |m AS (
         |  SELECT doc_id, h, CAST(len(words) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_filter(words, x -> $stopOr)) AS DOUBLE) / len(words) AS stop_ratio,
-        |    CAST(length(norm) - (len(words) - 1) AS DOUBLE) / len(words) AS awl
+        |    ${Metrics.stopRatioSql} AS stop_ratio,
+        |    ${Metrics.awlSql} AS awl
         |  FROM t),
         |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keeper FROM m),
         |r AS (
@@ -269,17 +284,14 @@ object TextAnalysis {
   /** The keep-gate over any `(doc_id, text)` relation (see [[taKeepFilter]]
     * for the rule cascade and oracle). */
   def keepFilter(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val norm = normText(col("text"))
-    val words = split(norm, " ")
-    val nTok = size(words)
-    val stopCnt = size(filter(words, x => x.isin(Stopwords: _*)))
+    import Metrics._
     // metrics in the scan stage; the keeper shuffle carries only
     // (doc_id, digest, 3 numbers)
     val metrics = docs.select(
       col("doc_id"), md5(col("text")).as("h"),
       nTok.cast("long").as("n_tokens"),
-      (stopCnt.cast("double") / nTok).as("stop_ratio"),
-      ((length(norm) - (nTok - 1)).cast("double") / nTok).as("awl"))
+      stopRatio.as("stop_ratio"),
+      awl.as("awl"))
     val withKeeper = metrics.withColumn("keeper",
       min("doc_id").over(Window.partitionBy("h")))
     val reason =

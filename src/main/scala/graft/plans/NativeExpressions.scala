@@ -514,11 +514,19 @@ object HtmlUtil {
     * HTML the page walk IS the pipeline cost, so the fused scan halves it.
     * Script-body semantics mirror the declarative
     * `regexp_extract_all(html, '(?si)<script[^>]*ld\\+json[^>]*>(.*?)</script>', 1)`
-    * twin (spec-matched): body runs from the opening tag's '>' to the
-    * first real close tag, scripts left unclosed at EOF yield nothing.
-    * Divergence only on pathological markup: a close tag written with
-    * trailing junk (`</script foo>`) is accepted here (lxml-style) but not
-    * by the literal-`</script>` regex. */
+    * twin (spec-matched on canonical markup): body runs from the opening
+    * tag's '>' to the first real close tag, scripts left unclosed at EOF
+    * yield nothing.
+    *
+    * Known divergences from the regex twin, all cases where the regex
+    * misreads HTML and this scanner is the parser-correct reading:
+    *  - a quoted '>' inside the opening tag (`<script data-x="a>b"
+    *    type=...ld+json...>`): the regex's `[^>]*` stops at the quoted '>'
+    *    and misses the script; the scanner tracks quotes and collects it;
+    *  - a self-closed `<script .../>`: the regex can swallow the FOLLOWING
+    *    plain script's body; the scanner emits nothing for a bodyless tag;
+    *  - a close tag with trailing junk (`</script foo>`) is accepted here
+    *    (lxml-style) but not by the literal-`</script>` regex. */
   def pageScan(html: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     if (html == null) return null
     val s = html.toString
