@@ -46,4 +46,29 @@ object Persisted {
         df
       }
     }
+
+  /** Explicitly release entries of a live session whose key starts with
+    * `keyPrefix` ("" = all): unpersists the cache blocks and forgets the
+    * entry, so the next `of` rebuilds. This is the release valve for jobs
+    * cycling through many distinct corpora in ONE session (e.g. per-batch
+    * page-artifact relations keyed by plan hash) — without it, entries
+    * live until session stop by design. Returns the number released. */
+  def clear(spark: SparkSession, keyPrefix: String = ""): Int =
+    cache.synchronized {
+      val m = cache.get(spark)
+      if (m == null) 0
+      else {
+        val it = m.entrySet().iterator()
+        var n = 0
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey.startsWith(keyPrefix)) {
+            e.getValue.unpersist()
+            it.remove()
+            n += 1
+          }
+        }
+        n
+      }
+    }
 }

@@ -37,10 +37,11 @@ object PortCoPipeline {
     * Cache lifetime: entries live until the session stops (graft.Persisted
     * is session-scoped by design — same contract as the sketch/term
     * stores); a job cycling through MANY distinct page corpora in one
-    * session should `spark.catalog.clearCache()` between corpora or manage
-    * its own artifacts relation. The 32-bit plan-hash key means two
-    * semantically different corpora collide with ~2^-32 probability per
-    * pair — accepted, like Spark's own statistics-hash shortcuts. */
+    * session should release between corpora via
+    * `graft.Persisted.clear(spark, "portco_pages#")`. The 32-bit plan-hash
+    * key means two semantically different corpora collide with ~2^-32
+    * probability per pair — accepted, like Spark's own statistics-hash
+    * shortcuts. */
   def pageArtifacts(pages: DataFrame): DataFrame = {
     val passthrough = pages.columns.filterNot(_ == "html").map(col).toSeq
     graft.Persisted.of(pages.sparkSession,

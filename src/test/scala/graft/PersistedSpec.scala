@@ -25,6 +25,24 @@ class PersistedSpec extends SparkSpec {
     assert(a.count() == 1 && b.count() == 2)
   }
 
+  test("clear releases matching entries and the next of() rebuilds") {
+    var builds = 0
+    def build = { builds += 1; Seq(1, 2).toDF("x") }
+    val a = Persisted.of(spark, "spec#clear/one")(build)
+    Persisted.of(spark, "spec#clear/two")(Seq(9).toDF("x"))
+    Persisted.of(spark, "spec#keepme")(Seq(9).toDF("x"))
+    assert(builds == 1)
+    // prefix-scoped release: unpersists and forgets only matching keys
+    assert(Persisted.clear(spark, "spec#clear/") == 2)
+    assert(a.storageLevel == StorageLevel.NONE, "cleared entry must be unpersisted")
+    val a2 = Persisted.of(spark, "spec#clear/one")(build)
+    assert(builds == 2, "next of() after clear must rebuild")
+    assert(!(a eq a2))
+    // the untouched entry survived
+    val keep = Persisted.of(spark, "spec#keepme")(Seq(0).toDF("x"))
+    assert(keep.count() == 1)
+  }
+
   test("cached relation is shared across both sides of a self-join plan") {
     val r = Persisted.of(spark, "spec#selfjoin")(
       Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v"))
