@@ -89,6 +89,18 @@ object PortCoPipeline {
   def cards(pages: DataFrame): DataFrame =
     cardsFromArtifacts(pageArtifacts(pages))
 
+  /** Persisted ENRICHED card relation: the explode + rank/blacklist filters
+    * + per-card signals (domains, X22 hint) materialized once per
+    * (session, pages plan) — feature extraction is compute-once, the same
+    * store design as the term/sketch relations. Consumers (scoring,
+    * attempt2) reuse the extraction instead of re-deriving it, and their
+    * own plans shrink to joins/aggregates over an InMemoryRelation. */
+  def cardsRelation(pages: DataFrame): DataFrame =
+    graft.Persisted.of(pages.sparkSession,
+      "portco_cards#" + pages.queryExecution.analyzed.semanticHash()) {
+      cardsFromArtifacts(pageArtifacts(pages))
+    }
+
   private[operators] def cardsFromArtifacts(arts: DataFrame): DataFrame =
     arts.select(col("firm_name"), explode(col("els")).as("e"))
       .select(col("firm_name"), col("e.el").as("el"),
@@ -178,6 +190,15 @@ object PortCoPipeline {
   def entities(pages: DataFrame): DataFrame =
     entitiesFromArtifacts(pageArtifacts(pages))
 
+  /** Persisted enriched entity relation (JSON-LD nodes expanded, fields
+    * parsed, F8/F9/F10 applied) — the entity-side twin of
+    * [[cardsRelation]]. */
+  def entitiesRelation(pages: DataFrame): DataFrame =
+    graft.Persisted.of(pages.sparkSession,
+      "portco_entities#" + pages.queryExecution.analyzed.semanticHash()) {
+      entitiesFromArtifacts(pageArtifacts(pages))
+    }
+
   private[operators] def entitiesFromArtifacts(arts: DataFrame): DataFrame =
     arts
       .select(col("firm_name"), col("firm_url"),
@@ -222,11 +243,12 @@ object PortCoPipeline {
     * `el in script.find_parents()`). Empty-string domains never match
     * (the reference's `if entity["_url_domain"] and ...` falsy guard). */
   def scoredEntities(pages: DataFrame): DataFrame = {
-    // both sides explode off the SAME persisted single-pass projection of
-    // the page corpus — one scan of `html`, not two (VERDICT r5 #4)
-    val arts = pageArtifacts(pages)
-    val ents = entitiesFromArtifacts(arts)
-    val cs = cardsFromArtifacts(arts)
+    // both sides derive from the SAME persisted single-pass projection of
+    // the page corpus — one scan of `html`, not two (VERDICT r5 #4) — and
+    // are themselves persisted as enriched relations, so the scoring join
+    // reads two InMemoryRelations instead of replaying the extraction
+    val ents = entitiesRelation(pages)
+    val cs = cardsRelation(pages)
     val joined = ents.join(cs, Seq("firm_name"), "left")
     val entDom = urlDomain(col("url"))
     val logoDom = urlDomain(col("logo"))
@@ -331,7 +353,7 @@ object PortCoPipeline {
       .when(col("step3_method") === 2, imgAlts)
       .otherwise(figs)
     val high = col("rank").isin("A", "B")
-    cards(pages)
+    cardsRelation(pages)
       .withColumn("step3_method", method)
       .filter(col("step3_method").isNotNull)
       .withColumn("extraction_rank",
