@@ -215,6 +215,27 @@ class PlansSpec extends SparkSpec {
     assert(scripts == viaRegex)
   }
 
+  test("graft_html_page_scan: parser-correct where the regex twin misreads (documented divergences)") {
+    import spark.implicits._
+    def scriptsOf(html: String): Seq[String] =
+      Seq(html).toDF("h").select(graft.plans.htmlPageScan(col("h")).as("ps"))
+        .select(col("ps.scripts")).collect().head.getSeq[String](0)
+    // a quoted '>' inside the opening tag: the regex's [^>]* stops at it
+    // and misses the script; the quote-aware scanner collects it
+    assert(scriptsOf(
+      """<script data-x="a>b" type="application/ld+json">{"x":1}</script>""") ==
+      Seq("""{"x":1}"""))
+    // a self-closed ld+json script is bodyless here; the regex would
+    // swallow the FOLLOWING plain script's body as the ld+json payload
+    assert(scriptsOf(
+      """<script type="application/ld+json"/><script>var x = 1</script>""") ==
+      Seq.empty)
+    // close tag with trailing junk is accepted (lxml-style recovery)
+    assert(scriptsOf(
+      """<script type="application/ld+json">{"y":2}</script foo>""") ==
+      Seq("""{"y":2}"""))
+  }
+
   test("graft_json_key_long: first-matching-key probe semantics + declarative twin") {
     import spark.implicits._
     val df = Seq(
