@@ -262,6 +262,104 @@ object Similarity {
     }
   }
 
+  // ---- SQ8 compressed-domain scan + exact re-rank ----
+
+  /** (vec_id, code, s127, q, norm): int8-style scalar quantization — per
+    * vector, scale s127 = max|x| / 127 and code_i = round(x_i / s127) in
+    * [-127, 127] — alongside the exact quantized vector + norm, persisted
+    * once per session. The compressed-domain ANN store: the approximate
+    * scan reads 1-byte-range codes (4x less memory bandwidth than f32; the
+    * dominant cost of a 100 TB brute scan is bytes moved), and the exact
+    * columns serve the re-rank. Codes ride an array<bigint> here — the
+    * VALUE range is int8; a deployment would pack them into BinaryType via
+    * a native expression, a storage-format change that does not affect the
+    * query semantics tested here. Zero vectors quantize to all-zero codes. */
+  def sq8Relation(spark: SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#emb_sq8") {
+      qnormRelation(spark, d)
+        .join(Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("vec_id"), col("q"), col("norm"),
+          (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
+            .as("s127"),
+          col("embedding"))
+        .select(col("vec_id"), col("q"), col("norm"), col("s127"),
+          when(col("s127") > 0,
+            transform(col("embedding"), x => round(x.cast("double") / col("s127")).cast("long")))
+            .otherwise(transform(col("embedding"), _ => lit(0L))).as("code"))
+    }
+
+  /** SQ8 two-phase ANN (the FAISS scalar-quantizer pattern): phase 1 scores
+    * the WHOLE corpus per probe in the compressed domain — integer code
+    * dot, rescaled by (s127_a * s127_b) and normalized, round(6) — keeping
+    * the top 10; phase 2 re-ranks those candidates with the exact
+    * quantized cosine and emits the top 3. The approximate ordering
+    * differs from the exact one (that is the point — it is computed from
+    * 1/4 the bytes); the re-rank restores exactness within the candidate
+    * set, and every arithmetic step is deterministic on both engines.
+    * Probes vec_id < 50. */
+  val simSq8Rerank: QueryDef = {
+    val k = 3
+    val cand = 10
+    QueryDef("sim_sq8_rerank",
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |mx AS (SELECT vec_id, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s127 FROM e),
+        |cd AS (SELECT e.vec_id, mx.s127,
+        |    CASE WHEN mx.s127 > 0
+        |         THEN list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) / mx.s127) AS BIGINT))
+        |         ELSE list_transform(e.embedding, x -> CAST(0 AS BIGINT)) END AS code
+        |  FROM e JOIN mx ON mx.vec_id = e.vec_id),
+        |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM e),
+        |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q),
+        |approx AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    round(CAST(list_sum(list_transform(generate_series(1, len(a.code)), i -> a.code[i] * b.code[i])) AS DOUBLE)
+        |      * a.s127 * b.s127 / ((na.norm / 100000000.0) * (nb.norm / 100000000.0)), 6) AS acos
+        |  FROM cd a JOIN cd b ON a.vec_id < 50 AND a.vec_id <> b.vec_id
+        |  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id),
+        |top AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY acos DESC, nid) AS rn
+        |  FROM approx) t WHERE rn <= $cand),
+        |exact AS (
+        |  SELECT t.qid, t.nid,
+        |    round(CAST(list_sum(list_transform(generate_series(1, len(x.qv)), i -> x.qv[i] * y.qv[i])) AS DOUBLE)
+        |      / (na.norm * nb.norm), 6) AS cosine
+        |  FROM top t JOIN q x ON x.vec_id = t.qid JOIN q y ON y.vec_id = t.nid
+        |  JOIN norms na ON na.vec_id = t.qid JOIN norms nb ON nb.vec_id = t.nid)
+        |SELECT qid, nid, cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        |  FROM exact) t WHERE rn <= $k""".stripMargin) { (spark, d) =>
+      val r = sq8Relation(spark, d)
+      // per-side norm/1e8 FIRST, then multiply — the oracle parenthesizes
+      // identically, so the IEEE doubles match bit-for-bit; the exact phase
+      // divides by the raw quantized norms like sparkTopKDec
+      val p = r.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("code").as("ca"),
+          col("s127").as("sa"), col("q").as("qa"),
+          (col("norm") / 1e8).as("na"), col("norm").as("qna"))
+      val c = r.select(col("vec_id").as("nid"), col("code").as("cb"),
+        col("s127").as("sb"), col("q").as("qb"),
+        (col("norm") / 1e8).as("nb"), col("norm").as("qnb"))
+      // phase 1: compressed-domain scan — integer code dot, rescaled
+      val approx = broadcast(p).crossJoin(c).filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), col("qa"), col("qb"),
+          col("qna"), col("qnb"),
+          round(graft.plans.dotQNative(col("ca"), col("cb")).cast("double") *
+            col("sa") * col("sb") / (col("na") * col("nb")), 6).as("acos"))
+      val wApprox = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
+      val cands = approx.withColumn("rn", row_number().over(wApprox))
+        .filter(col("rn") <= cand)
+      // phase 2: exact re-rank within the candidate set
+      val exact = cands.select(col("qid"), col("nid"),
+        round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
+          (col("qna") * col("qnb")), 6).as("cosine"))
+      val wExact = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+      exact.withColumn("rn", row_number().over(wExact)).filter(col("rn") <= k)
+        .select("qid", "nid", "cosine")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
-    simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup)
+    simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
+    simSq8Rerank)
 }
