@@ -136,8 +136,10 @@ object Bench {
     // sweep ONLY; for any other SF dir the ratio check is meaningless (an
     // sf1 run is legitimately ~5x slower) so it applies only when the
     // caller provides a reference. The steal check always applies.
+    // basename match (File strips trailing slashes), so "/…/sf0.1/" still
+    // gets the reference and "/…/mysf0.1" never does
     val cleanRef = sys.env.get("SPARK_GRAFT_CLEAN_TOTAL").map(_.toDouble)
-      .orElse(if (sfDir.endsWith("sf0.1")) Some(13.0) else None)
+      .orElse(if (new java.io.File(sfDir).getName == "sf0.1") Some(13.0) else None)
     val firstTotal = remeasured.map(_._2).sum
     val poisoned = stealPct > 1.0 || cleanRef.exists(r => firstTotal > 1.5 * r)
     val finalResults =

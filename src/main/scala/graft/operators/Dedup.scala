@@ -491,14 +491,30 @@ object Dedup {
     * only, so work scales with batch size, not corpus size: the production
     * ingest shape (the banded twin of [[lshCandidatesIncremental]]).
     * `storeBands` is the persisted/written (doc_id, simhash, band_id,
-    * band_val) relation of [[simhash64Bands]]. */
+    * band_val) relation of [[simhash64Bands]].
+    *
+    * Re-ingested ids: a doc_id present in BOTH store and batch (a recrawl)
+    * is superseded — its store rows are anti-joined away, so the batch's
+    * fresh signature is the only one that pairs (otherwise the stale and
+    * fresh signatures would emit conflicting duplicate pair rows). The
+    * batch bands are persisted per (session, batch plan) — the plan is
+    * referenced by both join sides, and without the persist the batch's
+    * sketch pass would run twice per call; release per-batch entries with
+    * `graft.Persisted.clear(spark, "simhash64_batch#")`. */
   def simhashNearDupIncremental(storeBands: DataFrame, newDocs: DataFrame,
                                 maxHamming: Int = 3): DataFrame = {
-    val newBands = simhash64Bands(newDocs)
+    val spark = newDocs.sparkSession
+    val newBands = graft.Persisted.of(spark,
+      "simhash64_batch#" + newDocs.queryExecution.analyzed.semanticHash()) {
+      simhash64Bands(newDocs)
+    }
     // unionByName: a store that was written/projected with a different
     // column order (e.g. partitioned by band) must not silently match
-    // doc ids against band ids the way a positional union would
-    val allBands = storeBands.select("doc_id", "simhash", "band_id", "band_val")
+    // doc ids against band ids the way a positional union would;
+    // left_anti: batch supersedes store for re-ingested ids
+    val liveStore = storeBands.select("doc_id", "simhash", "band_id", "band_val")
+      .join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val allBands = liveStore
       .unionByName(newBands.select("doc_id", "simhash", "band_id", "band_val"))
     allBands.select(col("band_id"), col("band_val"),
         col("doc_id").as("ida"), col("simhash").as("ha"))
@@ -529,7 +545,11 @@ object Dedup {
   /** Incremental LSH: candidate pairs touching a NEW batch of documents —
     * (new x store) plus (new x new) — without recomputing stored sketches.
     * Bands of the store are joined against bands of the batch only, so
-    * work scales with batch size, not corpus size. */
+    * work scales with batch size, not corpus size. Same ingest contract as
+    * [[simhashNearDupIncremental]]: re-ingested ids supersede their store
+    * rows, and the batch signatures are persisted per (session, batch
+    * plan) so the sketch pass runs once per call, not once per plan
+    * reference (release with `Persisted.clear(spark, "minhash_batch#")`). */
   def lshCandidatesIncremental(storeSigs: DataFrame, newDocs: DataFrame): DataFrame = {
     def bandsOf(sigs: DataFrame): DataFrame =
       sigs.select(col("doc_id"), explode(array((0 until 4).map { bid =>
@@ -537,9 +557,13 @@ object Dedup {
           concat_ws(",", col(s"mh${2 * bid}").cast("string"),
             col(s"mh${2 * bid + 1}").cast("string")).as("band_sig"))
       }: _*)).as("band")).select(col("doc_id"), col("band.*"))
-    val newSigs = minhashNativeDF(newDocs)
+    val newSigs = graft.Persisted.of(newDocs.sparkSession,
+      "minhash_batch#" + newDocs.queryExecution.analyzed.semanticHash()) {
+      minhashNativeDF(newDocs)
+    }
     val newBands = bandsOf(newSigs)
-    val allBands = bandsOf(storeSigs).union(newBands)
+    val liveStore = storeSigs.join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val allBands = bandsOf(liveStore).union(newBands)
     // right side is always the new batch; canonicalize with least/greatest
     // so store-new pairs survive regardless of id order
     allBands.select(col("band_id"), col("band_sig"), col("doc_id").as("ida"))

@@ -38,7 +38,9 @@ object PortCoPipeline {
     * is session-scoped by design — same contract as the sketch/term
     * stores); a job cycling through MANY distinct page corpora in one
     * session should release between corpora via
-    * `graft.Persisted.clear(spark, "portco_pages#")`. The 32-bit plan-hash
+    * `graft.Persisted.clear(spark, "portco_")` — the prefix covers this
+    * relation AND the enriched card/entity stores derived from it
+    * ([[cardsRelation]]/[[entitiesRelation]]). The 32-bit plan-hash
     * key means two semantically different corpora collide with ~2^-32
     * probability per pair — accepted, like Spark's own statistics-hash
     * shortcuts. */

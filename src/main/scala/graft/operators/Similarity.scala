@@ -335,24 +335,33 @@ object Similarity {
       // divides by the raw quantized norms like sparkTopKDec
       val p = r.filter(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("code").as("ca"),
-          col("s127").as("sa"), col("q").as("qa"),
-          (col("norm") / 1e8).as("na"), col("norm").as("qna"))
+          col("s127").as("sa"), (col("norm") / 1e8).as("na"))
       val c = r.select(col("vec_id").as("nid"), col("code").as("cb"),
-        col("s127").as("sb"), col("q").as("qb"),
-        (col("norm") / 1e8).as("nb"), col("norm").as("qnb"))
-      // phase 1: compressed-domain scan — integer code dot, rescaled
+        col("s127").as("sb"), (col("norm") / 1e8).as("nb"))
+      // phase 1: compressed-domain scan — integer code dot, rescaled.
+      // Emits ONLY (qid, nid, acos): the full-corpus rows pass through the
+      // per-probe top-10 window carrying three scalars, never the exact
+      // vectors — carrying q through this shuffle would move more bytes
+      // than the code scan saves and defeat the compressed-domain design
+      // (the oracle's `top` CTE keeps only ids for the same reason).
       val approx = broadcast(p).crossJoin(c).filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"), col("qa"), col("qb"),
-          col("qna"), col("qnb"),
+        .select(col("qid"), col("nid"),
           round(graft.plans.dotQNative(col("ca"), col("cb")).cast("double") *
             col("sa") * col("sb") / (col("na") * col("nb")), 6).as("acos"))
       val wApprox = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
       val cands = approx.withColumn("rn", row_number().over(wApprox))
         .filter(col("rn") <= cand)
-      // phase 2: exact re-rank within the candidate set
-      val exact = cands.select(col("qid"), col("nid"),
-        round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
-          (col("qna") * col("qnb")), 6).as("cosine"))
+        .select("qid", "nid")
+      // phase 2: the <=10-per-probe candidates join back to the persisted
+      // store for exact vectors + norms — exact work ∝ candidates, not corpus
+      val exact = cands
+        .join(r.select(col("vec_id").as("qid"), col("q").as("qa"),
+          col("norm").as("qna")), "qid")
+        .join(r.select(col("vec_id").as("nid"), col("q").as("qb"),
+          col("norm").as("qnb")), "nid")
+        .select(col("qid"), col("nid"),
+          round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
+            (col("qna") * col("qnb")), 6).as("cosine"))
       val wExact = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
       exact.withColumn("rn", row_number().over(wExact)).filter(col("rn") <= k)
         .select("qid", "nid", "cosine")

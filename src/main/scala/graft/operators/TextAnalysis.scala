@@ -269,7 +269,8 @@ object TextAnalysis {
         |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keeper FROM m),
         |r AS (
         |  SELECT doc_id,
-        |    CASE WHEN n_tokens < 20 THEN 'too_short'
+        |    CASE WHEN n_tokens IS NULL THEN 'too_short'
+        |         WHEN n_tokens < 20 THEN 'too_short'
         |         WHEN n_tokens > 300 THEN 'too_long'
         |         WHEN stop_ratio > 0.6 THEN 'stopword_ratio'
         |         WHEN NOT (awl BETWEEN 2.0 AND 10.0) THEN 'word_length'
@@ -295,7 +296,11 @@ object TextAnalysis {
     val withKeeper = metrics.withColumn("keeper",
       min("doc_id").over(Window.partitionBy("h")))
     val reason =
-      when(col("n_tokens") < 20, "too_short")
+      // NULL text nulls every metric; without this leading rule all the
+      // WHEN conditions would be skipped and a contentless row would fall
+      // through to 'keep' (same fix in the oracle's CASE)
+      when(col("n_tokens").isNull, "too_short")
+        .when(col("n_tokens") < 20, "too_short")
         .when(col("n_tokens") > 300, "too_long")
         .when(col("stop_ratio") > 0.6, "stopword_ratio")
         .when(!col("awl").between(2.0, 10.0), "word_length")

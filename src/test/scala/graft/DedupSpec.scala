@@ -244,6 +244,28 @@ class DedupSpec extends SparkSpec {
     assert(inc.forall { case (a, b) => a < b })
   }
 
+  test("incremental near-dup: a re-ingested id supersedes its store signature") {
+    // store holds docs < 450; the batch RE-INGESTS ids >= 350 with changed
+    // text plus ids >= 450 — the stale store signatures of 350..449 must
+    // not pair (no duplicate/conflicting rows), only the fresh ones
+    val docs = Tables.documents(spark, sf0001)
+    val store = Dedup.simhash64Bands(docs.filter($"doc_id" < 450))
+    val batch = docs.filter($"doc_id" >= 350)
+      .withColumn("text", concat(lit("recrawled marker "), col("text")))
+    val inc = Dedup.simhashNearDupIncremental(store, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // no duplicate (a, b) rows with conflicting hamming from stale sigs
+    assert(inc.map(t => (t._1, t._2)).distinct.length == inc.length,
+      "stale store signatures must not produce duplicate pair rows")
+    // reference: full recompute over the superseded corpus, new-touching only
+    val corpus = docs.filter($"doc_id" < 350).select("doc_id", "text")
+      .unionByName(batch.select("doc_id", "text"))
+    val full = Dedup.simhashNearDupPairs(Dedup.simhash64Bands(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.map(t => (t._1, t._2)).toSet ===
+      full.filter { case (a, b) => a >= 350 || b >= 350 })
+  }
+
   test("neardup band join survives a degenerate all-one-bucket skew") {
     // 200 identical docs: every doc lands in the SAME bucket of every band
     // (the skew shape ADVICE flagged for the collect_list expansion) plus a

@@ -189,7 +189,8 @@ class OperatorsSpec extends SparkSpec {
       (2L, good),                  // byte-identical dup of 1: 'duplicate'
       (3L, "too short"),           // fails rule 1
       (4L, "too short"),           // dup of 3, but too_short fires FIRST
-      (5L, ("a " * 40).trim)       // 40 tokens, stop_ratio 1.0: 'stopword_ratio'
+      (5L, ("a " * 40).trim),      // 40 tokens, stop_ratio 1.0: 'stopword_ratio'
+      (6L, null.asInstanceOf[String]) // NULL text: every metric nulls — must not fall through to keep
     ).toDF("doc_id", "text")
     val got = TextAnalysis.keepFilter(docs).collect()
       .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
@@ -198,6 +199,7 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((false, "too_short")))
     assert(got(4L) == ((false, "too_short")), "earlier rule must outrank 'duplicate'")
     assert(got(5L) == ((false, "stopword_ratio")))
+    assert(got(6L) == ((false, "too_short")), "NULL text must be rejected")
   }
 
   test("x15/x16 extraction recovers the synthesized names and slugs") {
