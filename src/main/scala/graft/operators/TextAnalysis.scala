@@ -310,7 +310,57 @@ object TextAnalysis {
       reason.as("reason"))
   }
 
+  // ---- PII scrubbing (the C4-style redaction pass) ----
+
+  /** Email / phone / bare-URL patterns — deliberately simple anchored
+    * regexes whose semantics are identical in Spark (Java regex) and
+    * DuckDB (RE2): no lookaround, no \b-adjacent unicode subtleties. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+  val UrlRe = "https?://[^ ]+"
+
+  /** Redact PII in `text`: emails -> <EMAIL>, then phones -> <PHONE>, then
+    * URLs -> <URL> — fixed order, so overlapping matches resolve
+    * identically everywhere. */
+  def scrub(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      UrlRe, "<URL>")
+
+  /** PII redaction over a synthesized contact-card corpus (the testdata
+    * documents carry no PII, so the oracle would be vacuous on them):
+    * per customer, a text embedding an email, a phone, and a URL. The
+    * query emits the scrubbed text plus per-kind match counts — the shape
+    * a curation pipeline logs for audit. Pure per-row regex work: scales
+    * as a scan, no shuffle at all. */
+  val taScrub = QueryDef("ta_scrub",
+    s"""SELECT c_custkey AS doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) || '@firm' || CAST(c_nationkey AS VARCHAR) || '.example.com or +1-555-' || CAST(100 + c_custkey % 900 AS VARCHAR) || '-' || CAST(1000 + c_custkey % 9000 AS VARCHAR) || ' see https://firm' || CAST(c_nationkey AS VARCHAR) || '.example.com/about for details',
+      |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$UrlRe', '<URL>', 'g') AS scrubbed,
+      |  CAST(1 AS BIGINT) AS n_emails, CAST(1 AS BIGINT) AS n_phones, CAST(1 AS BIGINT) AS n_urls
+      |FROM customer""".stripMargin) { (spark, d) =>
+    val text = concat(
+      lit("reach "), col("c_name"),
+      lit(" at user"), col("c_custkey").cast("string"),
+      lit("@firm"), col("c_nationkey").cast("string"),
+      lit(".example.com or +1-555-"),
+      (lit(100) + col("c_custkey") % 900).cast("string"), lit("-"),
+      (lit(1000) + col("c_custkey") % 9000).cast("string"),
+      lit(" see https://firm"), col("c_nationkey").cast("string"),
+      lit(".example.com/about for details"))
+    Tables.customer(spark, d).select(
+      col("c_custkey").as("doc_id"),
+      scrub(text).as("scrubbed"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(regexp_replace(text, EmailRe, "<EMAIL>"),
+        lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(text, lit(UrlRe), lit(0))).cast("long").as("n_urls"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
-    taKeepFilter)
+    taKeepFilter, taScrub)
 }
