@@ -494,16 +494,19 @@ object Dedup {
     * band_val) relation of [[simhash64Bands]].
     *
     * Re-ingested ids: a doc_id present in BOTH store and batch (a recrawl)
-    * is superseded — its store rows are anti-joined away, so the batch's
-    * fresh signature is the only one that pairs (otherwise the stale and
-    * fresh signatures would emit conflicting duplicate pair rows). The
-    * batch bands are persisted per (session, batch plan) — the plan is
-    * referenced by both join sides, and without the persist the batch's
-    * sketch pass would run twice per call; release per-batch entries with
-    * `graft.Persisted.clear(spark, "simhash64_batch#")`. */
+    * is superseded — its store rows are anti-joined away (against the ids
+    * of the persisted batch relation, not a second scan of the batch
+    * source), so the batch's fresh signature is the only one that pairs
+    * (otherwise the stale and fresh signatures would emit conflicting
+    * duplicate pair rows). The batch bands are persisted because the plan
+    * references them on both join sides AND in the anti-join — without the
+    * persist the sketch pass would run three times per call; the store
+    * holds ONLY the latest batch (the previous entry is cleared on entry),
+    * so a long ingest session's state stays bounded at one batch. */
   def simhashNearDupIncremental(storeBands: DataFrame, newDocs: DataFrame,
                                 maxHamming: Int = 3): DataFrame = {
     val spark = newDocs.sparkSession
+    graft.Persisted.clear(spark, "simhash64_batch#")
     val newBands = graft.Persisted.of(spark,
       "simhash64_batch#" + newDocs.queryExecution.analyzed.semanticHash()) {
       simhash64Bands(newDocs)
@@ -513,7 +516,7 @@ object Dedup {
     // doc ids against band ids the way a positional union would;
     // left_anti: batch supersedes store for re-ingested ids
     val liveStore = storeBands.select("doc_id", "simhash", "band_id", "band_val")
-      .join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(newBands.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     val allBands = liveStore
       .unionByName(newBands.select("doc_id", "simhash", "band_id", "band_val"))
     allBands.select(col("band_id"), col("band_val"),
@@ -547,9 +550,10 @@ object Dedup {
     * Bands of the store are joined against bands of the batch only, so
     * work scales with batch size, not corpus size. Same ingest contract as
     * [[simhashNearDupIncremental]]: re-ingested ids supersede their store
-    * rows, and the batch signatures are persisted per (session, batch
-    * plan) so the sketch pass runs once per call, not once per plan
-    * reference (release with `Persisted.clear(spark, "minhash_batch#")`). */
+    * rows (ids read from the persisted batch signatures, no second source
+    * scan), the batch sketch runs once per call, and only the LATEST
+    * batch's relation stays cached — bounded state across a long ingest
+    * session. */
   def lshCandidatesIncremental(storeSigs: DataFrame, newDocs: DataFrame): DataFrame = {
     def bandsOf(sigs: DataFrame): DataFrame =
       sigs.select(col("doc_id"), explode(array((0 until 4).map { bid =>
@@ -557,12 +561,14 @@ object Dedup {
           concat_ws(",", col(s"mh${2 * bid}").cast("string"),
             col(s"mh${2 * bid + 1}").cast("string")).as("band_sig"))
       }: _*)).as("band")).select(col("doc_id"), col("band.*"))
-    val newSigs = graft.Persisted.of(newDocs.sparkSession,
+    val spark = newDocs.sparkSession
+    graft.Persisted.clear(spark, "minhash_batch#")
+    val newSigs = graft.Persisted.of(spark,
       "minhash_batch#" + newDocs.queryExecution.analyzed.semanticHash()) {
       minhashNativeDF(newDocs)
     }
     val newBands = bandsOf(newSigs)
-    val liveStore = storeSigs.join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val liveStore = storeSigs.join(newSigs.select("doc_id"), Seq("doc_id"), "left_anti")
     val allBands = bandsOf(liveStore).union(newBands)
     // right side is always the new batch; canonicalize with least/greatest
     // so store-new pairs survive regardless of id order

@@ -266,6 +266,23 @@ class DedupSpec extends SparkSpec {
       full.filter { case (a, b) => a >= 350 || b >= 350 })
   }
 
+  test("incremental LSH: a re-ingested id supersedes its store signature") {
+    // same recrawl contract as the simhash twin, on the MinHash path
+    val docs = Tables.documents(spark, sf0001)
+    val store = Dedup.minhashNativeDF(docs.filter($"doc_id" < 450))
+    val batch = docs.filter($"doc_id" >= 350)
+      .withColumn("text", concat(lit("recrawled marker "), col("text")))
+    val inc = Dedup.lshCandidatesIncremental(store, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inc.distinct.length == inc.length,
+      "stale store signatures must not produce duplicate candidate rows")
+    val corpus = docs.filter($"doc_id" < 350).select("doc_id", "text")
+      .unionByName(batch.select("doc_id", "text"))
+    val full = Dedup.lshCandidatePairs(Dedup.minhashNativeDF(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc.toSet === full.filter { case (a, b) => a >= 350 || b >= 350 })
+  }
+
   test("neardup band join survives a degenerate all-one-bucket skew") {
     // 200 identical docs: every doc lands in the SAME bucket of every band
     // (the skew shape ADVICE flagged for the collect_list expansion) plus a
