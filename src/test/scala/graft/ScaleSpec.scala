@@ -41,6 +41,18 @@ class ScaleSpec extends SparkSpec {
     assert(cnt("nation") == Tables.nation(spark, sf0001).count())
   }
 
+  test("Inflate factor > 10 keeps the name/key correspondence (pad width adapts)") {
+    // lpad TRUNCATES longer inputs: with the old fixed width 9, factor 12
+    // pushes keys past 1e9 and names silently collide across replicas
+    val dst = java.nio.file.Files.createTempDirectory("graft_infl12").toString
+    Inflate.run(spark, sf0001, dst, 12)
+    val s = spark.read.parquet(s"$dst/supplier.parquet")
+    assert(s.select("s_name").distinct().count() == s.count(),
+      "key-embedding names must stay unique past the 1e9 key boundary")
+    // width follows the factor: max key 11*1e8+... has 10 digits
+    assert(s.filter(!col("s_name").rlike("^Supplier#\\d{10}$")).count() == 0)
+  }
+
   test("64-bit bands keep candidate buckets sparse where the 8-bit baseline saturates") {
     // Word-salted replicas (the Inflate documents transform, in-memory):
     // 3000 docs, shingle-disjoint across replicas, so there are no
