@@ -64,6 +64,32 @@ object StreamingEvents {
       }
   }
 
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user totals via mapGroupsWithState (the one-output-per-
+    * group sibling of [[sessionize]]'s flatMapGroupsWithState): each
+    * micro-batch emits the user's CUMULATIVE count and value sum, with the
+    * running totals riding in state. Update output mode — the natural
+    * shape for a continuously-refreshed aggregate feeding a serving store.
+    * State is two numbers per user; at scale the eviction policy would be
+    * a GroupStateTimeout on inactivity (NoTimeout here keeps the spec
+    * deterministic). */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserStats](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var v = v0
+          batch.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          UserStats(userId, n, v)
+      }
+  }
+
   /** Streaming first-seen dedup — the stateful twin of the batch W1/E3
     * family (the reference's seen-set at seed_aic.py:311): keep the FIRST
     * row per key, with dedup state BOUNDED by the watermark.

@@ -32,6 +32,26 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState running stats accumulate across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingEvents.runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("user_stats").outputMode("update").start()
+    try {
+      in.addData(Event(ts(1), 1L, "click", 2.0), Event(ts(2), 1L, "click", 3.0),
+        Event(ts(2), 2L, "click", 7.0))
+      q.processAllAvailable()
+      in.addData(Event(ts(3), 1L, "error", 5.0))
+      q.processAllAvailable()
+      // update mode: latest row per user carries the cumulative totals
+      val latest = spark.table("user_stats").as[StreamingEvents.UserStats]
+        .collect().groupBy(_.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      assert(latest(1L) == StreamingEvents.UserStats(1L, 3L, 10.0))
+      assert(latest(2L) == StreamingEvents.UserStats(2L, 1L, 7.0))
+    } finally q.stop()
+  }
+
   test("watermark-bounded streaming dedup keeps the first row per key across batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
