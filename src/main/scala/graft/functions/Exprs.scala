@@ -125,12 +125,29 @@ object Exprs {
 
   private def nonEmpty(c: Column): Column = when(length(c) > 0, c)
 
+  /** Attribute-value regex fragment accepting `"v"`, `'v'`, or unquoted —
+    * the quote-style-agnostic reading BeautifulSoup gives the reference
+    * (same rationale as the scanner's class extraction, ADVICE r5; a
+    * double-quote-only regex silently drops single-quoted/unquoted
+    * values). Group 1 captures the raw token INCLUDING its quotes;
+    * [[stripQuotes]] removes them — one alternation regex keeps "first
+    * occurrence in document order" semantics across quote styles. The
+    * required leading whitespace excludes `data-href`-style prefixed
+    * attribute names. */
+  private def attrRe(attr: String): String =
+    s"""\\s$attr\\s*=\\s*("[^"]*"|'[^']*'|[^\\s>"']+)"""
+  private def stripQuotes(c: Column): Column =
+    regexp_replace(c, """^["']|["']$""", "")
+
   /** First anchor href / first img src in a card element (the reference's
     * `el.find("a", href=True)` / `el.find("img", src=True)` signals). */
   def firstHref(el: Column): Column =
-    regexp_extract(el, "(?is)<a\\b[^>]*\\bhref\\s*=\\s*\"([^\"]*)\"", 1)
+    stripQuotes(regexp_extract(el, "(?is)<a\\b[^>]*" + attrRe("href"), 1))
   def firstImgSrc(el: Column): Column =
-    regexp_extract(el, "(?is)<img\\b[^>]*\\bsrc\\s*=\\s*\"([^\"]*)\"", 1)
+    stripQuotes(regexp_extract(el, "(?is)<img\\b[^>]*" + attrRe("src"), 1))
+  /** First img alt (X22 + attempt2 signal). */
+  def firstImgAlt(el: Column): Column =
+    stripQuotes(regexp_extract(el, "(?is)<img\\b[^>]*" + attrRe("alt"), 1))
 
   /** Name hint: first NON-EMPTY (after normalization) of the reference's
     * selector chain ["[aria-label]","img[alt]","h1","h2","h3","h4",".title",
@@ -139,12 +156,16 @@ object Exprs {
     * note: alts/headings may not be the portCo name); feeds the X14
     * nameMatch term. */
   def nameHint(el: Column): Column = {
+    // .title/.name matching stays double-quote-only: the word-inside-value
+    // alternation with a closing-tag backreference isn't worth the regex
+    // complexity for this below-headings fallback, and the authoritative
+    // class value rides the scanner's quote-agnostic extraction already
     def byClass(word: String) = regexp_extract(el,
       s"""(?is)<(\\w+)[^>]*\\bclass\\s*=\\s*"[^"]*\\b$word\\b[^"]*"[^>]*>(.*?)</\\1>""", 2)
     def heading(h: Int) = regexp_extract(el, s"(?is)<h$h\\b[^>]*>(.*?)</h$h>", 1)
     coalesce(
-      nonEmpty(normText(regexp_extract(el, "(?is)\\baria-label\\s*=\\s*\"([^\"]*)\"", 1))),
-      nonEmpty(normText(regexp_extract(el, "(?is)<img\\b[^>]*\\balt\\s*=\\s*\"([^\"]*)\"", 1))),
+      nonEmpty(normText(stripQuotes(regexp_extract(el, "(?is)" + attrRe("aria-label"), 1)))),
+      nonEmpty(normText(firstImgAlt(el))),
       nonEmpty(tagText(heading(1))), nonEmpty(tagText(heading(2))),
       nonEmpty(tagText(heading(3))), nonEmpty(tagText(heading(4))),
       nonEmpty(tagText(byClass("title"))), nonEmpty(tagText(byClass("name"))),

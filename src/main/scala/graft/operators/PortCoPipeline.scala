@@ -55,12 +55,6 @@ object PortCoPipeline {
 
   // ---- step 2: candidate card classes (step2_attempt1.py:21-144) ----
 
-  /** All class attribute values in the page — scanner-extracted (quote-
-    * style agnostic, like soup.get("class")), not a `class="…"` regex that
-    * would miss single-quoted/unquoted attributes. */
-  def classAttrs(html: Column): Column =
-    transform(graft.plans.htmlClassElements(html), e => e.getField("cls"))
-
   /** Ranked candidate card classes per firm: tokenize (X19), blacklist
     * (F11), rank A/B/C by word-subset match (X20), dedup + stable sort
     * (A6). Reads the persisted [[pageArtifacts]] relation, so a session
@@ -313,13 +307,16 @@ object PortCoPipeline {
       .drop("type_wl", "has_card", "reasons_csv")
     // W2 dedup as an aggregate argmax (same rationale as scoredEntities):
     // keep the best-scored row per (lower(name), url domain); ties break by
-    // rank then matched_class — null matched_class occurs only on rank-D
-    // rows, so the null never competes inside a rank.
+    // rank, matched_class, then (url, name) — the final pair makes the
+    // choice TOTAL: two rank-D rows in one group (same domain, different
+    // paths; score 0.0, matched_class null) would otherwise tie completely
+    // and surface an arbitrary payload.
     ranked
       .groupBy(lower(col("name")).as("k_name"), urlDomain(col("url")).as("k_dom"))
       .agg(min_by(
         struct(ranked.columns.map(col): _*),
-        struct((-col("score")).as("nsc"), col("rank"), col("matched_class"))).as("b"))
+        struct((-col("score")).as("nsc"), col("rank"), col("matched_class"),
+          col("url"), col("name"))).as("b"))
       .select(col("b.*"))
       .orderBy(col("score").desc, lower(col("name")))
   }
@@ -344,8 +341,13 @@ object PortCoPipeline {
     * everywhere) is the defensible alternative. */
   def attempt2(pages: DataFrame): DataFrame = {
     val anchors = regexp_extract_all(col("el"), lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
-    val imgAlts = regexp_extract_all(col("el"),
-      lit("(?is)<img\\b[^>]*\\balt\\s*=\\s*\"([^\"]*)\""), lit(1))
+    // quote-style-agnostic alt extraction (same alternation as
+    // Exprs.firstImgAlt): group 1 carries the token with its quotes,
+    // stripped per element
+    val imgAlts = transform(
+      regexp_extract_all(col("el"),
+        lit("""(?is)<img\b[^>]*\salt\s*=\s*("[^"]*"|'[^']*'|[^\s>"']+)"""), lit(1)),
+      v => regexp_replace(v, "^[\"']|[\"']$", ""))
     val figs = regexp_extract_all(col("el"),
       lit("(?is)<figcaption\\b[^>]*>(.*?)</figcaption>"), lit(1))
     val method = when(size(anchors) > 0, 1)

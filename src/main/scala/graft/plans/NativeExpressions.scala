@@ -462,9 +462,13 @@ object HtmlUtil {
       if (s.charAt(j) == '<' && s.charAt(j + 1) == '/' &&
           s.regionMatches(true, j + 2, name, 0, len)) {
         val after = j + 2 + len
-        if (after >= n) return j
-        val c = s.charAt(after)
-        if (c == '>' || c == '/' || Character.isWhitespace(c)) return j
+        // a '</name' truncated at EOF is NOT a close tag (the documented
+        // contract: scripts left unclosed at EOF yield nothing, matching
+        // the regex twin's literal-close requirement)
+        if (after < n) {
+          val c = s.charAt(after)
+          if (c == '>' || c == '/' || Character.isWhitespace(c)) return j
+        }
       }
       j += 1
     }
@@ -605,14 +609,16 @@ object HtmlUtil {
           if (name == "script" || name == "style") {
             // raw-text element: body may contain '<' that is not markup
             val close = findRawClose(s, end, name)
+            val closeEnd = if (close < 0) -1 else s.indexOf('>', close)
             val bodyEnd =
-              if (close < 0) n
-              else { val ce = s.indexOf('>', close); if (ce < 0) n else ce + 1 }
+              if (close < 0 || closeEnd < 0) n else closeEnd + 1
             if (cls != null) spans.add(new Span(lt, if (selfClosed) end else bodyEnd, cls))
-            // fused ld+json collection: body of a CLOSED script whose
-            // opening tag mentions ld+json (the reference regex's test)
+            // fused ld+json collection: body of a FULLY-CLOSED script
+            // (close tag completes with '>') whose opening tag mentions
+            // ld+json — a close tag truncated at EOF emits nothing, like
+            // the regex twin
             if (scripts != null && name == "script" && !selfClosed &&
-                close >= 0 && e >= 0 && containsLdJson(s, lt, end))
+                close >= 0 && closeEnd >= 0 && e >= 0 && containsLdJson(s, lt, end))
               scripts.add(s.substring(end, close))
             i = if (selfClosed) end else bodyEnd
           } else if (selfClosed || VoidTags.contains(name)) {

@@ -10,6 +10,23 @@ class ExprsSpec extends SparkSpec {
   private def one[T](df: org.apache.spark.sql.DataFrame): T =
     df.collect().head.getAs[T](0)
 
+  test("card attribute signals are quote-style agnostic (href/src/alt/aria-label)") {
+    val el =
+      """<div class='portfolio card'><a href='https://pc.example/x'>go</a>""" +
+        """<img src=logo.png alt='Port Co'></div>"""
+    val df = Seq(el).toDF("el")
+    assert(one[String](df.select(firstHref($"el"))) == "https://pc.example/x")
+    assert(one[String](df.select(firstImgSrc($"el"))) == "logo.png")
+    assert(one[String](df.select(firstImgAlt($"el"))) == "Port Co")
+    assert(one[String](df.select(nameHint($"el"))) == "Port Co")
+    // double-quoted still works; first-in-document-order across styles
+    val mixed = Seq("""<a href='first'>a</a><a href="second">b</a>""").toDF("el")
+    assert(one[String](mixed.select(firstHref($"el"))) == "first")
+    // a prefixed attribute name (data-href) must not match
+    assert(one[String](Seq("""<a data-href="no">x</a>""").toDF("el")
+      .select(firstHref($"el"))) == "")
+  }
+
   test("Rubric: expressions read the config module, and asDF renders it") {
     import graft.functions.Rubric
     // all five signals on -> the score is exactly the sum of the

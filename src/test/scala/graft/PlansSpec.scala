@@ -234,6 +234,12 @@ class PlansSpec extends SparkSpec {
     assert(scriptsOf(
       """<script type="application/ld+json">{"y":2}</script foo>""") ==
       Seq("""{"y":2}"""))
+    // a close tag TRUNCATED at EOF is not a close: nothing collected,
+    // exactly like the regex twin (the documented unclosed-at-EOF contract)
+    assert(scriptsOf(
+      """<script type="application/ld+json">{"z":3}</script""") == Seq.empty)
+    assert(scriptsOf(
+      """<script type="application/ld+json">{"w":4}</script  """) == Seq.empty)
   }
 
   test("graft_json_key_long: first-matching-key probe semantics + declarative twin") {

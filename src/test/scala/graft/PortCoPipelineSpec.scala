@@ -135,6 +135,23 @@ class PortCoPipelineSpec extends SparkSpec {
     assert(byName("Beta Co").getAs[Int]("step3_method") == 2)
   }
 
+  test("W2 dedup breaks a complete rank-D tie deterministically") {
+    // two same-named org nodes, same domain, different paths, NO card on
+    // the page: both rows are rank D / score 0.0 / null matched_class —
+    // without the (url, name) tail in the min_by ordering the survivor
+    // would be arbitrary
+    val html =
+      """<p>no cards</p><script type="application/ld+json">{"@graph":[
+        |{"@type":"Organization","name":"Dup Co","url":"https://a.example/x"},
+        |{"@type":"Organization","name":"Dup Co","url":"https://a.example/y"}]}</script>""".stripMargin
+    val p = Seq(("F", "https://f.example", html)).toDF("firm_name", "firm_url", "html")
+    val out = PortCoPipeline.portcos(p).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("rank") == "D")
+    assert(out.head.getAs[String]("url") == "https://a.example/x",
+      "tie must resolve to the least (url, name)")
+  }
+
   test("W2 dedup keeps one row per (name, domain) with the best score") {
     val twice = pages.union(pages) // same page seen twice -> duplicate entities
     val out = PortCoPipeline.portcos(twice)
