@@ -132,20 +132,23 @@ object Bench {
     val (tot1, st1) = procStat()
     val stealPct =
       if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
-    // The default clean-total reference is calibrated to the judged sf0.1
-    // sweep ONLY; for any other SF dir the ratio check is meaningless (an
-    // sf1 run is legitimately ~5x slower) so it applies only when the
-    // caller provides a reference. The steal check always applies.
-    // basename match (File strips trailing slashes), so "/…/sf0.1/" still
-    // gets the reference and "/…/mysf0.1" never does
+    // The ratio check compares the HEADLINE-6 total (stable membership —
+    // an all-query total would silently outgrow any fixed constant as the
+    // suite adds queries each round) against a clean sf0.1 reference.
+    // SPARK_GRAFT_CLEAN_TOTAL overrides the headline reference for other
+    // SF dirs (e.g. sf1 runs are legitimately ~5x slower); with neither,
+    // only the steal check applies. basename match (File strips trailing
+    // slashes), so "/…/sf0.1/" still gets the reference and "/…/mysf0.1"
+    // never does.
     val cleanRef = sys.env.get("SPARK_GRAFT_CLEAN_TOTAL").map(_.toDouble)
-      .orElse(if (new java.io.File(sfDir).getName == "sf0.1") Some(13.0) else None)
-    val firstTotal = remeasured.map(_._2).sum
+      .orElse(if (new java.io.File(sfDir).getName == "sf0.1") Some(0.9) else None)
+    val byName0 = remeasured.toMap
+    val firstTotal = headline.flatMap(byName0.get).sum
     val poisoned = stealPct > 1.0 || cleanRef.exists(r => firstTotal > 1.5 * r)
     val finalResults =
       if (poisoned) {
         System.err.println(
-          f"[bench] POISONED window (steal $stealPct%.2f%%, total $firstTotal%.2fs vs clean ref ${cleanRef.getOrElse(Double.NaN)}%.1fs) — re-running sweep")
+          f"[bench] POISONED window (steal $stealPct%.2f%%, headline total $firstTotal%.2fs vs clean ref ${cleanRef.getOrElse(Double.NaN)}%.1fs) — re-running sweep")
         val second = sweep(5, 2).toMap
         remeasured.map { case (k, v) => k -> math.min(v, second.getOrElse(k, v)) }
       } else remeasured

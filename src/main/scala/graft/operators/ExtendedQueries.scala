@@ -238,16 +238,37 @@ object ExtendedQueries {
 
   /** Approximate sketch aggregates (HyperLogLog++ distinct, quantile
     * sketch): the single-pass mergeable answer to COUNT(DISTINCT)/
-    * percentile at 100 TB. No cross-engine oracle — sketch estimates are
-    * engine-specific — so the driver records the weaker rows-only check;
-    * accuracy vs the exact values is asserted by spec instead. */
-  val approxStats = QueryDef.noOracle("approx_stats") { (spark, d) =>
+    * percentile at 100 TB. Sketch ESTIMATES are engine-specific and can't
+    * hash-match DuckDB, but error-bounded BOOLEANS can: Spark computes both
+    * the sketch and the exact value in one aggregate pass and emits
+    * "estimate within bound" flags; the oracle computes the exact columns
+    * and states the bound flags as literal true. A false on the Spark side
+    * (sketch drifted out of tolerance) is then a hash mismatch — i.e. the
+    * sketch accuracy itself is driver-adjudicated, not self-graded.
+    * Bounds: HLL++ with rsd=0.005 (2^16 registers) vs a 2% gate (4 sigma);
+    * percentile_approx accuracy=10000 (rank error <= n/10000) vs a 5%
+    * value gate on the median. */
+  val approxStats = QueryDef("approx_stats",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n,
+      |  COUNT(DISTINCT o_custkey) AS exact_customers,
+      |  true AS hll_within_2pct,
+      |  true AS p50_within_5pct
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (spark, d) =>
     Tables.orders(spark, d)
       .groupBy("o_orderpriority")
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_customers"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey"), 0.005).as("hll_customers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("kll_median"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+      .select(
+        col("o_orderpriority"), col("n"), col("exact_customers"),
+        (abs(col("hll_customers") - col("exact_customers")) <=
+          col("exact_customers") * lit(0.02)).as("hll_within_2pct"),
+        (abs(col("kll_median") - col("exact_median")) <=
+          col("exact_median") * lit(0.05)).as("p50_within_5pct"))
   }
 
   val all: Seq[QueryDef] = Seq(

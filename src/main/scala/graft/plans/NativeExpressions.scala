@@ -438,8 +438,14 @@ object HtmlUtil {
             while (e < tagEnd && s.charAt(e) != q) e += 1
             return s.substring(j + 1, e) // unclosed quote: to end of tag
           }
+          // Unquoted value: stop at whitespace, a quote char, or the '/'
+          // of a self-closing tag end — `<div class=foo/>` is "foo", not
+          // "foo/" (HTML5 tokenizer; matches the regex twins' [^\s>"']+
+          // token, ADVICE r6).
           var e = j
-          while (e < tagEnd && !Character.isWhitespace(s.charAt(e))) e += 1
+          while (e < tagEnd && !Character.isWhitespace(s.charAt(e)) &&
+              s.charAt(e) != '"' && s.charAt(e) != '\'' &&
+              !(s.charAt(e) == '/' && e == tagEnd - 1)) e += 1
           return s.substring(j, e)
         }
       }

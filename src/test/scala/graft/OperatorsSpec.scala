@@ -107,18 +107,20 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("approx sketch aggregates land within tolerance of the exact values") {
-    val approx = ExtendedQueries.approxStats.fn(spark, sf0001).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // The query now emits the tolerance verdicts itself (oracle-checkable
+    // booleans); a drifted sketch shows up as a false flag here AND as a
+    // driver hash mismatch. Cross-check exact_customers independently.
+    val rows = ExtendedQueries.approxStats.fn(spark, sf0001).collect()
+    assert(rows.length == 5)
     val exact = Tables.orders(spark, sf0001)
       .groupBy("o_orderpriority")
-      .agg(countDistinct("o_custkey").as("d"),
-        expr("percentile(o_totalprice, 0.5)").as("m"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    exact.foreach { case (k, (d, m)) =>
-      val (ad, am) = approx(k)
-      // default HLL++ rsd is 5%; allow ~2 sigma
-      assert(math.abs(ad - d).toDouble / d < 0.12, s"$k hll: $ad vs $d")
-      assert(math.abs(am - m) / m < 0.10, s"$k median: $am vs $m")
+      .agg(countDistinct("o_custkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val k = r.getString(0)
+      assert(r.getLong(2) == exact(k), s"$k exact_customers")
+      assert(r.getBoolean(3), s"$k hll_within_2pct")
+      assert(r.getBoolean(4), s"$k p50_within_5pct")
     }
   }
 

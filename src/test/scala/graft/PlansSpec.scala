@@ -190,6 +190,17 @@ class PlansSpec extends SparkSpec {
       .getSeq[org.apache.spark.sql.Row](0)
     assert(rows.map(_.getString(1)) ==
       Seq("portfolio card", "investment-item", "spaced eq", ""))
+    // ADVICE r6: self-closing tag — unquoted value must not swallow the
+    // trailing '/', and a stray quote char ends the token (regex twins'
+    // [^\s>"']+ behavior on pathological markup)
+    val patho =
+      """<img class=thumb/>""" +
+        """<img class=a"b" />""" +
+        """<div class=x/y>slash-inside</div>"""
+    val prows = Seq(patho).toDF("h")
+      .select(graft.plans.htmlClassElements(col("h"))).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(prows.map(_.getString(1)) == Seq("thumb", "a", "x/y"))
   }
 
   test("graft_html_page_scan: one walk yields the element structs AND the ld+json bodies") {
