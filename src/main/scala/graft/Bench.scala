@@ -81,6 +81,19 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
+    // Amortized-build attribution (ADVICE r6): j4_join_chain probes the
+    // session-persisted cust_geo dim, and the session broadcast cache keeps
+    // the dim's built broadcast alive across actions — so the headline j4
+    // number measures the steady-state fact-side probe, while the DuckDB
+    // proxy re-joins the chain from scratch per run. Build the dim HERE,
+    // timed, and report it as its own JSON field so the comparison is
+    // attributable: steady-state = "queries.j4_join_chain", cold ≈ that
+    // plus "cust_geo_build_sec".
+    val custGeoT0 = System.nanoTime()
+    try graft.operators.CoreQueries.custGeoRelation(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    val custGeoBuildSec = (System.nanoTime() - custGeoT0) / 1e9
+
     val loadStart = loadavg()
     val (tot0, st0) = procStat()
 
@@ -162,7 +175,8 @@ object Bench {
     // Double.toString is locale-independent; the f interpolator is NOT
     // (a comma-decimal locale would corrupt the JSON), so round via math
     val steal3 = math.round(stealPct * 1000.0) / 1000.0
-    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all_queries":$allTotal,"sf":"$sfDir","steal_pct":$steal3,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"retried":$poisoned}""")
+    val build3 = math.round(custGeoBuildSec * 1000.0) / 1000.0
+    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all_queries":$allTotal,"cust_geo_build_sec":$build3,"sf":"$sfDir","steal_pct":$steal3,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"retried":$poisoned}""")
     spark.stop()
   }
 }

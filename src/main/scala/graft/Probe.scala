@@ -137,6 +137,39 @@ object Probe {
       }
     }
 
+    // PROBE_FINALPLAN=1: print each action's EXECUTED plan (post-AQE) —
+    // what actually ran, not what the pre-execution explain showed.
+    if (sys.env.get("PROBE_FINALPLAN").contains("1"))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          System.err.println(s"[finalplan] $funcName:\n${qe.executedPlan}")
+        override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
+
+    // PROBE_JOBS=1: per-action job timeline — each Spark job's wall time and
+    // the driver-side gap before it (analysis/AQE planning/broadcast build
+    // all show up as gaps). Attribution tool for the per-action floor.
+    if (sys.env.get("PROBE_JOBS").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          @volatile private var lastEnd = 0L
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val now = System.nanoTime()
+            val gap = if (lastEnd == 0) 0.0 else (now - lastEnd) / 1e9
+            t0.put(j.jobId, now)
+            val names = j.stageInfos.map(
+              _.rddInfos.map(r => r.name).mkString(">").take(80)).mkString(" | ")
+            System.err.println(f"[jobs] job ${j.jobId}%3d start  gap=$gap%6.3fs  stages=${j.stageInfos.size}  [$names]")
+          }
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val now = System.nanoTime()
+            lastEnd = now
+            val dt = (now - t0.getOrDefault(j.jobId, now)) / 1e9
+            System.err.println(f"[jobs] job ${j.jobId}%3d end    dur=$dt%6.3fs")
+          }
+        })
+
     val vs = variants(spark, sfDir)
     val all: Map[String, () => DataFrame] =
       SparkEntry.queries.map { case (n, f) => n -> (() => f(spark, sfDir)) } ++ vs
@@ -158,10 +191,16 @@ object Probe {
             val t2 = System.nanoTime()
             ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
           }
+          if (sys.env.get("PROBE_EXPLAIN_AFTER").contains("1")) {
+            val df = f(); df.count()
+            System.err.println(df.queryExecution.executedPlan.toString)
+          }
           val tot = ts.map(t => t._1 + t._2)
           System.err.println(f"[probe] $n%-22s min=${tot.min}%6.3f  med=${tot.sorted.apply(iters / 2)}%6.3f  plan_min=${ts.map(_._1).min}%6.3f  exec_min=${ts.map(_._2).min}%6.3f  (${tot.take(10).map(t => f"$t%.2f").mkString(", ")})")
       }
     }
+    val (n, h, m) = graft.plans.SessionBroadcastCache.stats(spark.sparkContext)
+    System.err.println(s"[probe] broadcast-cache entries=$n hits=$h misses=$m")
     spark.stop()
   }
 }

@@ -116,15 +116,18 @@ object CoreQueries {
   }
 
   /** Denormalized customer geography — customer with its nation/region
-    * names folded in by two broadcast joins, persisted once per
-    * (session, sf dir). The snowflake chain orders->customer->nation->
-    * region re-resolves the same two tiny dims on every run; pre-joining
-    * them into the customer relation is the classic dim-denormalization:
-    * ONE build amortized across every consumer, and the fact-side join
-    * becomes a single equi-join on c_custkey. At 100 TB the relation is
+    * names folded in by two broadcast joins, built once per (session, sf
+    * dir). The snowflake chain orders->customer->nation->region re-resolves
+    * the same two tiny dims on every run; pre-joining them into the
+    * customer relation is the classic dim-denormalization: ONE build
+    * amortized across every consumer, and the fact-side join becomes a
+    * single equi-join on c_custkey. At 100 TB the relation is
     * customer-sized (MEMORY_AND_DISK spills) and deliberately carries NO
     * broadcast hint — AQE broadcasts it while it fits and falls back to a
-    * shuffled join when it doesn't. */
+    * shuffled join when it doesn't. While it IS broadcast, the built
+    * broadcast itself is kept alive across actions by
+    * [[graft.plans.SessionCachedBroadcastExec]], so re-running a consumer
+    * re-uses the hash relation instead of re-scanning the dim. */
   def custGeoRelation(spark: org.apache.spark.sql.SparkSession, d: String) =
     graft.Persisted.of(spark, s"$d#cust_geo") {
       Tables.customer(spark, d)

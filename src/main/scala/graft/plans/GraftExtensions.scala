@@ -88,5 +88,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JsonLdNodes].getName, "graft_jsonld_nodes"),
       (children: Seq[Expression]) => JsonLdNodes(children.head)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectQueryStagePrepRule(SessionBroadcastReuseRule)
   }
 }
