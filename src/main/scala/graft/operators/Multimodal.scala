@@ -9,63 +9,89 @@ import org.apache.spark.sql.types._
   * columns plus typed metadata, with decode/feature-extraction staged as
   * per-partition batch functions.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake; what is real and tested is the
-  * Spark-side shape: the schema, the binary column, the mapPartitions batch
-  * boundary (the Scala analogue of `mapInPandas` batches), and the
-  * partition-preserving, shuffle-free plan.
+  * Round 7: the decode is REAL for BMP and binary PPM ([[MediaCodec]] —
+  * header parsing is pure byte arithmetic, so no codec library is needed).
+  * The media column is synthesized as genuine BMP/P6 payloads whose
+  * dimensions derive from doc fields; the decoder then reads width/height
+  * back OUT OF THE BYTES, and the oracle predicts them (plus the exact
+  * format size formulas) from the construction parameters — a misread
+  * header offset is a driver hash mismatch, not a self-graded spec.
+  * [[decodeStub]] remains only as the demoted no-codec fallback for
+  * formats the container genuinely cannot parse (JPEG etc.), and for the
+  * frame-sampling stage whose framing is payload-length-based by design.
   */
 object Multimodal {
 
-  /** Typed metadata emitted by the (stubbed) decoder. */
+  /** Typed metadata emitted by the media decode stage. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
+    StructField("format", StringType),
     StructField("n_bytes", LongType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("n_frames", IntegerType)))
+    StructField("height", IntegerType)))
 
-  /** STUB decoder: a real pipeline would decode image bytes here (e.g. via a
-    * JNI codec or, in PySpark, a pandas batch UDF). Deterministic fake:
-    * dimensions derived from byte length so tests and the oracle can verify
-    * the plumbing end-to-end. */
+  /** DEMOTED no-codec fallback (pre-round-7 this was the only decoder): a
+    * deterministic fake for formats [[MediaCodec.decode]] cannot parse in
+    * this container. Real pipelines plug a JNI codec / pandas batch UDF
+    * here. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     (16 + n % 32, 16 + (n / 32) % 32, 1 + n % 8)
   }
 
-  /** Binary "media" table synthesized from documents (UTF-8 payload standing
-    * in for image bytes), then decoded per partition — no shuffle, batch
-    * shape identical to a real decode stage. */
-  def mediaMeta(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val binDf = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
-    import spark.implicits._
-    binDf.as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        val (w, h, f) = decodeStub(bytes)
-        (id, bytes.length.toLong, w, h, f)
-      }
-    }.toDF("doc_id", "n_bytes", "width", "height", "n_frames")
+  /** Deterministic media synthesis: every doc gets a REAL image payload —
+    * even ids a 24bpp BMP, odd ids a binary PPM — with
+    * width = 16 + doc_id % 32 and height = 16 + n_chars % 32. The oracle
+    * replays these construction formulas; the Spark side must RECOVER them
+    * from the bytes. */
+  def mediaBytes(id: Long, nChars: Long): Array[Byte] = {
+    val w = (16 + id % 32).toInt
+    val h = (16 + nChars % 32).toInt
+    if (id % 2 == 0) MediaCodec.encodeBmp(w, h, id) else MediaCodec.encodePpm(w, h, id)
   }
 
-  /** Oracle-checked metadata query: pure-expression twin of the stub decode
-    * so DuckDB can replay it (the mapPartitions path is covered by the
-    * ScalaTest spec asserting both paths agree). */
+  /** Binary media table → typed metadata via the REAL header decode, as a
+    * per-partition batch stage — no shuffle, batch shape identical to a
+    * real codec integration. Unparseable payloads fall back to
+    * [[decodeStub]] dimensions with format 'raw'. */
+  def mediaMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].mapPartitions { it =>
+        it.map { case (id, nc) =>
+          val bytes = mediaBytes(id, nc)
+          MediaCodec.decode(bytes) match {
+            case Some((fmt, w, h)) => (id, fmt, bytes.length.toLong, w, h)
+            case None =>
+              val (w, h, _) = decodeStub(bytes)
+              (id, "raw", bytes.length.toLong, w, h)
+          }
+        }
+      }.toDF("doc_id", "format", "n_bytes", "width", "height")
+  }
+
+  /** Oracle-checked metadata query over the real decode. The oracle states
+    * the construction params and the exact format size formulas —
+    * BMP: 54 header bytes + 4-byte-padded BGR rows; P6: "P6\n<w> <h>\n255\n"
+    * + 3wh — while Spark PARSES width/height/n_bytes back out of the
+    * payload bytes. */
   val mmMeta = QueryDef("mm_media_meta",
-    """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CAST(16 + octet_length(encode(text)) % 32 AS INTEGER) AS width,
-      |  CAST(16 + (octet_length(encode(text)) // 32) % 32 AS INTEGER) AS height,
-      |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
-      |FROM documents""".stripMargin) { (spark, d) =>
-    val nb = length(encode(col("text"), "UTF-8"))
-    Tables.documents(spark, d).select(
-      col("doc_id"),
-      nb.cast("long").as("n_bytes"),
-      (lit(16) + nb % 32).cast("int").as("width"),
-      (lit(16) + floor(nb / lit(32)).cast("long") % 32).cast("int").as("height"),
-      (lit(1) + nb % 8).cast("int").as("n_frames"))
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    16 + doc_id % 32 AS w,
+      |    16 + n_chars % 32 AS h
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN 54 + ((3 * w + 3) // 4 * 4) * h
+      |    ELSE 3 + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR)) + 5 + 3 * w * h
+      |  END AS BIGINT) AS n_bytes,
+      |  CAST(w AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height
+      |FROM m""".stripMargin) { (spark, d) =>
+    mediaMeta(Tables.documents(spark, d))
   }
 
   /** Frame sampling over the media column: slice each payload into the
@@ -122,15 +148,17 @@ object Multimodal {
   }
 
   /** Resize planning: aspect-preserving scale of each media item to a max
-    * side of 224 px, from the stub-decoded dimensions. All-integer inputs,
-    * one double division (both engines IEEE-identical), integral floor
-    * dims; out_bytes = out_w*out_h*3 (RGB) — the buffer size a real
-    * resizer would allocate. */
+    * side of 224 px, from the REAL header-decoded dimensions (round 7; the
+    * oracle predicts w/h from the construction formulas, Spark parses them
+    * from the payload bytes). All-integer inputs, one double division
+    * (both engines IEEE-identical), integral floor dims;
+    * out_bytes = out_w*out_h*3 (RGB) — the buffer size a real resizer
+    * would allocate. */
   val mmResize = QueryDef("mm_resize",
     """WITH m AS (
       |  SELECT doc_id,
-      |    CAST(16 + octet_length(encode(text)) % 32 AS INTEGER) AS w,
-      |    CAST(16 + (octet_length(encode(text)) // 32) % 32 AS INTEGER) AS h
+      |    CAST(16 + doc_id % 32 AS INTEGER) AS w,
+      |    CAST(16 + n_chars % 32 AS INTEGER) AS h
       |  FROM documents),
       |s AS (SELECT doc_id, w, h,
       |  round(224.0 / CASE WHEN w > h THEN w ELSE h END, 6) AS scale FROM m)
@@ -139,11 +167,8 @@ object Multimodal {
       |  CAST(floor(h * scale) AS INTEGER) AS out_h,
       |  CAST(CAST(floor(w * scale) AS BIGINT) * CAST(floor(h * scale) AS BIGINT) * 3 AS BIGINT) AS out_bytes
       |FROM s""".stripMargin) { (spark, d) =>
-    val nb = length(encode(col("text"), "UTF-8"))
-    Tables.documents(spark, d)
-      .select(col("doc_id"),
-        (lit(16) + nb % 32).cast("int").as("w"),
-        (lit(16) + floor(nb / lit(32)).cast("long") % 32).cast("int").as("h"))
+    mediaMeta(Tables.documents(spark, d))
+      .select(col("doc_id"), col("width").as("w"), col("height").as("h"))
       .withColumn("scale", round(lit(224.0) / greatest(col("w"), col("h")), 6))
       .select(col("doc_id"), col("w"), col("h"), col("scale"),
         floor(col("w") * col("scale")).cast("int").as("out_w"),
@@ -152,16 +177,22 @@ object Multimodal {
           .cast("long").as("out_bytes"))
   }
 
-  /** Byte-level resize as a batch stage: allocates the out_w*out_h*3 RGB
-    * buffer a real resampler would fill (STUB fill: repeating source bytes).
-    * Buffer shapes are spec-checked against the expression plan above. */
+  /** Byte-level resize as a batch stage: decodes the REAL header dims, then
+    * allocates the out_w*out_h*3 RGB buffer a real resampler would fill
+    * (STUB fill: repeating source bytes — resampling kernels are the one
+    * part that stays faked without a codec). Buffer shapes are spec-checked
+    * against the expression plan above. */
   def resizeBatch(docs: DataFrame, maxSide: Int = 224): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
-      .as[(Long, Array[Byte])].mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val (w, h, _) = decodeStub(bytes)
+    docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].mapPartitions { it =>
+        it.map { case (id, nc) =>
+          val bytes = mediaBytes(id, nc)
+          val (w, h) = MediaCodec.decode(bytes) match {
+            case Some((_, dw, dh)) => (dw, dh)
+            case None => val s = decodeStub(bytes); (s._1, s._2)
+          }
           // same rounding as the expression side (Spark round = HALF_UP)
           val scale = BigDecimal(maxSide.toDouble / math.max(w, h))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

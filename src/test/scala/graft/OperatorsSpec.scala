@@ -70,11 +70,40 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(top(3L)) < 1e-12)             // orthogonal vector
   }
 
-  test("multimodal mapPartitions path agrees with the expression path") {
-    val viaMap = Multimodal.mediaMeta(Tables.documents(spark, sf0001))
-    val viaExpr = Multimodal.mmMeta.fn(spark, sf0001)
-    assert(viaMap.exceptAll(viaExpr).count() == 0)
-    assert(viaExpr.exceptAll(viaMap).count() == 0)
+  test("media codec: real BMP/PPM headers round-trip; junk falls to the stub") {
+    // encode with known dims -> decode must recover them FROM THE BYTES
+    assert(MediaCodec.decode(MediaCodec.encodeBmp(33, 47, 7L)) === Some(("bmp", 33, 47)))
+    assert(MediaCodec.decode(MediaCodec.encodePpm(640, 480, 7L)) === Some(("ppm", 640, 480)))
+    // BMP with 3*w not divisible by 4: size formula must include row padding
+    val bmp = MediaCodec.encodeBmp(17, 5, 1L)
+    assert(bmp.length === 54 + (3 * 17 + 3) / 4 * 4 * 5)
+    // top-down BMP (negative height) decodes to |height|
+    val td = MediaCodec.encodeBmp(20, 10, 1L)
+    val buf = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -10)
+    assert(MediaCodec.decode(td) === Some(("bmp", 20, 10)))
+    // PPM comments/whitespace per Netpbm spec
+    val commented = "P6\n# a comment\n 12\t34\n255\n".getBytes("US-ASCII")
+    assert(MediaCodec.decode(commented) === Some(("ppm", 12, 34)))
+    // junk and truncated headers: no decode (callers fall back to the stub)
+    assert(MediaCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.decode(Array[Byte]('B', 'M', 1, 2)).isEmpty)
+    assert(MediaCodec.decode("P6\n-3 4\n255\n".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("multimodal metadata: decoded dims equal the construction params on real payloads") {
+    val out = Multimodal.mediaMeta(Tables.documents(spark, sf0001)).collect()
+    assert(out.nonEmpty)
+    val nChars = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === (if (id % 2 == 0) "bmp" else "ppm"))
+      assert(r.getInt(3) === 16 + (id % 32).toInt, s"width of doc $id")
+      assert(r.getInt(4) === 16 + (nChars(id) % 32).toInt, s"height of doc $id")
+      assert(r.getLong(2) === Multimodal.mediaBytes(id, nChars(id)).length.toLong)
+    }
   }
 
   test("multimodal frame sampling: batch path agrees with the expression path") {
