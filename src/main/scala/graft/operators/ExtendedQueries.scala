@@ -271,8 +271,29 @@ object ExtendedQueries {
           col("exact_median") * lit(0.05)).as("p50_within_5pct"))
   }
 
+  /** §2.9 streaming surface, driver-adjudicated (VERDICT r6 #8): the SAME
+    * `mapGroupsWithState` fold the streaming spec drives through
+    * MemoryStream micro-batches, here run in BATCH mode over the events
+    * table (Spark executes mapGroupsWithState on a batch Dataset as one
+    * empty-initial-state pass per group — identical per-group logic, one
+    * function, two callers). The fold accumulates fixed-point cents, so
+    * its running total is order-independent and the oracle can state it
+    * as a plain grouped sum. */
+  val stRunningStats = QueryDef("st_running_stats",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+      |FROM events GROUP BY user_id""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.StreamingEvents.Event]
+    graft.streaming.StreamingEvents.runningUserStats(ev)
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   val all: Seq[QueryDef] = Seq(
     waLagDelta, waSession, rollupAgg, cubeAgg, o4FirstSuccess, x9WordCount,
     x17MapLookup, a7DistinctStats, a6BucketSort, pivotAgg, unpivotMetrics,
-    approxStats)
+    approxStats, stRunningStats)
 }

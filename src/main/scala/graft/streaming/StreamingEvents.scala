@@ -73,20 +73,27 @@ object StreamingEvents {
     * shape for a continuously-refreshed aggregate feeding a serving store.
     * State is two numbers per user; at scale the eviction policy would be
     * a GroupStateTimeout on inactivity (NoTimeout here keeps the spec
-    * deterministic). */
+    * deterministic).
+    *
+    * The running total accumulates FIXED-POINT cents in a long (q1_agg
+    * parity note: per-row half-up round, order-independent exact sum) —
+    * the same fold then hash-matches a grouped-sum oracle when run in
+    * batch mode (`st_running_stats`), where a double accumulator's result
+    * would depend on per-group row order. */
   def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[(Long, Double), UserStats](GroupStateTimeout.NoTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Double)]) =>
-          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
-          var n = n0
-          var v = v0
-          batch.foreach { e => n += 1; v += e.value }
-          state.update((n, v))
-          UserStats(userId, n, v)
+      .mapGroupsWithState[(Long, Long), UserStats](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          batch.foreach { e =>
+            n += 1
+            cents += math.floor(e.value * 100 + 0.5).toLong
+          }
+          state.update((n, cents))
+          UserStats(userId, n, cents / 100.0)
       }
   }
 

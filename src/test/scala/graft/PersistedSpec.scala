@@ -43,6 +43,19 @@ class PersistedSpec extends SparkSpec {
     assert(keep.count() == 1)
   }
 
+  test("clearExcept evicts other batches but keeps the named entry cached") {
+    // the incremental-ingest eviction shape (ADVICE r6): re-submitting the
+    // SAME batch must not unpersist the relation a pending result reads
+    val a = Persisted.of(spark, "spec#batch/a")(Seq(1).toDF("x"))
+    val b = Persisted.of(spark, "spec#batch/b")(Seq(2).toDF("x"))
+    assert(Persisted.clearExcept(spark, "spec#batch/", "spec#batch/b") == 1)
+    assert(a.storageLevel == StorageLevel.NONE, "other batch must be unpersisted")
+    val b2 = Persisted.of(spark, "spec#batch/b")(Seq(2).toDF("x"))
+    assert(b eq b2, "kept entry must survive as the same cached relation")
+    assert(b2.storageLevel != StorageLevel.NONE)
+    Persisted.clear(spark, "spec#batch/")
+  }
+
   test("cached relation is shared across both sides of a self-join plan") {
     val r = Persisted.of(spark, "spec#selfjoin")(
       Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v"))
