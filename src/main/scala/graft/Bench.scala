@@ -97,6 +97,21 @@ object Bench {
     val loadStart = loadavg()
     val (tot0, st0) = procStat()
 
+    def timeOnce(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Shared min-keeping re-measure: extra samples only, so an honest
+    // regression survives and a stall-window artifact is cleared.
+    def remeasure(name: String, dt: Double, runs: Int, label: String): Double = {
+      val dt2 = math.min(dt, (1 to runs).map(_ => timeOnce(name)).min)
+      if (dt2 < dt)
+        System.err.println(f"[bench] $name%-28s $label: re-measured $dt%.2f -> $dt2%.2f")
+      dt2
+    }
+
     // Steady-state timing: best of 3 runs per query (matches the warm-cache
     // methodology of the BASELINE.md §B measurements; this VM shows
     // intermittent hypervisor steal, so a single slow run must not stand).
@@ -124,25 +139,27 @@ object Bench {
     // second chance after the sweep, when the window has passed.
     val med = results.map(_._2).sorted.apply(results.size / 2)
     val remeasured = results.map { case (name, dt) =>
-      if (dt > math.max(1.0, 5 * med)) {
-        val fn = SparkEntry.queries(name)
-        val dts2 = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }
-        val dt2 = math.min(dt, dts2.min)
-        if (dt2 < dt) System.err.println(f"[bench] $name%-28s re-measured: $dt%.2f -> $dt2%.2f")
-        name -> dt2
-      } else name -> dt
+      if (dt > math.max(1.0, 5 * med)) name -> remeasure(name, dt, 2, "outlier")
+      else name -> dt
     }
     // Round-over-round re-measure (VERDICT r6 #5): a stall window shorter
     // than the steal-measurement granularity doubles a CONTIGUOUS
     // alphabetical block of sub-second queries (r6: w2..x17 all ~2x r5,
     // steal in-band, none past the >1s outlier gate above). If the previous
-    // round's bench JSON is available, any query now >2x its previous time
-    // gets extra runs — extra samples only, min-keeping, so an honest
-    // regression still shows; only a transient one is cleared.
+    // round's bench JSON is available AND is from the SAME scale factor,
+    // any query now >2x its previous time gets extra min-keeping runs.
+    //
+    // Format note (code-review r7): the per-round BENCH_r*.json on disk is
+    // a DRIVER WRAPPER — {"sf": 0.1, "tail": "…\"name\":1.23,…"} with the
+    // bench stdout quote-ESCAPED and truncated from the left — not raw
+    // bench output. So: extract sf from either a bare number (wrapper) or
+    // an "sf":"…/sfX" path (raw stdout), and scrape name:value pairs with
+    // a backslash-tolerant token regex filtered to REAL query names
+    // (wrapper fields and truncation debris can never collide with one).
+    val sfNum: Option[Double] = {
+      val n = new java.io.File(sfDir).getName
+      if (n.startsWith("sf")) scala.util.Try(n.drop(2).toDouble).toOption else None
+    }
     val prevTimes: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_PREV_BENCH")
         .orElse {
@@ -153,25 +170,27 @@ object Bench {
         .flatMap { p =>
           try {
             val txt = scala.io.Source.fromFile(p).mkString
-            val q = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
-              .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-            Some("\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(q)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+            val prevSf =
+              "\"sf\\\\?\"\\s*:\\s*\\\\?\"[^\"]*?sf([0-9.]+)".r.findFirstMatchIn(txt)
+                .map(_.group(1))
+                .orElse("\"sf\\\\?\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(txt)
+                  .map(_.group(1)))
+                .flatMap(s => scala.util.Try(s.toDouble).toOption)
+            if (prevSf.isDefined && sfNum.isDefined && prevSf != sfNum) None
+            else {
+              val names = SparkEntry.queries.keySet
+              val pairs = "\"([A-Za-z0-9_]+)\\\\?\"\\s*:\\s*([0-9]+\\.[0-9]+)".r
+                .findAllMatchIn(txt)
+                .map(m => m.group(1) -> m.group(2).toDouble)
+                .filter(kv => names.contains(kv._1)).toMap
+              if (pairs.nonEmpty) Some(pairs) else None
+            }
           } catch { case _: Throwable => None }
         }.getOrElse(Map.empty)
     val rechecked = remeasured.map { case (name, dt) =>
       prevTimes.get(name) match {
         case Some(prev) if dt > 2 * prev && dt < 5.0 =>
-          val fn = SparkEntry.queries(name)
-          val dts2 = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-            (System.nanoTime() - t0) / 1e9
-          }
-          val dt2 = math.min(dt, dts2.min)
-          if (dt2 < dt)
-            System.err.println(f"[bench] $name%-28s vs prev ${prev}%.2f: re-measured $dt%.2f -> $dt2%.2f")
-          name -> dt2
+          name -> remeasure(name, dt, 2, f"vs prev $prev%.2f")
         case _ => name -> dt
       }
     }

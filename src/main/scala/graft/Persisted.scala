@@ -61,22 +61,29 @@ object Persisted {
     * relation EXCEPT the one I am about to use" — re-submitting the same
     * batch keeps its persisted sketch instead of silently unpersisting a
     * relation a still-unexecuted result DataFrame depends on. */
-  def clearExcept(spark: SparkSession, keyPrefix: String, keep: String): Int =
-    cache.synchronized {
+  def clearExcept(spark: SparkSession, keyPrefix: String, keep: String): Int = {
+    val n = cache.synchronized {
       val m = cache.get(spark)
       if (m == null) 0
       else {
         val it = m.entrySet().iterator()
-        var n = 0
+        var k = 0
         while (it.hasNext) {
           val e = it.next()
           if (e.getKey.startsWith(keyPrefix) && e.getKey != keep) {
             e.getValue.unpersist()
             it.remove()
-            n += 1
+            k += 1
           }
         }
-        n
+        k
       }
     }
+    // Unpersisting a relation invalidates any session-cached broadcast
+    // built over it (stale-batch pinning, code-review r7) — drop the
+    // session's broadcast cache so the next action rebuilds from live
+    // relations. No-op when nothing was cleared.
+    if (n > 0) graft.plans.SessionBroadcastCache.clear(spark.sparkContext)
+    n
+  }
 }

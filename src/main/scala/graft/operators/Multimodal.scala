@@ -22,14 +22,6 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Typed metadata emitted by the media decode stage. */
-  val mediaMetaSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("format", StringType),
-    StructField("n_bytes", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType)))
-
   /** DEMOTED no-codec fallback (pre-round-7 this was the only decoder): a
     * deterministic fake for formats [[MediaCodec.decode]] cannot parse in
     * this container. Real pipelines plug a JNI codec / pandas batch UDF

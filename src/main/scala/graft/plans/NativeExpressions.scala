@@ -438,14 +438,17 @@ object HtmlUtil {
             while (e < tagEnd && s.charAt(e) != q) e += 1
             return s.substring(j + 1, e) // unclosed quote: to end of tag
           }
-          // Unquoted value: stop at whitespace, a quote char, or the '/'
-          // of a self-closing tag end — `<div class=foo/>` is "foo", not
-          // "foo/" (HTML5 tokenizer; matches the regex twins' [^\s>"']+
-          // token, ADVICE r6).
+          // Unquoted value: stop at whitespace or a quote char — the
+          // regex twins' [^\s>"']+ token (Exprs/PortCoPipeline), which is
+          // also HTML5's attribute-value-unquoted state. Deliberately NOT
+          // stopping at '/': the tokenizer keeps it in the value
+          // (`<div class=foo/>` is "foo/"), and the one contract that
+          // matters here is byte-for-byte agreement with the declarative
+          // twins on the same markup (ADVICE r6 asked for the quote stops;
+          // its '/'-stop suggestion would have DIVERGED from both).
           var e = j
           while (e < tagEnd && !Character.isWhitespace(s.charAt(e)) &&
-              s.charAt(e) != '"' && s.charAt(e) != '\'' &&
-              !(s.charAt(e) == '/' && e == tagEnd - 1)) e += 1
+              s.charAt(e) != '"' && s.charAt(e) != '\'') e += 1
           return s.substring(j, e)
         }
       }

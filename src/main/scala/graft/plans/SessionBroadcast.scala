@@ -7,7 +7,6 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.plans.logical.Statistics
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastMode, BroadcastPartitioning, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.adaptive.QueryStageExec
@@ -24,49 +23,62 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
   * it is a driver round-trip per query that a warm engine never pays.
   *
   * Entries hold the torrent broadcast (driver + executor blocks) until
-  * session stop — the same lifetime as a Persisted relation. Capacity is
-  * capped: past [[maxEntries]] distinct dims, new exchanges simply build
-  * uncached (vanilla behavior), so a pathological workload cannot pin
-  * unbounded executor memory. Stopped sessions' entries are evicted on the
-  * next access from any session.
+  * session stop — the same lifetime as a Persisted relation — or until
+  * [[clear]] is called: `Persisted.clear`/`clearExcept` invalidate this
+  * cache too, so an incremental-ingest session cycling through per-batch
+  * persisted relations does not strand up to [[maxEntries]] stale batch
+  * hash relations behind the one-batch state bound (code-review r7).
+  * Capacity is capped: past [[maxEntries]] distinct dims, new exchanges
+  * simply build uncached (vanilla behavior), so a pathological workload
+  * cannot pin unbounded executor memory. Stopped sessions' entries are
+  * evicted on the next access from any session.
   */
 object SessionBroadcastCache {
-  private final case class Entry(bc: Broadcast[Any], stats: Statistics)
   private val cache = new java.util.HashMap[
-    SparkContext, java.util.HashMap[SparkPlan, Entry]]()
+    SparkContext, java.util.HashMap[SparkPlan, Broadcast[Any]]]()
   val maxEntries = 64
 
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong
+  private val missCount = new java.util.concurrent.atomic.AtomicLong
+
   /** Cache stats for specs/diagnostics: (entries, hits, misses). */
-  @volatile private var hitCount = 0L
-  @volatile private var missCount = 0L
   def stats(sc: SparkContext): (Int, Long, Long) = cache.synchronized {
     val m = cache.get(sc)
-    (if (m == null) 0 else m.size(), hitCount, missCount)
+    (if (m == null) 0 else m.size(), hitCount.get(), missCount.get())
+  }
+
+  /** Drop every entry of `sc`'s session (the Persisted-eviction hook). The
+    * Broadcast objects themselves stay valid for in-flight plans that
+    * already resolved them; dropping the map entry only forces the NEXT
+    * action to rebuild. */
+  def clear(sc: SparkContext): Int = cache.synchronized {
+    val m = cache.remove(sc)
+    if (m == null) 0 else m.size()
   }
 
   def getOrBuild(sc: SparkContext, key: SparkPlan,
-                 build: () => (Broadcast[Any], Statistics)): (Broadcast[Any], Statistics) = {
+                 build: () => Broadcast[Any]): Broadcast[Any] = {
     val existing = cache.synchronized {
       val it = cache.keySet().iterator()
       while (it.hasNext) if (it.next().isStopped) it.remove()
       val m = cache.get(sc)
       if (m == null) null else m.get(key)
     }
-    if (existing != null) { hitCount += 1; return (existing.bc, existing.stats) }
+    if (existing != null) { hitCount.incrementAndGet(); return existing }
     // Build OUTSIDE the monitor (it runs a Spark job); publish under it.
     // A racing duplicate build is benign — both broadcasts are valid, last
     // write wins, the loser is GC'd with its query.
-    missCount += 1
-    val (bc, stats) = build()
+    missCount.incrementAndGet()
+    val bc = build()
     cache.synchronized {
       var m = cache.get(sc)
       if (m == null) {
-        m = new java.util.HashMap[SparkPlan, Entry]()
+        m = new java.util.HashMap[SparkPlan, Broadcast[Any]]()
         cache.put(sc, m)
       }
-      if (m.size() < maxEntries) m.put(key, Entry(bc, stats))
+      if (m.size() < maxEntries) m.put(key, bc)
     }
-    (bc, stats)
+    bc
   }
 }
 
@@ -109,16 +121,13 @@ case class SessionCachedBroadcastExec(mode: BroadcastMode, child: SparkPlan)
       mode.canonicalized,
       child.transformUp { case q: QueryStageExec => q.plan }.canonicalized)
 
-  @transient private lazy val materialized: (Broadcast[Any], Statistics) =
-    SessionBroadcastCache.getOrBuild(session.sparkContext, cacheKey, () => {
-      val inner = BroadcastExchangeExec(mode, child)
-      val bc = inner.relationFuture.get(
-        conf.broadcastTimeout, TimeUnit.SECONDS)
-      (bc, inner.runtimeStatistics)
-    })
+  @transient private lazy val materialized: Broadcast[Any] =
+    SessionBroadcastCache.getOrBuild(session.sparkContext, cacheKey, () =>
+      BroadcastExchangeExec(mode, child).relationFuture.get(
+        conf.broadcastTimeout, TimeUnit.SECONDS))
 
   override def doExecuteBroadcast[T](): Broadcast[T] =
-    materialized._1.asInstanceOf[Broadcast[T]]
+    materialized.asInstanceOf[Broadcast[T]]
 
   override protected def doExecute(): RDD[InternalRow] =
     throw new UnsupportedOperationException(

@@ -190,9 +190,10 @@ class PlansSpec extends SparkSpec {
       .getSeq[org.apache.spark.sql.Row](0)
     assert(rows.map(_.getString(1)) ==
       Seq("portfolio card", "investment-item", "spaced eq", ""))
-    // ADVICE r6: self-closing tag — unquoted value must not swallow the
-    // trailing '/', and a stray quote char ends the token (regex twins'
-    // [^\s>"']+ behavior on pathological markup)
+    // ADVICE r6 pathological markup: a stray quote char ends the unquoted
+    // token, and '/' stays IN the value — both exactly the regex twins'
+    // [^\s>"']+ behavior (and HTML5's attribute-value-unquoted state, which
+    // keeps '/': <img class=thumb/> has class "thumb/")
     val patho =
       """<img class=thumb/>""" +
         """<img class=a"b" />""" +
@@ -200,7 +201,12 @@ class PlansSpec extends SparkSpec {
     val prows = Seq(patho).toDF("h")
       .select(graft.plans.htmlClassElements(col("h"))).collect().head
       .getSeq[org.apache.spark.sql.Row](0)
-    assert(prows.map(_.getString(1)) == Seq("thumb", "a", "x/y"))
+    assert(prows.map(_.getString(1)) == Seq("thumb/", "a", "x/y"))
+    // byte-for-byte agreement with the declarative twin token on the same
+    // pathological tags
+    val twinTok = """class\s*=\s*[\"']?([^\s>\"']+)""".r
+    val twinVals = twinTok.findAllMatchIn(patho).map(_.group(1)).toSeq
+    assert(twinVals == Seq("thumb/", "a", "x/y"))
   }
 
   test("graft_html_page_scan: one walk yields the element structs AND the ld+json bodies") {
