@@ -52,6 +52,17 @@ object Dedup {
     4127L, 4229L, 4327L, 4441L, 4547L, 4649L, 4751L, 4861L,
     4967L, 5077L, 5179L, 5279L, 5381L, 5479L, 5581L, 5683L,
     5783L, 5881L, 5981L, 6079L, 6197L, 6299L, 6397L, 6521L)
+  /** Upper 64 lanes of the 128-bit signature (the sf10 saturation remedy,
+    * ARCHITECTURE.md round-7 decade point): derived deterministically from
+    * the 64-bit seed set by an affine shift that keeps every multiplier
+    * odd, below P, and disjoint from the low-lane pairs (asserted). Lane
+    * quality only needs distinct (a, b) pairs — parity of (a*w+b) mod P
+    * is the hash bit. */
+  val A128hi: Seq[Long] = A64.map(a => 2 * a + 131101L)
+  val B128hi: Seq[Long] = B64.map(b => 2 * b + 6607L)
+  require(A64.zip(B64).toSet.intersect(A128hi.zip(B128hi).toSet).isEmpty &&
+    A128hi.distinct.size == 64 && B128hi.distinct.size == 64,
+    "128-bit upper lanes must be distinct from the lower lanes")
 
   // ---- shingling ----
   def wordsOf(text: Column): Column = split(normText(text), " ")
@@ -326,13 +337,13 @@ object Dedup {
     * reassembly. Generated from the seed tables, so the 16/32/64-bit
     * variants are one definition — `1L << 63` (Long.MinValue) prints as a
     * literal DuckDB parses exactly (verified: CAST keeps the value). */
-  private def simhashSumsSql(a: Seq[Long], b: Seq[Long]): String =
+  private def simhashSumsSql(a: Seq[Long], b: Seq[Long], laneOffset: Int = 0): String =
     a.indices.map { j =>
-      s"list_sum(list_transform(wids, w -> CASE WHEN ((CAST(${a(j)} AS BIGINT)*w+${b(j)})%$P)%2 = 1 THEN 1 ELSE -1 END)) AS s$j"
+      s"list_sum(list_transform(wids, w -> CASE WHEN ((CAST(${a(j)} AS BIGINT)*w+${b(j)})%$P)%2 = 1 THEN 1 ELSE -1 END)) AS s${laneOffset + j}"
     }.mkString(", ")
-  private def simhashBitsSql(nbits: Int): String =
+  private def simhashBitsSql(nbits: Int, laneOffset: Int = 0): String =
     (0 until nbits).map { j =>
-      s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      s"CASE WHEN s${laneOffset + j} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
 
   /** 16-bit SimHash per document over the shingle-id array (no shuffle). */
@@ -438,6 +449,32 @@ object Dedup {
       simhash64Bands(Tables.documents(spark, d))
     }
 
+  /** 128-bit signatures banded 4 x 32-bit — the NEXT production tier, the
+    * implemented remedy for the 64-bit tier's saturation knee
+    * (ARCHITECTURE.md round-7 decade point: 16-bit buckets overtake corpus
+    * size at n ~ 130k docs; 32-bit buckets stay sparse to n ~ 4e9). The
+    * signature is two native 64-lane sketches over the same shingle-id
+    * array (one scan-stage pass, no shuffle); Hamming distance is
+    * bit_count(xor lo) + bit_count(xor hi), and the pigeonhole guarantee
+    * is unchanged: <= 3 flipped bits cannot touch all 4 bands. */
+  def simhash128Bands(docs: DataFrame): DataFrame =
+    docWidArrays(docs)
+      .select(col("doc_id"),
+        graft.plans.simhashSig(col("wids"), A64, B64, P).as("sig_lo"),
+        graft.plans.simhashSig(col("wids"), A128hi, B128hi, P).as("sig_hi"))
+      .select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+        explode(array((0 until 4).map { bid =>
+          val src = if (bid < 2) col("sig_lo") else col("sig_hi")
+          struct(lit(bid).as("band_id"),
+            shiftright(src, 32 * (bid % 2)).bitwiseAND(lit(4294967295L)).as("band_val"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("sig_lo"), col("sig_hi"), col("band.*"))
+
+  def simhash128BandsRelation(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#simhash128_bands") {
+      simhash128Bands(Tables.documents(spark, d))
+    }
+
   /** 64-lane CTE chain shared by the two production queries' oracles:
     * widl -> sums -> sig -> bands (16-bit) -> pairs (hamming <= 3). */
   private val neardup64Ctes: String = {
@@ -453,6 +490,57 @@ object Dedup {
        |  FROM bands a JOIN bands b ON a.band_id = b.band_id
        |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** 128-lane CTE chain for the widest tier: two 64-lane sums blocks
+    * (s0..s63 lo, s64..s127 hi), 4 x 32-bit bands, Hamming over both
+    * halves. */
+  private val neardup128Ctes: String = {
+    val sumsLo = simhashSumsSql(A64, B64)
+    val sumsHi = simhashSumsSql(A128hi, B128hi, 64)
+    val bitsLo = simhashBitsSql(64)
+    val bitsHi = simhashBitsSql(64, 64)
+    s"""$shingleListCtes,
+       |sums AS (SELECT doc_id, $sumsLo, $sumsHi FROM widl),
+       |sig AS (SELECT doc_id, CAST($bitsLo AS BIGINT) AS lo, CAST($bitsHi AS BIGINT) AS hi FROM sums),
+       |bands AS (SELECT doc_id, lo, hi, band_id,
+       |    CASE WHEN band_id < 2 THEN (lo >> (32*band_id)) & 4294967295
+       |         ELSE (hi >> (32*(band_id-2))) & 4294967295 END AS band_val
+       |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.lo AS la, a.hi AS hia, b.lo AS lb, b.hi AS hib
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+       |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** WIDE-TIER near-dup pairs: Hamming <= 3 over the 128-bit signature,
+    * candidates from persisted 4 x 32-bit bands — the implemented remedy
+    * for the 64-bit tier's saturation knee (buckets ~n/2^32 stay sparse to
+    * n ~ 4e9 docs; same pigeonhole exactness, <= 3 flips cannot touch all
+    * 4 bands). Stricter than the 64-bit tier by construction (3/128 vs
+    * 3/64 bit budget) — the wider tier is a different point on the
+    * precision curve, chosen when the corpus outgrows the narrower one.
+    * Oracle: the generated 128-lane twin. */
+  val ddSimhashNearDup128: QueryDef =
+    QueryDef("dd_simhash_neardup128",
+      s"""WITH $neardup128Ctes
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(la, lb)) + bit_count(xor(hia, hib)) AS INTEGER) AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(la, lb)) + bit_count(xor(hia, hib)) <= 3""".stripMargin) { (spark, d) =>
+      val bands = simhash128BandsRelation(spark, d)
+      val a = bands.select(col("band_id"), col("band_val"),
+        col("doc_id").as("doc_a"), col("sig_lo").as("la"), col("sig_hi").as("hia"))
+      val b = bands.select(col("band_id"), col("band_val"),
+        col("doc_id").as("doc_b"), col("sig_lo").as("lb"), col("sig_hi").as("hib"))
+      a.join(b, Seq("band_id", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "la", "hia", "lb", "hib")
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          (bit_count(col("la").bitwiseXOR(col("lb"))) +
+            bit_count(col("hia").bitwiseXOR(col("hib")))).as("hamming"))
+        .filter(col("hamming") <= 3)
+    }
 
   /** PRODUCTION near-dup pairs: Hamming <= 3 over the 64-bit signature,
     * candidates from the persisted 4 x 16-bit bands. Same pigeonhole
@@ -784,5 +872,6 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
-    ddSimhashNearDup64, ddIncrementalPairs, ddDupClusters, ddFuzzyKeep)
+    ddSimhashNearDup64, ddSimhashNearDup128, ddIncrementalPairs, ddDupClusters,
+    ddFuzzyKeep)
 }

@@ -116,6 +116,24 @@ class DedupSpec extends SparkSpec {
       "16-bit pigeonhole bands over the 64-bit signature must stay exact for hamming <= 3")
   }
 
+  test("128-bit wide-tier bands find exactly the <=3-hamming pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val sigs = Dedup.docWidArrays(docs)
+      .select(col("doc_id"),
+        graft.plans.simhashSig(col("wids"), Dedup.A64, Dedup.B64, Dedup.P).as("lo"),
+        graft.plans.simhashSig(col("wids"), Dedup.A128hi, Dedup.B128hi, Dedup.P).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ida, la, hia) <- sigs; (idb, lb, hib) <- sigs
+      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(hia ^ hib)
+      if ida < idb && d <= 3
+    } yield (ida, idb, d)).toSet
+    val got = Dedup.ddSimhashNearDup128.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute,
+      "32-bit pigeonhole bands over the 128-bit signature must stay exact for hamming <= 3")
+  }
+
   test("label propagation equals driver-side union-find on testdata pairs") {
     // hand-built: chain 1-2-3, pair 10-11, triangle 20-21-22 (+ 21-20 dup)
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
