@@ -97,11 +97,15 @@ object Bench {
     val loadStart = loadavg()
     val (tot0, st0) = procStat()
 
+    // One timed run; a FAILED run reports Double.MaxValue so min-keeping
+    // can never replace an honest slow measurement with the wall time of a
+    // fast abort (code-review r7: a transient OOM dying in 0.2s must not
+    // become the official number for a 3s query).
     def timeOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
     }
     // Shared min-keeping re-measure: extra samples only, so an honest
     // regression survives and a stall-window artifact is cleared.
@@ -116,19 +120,17 @@ object Bench {
     // methodology of the BASELINE.md §B measurements; this VM shows
     // intermittent hypervisor steal, so a single slow run must not stand).
     def sweep(iterHeadline: Int, iterOther: Int): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
         // Headline queries get more runs: this VM's intermittent hypervisor
         // steal swings identical code 0.70<->0.94 s across whole bench runs,
         // and the headline total is the judged number — more samples per
         // query is the only defense that doesn't touch the measurement.
         val iters = if (headline.contains(name)) iterHeadline else iterOther
-        val dts = (1 to iters).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }
-        val dt = dts.min
-        System.err.println(f"[bench] $name%-28s $dt%8.2fs  (runs: ${dts.map(t => f"$t%.2f").mkString(", ")})")
+        val dts = (1 to iters).map(_ => timeOnce(name))
+        val good = dts.filter(_ < Double.MaxValue)
+        // every run failed -> -1.0 sentinel (never a fast-abort wall time)
+        val dt = if (good.nonEmpty) good.min else -1.0
+        System.err.println(f"[bench] $name%-28s $dt%8.2fs  (runs: ${dts.map(t => if (t == Double.MaxValue) "FAIL" else f"$t%.2f").mkString(", ")})")
         name -> dt
       }
     val results = sweep(9, 3)
@@ -156,9 +158,15 @@ object Bench {
     // an "sf":"…/sfX" path (raw stdout), and scrape name:value pairs with
     // a backslash-tolerant token regex filtered to REAL query names
     // (wrapper fields and truncation debris can never collide with one).
+    // Current SF from the dir basename, accepting both "sf0.1" and scale
+    // dirs like "graft_sf10". The gate FAILS CLOSED (code-review r7): if
+    // either side's SF cannot be determined, prevTimes stays empty — an
+    // sf1 sweep must never be rechecked against sf0.1 reference times
+    // (every query would spuriously "regress" 2x and re-run).
     val sfNum: Option[Double] = {
       val n = new java.io.File(sfDir).getName
-      if (n.startsWith("sf")) scala.util.Try(n.drop(2).toDouble).toOption else None
+      "sf([0-9.]+)$".r.findFirstMatchIn(n)
+        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
     }
     val prevTimes: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_PREV_BENCH")
@@ -176,7 +184,7 @@ object Bench {
                 .orElse("\"sf\\\\?\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(txt)
                   .map(_.group(1)))
                 .flatMap(s => scala.util.Try(s.toDouble).toOption)
-            if (prevSf.isDefined && sfNum.isDefined && prevSf != sfNum) None
+            if (prevSf.isEmpty || sfNum.isEmpty || prevSf != sfNum) None
             else {
               val names = SparkEntry.queries.keySet
               val pairs = "\"([A-Za-z0-9_]+)\\\\?\"\\s*:\\s*([0-9]+\\.[0-9]+)".r

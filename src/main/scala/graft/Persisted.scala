@@ -62,6 +62,7 @@ object Persisted {
     * batch keeps its persisted sketch instead of silently unpersisting a
     * relation a still-unexecuted result DataFrame depends on. */
   def clearExcept(spark: SparkSession, keyPrefix: String, keep: String): Int = {
+    val evictedRelations = Set.newBuilder[AnyRef]
     val n = cache.synchronized {
       val m = cache.get(spark)
       if (m == null) 0
@@ -71,6 +72,14 @@ object Persisted {
         while (it.hasNext) {
           val e = it.next()
           if (e.getKey.startsWith(keyPrefix) && e.getKey != keep) {
+            // record the cached representation BEFORE unpersisting: the
+            // optimized plan of a cached DataFrame reads through its
+            // InMemoryRelation, whose CachedRDDBuilder is the identity
+            // session-cached broadcasts are correlated by
+            try e.getValue.queryExecution.optimizedPlan.collectFirst {
+              case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+                evictedRelations += r.cacheBuilder
+            } catch { case _: Throwable => () }
             e.getValue.unpersist()
             it.remove()
             k += 1
@@ -80,10 +89,13 @@ object Persisted {
       }
     }
     // Unpersisting a relation invalidates any session-cached broadcast
-    // built over it (stale-batch pinning, code-review r7) — drop the
-    // session's broadcast cache so the next action rebuilds from live
-    // relations. No-op when nothing was cleared.
-    if (n > 0) graft.plans.SessionBroadcastCache.clear(spark.sparkContext)
+    // built over it (stale-batch pinning, code-review r7) — TARGETED: only
+    // entries whose cached plan reads one of the just-evicted relations
+    // are dropped, so an ingest session cycling batches keeps its live dim
+    // broadcasts (a blanket clear re-paid the dim rebuild once per batch).
+    if (n > 0)
+      graft.plans.SessionBroadcastCache.invalidateRelations(
+        spark.sparkContext, evictedRelations.result())
     n
   }
 }

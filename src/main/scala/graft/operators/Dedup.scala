@@ -527,19 +527,8 @@ object Dedup {
         |  CAST(bit_count(xor(la, lb)) + bit_count(xor(hia, hib)) AS INTEGER) AS hamming
         |FROM pairs
         |WHERE bit_count(xor(la, lb)) + bit_count(xor(hia, hib)) <= 3""".stripMargin) { (spark, d) =>
-      val bands = simhash128BandsRelation(spark, d)
-      val a = bands.select(col("band_id"), col("band_val"),
-        col("doc_id").as("doc_a"), col("sig_lo").as("la"), col("sig_hi").as("hia"))
-      val b = bands.select(col("band_id"), col("band_val"),
-        col("doc_id").as("doc_b"), col("sig_lo").as("lb"), col("sig_hi").as("hib"))
-      a.join(b, Seq("band_id", "band_val"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "la", "hia", "lb", "hib")
-        .distinct()
-        .select(col("doc_a"), col("doc_b"),
-          (bit_count(col("la").bitwiseXOR(col("lb"))) +
-            bit_count(col("hia").bitwiseXOR(col("hib")))).as("hamming"))
-        .filter(col("hamming") <= 3)
+      simhashNearDupPairs(simhash128BandsRelation(spark, d),
+        sigCols = Seq("sig_lo", "sig_hi"))
     }
 
   /** PRODUCTION near-dup pairs: Hamming <= 3 over the 64-bit signature,
@@ -582,18 +571,27 @@ object Dedup {
 
   /** Streaming band self-join: every pair within `maxHamming` (pigeonhole-
     * exact for maxHamming <= 3 over 4 bands). Bounded memory per bucket —
-    * pass a persisted/cached bands relation for compute-once. */
-  def simhashNearDupPairs(bands: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val a = bands.select(col("band_id"), col("band_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("ha"))
-    val b = bands.select(col("band_id"), col("band_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    * pass a persisted/cached bands relation for compute-once. `sigCols`
+    * generalizes the signature to multiple 64-bit words (the 128-bit wide
+    * tier passes Seq("sig_lo", "sig_hi")); Hamming is the sum of per-word
+    * bit_count(xor). ONE definition of the candidate-pair contract
+    * (doc_a < doc_b canonicalization, distinct before the Hamming gate)
+    * for every tier. */
+  def simhashNearDupPairs(bands: DataFrame, maxHamming: Int = 3,
+                          sigCols: Seq[String] = Seq("simhash")): DataFrame = {
+    val a = bands.select(Seq(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a")) ++ sigCols.map(c => col(c).as(s"${c}_a")): _*)
+    val b = bands.select(Seq(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_b")) ++ sigCols.map(c => col(c).as(s"${c}_b")): _*)
+    val hamming = sigCols
+      .map(c => bit_count(col(s"${c}_a").bitwiseXOR(col(s"${c}_b"))))
+      .reduce(_ + _)
     a.join(b, Seq("band_id", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb")
+      .select(Seq(col("doc_a"), col("doc_b")) ++
+        sigCols.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
       .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

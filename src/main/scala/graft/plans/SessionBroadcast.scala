@@ -47,14 +47,41 @@ object SessionBroadcastCache {
     (if (m == null) 0 else m.size(), hitCount.get(), missCount.get())
   }
 
-  /** Drop every entry of `sc`'s session (the Persisted-eviction hook). The
-    * Broadcast objects themselves stay valid for in-flight plans that
-    * already resolved them; dropping the map entry only forces the NEXT
-    * action to rebuild. */
+  /** Drop every entry of `sc`'s session. The Broadcast objects themselves
+    * stay valid for in-flight plans that already resolved them; dropping
+    * the map entry only forces the NEXT action to rebuild. */
   def clear(sc: SparkContext): Int = cache.synchronized {
     val m = cache.remove(sc)
     if (m == null) 0 else m.size()
   }
+
+  /** TARGETED invalidation (the `Persisted` eviction hook): drop only the
+    * entries whose cached exchange plan scans one of `builders` — the
+    * `CachedRDDBuilder`s of just-unpersisted in-memory relations (shared
+    * by reference through canonicalization, so identity lookup works).
+    * Entries over still-live relations survive, which is the point: an
+    * ingest session cycling per-batch relations must not lose its dim
+    * broadcasts (code-review r7). Falls back to nothing when `builders`
+    * is empty. */
+  def invalidateRelations(sc: SparkContext, builders: Set[AnyRef]): Int =
+    if (builders.isEmpty) 0
+    else cache.synchronized {
+      val m = cache.get(sc)
+      if (m == null) 0
+      else {
+        val it = m.keySet().iterator()
+        var n = 0
+        while (it.hasNext) {
+          val k = it.next()
+          val stale = k.find {
+            case s: InMemoryTableScanExec => builders.contains(s.relation.cacheBuilder)
+            case _ => false
+          }.isDefined
+          if (stale) { it.remove(); n += 1 }
+        }
+        n
+      }
+    }
 
   def getOrBuild(sc: SparkContext, key: SparkPlan,
                  build: () => Broadcast[Any]): Broadcast[Any] = {

@@ -90,7 +90,13 @@ object StreamingEvents {
           var (n, cents) = state.getOption.getOrElse((0L, 0L))
           batch.foreach { e =>
             n += 1
-            cents += math.floor(e.value * 100 + 0.5).toLong
+            // HALF_UP on BigDecimal = half-away-from-zero, matching DuckDB
+            // round() for NEGATIVE values too (refund events) — the
+            // positive-only floor(x*100+0.5) idiom would floor a -212.5
+            // tie the other way (same precedent as SpecExtractors'
+            // c_acctbal note)
+            cents += BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
           }
           state.update((n, cents))
           UserStats(userId, n, cents / 100.0)

@@ -29,6 +29,37 @@ class SessionBroadcastSpec extends SparkSpec {
       "cached-broadcast plan must produce identical rows to vanilla")
   }
 
+  test("Persisted.clear drops ONLY broadcasts over the evicted relation") {
+    // two actions: the FIRST materializes the cust_geo IMR (whose
+    // pre-materialization join-product stats make the planner broadcast
+    // the fact side instead); the SECOND plans the dim broadcast that
+    // populates the cache
+    runJ4().count(); runJ4().count()
+    val (n0, _, _) = SessionBroadcastCache.stats(spark.sparkContext)
+    assert(n0 >= 1)
+    // clearing an unrelated prefix evicts nothing -> broadcasts untouched
+    Persisted.clear(spark, "spec#no-such-prefix/")
+    assert(SessionBroadcastCache.stats(spark.sparkContext)._1 == n0)
+    // an unrelated persisted relation: its eviction must not take the dim
+    // broadcast with it (targeted invalidation, code-review r7)
+    Persisted.of(spark, "spec#bystander") {
+      spark.range(3).toDF("x")
+    }.count()
+    Persisted.clear(spark, "spec#bystander")
+    assert(SessionBroadcastCache.stats(spark.sparkContext)._1 == n0,
+      "evicting an unrelated relation must keep the dim broadcast")
+    // evicting cust_geo itself must invalidate its broadcast entry
+    Persisted.clear(spark, s"$sf0001#cust_geo")
+    val (n1, _, _) = SessionBroadcastCache.stats(spark.sparkContext)
+    assert(n1 < n0, "the evicted relation's broadcast must be dropped")
+    // and later actions transparently rebuild (two again: the first
+    // re-materializes the fresh IMR, the second plans its broadcast)
+    val (_, _, m1) = SessionBroadcastCache.stats(spark.sparkContext)
+    runJ4().count(); runJ4().count()
+    val (n2, _, m2) = SessionBroadcastCache.stats(spark.sparkContext)
+    assert(n2 >= n0 && m2 > m1, "later actions rebuild the dim broadcast")
+  }
+
   test("executed plan carries SessionCachedBroadcast over the static dim") {
     val df = runJ4()
     df.collect() // execute THIS plan so AQE finalizes it
