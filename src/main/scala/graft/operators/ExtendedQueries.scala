@@ -292,8 +292,42 @@ object ExtendedQueries {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** §2.9 streaming surface #2 (sibling of [[stRunningStats]]): the SAME
+    * `flatMapGroupsWithState` sessionizer the streaming spec drives, run
+    * in batch mode. Semantics pinned by the oracle: the fold emits CLOSED
+    * sessions only — a session closes when the next same-user event
+    * arrives more than 30 min later — and each user's trailing session
+    * stays open in state (in a stream it would close on a later batch),
+    * so the oracle replays gap-sessionization in epoch-MILLISECONDS
+    * (`Timestamp.getTime` and DuckDB `epoch_ms` both floor) and drops
+    * each user's last session. Tie order within a millisecond is
+    * irrelevant: equal timestamps can never exceed the gap. */
+  val stSession = QueryDef("st_session",
+    """WITH t AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+      |m AS (SELECT user_id, event_id, ts_ms,
+      |  CASE WHEN lag(ts_ms) OVER w IS NULL OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |s AS (SELECT user_id, ts_ms,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      |  FROM m),
+      |g AS (SELECT user_id, seq, COUNT(*) AS n, MIN(ts_ms) AS s_ms, MAX(ts_ms) AS e_ms
+      |      FROM s GROUP BY user_id, seq),
+      |x AS (SELECT *, MAX(seq) OVER (PARTITION BY user_id) AS mx FROM g)
+      |SELECT user_id, CAST(s_ms AS BIGINT) AS start_ms, CAST(e_ms AS BIGINT) AS end_ms,
+      |  CAST(n AS INTEGER) AS n_events
+      |FROM x WHERE seq < mx""".stripMargin) { (spark, d) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, d)
+      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.StreamingEvents.Event]
+    graft.streaming.StreamingEvents.sessionize(ev, gapMs = 1800000L)
+      .toDF("user_id", "start_ms", "end_ms", "n_events")
+  }
+
   val all: Seq[QueryDef] = Seq(
     waLagDelta, waSession, rollupAgg, cubeAgg, o4FirstSuccess, x9WordCount,
     x17MapLookup, a7DistinctStats, a6BucketSort, pivotAgg, unpivotMetrics,
-    approxStats, stRunningStats)
+    approxStats, stRunningStats, stSession)
 }

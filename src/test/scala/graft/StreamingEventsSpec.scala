@@ -96,4 +96,26 @@ class StreamingEventsSpec extends SparkSpec {
         got(1).start_ms == Timestamp.valueOf("2024-01-01 12:30:00").getTime)
     } finally q.stop()
   }
+
+  test("batch-mode sessionize (st_session) equals an independent gap fold") {
+    // the driver oracle replays this in SQL; here a plain Scala fold over
+    // the same events pins the CLOSED-sessions-only contract independently
+    val out = graft.operators.ExtendedQueries.stSession.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(out.nonEmpty)
+    val events = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "ts div 1000000 as ts_ms") // nanos -> floor ms
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = events.groupBy(_._1).flatMap { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.foldLeft(List.empty[(Long, Long, Int)]) {
+        case (Nil, t) => List((t, t, 1))
+        case ((s, e, n) :: rest, t) =>
+          if (t - e <= 1800000L) (s, t, n + 1) :: rest
+          else (t, t, 1) :: (s, e, n) :: rest
+      }.reverse
+      sessions.dropRight(1).map { case (s, e, n) => (u, s, e, n) } // drop the open one
+    }.toSet
+    assert(out === expected)
+  }
 }
