@@ -223,27 +223,36 @@ object Bench {
     val cleanRef = sys.env.get("SPARK_GRAFT_CLEAN_TOTAL").map(_.toDouble)
       .orElse(if (new java.io.File(sfDir).getName == "sf0.1") Some(0.9) else None)
     val byName0 = rechecked.toMap
-    val firstTotal = headline.flatMap(byName0.get).sum
+    // a query whose every run failed carries the -1.0 sentinel: it must
+    // never deflate a judged total (a failure improving the benchmark) nor
+    // be adopted by min-keeping merges
+    def validSum(ts: Iterable[Double]): Double = ts.filter(_ >= 0).sum
+    val firstTotal = validSum(headline.flatMap(byName0.get))
     val poisoned = stealPct > 1.0 || cleanRef.exists(r => firstTotal > 1.5 * r)
     val finalResults =
       if (poisoned) {
         System.err.println(
           f"[bench] POISONED window (steal $stealPct%.2f%%, headline total $firstTotal%.2fs vs clean ref ${cleanRef.getOrElse(Double.NaN)}%.1fs) — re-running sweep")
         val second = sweep(5, 2).toMap
-        rechecked.map { case (k, v) => k -> math.min(v, second.getOrElse(k, v)) }
+        rechecked.map { case (k, v) =>
+          val valid = Seq(v, second.getOrElse(k, v)).filter(_ >= 0)
+          k -> (if (valid.nonEmpty) valid.min else -1.0)
+        }
       } else rechecked
     val loadEnd = loadavg()
 
     val byName = finalResults.toMap
     val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val headlineTotal = headline.flatMap(byName.get).sum
-    val allTotal = finalResults.map(_._2).sum
+    val failed = finalResults.collect { case (k, v) if v < 0 => k }.sorted
+    val headlineTotal = validSum(headline.flatMap(byName.get))
+    val allTotal = validSum(finalResults.map(_._2))
     // Double.toString is locale-independent; the f interpolator is NOT
     // (a comma-decimal locale would corrupt the JSON), so round via math
     val steal3 = math.round(stealPct * 1000.0) / 1000.0
     val build3 = math.round(custGeoBuildSec * 1000.0) / 1000.0
-    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all_queries":$allTotal,"cust_geo_build_sec":$build3,"sf":"$sfDir","steal_pct":$steal3,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"retried":$poisoned}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all_queries":$allTotal,"failed":$failedJson,"cust_geo_build_sec":$build3,"sf":"$sfDir","steal_pct":$steal3,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"retried":$poisoned}""")
     spark.stop()
   }
 }

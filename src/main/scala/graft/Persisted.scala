@@ -62,40 +62,47 @@ object Persisted {
     * batch keeps its persisted sketch instead of silently unpersisting a
     * relation a still-unexecuted result DataFrame depends on. */
   def clearExcept(spark: SparkSession, keyPrefix: String, keep: String): Int = {
-    val evictedRelations = Set.newBuilder[AnyRef]
-    val n = cache.synchronized {
+    // Snapshot-and-remove under the monitor; force plans and unpersist
+    // OUTSIDE it — optimizedPlan on a never-executed entry runs the full
+    // analyzer/optimizer, and the monitor is global to every session's
+    // Persisted access (code-review r7 lock-contention finding). Removing
+    // first is safe: no new consumer can obtain an evicted entry.
+    val evicted = cache.synchronized {
       val m = cache.get(spark)
-      if (m == null) 0
+      if (m == null) Seq.empty[DataFrame]
       else {
+        val out = Seq.newBuilder[DataFrame]
         val it = m.entrySet().iterator()
-        var k = 0
         while (it.hasNext) {
           val e = it.next()
           if (e.getKey.startsWith(keyPrefix) && e.getKey != keep) {
-            // record the cached representation BEFORE unpersisting: the
-            // optimized plan of a cached DataFrame reads through its
-            // InMemoryRelation, whose CachedRDDBuilder is the identity
-            // session-cached broadcasts are correlated by
-            try e.getValue.queryExecution.optimizedPlan.collectFirst {
-              case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-                evictedRelations += r.cacheBuilder
-            } catch { case _: Throwable => () }
-            e.getValue.unpersist()
+            out += e.getValue
             it.remove()
-            k += 1
           }
         }
-        k
+        out.result()
       }
+    }
+    val evictedRelations = Set.newBuilder[AnyRef]
+    evicted.foreach { df =>
+      // record the cached representation BEFORE unpersisting: the
+      // optimized plan of a cached DataFrame reads through its
+      // InMemoryRelation, whose CachedRDDBuilder is the identity
+      // session-cached broadcasts are correlated by
+      try df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          evictedRelations += r.cacheBuilder
+      } catch { case _: Throwable => () }
+      df.unpersist()
     }
     // Unpersisting a relation invalidates any session-cached broadcast
     // built over it (stale-batch pinning, code-review r7) — TARGETED: only
     // entries whose cached plan reads one of the just-evicted relations
     // are dropped, so an ingest session cycling batches keeps its live dim
     // broadcasts (a blanket clear re-paid the dim rebuild once per batch).
-    if (n > 0)
+    if (evicted.nonEmpty)
       graft.plans.SessionBroadcastCache.invalidateRelations(
         spark.sparkContext, evictedRelations.result())
-    n
+    evicted.size
   }
 }

@@ -271,6 +271,18 @@ object ExtendedQueries {
           col("exact_median") * lit(0.05)).as("p50_within_5pct"))
   }
 
+  /** The events table as the typed stream-shaped Dataset both batch-mode
+    * streaming twins fold over — ONE definition of the nanos->timestamp
+    * conversion (the st_session oracle's ms-flooring contract hangs off
+    * it), two callers. */
+  private def eventsDs(spark: org.apache.spark.sql.SparkSession, d: String) = {
+    import spark.implicits._
+    Tables.events(spark, d)
+      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.StreamingEvents.Event]
+  }
+
   /** §2.9 streaming surface, driver-adjudicated (VERDICT r6 #8): the SAME
     * `mapGroupsWithState` fold the streaming spec drives through
     * MemoryStream micro-batches, here run in BATCH mode over the events
@@ -283,12 +295,7 @@ object ExtendedQueries {
     """SELECT user_id, COUNT(*) AS n_events,
       |  SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
       |FROM events GROUP BY user_id""".stripMargin) { (spark, d) =>
-    import spark.implicits._
-    val ev = Tables.events(spark, d)
-      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      .as[graft.streaming.StreamingEvents.Event]
-    graft.streaming.StreamingEvents.runningUserStats(ev)
+    graft.streaming.StreamingEvents.runningUserStats(eventsDs(spark, d))
       .toDF("user_id", "n_events", "total_value")
   }
 
@@ -317,12 +324,7 @@ object ExtendedQueries {
       |SELECT user_id, CAST(s_ms AS BIGINT) AS start_ms, CAST(e_ms AS BIGINT) AS end_ms,
       |  CAST(n AS INTEGER) AS n_events
       |FROM x WHERE seq < mx""".stripMargin) { (spark, d) =>
-    import spark.implicits._
-    val ev = Tables.events(spark, d)
-      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      .as[graft.streaming.StreamingEvents.Event]
-    graft.streaming.StreamingEvents.sessionize(ev, gapMs = 1800000L)
+    graft.streaming.StreamingEvents.sessionize(eventsDs(spark, d), gapMs = 1800000L)
       .toDF("user_id", "start_ms", "end_ms", "n_events")
   }
 
