@@ -172,8 +172,11 @@ object Bench {
       sys.env.get("SPARK_GRAFT_PREV_BENCH")
         .orElse {
           val rs = new java.io.File(".").listFiles()
+          // numeric round sort (ADVICE r7): lexicographic getName puts
+          // BENCH_r10 before BENCH_r9 and rechecks against a stale round
           Option(rs).flatMap(_.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-            .sortBy(_.getName).lastOption.map(_.getPath))
+            .sortBy(f => "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+            .lastOption.map(_.getPath))
         }
         .flatMap { p =>
           try {
@@ -187,9 +190,18 @@ object Bench {
             if (prevSf.isEmpty || sfNum.isEmpty || prevSf != sfNum) None
             else {
               val names = SparkEntry.queries.keySet
-              val pairs = "\"([A-Za-z0-9_]+)\\\\?\"\\s*:\\s*([0-9]+\\.[0-9]+)".r
+              // Two on-disk shapes: quoted JSON pairs ("name":1.23, quotes
+              // possibly backslash-escaped by the driver wrapper) and the
+              // round-8 quote-free times_sec line (name:1.234). The
+              // unquoted pattern cannot false-match inside escaped JSON —
+              // there a backslash sits between name and colon.
+              val quoted = "\"([A-Za-z0-9_]+)\\\\?\"\\s*:\\s*([0-9]*\\.[0-9]+)".r
                 .findAllMatchIn(txt)
                 .map(m => m.group(1) -> m.group(2).toDouble)
+              val bare = "(?<![A-Za-z0-9_\"\\\\])([A-Za-z0-9_]+):([0-9]*\\.[0-9]+)".r
+                .findAllMatchIn(txt)
+                .map(m => m.group(1) -> m.group(2).toDouble)
+              val pairs = (quoted ++ bare)
                 .filter(kv => names.contains(kv._1)).toMap
               if (pairs.nonEmpty) Some(pairs) else None
             }
@@ -242,17 +254,56 @@ object Bench {
     val loadEnd = loadavg()
 
     val byName = finalResults.toMap
-    val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = finalResults.collect { case (k, v) if v < 0 => k }.sorted
-    val headlineTotal = validSum(headline.flatMap(byName.get))
     val allTotal = validSum(finalResults.map(_._2))
     // Double.toString is locale-independent; the f interpolator is NOT
     // (a comma-decimal locale would corrupt the JSON), so round via math
-    val steal3 = math.round(stealPct * 1000.0) / 1000.0
-    val build3 = math.round(custGeoBuildSec * 1000.0) / 1000.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all_queries":$allTotal,"failed":$failedJson,"cust_geo_build_sec":$build3,"sf":"$sfDir","steal_pct":$steal3,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"retried":$poisoned}""")
+    // j3: strict-JSON 3-decimal value (leading zero kept — the driver
+    // attempts to parse the final line, and bare .42 is not valid JSON).
+    // t3: times_sec-line form, leading zero of sub-second values stripped —
+    // the driver keeps only the last 2000 chars of stdout (escaped), and
+    // one char x 70 queries is margin that keeps the artifact in-window.
+    def j3(v: Double): String = (math.round(v * 1000.0) / 1000.0).toString
+    def t3(v: Double): String = {
+      val s = j3(v)
+      if (s.startsWith("0.")) s.drop(1) else s
+    }
+    // Artifact layout vs the driver's 2000-char merged-stdio tail (VERDICT
+    // r7 #1: rounds 3-7 lost headline_total_6q and the alphabetically-first
+    // ~25 per-query times to left-truncation; r1/r2 tails prove stderr is
+    // captured too, so nothing chatty may print after the sweep). Two
+    // lines, summary LAST so it always survives:
+    //   1. quote-free "times name:.123 ..." — every non-headline query at
+    //      3 decimals plus the diagnostic fields as bare tokens; zero
+    //      quotes means zero escape inflation in the driver wrapper, and
+    //      diagnostics sit at the END so any clipping eats query times
+    //      from 'a...' first;
+    //   2. the contract JSON line (strict JSON — the driver tries to parse
+    //      it), with the six headline analogues in "queries".
+    val diag = Seq(
+      s"steal:${t3(stealPct)}",
+      s"cust_geo_build:${t3(custGeoBuildSec)}",
+      s"loadavg:${t3(loadStart)}..${t3(loadEnd)}",
+      s"retried:$poisoned",
+      s"failed:${if (failed.isEmpty) "none" else failed.mkString(",")}")
+    val timesLine = (finalResults.sortBy(_._1)
+      .filterNot { case (k, _) => headline.contains(k) }
+      .map { case (k, v) => s"$k:${t3(v)}" } ++ diag)
+      .mkString("times ", " ", "")
+    val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + j3(v)))
+      .mkString("{", ",", "}")
+    // A headline query that fails every run must INVALIDATE the judged
+    // number, not deflate it (ADVICE r7 medium: validSum silently dropping
+    // a broken headline query made failure flatter the benchmark).
+    val headlineBroken = headline.exists(k => byName.get(k).exists(_ < 0))
+    val headlineTotal =
+      if (headlineBroken) "null" else j3(validSum(headline.flatMap(byName.get)))
+    println(timesLine)
+    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all":${j3(allTotal)},"sf":"${new java.io.File(sfDir).getName}"}""")
+    if (headlineBroken) {
+      // exit nonzero so the run records as invalid, not flattering
+      spark.stop(); sys.exit(3)
+    }
     spark.stop()
   }
 }
