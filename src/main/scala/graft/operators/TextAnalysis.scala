@@ -177,28 +177,27 @@ object TextAnalysis {
       |  FROM tf JOIN dl ON dl.doc_id = tf.doc_id JOIN df ON df.w = tf.w CROSS JOIN n) t
       |WHERE rn <= 5""".stripMargin) { (spark, d) =>
     val docs = Tables.documents(spark, d)
-    // The (doc, term, tf) relation feeds THREE consumers (weights, doc
-    // lengths, document frequencies) — persisted once per session, it is
-    // the inverted-index/term-store a 100 TB pipeline materializes anyway
-    // (cf. Dedup.writeSignatureStore); without it each consumer re-runs
-    // the tokenize+count shuffle (ReuseExchange only shares the exchange,
-    // not the final aggregations).
+    // The (doc, term, tf, dl) relation feeds TWO consumers (weights and
+    // document frequencies) — persisted once per session, it is the
+    // inverted-index/term-store a 100 TB pipeline materializes anyway
+    // (cf. Dedup.writeSignatureStore). Per-document tokenize + count + doc
+    // length all happen INSIDE the scan row (graft.plans.wordCounts, a
+    // codegen'd one-byte-walk expression): only distinct (word, tf) pairs
+    // ever leave the row, so the former explode -> groupBy(doc_id, word)
+    // wide shuffle — which carried every token occurrence of the corpus —
+    // is gone entirely (round-8 fix for the suite's slowest query).
     val tf = graft.Persisted.of(spark, s"$d#term_tf") {
-      docs
-        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      docs.select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
     }
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = broadcast(docs.agg(count(lit(1)).as("n")))
-    // Doc length folds into the SAME doc_id partitioning the rank needs:
-    // sum(tf) OVER (PARTITION BY doc_id) replaces the former dl aggregate +
-    // equi-join — one Exchange on doc_id serves both window passes (the
-    // unordered sum, then the ordered row_number), dropping a full shuffle
-    // of the tf relation. The rank orders by the SAME round(...,6) value as
-    // the oracle, so rounding-induced ties still break identically on term.
+    // df is vocabulary-sized (Heap's law: sublinear in corpus size) and
+    // arrives through its own shuffle, so AQE sees its true byte size and
+    // broadcast-joins it; tf then never reshuffles on w. The rank orders by
+    // the SAME round(...,6) value as the oracle, so rounding-induced ties
+    // still break identically on term.
     val weighted = tf
       .join(df, "w").crossJoin(n)
-      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
       .select(col("doc_id"), col("w").as("term"), col("tf").cast("long").as("tf"),
         round((col("tf") * col("n")).cast("double") / (col("dl") * col("df")), 6).as("weight"))
     val win = Window.partitionBy("doc_id").orderBy(col("weight").desc, col("term"))

@@ -994,3 +994,80 @@ case class DotProductF(left: Expression, right: Expression) extends ArrayDotBase
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Static tokenize+count pass behind [[WordCounts]]. One byte walk over the
+  * document: whitespace-run boundaries (the ASCII set Java's `\s` matches,
+  * which is also what the oracle's RE2 `\s` matches — multibyte UTF-8 never
+  * collides with ASCII bytes, so byte-level splitting is exact), a hash
+  * count per distinct token, and the document length folded into every
+  * element. Replaces the former explode -> groupBy(doc_id, word) pipeline
+  * whose wide shuffle carried every token occurrence of the corpus
+  * (TextAnalysis.taTermWeight) — here the per-document counting happens
+  * inside the scan row and only distinct (word, tf) pairs leave it. */
+object WordCountUtil {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** `array<struct<w,tf,dl>>` of one document; tf = in-doc occurrences,
+    * dl = total token count. Matches `split(trim(regexp_replace(text,
+    * "\\s+", " ")), " ")` semantics exactly, including the empty/blank
+    * document yielding ONE empty-string token (split of "" is [""]). */
+  def wordCounts(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var dl = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        val w = UTF8String.fromBytes(bytes, start, i - start)
+        val c = counts.get(w)
+        if (c == null) counts.put(w, Array(1L)) else c(0) += 1L
+        dl += 1L
+      }
+    }
+    if (counts.isEmpty) { // blank document: one empty token, as split("") -> [""]
+      counts.put(UTF8String.EMPTY_UTF8, Array(1L))
+      dl = 1L
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0), dl))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `graft_word_counts(text)`: per-document distinct (token, tf) pairs with
+  * the document length dl folded into each element — the scan-stage form of
+  * tokenize + count(*) GROUP BY (doc, word) + sum(tf) OVER (doc). */
+case class WordCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("dl", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_word_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    WordCountUtil.wordCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.WordCountUtil.wordCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

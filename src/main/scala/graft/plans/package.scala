@@ -39,6 +39,11 @@ package object plans {
   def wordShingles(text: Column, coef: Seq[Long], k2: Long, k3: Long, p: Long): Column =
     ColumnBridge.column(WordShingleIds(expr(text), coef, k2, k3, p))
 
+  /** One-pass per-document (token, tf, dl) counting — the scan-stage form
+    * of tokenize + COUNT(*) GROUP BY (doc, word); explode with `inline`. */
+  def wordCounts(text: Column): Column =
+    ColumnBridge.column(WordCounts(expr(text)))
+
   /** One-pass float-vector quantization to `unit`-scaled longs. */
   def quantizeVec(v: Column, unit: Double = 1e8): Column =
     ColumnBridge.column(QuantizeVec(expr(v), unit))

@@ -342,4 +342,36 @@ class PlansSpec extends SparkSpec {
     val dcl = decl.select(sum("d")).collect().head.getDouble(0)
     assert(math.abs(n - dcl) < 1e-6, s"native=$n declarative=$dcl")
   }
+
+  test("graft_word_counts matches explode+groupBy twin incl. blank/multi-space/null docs") {
+    import graft.functions.Exprs.normText
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat  sat on the   mat"),
+      (2L, "  leading and trailing  "),
+      (3L, ""),          // split("") -> [""]: one empty token
+      (4L, " \t\n "),    // all-whitespace: same as blank after trim
+      (5L, "solo"),
+      (6L, null.asInstanceOf[String]), // null text drops the doc entirely
+      (7L, "a a a b b")) // U+00A0 is NOT \s: "b b" is one token
+      .toDF("doc_id", "text")
+    val native = docs
+      .select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+      .orderBy("doc_id", "w")
+    val twin = {
+      val tf = docs
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      tf.join(dl, "doc_id").select("doc_id", "w", "tf", "dl").orderBy("doc_id", "w")
+    }
+    assert(native.columns.toSeq === Seq("doc_id", "w", "tf", "dl"))
+    assert(native.collect().toSeq === twin.collect().toSeq)
+    // doc 1: "the" twice, dl 6; doc 7 keeps the NBSP token intact
+    val m = native.collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(m((1L, "the")) === ((2L, 6L)))
+    assert(m((3L, "")) === ((1L, 1L)))
+    assert(m((7L, "b b")) === ((1L, 4L)))
+    assert(!m.keySet.exists(_._1 == 6L))
+  }
 }
