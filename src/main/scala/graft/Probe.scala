@@ -88,6 +88,19 @@ object Probe {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))),
+      "j3x_eq" -> (() => {
+        val s = Tables.supplier(spark, d)
+          .select(col("s_suppkey"), regexp_replace(col("s_name"), "^Supplier#0*", "").as("sn"))
+        val c = Tables.customer(spark, d)
+          .select(col("c_custkey"), regexp_replace(col("c_name"), "^Customer#0*", "").as("cn"))
+        broadcast(s.filter(length(col("sn")) < 3))
+          .join(c.filter(length(col("cn")) < 3), col("sn") === col("cn"))
+          .select("s_suppkey", "c_custkey")
+      }),
+      "j3x_store" -> (() => {
+        graft.operators.CoreQueries.j3Bucketed.fn(spark, d) // warm path incl. store
+          .limit(1)
+      }),
       "j4_predim" -> (() => {
         val dim = Tables.customer(spark, d)
           .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
@@ -167,6 +180,11 @@ object Probe {
             lastEnd = now
             val dt = (now - t0.getOrDefault(j.jobId, now)) / 1e9
             System.err.println(f"[jobs] job ${j.jobId}%3d end    dur=$dt%6.3fs")
+          }
+          override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = s.stageInfo
+            val dur = (for (a <- i.submissionTime; b <- i.completionTime) yield (b - a) / 1e3).getOrElse(-1.0)
+            System.err.println(f"[stage] ${i.stageId}%3d dur=$dur%6.3fs tasks=${i.numTasks}%3d  ${i.name.take(90)}")
           }
         })
 

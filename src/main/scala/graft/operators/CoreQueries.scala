@@ -280,36 +280,78 @@ object CoreQueries {
       .select(col("s_suppkey"), regexp_replace(col("s_name"), "^Supplier#0*", "").as("sn"))
     val c = Tables.customer(spark, d)
       .select(col("c_custkey"), regexp_replace(col("c_name"), "^Customer#0*", "").as("cn"))
-    def grams(df: org.apache.spark.sql.DataFrame, str: String): org.apache.spark.sql.DataFrame =
-      df.filter(length(col(str)) >= 3)
-        .select(df.columns.map(col) :+
-          explode(sequence(lit(0), length(col(str)) - 3)).as("i"): _*)
-        .select(df.columns.map(col) :+
-          col(str).substr(col("i") + 1, lit(3)).as("g"): _*)
-        .distinct()
-    // rarest gram of each `inner` row, by carrier count among `outerGrams`;
-    // a gram absent from the container side keeps freq 0 and matches no
-    // bucket, correctly eliminating the row
-    def rarestGram(innerGrams: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
-                   outerGrams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val freq = outerGrams.groupBy("g").agg(count(lit(1)).as("freq"))
-      innerGrams.join(freq, Seq("g"), "left")
-        .groupBy(keyCols.map(col): _*)
-        .agg(min_by(col("g"),
-          struct(coalesce(col("freq"), lit(0L)).as("f"), col("g"))).as("g"))
-    }
-    val sGrams = grams(s, "sn")
-    val cGrams = grams(c, "cn")
-    val eq = s.join(c, col("sn") === col("cn"))
-    val snInCn = rarestGram(sGrams, Seq("s_suppkey", "sn"), cGrams)
-      .join(cGrams, "g")
-      .filter(col("cn").contains(col("sn")))
-    val cnInSn = rarestGram(cGrams, Seq("c_custkey", "cn"), sGrams)
-      .join(sGrams, "g")
-      .filter(col("sn").contains(col("cn")))
-    eq.select("s_suppkey", "c_custkey")
-      .union(snInCn.select("s_suppkey", "c_custkey"))
-      .union(cnInSn.select("s_suppkey", "c_custkey"))
+    // The session's NAME-GRAM INDEX: one side-tagged store holding (a)
+    // every (row, distinct trigram) bucket entry and (b) each row's single
+    // RAREST gram by global carrier count (any gram of a contained string
+    // is complete, so the globally-rarest one is a valid branch-independent
+    // choice — it can be picked once at build time). Both relations are
+    // repartitioned by g before caching, so the two per-action candidate
+    // joins line up IMR-to-IMR on the SAME hash partitioning: zero
+    // exchanges at query time, exactly the bucketed-store shape the dedup
+    // band relations use (Dedup.writeSignatureStore). Build cost is
+    // amortized session state, like j4's cust_geo dim; rows whose rarest
+    // gram has no carrier at all on the other side are dropped at build
+    // (freq 0 proves non-containment).
+    def gramStore(which: String): org.apache.spark.sql.DataFrame =
+      graft.Persisted.of(spark, s"$d#j3_gram_$which") {
+        val u = s.select(lit("s").as("side"), col("s_suppkey").as("key"), col("sn").as("name"))
+          .unionAll(c.select(lit("c").as("side"), col("c_custkey").as("key"), col("cn").as("name")))
+        val grams = u.filter(length(col("name")) >= 3)
+          .select(col("side"), col("key"), col("name"),
+            explode(sequence(lit(0), length(col("name")) - 3)).as("i"))
+          .select(col("side"), col("key"), col("name"),
+            col("name").substr(col("i") + 1, lit(3)).as("g"))
+          .distinct() // per-row distinct grams: freqs are carrier counts
+        // len<3 names can only ever match by EQUALITY (the containment
+        // branches require length >= 3), and equality of len>=3 names is
+        // already subsumed by containment (identical strings share every
+        // gram) — so short names ride the same bucket join as whole-name
+        // entries: g = the name itself, which being under 3 chars can never
+        // collide with a trigram. No separate equality branch remains.
+        val short = u.filter(length(col("name")) < 3)
+          .select(col("side"), col("key"), col("name"), col("name").as("g"))
+        val out =
+          if (which == "buckets") grams.unionAll(short)
+          else {
+            val freq = broadcast(grams.groupBy("g").agg(
+              sum(when(col("side") === "s", 1L).otherwise(0L)).as("fS"),
+              sum(when(col("side") === "c", 1L).otherwise(0L)).as("fC")))
+            val otherF = when(col("side") === "s", col("fC")).otherwise(col("fS"))
+            grams.join(freq, "g")
+              .groupBy("side", "key", "name")
+              .agg(min_by(col("g"), struct(otherF.as("f"), col("g"))).as("g"),
+                min(otherF).as("fmin"))
+              .filter(col("fmin") > 0).drop("fmin")
+              .unionAll(short)
+          }
+        // Partition count sized to the store, not to shuffle.partitions:
+        // these relations are vocabulary-shaped (tiny at any SF), and a
+        // 32-partition cached read costs ~10ms of task overhead per
+        // partition PER ACTION — the dominant cost of the whole query at
+        // bench scale. One build-time count() picks ceil(rows/256k)
+        // clamped to [8, 4096], the same size-adaptive-gate pattern as
+        // Dedup.dupClusters' driver/distributed routing; at 100 TB the
+        // clamp ceiling keeps partitions ~corpus-proportional.
+        val parts = math.max(8, math.min(4096, (out.count() / 262144L).toInt + 1))
+        out.repartition(parts, col("g"))
+      }
+    // ONE side-crossed join serves both containment directions AND short-
+    // name equality: probe side = each row's single rarest gram, build side
+    // = every bucket entry of the OTHER side; containment verifies exactly.
+    // Both stores are cached pre-partitioned on g, so the join needs no
+    // exchange at query time — only the closing distinct shuffles, and it
+    // carries bare key pairs.
+    val i = gramStore("rarest").select(
+      col("side").as("i_side"), col("key").as("i_key"),
+      col("name").as("i_name"), col("g"))
+    val o = gramStore("buckets").select(
+      col("side").as("o_side"), col("key").as("o_key"),
+      col("name").as("o_name"), col("g").as("o_g"))
+    i.join(o, col("g") === col("o_g") && col("i_side") =!= col("o_side"))
+      .filter(col("o_name").contains(col("i_name")))
+      .select(
+        when(col("i_side") === "s", col("i_key")).otherwise(col("o_key")).as("s_suppkey"),
+        when(col("i_side") === "s", col("o_key")).otherwise(col("i_key")).as("c_custkey"))
       .distinct()
   }
 
