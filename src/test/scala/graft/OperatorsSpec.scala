@@ -135,6 +135,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(2) >= -1.000001 && r.getDouble(2) <= 1.000001))
   }
 
+  test("incremental ANN: batch-vs-store equals full recompute; re-ingested ids supersede") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    // store holds vectors < 450; the batch RE-INGESTS ids >= 350 with a
+    // perturbed embedding plus genuinely-new ids >= 450 — stale store
+    // bands of 350..449 must not contribute candidates or pair rows
+    val store = Similarity.hyperBands(emb.filter($"vec_id" < 450))
+    val batch = emb.filter($"vec_id" >= 350)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(2.0f) + lit(0.25f)))
+    val inc = Similarity.lshAnnIncremental(store, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inc.nonEmpty)
+    // every probe is a batch id; at most k=3 rows per probe; no duplicates
+    assert(inc.forall(_._1 >= 350))
+    assert(inc.groupBy(_._1).values.forall(_.length <= 3))
+    assert(inc.map(t => (t._1, t._2)).distinct.length == inc.length)
+    // reference: full recompute over the superseded corpus, batch probes only
+    val corpus = emb.filter($"vec_id" < 350).unionByName(batch)
+    val full = Similarity.lshAnnIncremental(Similarity.hyperBands(corpus),
+      corpus.filter($"vec_id" >= 350)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inc.toSet === full.toSet,
+      "incremental result must equal full recompute restricted to batch probes")
+  }
+
   test("approx sketch aggregates land within tolerance of the exact values") {
     // The query now emits the tolerance verdicts itself (oracle-checkable
     // booleans); a drifted sketch shows up as a false flag here AND as a
