@@ -545,6 +545,41 @@ object Dedup {
       simhashNearDupPairs(simhash64BandsRelation(spark, d))
     }
 
+  /** Band-saturation knee of the 64-bit/16-bit-band tier, measured at the
+    * round-7 sf10 decade point (ARCHITECTURE.md "Saturation point,
+    * quantified"): raw band-join candidates ~ 4 n^2 / (2 * 65536) overtake
+    * corpus size at n ≈ 2 x bucket space = 131,072 documents. Below it the
+    * narrow tier is strictly cheaper (half the sketch lanes, half the
+    * signature bytes through the shuffle); past it candidate volume grows
+    * super-linearly while the 32-bit-band tier stays sparse to n ~ 4e9. */
+  val SimhashBandKnee: Long = 2L * 65536
+
+  /** Signature width (bits) for a corpus of `nDocs` — the pure tier rule
+    * [[simhashNearDupAuto]] applies, factored out so the choice is
+    * spec-checkable without materializing 131k documents. */
+  def simhashTier(nDocs: Long, knee: Long = SimhashBandKnee): Int =
+    if (nDocs < knee) 64 else 128
+
+  /** AUTO-TIER near-dup pairs (VERDICT r7 #5): one entry point that routes
+    * between the 64-bit/16-bit-band and 128-bit/32-bit-band tiers on
+    * corpus size vs the measured knee, so a caller whose corpus grows past
+    * saturation does not silently keep the drowning tier. One count()
+    * gates the choice — the same size-adaptive pattern as
+    * [[dupClusters]]' driver/distributed routing. Note the tiers are
+    * different points on the precision curve (3 flipped bits against a
+    * 128-bit budget is stricter than against 64), which is exactly why the
+    * engine must flip: past the knee the narrow tier's extra candidates
+    * are band noise, not near-duplicates. The declared oracle queries pin
+    * their tiers explicitly (dd_simhash_neardup64 / ...128) so the gate
+    * stays deterministic at every SF. */
+  def simhashNearDupAuto(docs: DataFrame, maxHamming: Int = 3,
+                         knee: Long = SimhashBandKnee): DataFrame =
+    if (simhashTier(docs.count(), knee) == 64)
+      simhashNearDupPairs(simhash64Bands(docs), maxHamming)
+    else
+      simhashNearDupPairs(simhash128Bands(docs), maxHamming,
+        sigCols = Seq("sig_lo", "sig_hi"))
+
   /** Oracle-checked INCREMENTAL ingest query (VERDICT r6 #4): the
     * production store+batch entry point [[simhashNearDupIncremental]]
     * exercised end-to-end by the driver gate, not just specs. Seeding is

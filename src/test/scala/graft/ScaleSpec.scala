@@ -84,6 +84,31 @@ class ScaleSpec extends SparkSpec {
       s"production bands must cut raw candidates >=10x at 3000 docs (c32=$c32, c64=$c64)")
   }
 
+  test("auto-tier simhash flips 64 -> 128 bit exactly at the saturation knee") {
+    import graft.operators.Dedup
+    // the pure rule at the real knee (2 x 16-bit bucket space)
+    assert(Dedup.SimhashBandKnee === 131072L)
+    assert(Dedup.simhashTier(Dedup.SimhashBandKnee - 1) === 64)
+    assert(Dedup.simhashTier(Dedup.SimhashBandKnee) === 128)
+    assert(Dedup.simhashTier(500) === 64)       // every test SF
+    assert(Dedup.simhashTier(500000) === 128)   // the sf10 decade point
+    // end-to-end with an overridden knee so both tiers run on 500 docs:
+    // below the knee the auto path must equal the declared 64-bit query's
+    // pairs; above it the declared 128-bit query's
+    val docs = Tables.documents(spark, sf0001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val narrow = pairs(Dedup.simhashNearDupAuto(docs, knee = Long.MaxValue))
+    val wide = pairs(Dedup.simhashNearDupAuto(docs, knee = 1L))
+    assert(narrow === pairs(Dedup.simhashNearDupPairs(Dedup.simhash64Bands(docs))))
+    assert(wide === pairs(Dedup.simhashNearDupPairs(Dedup.simhash128Bands(docs),
+      sigCols = Seq("sig_lo", "sig_hi"))))
+    // the wide tier is the stricter point on the precision curve: a pair at
+    // 128-bit hamming <= 3 has lo-half hamming <= 3 (the lo half IS the
+    // 64-bit signature) and by pigeonhole still shares a 16-bit band
+    assert(wide.map(t => (t._1, t._2)).subsetOf(narrow.map(t => (t._1, t._2))))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
