@@ -88,10 +88,23 @@ object Persisted {
       // record the cached representation BEFORE unpersisting: the
       // optimized plan of a cached DataFrame reads through its
       // InMemoryRelation, whose CachedRDDBuilder is the identity
-      // session-cached broadcasts are correlated by
-      try df.queryExecution.optimizedPlan.collectFirst {
-        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-          evictedRelations += r.cacheBuilder
+      // session-cached broadcasts are correlated by. Collect ALL IMRs
+      // (ADVICE r7): an evicted entry can read through several cached
+      // relations (its own plus nested persisted inputs, e.g. bands over
+      // qnorm), and collectFirst would leave broadcasts over the later
+      // ones pinned until session stop. An entry surfacing NO IMR (never
+      // actually persisted, or the cache lookup was suppressed) is logged —
+      // its broadcasts, if any, cannot be correlated and would survive.
+      try {
+        val imrs = df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+            r.cacheBuilder
+        }
+        if (imrs.isEmpty)
+          System.err.println(
+            "[persisted] evicted entry surfaced no InMemoryRelation; " +
+              "any broadcast over it stays cached until session stop")
+        evictedRelations ++= imrs
       } catch { case _: Throwable => () }
       df.unpersist()
     }

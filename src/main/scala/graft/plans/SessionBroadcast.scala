@@ -28,6 +28,17 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
   * cache too, so an incremental-ingest session cycling through per-batch
   * persisted relations does not strand up to [[maxEntries]] stale batch
   * hash relations behind the one-batch state bound (code-review r7).
+  *
+  * EVICTION CONTRACT (ADVICE r7): `Persisted.clear`/`clearExcept` is the
+  * ONLY path that invalidates entries by relation. A relation unpersisted
+  * outside it — `df.unpersist()`, `spark.catalog.clearCache()` — leaves
+  * its broadcast entry pinned until session stop. That is a memory-
+  * lifetime gap, never a correctness one: re-caching creates a new
+  * `CachedRDDBuilder`, hence a different canonicalized cache key, so a
+  * stale entry can never serve a new plan's data. Eligible relations in
+  * this engine are exactly the `Persisted` stores, which is why the
+  * narrow hook suffices; callers managing caches by hand should route
+  * releases through `Persisted.clear` or accept the pin.
   * Capacity is capped: past [[maxEntries]] distinct dims, new exchanges
   * simply build uncached (vanilla behavior), so a pathological workload
   * cannot pin unbounded executor memory. Stopped sessions' entries are

@@ -60,6 +60,34 @@ class SessionBroadcastSpec extends SparkSpec {
     assert(n2 >= n0 && m2 > m1, "later actions rebuild the dim broadcast")
   }
 
+  test("clear-then-reuse: rebuilt relation's consumers see fresh data, never a stale broadcast") {
+    import org.apache.spark.sql.functions._
+    // Same parquet path overwritten between builds: the rebuilt relation
+    // has an IDENTICAL canonical plan but different data — exactly the
+    // shape where a broadcast cache keyed only on plan text (ignoring the
+    // CachedRDDBuilder identity) would serve the stale hash relation.
+    val dir = java.nio.file.Files.createTempDirectory("ctr_dim").toString
+    def writeDim(tag: String): Unit =
+      spark.range(5).select(col("id"), lit(tag).as("tag"))
+        .write.mode("overwrite").parquet(dir)
+    def q(): Set[String] = {
+      val dim = Persisted.of(spark, "spec#ctr_dim") { spark.read.parquet(dir) }
+      spark.range(5).toDF("id2")
+        .join(broadcast(dim), col("id2") === col("id"))
+        .select("tag").distinct().collect().map(_.getString(0)).toSet
+    }
+    writeDim("v1")
+    assert(q() === Set("v1"))
+    assert(q() === Set("v1")) // second action plans + caches the dim broadcast
+    Persisted.clear(spark, "spec#ctr_dim")
+    writeDim("v2")
+    assert(q() === Set("v2"),
+      "after clear + rebuild, consumers must read the fresh relation — " +
+        "a stale session-cached broadcast leaked through invalidation")
+    // cleanup so later suites don't inherit the spec relation
+    Persisted.clear(spark, "spec#ctr_dim")
+  }
+
   test("executed plan carries SessionCachedBroadcast over the static dim") {
     val df = runJ4()
     df.collect() // execute THIS plan so AQE finalizes it
