@@ -60,7 +60,11 @@ object MediaCodec {
       if (w <= 0 || h == 0) None else Some(("bmp", w, math.abs(h)))
     } else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') {
       var i = 2
-      def skip(): Unit = {
+      // Netpbm requires whitespace after the magic and between numbers —
+      // skip() reports whether it consumed any, and "P6123 4" is rejected
+      // rather than read as width 123 (ADVICE r7 separator guard).
+      def skip(): Boolean = {
+        val start = i
         var go = true
         while (go && i < bytes.length) {
           val c = bytes(i)
@@ -68,17 +72,22 @@ object MediaCodec {
           else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
           else go = false
         }
+        i > start
       }
+      // Accumulate with a sanity ceiling (2^24): a ~20-digit adversarial
+      // dimension would silently wrap Int and could surface as a bogus
+      // positive size (ADVICE r7 overflow guard).
       def int(): Int = {
-        var v = 0; var any = false
+        var v = 0; var any = false; var over = false
         while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
           v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+          if (v > (1 << 24)) over = true
         }
-        if (any) v else -1
+        if (any && !over) v else -1
       }
-      skip(); val w = int()
-      skip(); val h = int()
-      if (w > 0 && h > 0) Some(("ppm", w, h)) else None
+      val ok1 = skip(); val w = int()
+      val ok2 = skip(); val h = int()
+      if (ok1 && ok2 && w > 0 && h > 0) Some(("ppm", w, h)) else None
     } else None
   }
 }

@@ -89,6 +89,13 @@ class OperatorsSpec extends SparkSpec {
     assert(MediaCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
     assert(MediaCodec.decode(Array[Byte]('B', 'M', 1, 2)).isEmpty)
     assert(MediaCodec.decode("P6\n-3 4\n255\n".getBytes("US-ASCII")).isEmpty)
+    // missing separator after the magic / between numbers: rejected, not
+    // misread as width 123 (Netpbm requires whitespace)
+    assert(MediaCodec.decode("P6123 4\n255\n".getBytes("US-ASCII")).isEmpty)
+    // adversarial 20-digit dimension: must fail, not wrap Int to a bogus
+    // positive width
+    assert(MediaCodec.decode("P6\n18446744073709551617 4\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodec.decode("P6\n4 99999999999999999999\n255\n".getBytes("US-ASCII")).isEmpty)
   }
 
   test("multimodal metadata: decoded dims equal the construction params on real payloads") {
