@@ -294,29 +294,48 @@ object Similarity {
       .join(newBands.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
     val allBands = liveStore
       .unionByName(newBands.select("vec_id", "q", "norm", "band_id", "band_val"))
+    // Candidates carry IDS ONLY through the band join and its dedup — at
+    // sf1 the 8-bit bands put ~80 vectors in a bucket, and shipping the
+    // 64-element quantized arrays through that expansion + distinct was
+    // 10x the whole query (11.2s -> ~1s). Vectors join back from the band
+    // relations afterwards (band_id = 0 projects each vector exactly once,
+    // no array-hashing distinct), so exact scoring work ∝ distinct
+    // candidate pairs — the same ids-only discipline as sim_sq8_rerank's
+    // top CTE.
     val cand = allBands.select(col("band_id"), col("band_val"),
-        col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb"))
+        col("vec_id").as("nid"))
       .join(newBands.select(col("band_id"), col("band_val"),
-        col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na")),
+        col("vec_id").as("qid")),
         Seq("band_id", "band_val"))
       .filter(col("qid") =!= col("nid"))
-      .select("qid", "nid", "qa", "qb", "na", "nb")
+      .select("qid", "nid")
       .distinct()
-    val scored = cand.select(col("qid"), col("nid"),
-      round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
-        (col("na") * col("nb")), 6).as("cosine"))
+    val vecsNew = newBands.filter(col("band_id") === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na"))
+    val vecsAll = allBands.filter(col("band_id") === 0)
+      .select(col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb"))
+    val scored = cand.join(vecsNew, "qid").join(vecsAll, "nid")
+      .select(col("qid"), col("nid"),
+        round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb")), 6).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select("qid", "nid", "cosine")
   }
 
   /** Oracle-checked incremental ingest query: proportional seeding (ids
-    * with vec_id % 4 == 0 are the NEW batch, the rest the persisted store)
-    * so it holds at every SF. The oracle replays the full-corpus band chain
-    * restricted to batch probes — equivalent because the incremental
-    * (store ∪ batch) x batch band join finds exactly the full chain's
-    * batch-probed collisions, and the mod-4 split has no id overlap, so
-    * supersede semantics (spec-covered) don't alter the result. */
+    * with vec_id % 20 == 0 are the NEW batch, the rest the persisted
+    * store) so it holds at every SF. A 5% batch is the incremental
+    * premise — work ∝ batch; the corpus embeddings are CLUSTERED, so
+    * band buckets hold whole clusters and candidates grow with
+    * batch x cluster size at any band width (measured 3.5M pairs at sf1
+    * for a 25% batch; a wider 32-lane sketch only cut 2.6x because
+    * near-identical vectors share any sign band — that is what bands are
+    * for). The oracle replays the full-corpus band chain restricted to
+    * batch probes — equivalent because the incremental (store ∪ batch) x
+    * batch band join finds exactly the full chain's batch-probed
+    * collisions, and the mod-20 split has no id overlap, so supersede
+    * semantics (spec-covered) don't alter the result. */
   val simIncrementalAnn: QueryDef = {
     val k = 3
     QueryDef("sim_incremental_ann",
@@ -326,7 +345,7 @@ object Similarity {
         |          FROM sig CROSS JOIN (VALUES (0),(1)) b(band_id)),
         |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
         |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
-        |    AND a.vec_id % 4 = 0 AND a.vec_id <> b.vec_id),
+        |    AND a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id),
         |dots AS (SELECT c.qid, c.nid,
         |    CAST(list_sum(list_transform(generate_series(1, len(x.qv)), i -> x.qv[i] * y.qv[i])) AS DOUBLE) AS dot
         |  FROM cand c JOIN q x ON x.vec_id = c.qid JOIN q y ON y.vec_id = c.nid),
@@ -337,10 +356,10 @@ object Similarity {
         |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
         |WHERE rn <= $k""".stripMargin) { (spark, d) =>
       val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-      val store = graft.Persisted.of(spark, s"$d#hyperlsh_store_mod4") {
-        hyperBands(emb.filter(col("vec_id") % 4 =!= 0))
+      val store = graft.Persisted.of(spark, s"$d#hyperlsh_store_mod20") {
+        hyperBands(emb.filter(col("vec_id") % 20 =!= 0))
       }
-      lshAnnIncremental(store, emb.filter(col("vec_id") % 4 === 0), k)
+      lshAnnIncremental(store, emb.filter(col("vec_id") % 20 === 0), k)
     }
   }
 
