@@ -88,13 +88,17 @@ object Persisted {
       // record the cached representation BEFORE unpersisting: the
       // optimized plan of a cached DataFrame reads through its
       // InMemoryRelation, whose CachedRDDBuilder is the identity
-      // session-cached broadcasts are correlated by. Collect ALL IMRs
-      // (ADVICE r7): an evicted entry can read through several cached
-      // relations (its own plus nested persisted inputs, e.g. bands over
-      // qnorm), and collectFirst would leave broadcasts over the later
-      // ones pinned until session stop. An entry surfacing NO IMR (never
-      // actually persisted, or the cache lookup was suppressed) is logged —
-      // its broadcasts, if any, cannot be correlated and would survive.
+      // session-cached broadcasts are correlated by. In the NORMAL path
+      // the outermost IMR swallows the whole subtree (nested persisted
+      // inputs live inside its physical cachedPlan), so the collect yields
+      // exactly one builder; nested IMRs surface only when the entry's own
+      // cache was already dropped OUTSIDE Persisted (df.unpersist(),
+      // clearCache()) — then we intentionally collect them ALL and
+      // over-evict (ADVICE r7): a dropped broadcast of a live store just
+      // rebuilds on the next action, while an under-evicted one would pin
+      // executor memory until session stop — the safe direction is over.
+      // An entry surfacing NO IMR at all is logged: its broadcasts, if
+      // any, cannot be correlated and would survive.
       try {
         val imrs = df.queryExecution.optimizedPlan.collect {
           case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>

@@ -16,6 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object CoreQueries {
 
+  /** Memoized j3 gram-store partition count per (session, sf dir): computed
+    * once from the persisted base relation (see j3Bucketed), swept for
+    * stopped sessions like Persisted's own cache. */
+  private val j3PartsCache =
+    new java.util.HashMap[(org.apache.spark.sql.SparkSession, String), java.lang.Integer]()
+  private def j3StoreParts(spark: org.apache.spark.sql.SparkSession, d: String,
+                           compute: () => Int): Int = {
+    val k = (spark, d)
+    val hit = j3PartsCache.synchronized {
+      val it = j3PartsCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      j3PartsCache.get(k)
+    }
+    if (hit != null) hit.intValue()
+    else {
+      val v = compute() // Spark action: runs OUTSIDE any shared monitor
+      j3PartsCache.synchronized { j3PartsCache.put(k, v) }
+      v
+    }
+  }
+
   /** TPC-H Q1 shape — A5/A6/A7 aggregation + F7 range filter.
     *
     * Oracle-parity arithmetic, chosen for scan speed (decimal aggregation
@@ -292,8 +313,8 @@ object CoreQueries {
     // amortized session state, like j4's cust_geo dim; rows whose rarest
     // gram has no carrier at all on the other side are dropped at build
     // (freq 0 proves non-containment).
-    def gramStore(which: String): org.apache.spark.sql.DataFrame =
-      graft.Persisted.of(spark, s"$d#j3_gram_$which") {
+    def gramBase(which: String): org.apache.spark.sql.DataFrame =
+      graft.Persisted.of(spark, s"$d#j3_gram_${which}_base") {
         val u = s.select(lit("s").as("side"), col("s_suppkey").as("key"), col("sn").as("name"))
           .unionAll(c.select(lit("c").as("side"), col("c_custkey").as("key"), col("cn").as("name")))
         val grams = u.filter(length(col("name")) >= 3)
@@ -310,30 +331,37 @@ object CoreQueries {
         // collide with a trigram. No separate equality branch remains.
         val short = u.filter(length(col("name")) < 3)
           .select(col("side"), col("key"), col("name"), col("name").as("g"))
-        val out =
-          if (which == "buckets") grams.unionAll(short)
-          else {
-            val freq = broadcast(grams.groupBy("g").agg(
-              sum(when(col("side") === "s", 1L).otherwise(0L)).as("fS"),
-              sum(when(col("side") === "c", 1L).otherwise(0L)).as("fC")))
-            val otherF = when(col("side") === "s", col("fC")).otherwise(col("fS"))
-            grams.join(freq, "g")
-              .groupBy("side", "key", "name")
-              .agg(min_by(col("g"), struct(otherF.as("f"), col("g"))).as("g"),
-                min(otherF).as("fmin"))
-              .filter(col("fmin") > 0).drop("fmin")
-              .unionAll(short)
-          }
-        // Partition count sized to the store, not to shuffle.partitions:
-        // these relations are vocabulary-shaped (tiny at any SF), and a
-        // 32-partition cached read costs ~10ms of task overhead per
-        // partition PER ACTION — the dominant cost of the whole query at
-        // bench scale. One build-time count() picks ceil(rows/256k)
-        // clamped to [8, 4096], the same size-adaptive-gate pattern as
-        // Dedup.dupClusters' driver/distributed routing; at 100 TB the
-        // clamp ceiling keeps partitions ~corpus-proportional.
-        val parts = math.max(8, math.min(4096, (out.count() / 262144L).toInt + 1))
-        out.repartition(parts, col("g"))
+        if (which == "buckets") grams.unionAll(short)
+        else {
+          val freq = broadcast(grams.groupBy("g").agg(
+            sum(when(col("side") === "s", 1L).otherwise(0L)).as("fS"),
+            sum(when(col("side") === "c", 1L).otherwise(0L)).as("fC")))
+          val otherF = when(col("side") === "s", col("fC")).otherwise(col("fS"))
+          grams.join(freq, "g")
+            .groupBy("side", "key", "name")
+            .agg(min_by(col("g"), struct(otherF.as("f"), col("g"))).as("g"),
+              min(otherF).as("fmin"))
+            .filter(col("fmin") > 0).drop("fmin")
+            .unionAll(short)
+        }
+      }
+    // Partition count sized to the store, not to shuffle.partitions: these
+    // relations are vocabulary-shaped (tiny at any SF), and a 32-partition
+    // cached read costs ~10ms of task overhead per partition PER ACTION —
+    // the dominant cost of the whole query at bench scale. ceil(rows/256k)
+    // clamped to [8, 4096] (the size-adaptive-gate pattern of
+    // Dedup.dupClusters), from the BUCKETS relation's count and shared by
+    // BOTH stores so their cached hash partitionings stay aligned — the
+    // IMR-to-IMR join needs equal partition counts to skip its exchanges.
+    // The count() runs on the already-persisted base OUTSIDE Persisted's
+    // monitor (an action inside the builder would hold the global lock for
+    // the whole build — the r7 clearExcept lock-scope fix), and is
+    // memoized per (session, dir) so later actions pay no job for it.
+    val parts = j3StoreParts(spark, d,
+      () => math.max(8, math.min(4096, (gramBase("buckets").count() / 262144L).toInt + 1)))
+    def gramStore(which: String): org.apache.spark.sql.DataFrame =
+      graft.Persisted.of(spark, s"$d#j3_gram_$which") {
+        gramBase(which).repartition(parts, col("g"))
       }
     // ONE side-crossed join serves both containment directions AND short-
     // name equality: probe side = each row's single rarest gram, build side

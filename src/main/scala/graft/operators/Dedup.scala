@@ -580,6 +580,21 @@ object Dedup {
       simhashNearDupPairs(simhash128Bands(docs), maxHamming,
         sigCols = Seq("sig_lo", "sig_hi"))
 
+  /** [[simhashNearDupAuto]] over the documents table of `d`, routed through
+    * the SESSION band stores (`simhash64BandsRelation` /
+    * `simhash128BandsRelation`) so repeated calls share one materialized
+    * sketch pass per tier — the compute-once shape
+    * [[simhashNearDupPairs]]' own contract asks for. The generic
+    * DataFrame overload above keeps fresh bands for arbitrary relations
+    * (and parameterized knees in specs); this is the production entry. */
+  def simhashNearDupAuto(spark: org.apache.spark.sql.SparkSession,
+                         d: String): DataFrame =
+    if (simhashTier(Tables.documents(spark, d).count()) == 64)
+      simhashNearDupPairs(simhash64BandsRelation(spark, d))
+    else
+      simhashNearDupPairs(simhash128BandsRelation(spark, d),
+        sigCols = Seq("sig_lo", "sig_hi"))
+
   /** Oracle-checked INCREMENTAL ingest query (VERDICT r6 #4): the
     * production store+batch entry point [[simhashNearDupIncremental]]
     * exercised end-to-end by the driver gate, not just specs. Seeding is

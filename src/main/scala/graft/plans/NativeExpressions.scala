@@ -996,9 +996,13 @@ case class DotProductF(left: Expression, right: Expression) extends ArrayDotBase
 }
 
 /** Static tokenize+count pass behind [[WordCounts]]. One byte walk over the
-  * document: whitespace-run boundaries (the ASCII set Java's `\s` matches,
-  * which is also what the oracle's RE2 `\s` matches — multibyte UTF-8 never
-  * collides with ASCII bytes, so byte-level splitting is exact), a hash
+  * document: whitespace-run boundaries matching JAVA's `\s` set exactly
+  * — the contract is byte-identity with the Spark twin
+  * `split(trim(regexp_replace(text, "\\s+", " ")), " ")`, which is Java
+  * regex. (RE2, the oracle engine, omits vertical tab 0x0B from `\s`; that
+  * divergence predates this expression — every normText query shares it —
+  * and the generated testdata contains no 0x0B. Multibyte UTF-8 never
+  * collides with ASCII bytes, so byte-level splitting is exact.) A hash
   * count per distinct token, and the document length folded into every
   * element. Replaces the former explode -> groupBy(doc_id, word) pipeline
   * whose wide shuffle carried every token occurrence of the corpus
