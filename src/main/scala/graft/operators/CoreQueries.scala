@@ -317,18 +317,29 @@ object CoreQueries {
       graft.Persisted.of(spark, s"$d#j3_gram_${which}_base") {
         val u = s.select(lit("s").as("side"), col("s_suppkey").as("key"), col("sn").as("name"))
           .unionAll(c.select(lit("c").as("side"), col("c_custkey").as("key"), col("cn").as("name")))
-        val grams = u.filter(length(col("name")) >= 3)
+        // MIXED-LENGTH grams (the "longer gram" saturation lever, the j3
+        // analogue of the simhash wide tier): containers index BOTH their
+        // 3-grams and 4-grams; a contained row probes with one rarest gram
+        // of ITS OWN length class — 4 if len >= 4, else 3. Completeness is
+        // per class (every L-gram of a contained string of length >= L
+        // occurs in its container's L-gram entries), and the two classes
+        // can never collide (different string lengths). On the digit-
+        // alphabet names the 4-gram universe is 10x sparser, which is what
+        // bounds candidate growth at sf1+ (measured 8M verify pairs with
+        // trigram-only probes).
+        def gramsOfLen(l: Int) = u.filter(length(col("name")) >= l)
           .select(col("side"), col("key"), col("name"),
-            explode(sequence(lit(0), length(col("name")) - 3)).as("i"))
+            explode(sequence(lit(0), length(col("name")) - l)).as("i"))
           .select(col("side"), col("key"), col("name"),
-            col("name").substr(col("i") + 1, lit(3)).as("g"))
+            col("name").substr(col("i") + 1, lit(l)).as("g"))
+        val grams = gramsOfLen(3).unionAll(gramsOfLen(4))
           .distinct() // per-row distinct grams: freqs are carrier counts
         // len<3 names can only ever match by EQUALITY (the containment
         // branches require length >= 3), and equality of len>=3 names is
         // already subsumed by containment (identical strings share every
         // gram) — so short names ride the same bucket join as whole-name
         // entries: g = the name itself, which being under 3 chars can never
-        // collide with a trigram. No separate equality branch remains.
+        // collide with a 3- or 4-gram. No separate equality branch remains.
         val short = u.filter(length(col("name")) < 3)
           .select(col("side"), col("key"), col("name"), col("name").as("g"))
         if (which == "buckets") grams.unionAll(short)
@@ -338,6 +349,9 @@ object CoreQueries {
             sum(when(col("side") === "c", 1L).otherwise(0L)).as("fC")))
           val otherF = when(col("side") === "s", col("fC")).otherwise(col("fS"))
           grams.join(freq, "g")
+            // probe with the longest gram class the row supports
+            .filter(length(col("g")) ===
+              when(length(col("name")) >= 4, 4).otherwise(3))
             .groupBy("side", "key", "name")
             .agg(min_by(col("g"), struct(otherF.as("f"), col("g"))).as("g"),
               min(otherF).as("fmin"))
