@@ -260,12 +260,15 @@ object Bench {
     // (a comma-decimal locale would corrupt the JSON), so round via math
     // j3: strict-JSON 3-decimal value (leading zero kept — the driver
     // attempts to parse the final line, and bare .42 is not valid JSON).
-    // t3: times_sec-line form, leading zero of sub-second values stripped —
-    // the driver keeps only the last 2000 chars of stdout (escaped), and
-    // one char x 70 queries is margin that keeps the artifact in-window.
+    // t2: times-line form, TWO decimals, leading zero stripped — 10 ms
+    // granularity is noise-level here (run-to-run swing is ±60 ms), and
+    // the saved char per entry is ~10 rounds of query growth before the
+    // tail window clips again (code-review r8 measured the 3-decimal
+    // layout within ~150 chars of the 2000-char budget). The headline
+    // queries keep 3 decimals in the JSON line.
     def j3(v: Double): String = (math.round(v * 1000.0) / 1000.0).toString
-    def t3(v: Double): String = {
-      val s = j3(v)
+    def t2(v: Double): String = {
+      val s = (math.round(v * 100.0) / 100.0).toString
       if (s.startsWith("0.")) s.drop(1) else s
     }
     // Artifact layout vs the driver's 2000-char merged-stdio tail (VERDICT
@@ -273,24 +276,29 @@ object Bench {
     // ~25 per-query times to left-truncation; r1/r2 tails prove stderr is
     // captured too, so nothing chatty may print after the sweep). Two
     // lines, summary LAST so it always survives:
-    //   1. quote-free "times name:.123 ..." — every non-headline query at
-    //      3 decimals plus the diagnostic fields as bare tokens; zero
+    //   1. quote-free "times name:.12 ..." — every non-headline query at
+    //      2 decimals plus the diagnostic fields as bare tokens; zero
     //      quotes means zero escape inflation in the driver wrapper, and
     //      diagnostics sit at the END so any clipping eats query times
-    //      from 'a...' first;
+    //      from 'a...' first (loadavg dropped: stderr is captured too, so
+    //      even a diagnostic print after the sweep is window cost);
     //   2. the contract JSON line (strict JSON — the driver tries to parse
     //      it), with the six headline analogues in "queries".
     val diag = Seq(
-      s"steal:${t3(stealPct)}",
-      s"cust_geo_build:${t3(custGeoBuildSec)}",
-      s"loadavg:${t3(loadStart)}..${t3(loadEnd)}",
+      s"steal:${t2(stealPct)}",
+      s"cust_geo_build:${t2(custGeoBuildSec)}",
       s"retried:$poisoned",
       s"failed:${if (failed.isEmpty) "none" else failed.mkString(",")}")
     val timesLine = (finalResults.sortBy(_._1)
       .filterNot { case (k, _) => headline.contains(k) }
-      .map { case (k, v) => s"$k:${t3(v)}" } ++ diag)
+      .map { case (k, v) => s"$k:${t2(v)}" } ++ diag)
       .mkString("times ", " ", "")
-    val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + j3(v)))
+    // A failed headline query serializes as null in the queries map — the
+    // -1.0 sentinel must never sit where a consumer reads durations
+    // (code-review r8: summing the map with -1.0 deflates a reconstructed
+    // headline, the validSum hazard moved one field over).
+    val qs = headline.flatMap(k => byName.get(k).map(v =>
+        "\"" + k + "\":" + (if (v < 0) "null" else j3(v))))
       .mkString("{", ",", "}")
     // A headline query that fails every run must INVALIDATE the judged
     // number, not deflate it (ADVICE r7 medium: validSum silently dropping

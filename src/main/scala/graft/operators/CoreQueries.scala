@@ -313,8 +313,13 @@ object CoreQueries {
     // amortized session state, like j4's cust_geo dim; rows whose rarest
     // gram has no carrier at all on the other side are dropped at build
     // (freq 0 proves non-containment).
-    def gramBase(which: String): org.apache.spark.sql.DataFrame =
-      graft.Persisted.of(spark, s"$d#j3_gram_${which}_base") {
+    // Plain plans, deliberately NOT Persisted: the repartitioned stores
+    // below are the only relations read at query time, and separately
+    // persisting these bases would pin a duplicate copy of the gram index
+    // for the whole session (code-review r8). The pipeline runs three
+    // times per (session, dir) — sizing count + two store builds — then
+    // never again.
+    def gramBase(which: String): org.apache.spark.sql.DataFrame = {
         val u = s.select(lit("s").as("side"), col("s_suppkey").as("key"), col("sn").as("name"))
           .unionAll(c.select(lit("c").as("side"), col("c_custkey").as("key"), col("cn").as("name")))
         // MIXED-LENGTH grams (the "longer gram" saturation lever, the j3
@@ -367,10 +372,10 @@ object CoreQueries {
     // Dedup.dupClusters), from the BUCKETS relation's count and shared by
     // BOTH stores so their cached hash partitionings stay aligned — the
     // IMR-to-IMR join needs equal partition counts to skip its exchanges.
-    // The count() runs on the already-persisted base OUTSIDE Persisted's
-    // monitor (an action inside the builder would hold the global lock for
-    // the whole build — the r7 clearExcept lock-scope fix), and is
-    // memoized per (session, dir) so later actions pay no job for it.
+    // The count() runs OUTSIDE Persisted's monitor (an action inside the
+    // builder would hold the global lock for the whole build — the r7
+    // clearExcept lock-scope fix), and is memoized per (session, dir) so
+    // later actions pay no job for it.
     val parts = j3StoreParts(spark, d,
       () => math.max(8, math.min(4096, (gramBase("buckets").count() / 262144L).toInt + 1)))
     def gramStore(which: String): org.apache.spark.sql.DataFrame =

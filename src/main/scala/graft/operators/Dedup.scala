@@ -573,23 +573,54 @@ object Dedup {
     * their tiers explicitly (dd_simhash_neardup64 / ...128) so the gate
     * stays deterministic at every SF. */
   def simhashNearDupAuto(docs: DataFrame, maxHamming: Int = 3,
-                         knee: Long = SimhashBandKnee): DataFrame =
-    if (simhashTier(docs.count(), knee) == 64)
-      simhashNearDupPairs(simhash64Bands(docs), maxHamming)
+                         knee: Long = SimhashBandKnee): DataFrame = {
+    val spark = docs.sparkSession
+    // Bands are persisted per (corpus plan, tier) — simhashNearDupPairs
+    // self-joins its input, so an un-persisted relation would run the
+    // whole sketch pass twice per action (its documented compute-once
+    // contract). Same one-batch state bound as the incremental entries:
+    // only the latest auto corpus stays cached.
+    val tier = simhashTier(docs.count(), knee)
+    val key = "simhash_auto#" + docs.queryExecution.analyzed.semanticHash() + ":" + tier
+    graft.Persisted.clearExcept(spark, "simhash_auto#", key)
+    if (tier == 64)
+      simhashNearDupPairs(
+        graft.Persisted.of(spark, key) { simhash64Bands(docs) }, maxHamming)
     else
-      simhashNearDupPairs(simhash128Bands(docs), maxHamming,
+      simhashNearDupPairs(
+        graft.Persisted.of(spark, key) { simhash128Bands(docs) }, maxHamming,
         sigCols = Seq("sig_lo", "sig_hi"))
+  }
+
+  /** Memoized per-(session, dir) document count for the auto gate — the
+    * value is constant per session (Tables are frozen), so later calls pay
+    * no job (same pattern as CoreQueries' store-partition memo). */
+  private val autoCountCache =
+    new java.util.HashMap[(org.apache.spark.sql.SparkSession, String), java.lang.Long]()
+  private def docCount(spark: org.apache.spark.sql.SparkSession, d: String): Long = {
+    val k = (spark, d)
+    val hit = autoCountCache.synchronized {
+      val it = autoCountCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      autoCountCache.get(k)
+    }
+    if (hit != null) hit.longValue()
+    else {
+      val v = Tables.documents(spark, d).count()
+      autoCountCache.synchronized { autoCountCache.put(k, v) }
+      v
+    }
+  }
 
   /** [[simhashNearDupAuto]] over the documents table of `d`, routed through
     * the SESSION band stores (`simhash64BandsRelation` /
     * `simhash128BandsRelation`) so repeated calls share one materialized
-    * sketch pass per tier — the compute-once shape
-    * [[simhashNearDupPairs]]' own contract asks for. The generic
-    * DataFrame overload above keeps fresh bands for arbitrary relations
+    * sketch pass per tier, with the gating count memoized per (session,
+    * dir). The generic DataFrame overload above serves arbitrary relations
     * (and parameterized knees in specs); this is the production entry. */
   def simhashNearDupAuto(spark: org.apache.spark.sql.SparkSession,
                          d: String): DataFrame =
-    if (simhashTier(Tables.documents(spark, d).count()) == 64)
+    if (simhashTier(docCount(spark, d)) == 64)
       simhashNearDupPairs(simhash64BandsRelation(spark, d))
     else
       simhashNearDupPairs(simhash128BandsRelation(spark, d),
