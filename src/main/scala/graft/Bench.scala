@@ -34,11 +34,6 @@ object Bench {
       (f.sum, if (f.length > 7) f(7) else 0L)
     } catch { case _: Throwable => (0L, 0L) }
 
-  private def loadavg(): Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-      .split(" ")(0).toDouble
-    catch { case _: Throwable => -1.0 }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to every core: the BASELINE.md DuckDB proxy ran on all 32
@@ -94,7 +89,6 @@ object Bench {
     catch { case _: Throwable => () }
     val custGeoBuildSec = (System.nanoTime() - custGeoT0) / 1e9
 
-    val loadStart = loadavg()
     val (tot0, st0) = procStat()
 
     // One timed run; a FAILED run reports Double.MaxValue so min-keeping
@@ -209,7 +203,7 @@ object Bench {
         }.getOrElse(Map.empty)
     val rechecked = remeasured.map { case (name, dt) =>
       prevTimes.get(name) match {
-        case Some(prev) if dt > 2 * prev && dt < 5.0 =>
+        case Some(prev) if prev > 0 && dt > 2 * prev && dt < 5.0 =>
           name -> remeasure(name, dt, 2, f"vs prev $prev%.2f")
         case _ => name -> dt
       }
@@ -251,7 +245,6 @@ object Bench {
           k -> (if (valid.nonEmpty) valid.min else -1.0)
         }
       } else rechecked
-    val loadEnd = loadavg()
 
     val byName = finalResults.toMap
     val failed = finalResults.collect { case (k, v) if v < 0 => k }.sorted
@@ -268,7 +261,11 @@ object Bench {
     // queries keep 3 decimals in the JSON line.
     def j3(v: Double): String = (math.round(v * 1000.0) / 1000.0).toString
     def t2(v: Double): String = {
-      val s = (math.round(v * 100.0) / 100.0).toString
+      val r0 = math.round(v * 100.0) / 100.0
+      // floor a nonzero time at .01: a "0.0" would parse as prev=0 next
+      // round and make the >2x regression gate fire forever for that query
+      val r = if (v > 0 && r0 < 0.01) 0.01 else r0
+      val s = r.toString
       if (s.startsWith("0.")) s.drop(1) else s
     }
     // Artifact layout vs the driver's 2000-char merged-stdio tail (VERDICT

@@ -20,6 +20,31 @@ import org.apache.spark.storage.StorageLevel
   * buffers spill per key; AQE splits skewed partitions) — bounded memory
   * even when one LSH bucket degenerates to O(N).
   */
+/** Tiny per-(session, key) memo for scalar gate values (store partition
+  * counts, corpus counts): the Spark action that computes the value runs
+  * OUTSIDE the monitor (the Persisted lock-scope rule), entries of stopped
+  * sessions are swept on access, and a value is computed at most once per
+  * live (session, key). Use boxed value types — the hit test is a null
+  * check. One shared implementation so the subtle lock rule has one home
+  * (code-review r8: three verbatim copies had grown). */
+final class SessionMemo[V <: AnyRef] {
+  private val m = new java.util.HashMap[(SparkSession, String), V]()
+  def of(spark: SparkSession, key: String)(compute: => V): V = {
+    val k = (spark, key)
+    val hit = m.synchronized {
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      m.get(k)
+    }
+    if (hit != null) hit
+    else {
+      val v = compute // may run a Spark job: never under the monitor
+      m.synchronized { m.put(k, v) }
+      v
+    }
+  }
+}
+
 object Persisted {
   private val cache = new java.util.HashMap[
     SparkSession, java.util.HashMap[String, DataFrame]]()

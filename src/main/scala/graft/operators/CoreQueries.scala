@@ -16,26 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object CoreQueries {
 
-  /** Memoized j3 gram-store partition count per (session, sf dir): computed
-    * once from the persisted base relation (see j3Bucketed), swept for
-    * stopped sessions like Persisted's own cache. */
-  private val j3PartsCache =
-    new java.util.HashMap[(org.apache.spark.sql.SparkSession, String), java.lang.Integer]()
-  private def j3StoreParts(spark: org.apache.spark.sql.SparkSession, d: String,
-                           compute: () => Int): Int = {
-    val k = (spark, d)
-    val hit = j3PartsCache.synchronized {
-      val it = j3PartsCache.keySet().iterator()
-      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-      j3PartsCache.get(k)
-    }
-    if (hit != null) hit.intValue()
-    else {
-      val v = compute() // Spark action: runs OUTSIDE any shared monitor
-      j3PartsCache.synchronized { j3PartsCache.put(k, v) }
-      v
-    }
-  }
+  /** Memoized j3 gram-store partition count per (session, sf dir) —
+    * computed once from the gram relation's count (see j3Bucketed). */
+  private val j3Parts = new graft.SessionMemo[java.lang.Integer]
 
   /** TPC-H Q1 shape — A5/A6/A7 aggregation + F7 range filter.
     *
@@ -313,13 +296,14 @@ object CoreQueries {
     // amortized session state, like j4's cust_geo dim; rows whose rarest
     // gram has no carrier at all on the other side are dropped at build
     // (freq 0 proves non-containment).
-    // Plain plans, deliberately NOT Persisted: the repartitioned stores
+    // A plain plan, deliberately NOT Persisted: the repartitioned stores
     // below are the only relations read at query time, and separately
-    // persisting these bases would pin a duplicate copy of the gram index
-    // for the whole session (code-review r8). The pipeline runs three
-    // times per (session, dir) — sizing count + two store builds — then
-    // never again.
-    def gramBase(which: String): org.apache.spark.sql.DataFrame = {
+    // persisting the base would pin a duplicate copy of the gram index
+    // for the whole session (code-review r8). The source pipeline runs
+    // twice per (session, dir) — sizing count + buckets-store build — and
+    // the rarest store then DERIVES from the cached buckets store, never
+    // rescanning the source tables.
+    def gramBase(): org.apache.spark.sql.DataFrame = {
         val u = s.select(lit("s").as("side"), col("s_suppkey").as("key"), col("sn").as("name"))
           .unionAll(c.select(lit("c").as("side"), col("c_custkey").as("key"), col("cn").as("name")))
         // MIXED-LENGTH grams (the "longer gram" saturation lever, the j3
@@ -347,22 +331,7 @@ object CoreQueries {
         // collide with a 3- or 4-gram. No separate equality branch remains.
         val short = u.filter(length(col("name")) < 3)
           .select(col("side"), col("key"), col("name"), col("name").as("g"))
-        if (which == "buckets") grams.unionAll(short)
-        else {
-          val freq = broadcast(grams.groupBy("g").agg(
-            sum(when(col("side") === "s", 1L).otherwise(0L)).as("fS"),
-            sum(when(col("side") === "c", 1L).otherwise(0L)).as("fC")))
-          val otherF = when(col("side") === "s", col("fC")).otherwise(col("fS"))
-          grams.join(freq, "g")
-            // probe with the longest gram class the row supports
-            .filter(length(col("g")) ===
-              when(length(col("name")) >= 4, 4).otherwise(3))
-            .groupBy("side", "key", "name")
-            .agg(min_by(col("g"), struct(otherF.as("f"), col("g"))).as("g"),
-              min(otherF).as("fmin"))
-            .filter(col("fmin") > 0).drop("fmin")
-            .unionAll(short)
-        }
+        grams.unionAll(short)
       }
     // Partition count sized to the store, not to shuffle.partitions: these
     // relations are vocabulary-shaped (tiny at any SF), and a 32-partition
@@ -376,22 +345,43 @@ object CoreQueries {
     // builder would hold the global lock for the whole build — the r7
     // clearExcept lock-scope fix), and is memoized per (session, dir) so
     // later actions pay no job for it.
-    val parts = j3StoreParts(spark, d,
-      () => math.max(8, math.min(4096, (gramBase("buckets").count() / 262144L).toInt + 1)))
-    def gramStore(which: String): org.apache.spark.sql.DataFrame =
-      graft.Persisted.of(spark, s"$d#j3_gram_$which") {
-        gramBase(which).repartition(parts, col("g"))
-      }
+    val parts: Int = j3Parts.of(spark, d)(Int.box(
+      math.max(8, math.min(4096, (gramBase().count() / 262144L).toInt + 1))))
+    val buckets = graft.Persisted.of(spark, s"$d#j3_gram_buckets") {
+      gramBase().repartition(parts, col("g"))
+    }
+    // The rarest relation DERIVES from the cached buckets store —
+    // buckets = grams ∪ short-name entries, and the short entries are
+    // exactly the length<3 keys, so filtering on gram length reproduces
+    // the gram relation without touching the source tables again.
+    val rarest = graft.Persisted.of(spark, s"$d#j3_gram_rarest") {
+      val grams = buckets.filter(length(col("g")) >= 3)
+      val short = buckets.filter(length(col("g")) < 3)
+      val freq = broadcast(grams.groupBy("g").agg(
+        sum(when(col("side") === "s", 1L).otherwise(0L)).as("fS"),
+        sum(when(col("side") === "c", 1L).otherwise(0L)).as("fC")))
+      val otherF = when(col("side") === "s", col("fC")).otherwise(col("fS"))
+      grams.join(freq, "g")
+        // probe with the longest gram class the row supports
+        .filter(length(col("g")) ===
+          when(length(col("name")) >= 4, 4).otherwise(3))
+        .groupBy("side", "key", "name")
+        .agg(min_by(col("g"), struct(otherF.as("f"), col("g"))).as("g"),
+          min(otherF).as("fmin"))
+        .filter(col("fmin") > 0).drop("fmin")
+        .unionAll(short)
+        .repartition(parts, col("g"))
+    }
     // ONE side-crossed join serves both containment directions AND short-
     // name equality: probe side = each row's single rarest gram, build side
     // = every bucket entry of the OTHER side; containment verifies exactly.
     // Both stores are cached pre-partitioned on g, so the join needs no
     // exchange at query time — only the closing distinct shuffles, and it
     // carries bare key pairs.
-    val i = gramStore("rarest").select(
+    val i = rarest.select(
       col("side").as("i_side"), col("key").as("i_key"),
       col("name").as("i_name"), col("g"))
-    val o = gramStore("buckets").select(
+    val o = buckets.select(
       col("side").as("o_side"), col("key").as("o_key"),
       col("name").as("o_name"), col("g").as("o_g"))
     i.join(o, col("g") === col("o_g") && col("i_side") =!= col("o_side"))

@@ -594,23 +594,10 @@ object Dedup {
 
   /** Memoized per-(session, dir) document count for the auto gate — the
     * value is constant per session (Tables are frozen), so later calls pay
-    * no job (same pattern as CoreQueries' store-partition memo). */
-  private val autoCountCache =
-    new java.util.HashMap[(org.apache.spark.sql.SparkSession, String), java.lang.Long]()
-  private def docCount(spark: org.apache.spark.sql.SparkSession, d: String): Long = {
-    val k = (spark, d)
-    val hit = autoCountCache.synchronized {
-      val it = autoCountCache.keySet().iterator()
-      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-      autoCountCache.get(k)
-    }
-    if (hit != null) hit.longValue()
-    else {
-      val v = Tables.documents(spark, d).count()
-      autoCountCache.synchronized { autoCountCache.put(k, v) }
-      v
-    }
-  }
+    * no job. */
+  private val autoCount = new graft.SessionMemo[java.lang.Long]
+  private def docCount(spark: org.apache.spark.sql.SparkSession, d: String): Long =
+    autoCount.of(spark, d)(Long.box(Tables.documents(spark, d).count()))
 
   /** [[simhashNearDupAuto]] over the documents table of `d`, routed through
     * the SESSION band stores (`simhash64BandsRelation` /
