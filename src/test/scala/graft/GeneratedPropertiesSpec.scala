@@ -168,6 +168,29 @@ class GeneratedPropertiesSpec extends SparkSpec {
     assert(native.toSeq === decl.toSeq)
   }
 
+  test("graft_word_counts equals the explode+groupBy twin over generated whitespace text") {
+    import graft.functions.Exprs.normText
+    // wsGen emits runs of mixed separators, empty parts, and blank strings —
+    // the edges the byte-walk must match Java-\s split semantics on
+    val docs = sample(wsGen, 300).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val native = docs
+      .select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+      .orderBy("doc_id", "w")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val twin = {
+      val tf = docs
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      tf.join(dl, "doc_id").select("doc_id", "w", "tf", "dl")
+        .orderBy("doc_id", "w")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    }
+    assert(native.toSeq === twin.toSeq)
+  }
+
   test("graft_json_long equals get_json_object over generated flat payloads") {
     val payloadGen: Gen[String] = for {
       k <- Gen.choose(-1000000, 1000000)
