@@ -201,25 +201,32 @@ object Similarity {
       s"CASE WHEN list_sum(list_transform(generate_series(1, len($q)), i -> $q[i] * (((${HA(j)}*i + ${HB(j)}) % 7) - 3))) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
 
-  /** Explode a (vec_id, q, norm) relation into hyperplane-LSH band rows
-    * (vec_id, q, norm, band_id, band_val) — the storable vector-index
-    * shape: both 8-bit bands of the 16-bit sign sketch. */
-  def hyperBandsOfQNorm(r: DataFrame): DataFrame =
-    r.select(col("vec_id"), col("q"), col("norm"), lshSig(col("q")).as("sg"))
-      .select(col("vec_id"), col("q"), col("norm"),
+  /** Explode a (vec_id, …, q, norm) relation into hyperplane-LSH band rows
+    * (vec_id, …, q, norm, band_id, band_val) — the storable vector-index
+    * shape: both 8-bit bands of the 16-bit sign sketch. Columns other than
+    * `q` pass through untouched, so an index can carry routing metadata
+    * (e.g. an IVF `cell`) alongside the sketch. */
+  def hyperBandsOfQNorm(r: DataFrame): DataFrame = {
+    val base = r.columns.toSeq.map(col)
+    r.select(base :+ lshSig(col("q")).as("sg"): _*)
+      .select(base :+
         explode(array((0 until 2).map { bid =>
           struct(lit(bid).as("band_id"),
             shiftright(col("sg"), 8 * bid).bitwiseAND(lit(255L)).as("band_val"))
-        }: _*)).as("band"))
-      .select(col("vec_id"), col("q"), col("norm"), col("band.*"))
+        }: _*)).as("band"): _*)
+      .select(base ++ Seq(col("band.band_id"), col("band.band_val")): _*)
+  }
 
-  /** Same, from raw (vec_id, embedding) vectors: quantize + norm + bands in
-    * one pass (the store-build / batch-sketch entry). */
-  def hyperBands(vecs: DataFrame): DataFrame =
+  /** Same, from raw (vec_id, …, embedding) vectors: quantize + norm + bands
+    * in one pass (the store-build / batch-sketch entry). Non-embedding
+    * columns pass through. */
+  def hyperBands(vecs: DataFrame): DataFrame = {
+    val passthrough = vecs.columns.toSeq.filterNot(_ == "embedding").map(col)
     hyperBandsOfQNorm(
-      vecs.select(col("vec_id"), qvec(col("embedding")).as("q"))
-        .select(col("vec_id"), col("q"),
-          sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm")))
+      vecs.select(passthrough :+ qvec(col("embedding")).as("q"): _*)
+        .select(passthrough ++ Seq(col("q"),
+          sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm")): _*))
+  }
 
   /** Hyperplane-LSH ANN: candidates = vectors sharing either 8-bit band of
     * the 16-bit sign sketch with the probe (sign sketches of near-parallel
@@ -290,10 +297,20 @@ object Similarity {
     val batchKey = "hyperlsh_batch#" + newVecs.queryExecution.analyzed.semanticHash()
     graft.Persisted.clearExcept(spark, "hyperlsh_batch#", batchKey)
     val newBands = graft.Persisted.of(spark, batchKey) { hyperBands(newVecs) }
-    val liveStore = storeBands.select("vec_id", "q", "norm", "band_id", "band_val")
+    // When the vectors carry an IVF `cell` (coarse centroid id), it joins
+    // the band key: candidates must share a band AND the cell. On clustered
+    // corpora the cross-cell band collisions dominate (measured 9x the
+    // same-cell candidates at sf1 — two clusters coinciding on one 8-bit
+    // band value contribute |A|x|B| pairs), and at 100 TB the store is
+    // IVF-partitioned anyway, so cell-routing the band join is both the
+    // candidate cut and the partition-pruning story.
+    val bandCols = newBands.columns.toSeq
+    val bandKey = Seq("band_id", "band_val") ++
+      (if (bandCols.contains("cell")) Seq("cell") else Nil)
+    val liveStore = storeBands.select(bandCols.map(col): _*)
       .join(newBands.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
     val allBands = liveStore
-      .unionByName(newBands.select("vec_id", "q", "norm", "band_id", "band_val"))
+      .unionByName(newBands.select(bandCols.map(col): _*))
     // Candidates carry IDS ONLY through the band join and its dedup — at
     // sf1 the 8-bit bands put ~80 vectors in a bucket, and shipping the
     // 64-element quantized arrays through that expansion + distinct was
@@ -302,11 +319,9 @@ object Similarity {
     // no array-hashing distinct), so exact scoring work ∝ distinct
     // candidate pairs — the same ids-only discipline as sim_sq8_rerank's
     // top CTE.
-    val cand = allBands.select(col("band_id"), col("band_val"),
-        col("vec_id").as("nid"))
-      .join(newBands.select(col("band_id"), col("band_val"),
-        col("vec_id").as("qid")),
-        Seq("band_id", "band_val"))
+    val cand = allBands.select(bandKey.map(col) :+ col("vec_id").as("nid"): _*)
+      .join(newBands.select(bandKey.map(col) :+ col("vec_id").as("qid"): _*),
+        bandKey)
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid")
       .distinct()
@@ -336,27 +351,57 @@ object Similarity {
     * batch band join finds exactly the full chain's batch-probed
     * collisions, and the mod-20 split has no id overlap, so supersede
     * semantics (spec-covered) don't alter the result. */
+  /** Oracle chain shared by the incremental-ingest queries: full-corpus
+    * band collisions restricted to batch probes (vec_id % 20 = 0), with the
+    * IVF cell equality folded into the candidate join when `cellEq`. */
+  private def incrementalAnnOracle(cellEq: Boolean, k: Int): String = {
+    val lbl = if (cellEq) ", label" else ""
+    val cellCond = if (cellEq) " AND a.label = b.label" else ""
+    s"""WITH q AS (SELECT vec_id$lbl, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
+      |sig AS (SELECT vec_id$lbl, qv, ${lshSigSql("qv")} AS sg FROM q),
+      |bands AS (SELECT vec_id$lbl, qv, band_id, (sg >> (band_id*8)) & 255 AS band_val
+      |          FROM sig CROSS JOIN (VALUES (0),(1)) b(band_id)),
+      |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val$cellCond
+      |    AND a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id),
+      |dots AS (SELECT c.qid, c.nid,
+      |    CAST(list_sum(list_transform(generate_series(1, len(x.qv)), i -> x.qv[i] * y.qv[i])) AS DOUBLE) AS dot
+      |  FROM cand c JOIN q x ON x.vec_id = c.qid JOIN q y ON y.vec_id = c.nid),
+      |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q)
+      |SELECT qid, nid, cosine FROM (
+      |  SELECT qid, nid, round(dot / (na.norm * nb.norm), 6) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
+      |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
+      |WHERE rn <= $k""".stripMargin
+  }
+
   val simIncrementalAnn: QueryDef = {
     val k = 3
-    QueryDef("sim_incremental_ann",
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
-        |sig AS (SELECT vec_id, qv, ${lshSigSql("qv")} AS sg FROM q),
-        |bands AS (SELECT vec_id, qv, band_id, (sg >> (band_id*8)) & 255 AS band_val
-        |          FROM sig CROSS JOIN (VALUES (0),(1)) b(band_id)),
-        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
-        |    AND a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id),
-        |dots AS (SELECT c.qid, c.nid,
-        |    CAST(list_sum(list_transform(generate_series(1, len(x.qv)), i -> x.qv[i] * y.qv[i])) AS DOUBLE) AS dot
-        |  FROM cand c JOIN q x ON x.vec_id = c.qid JOIN q y ON y.vec_id = c.nid),
-        |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q)
-        |SELECT qid, nid, cosine FROM (
-        |  SELECT qid, nid, round(dot / (na.norm * nb.norm), 6) AS cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
-        |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
-        |WHERE rn <= $k""".stripMargin) { (spark, d) =>
+    QueryDef("sim_incremental_ann", incrementalAnnOracle(cellEq = false, k)) { (spark, d) =>
       val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
       val store = graft.Persisted.of(spark, s"$d#hyperlsh_store_mod20") {
+        hyperBands(emb.filter(col("vec_id") % 20 =!= 0))
+      }
+      lshAnnIncremental(store, emb.filter(col("vec_id") % 20 === 0), k)
+    }
+  }
+
+  /** IVF-cell-restricted incremental ANN: the same batch-vs-store band
+    * join, but candidates must also share the probe's coarse cell (label =
+    * centroid id, as in sim_ivf_bucketed). On the clustered corpus the
+    * cross-cell band collisions are the candidate blowup — two clusters
+    * whose sketches coincide on one 8-bit band value contribute |A|x|B|
+    * pairs — and the cell equality removes exactly those (measured at sf1:
+    * 713,600 -> 78,900 distinct candidate pairs, 9x). At 100 TB the vector
+    * store is IVF-partitioned by cell, so this is also the
+    * partition-pruning shape: a batch probe's band join touches only its
+    * cell's partitions. */
+  val simIncrementalAnnIvf: QueryDef = {
+    val k = 3
+    QueryDef("sim_incremental_ann_ivf", incrementalAnnOracle(cellEq = true, k)) { (spark, d) =>
+      val emb = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("label").as("cell"), col("embedding"))
+      val store = graft.Persisted.of(spark, s"$d#hyperlsh_store_mod20_cell") {
         hyperBands(emb.filter(col("vec_id") % 20 =!= 0))
       }
       lshAnnIncremental(store, emb.filter(col("vec_id") % 20 === 0), k)
@@ -471,5 +516,5 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(
     simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
-    simSq8Rerank, simIncrementalAnn)
+    simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf)
 }

@@ -168,6 +168,29 @@ class OperatorsSpec extends SparkSpec {
       "incremental result must equal full recompute restricted to batch probes")
   }
 
+  test("IVF-cell incremental ANN equals per-cell generic runs unioned") {
+    // Independent reference: restricting candidates to the probe's cell is
+    // the same as running the GENERIC incremental ANN per cell on that
+    // cell's sub-corpus and unioning — each probe's candidate set and
+    // top-k ordering are confined to its cell either way.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label").as("cell"), col("embedding"))
+    val ivf = Similarity.simIncrementalAnnIvf.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cells = emb.select("cell").distinct().as[Int].collect()
+    val perCell = cells.flatMap { c =>
+      val sub = emb.filter($"cell" === c).select("vec_id", "embedding")
+      Similarity.lshAnnIncremental(
+        Similarity.hyperBands(sub.filter($"vec_id" % 20 =!= 0)),
+        sub.filter($"vec_id" % 20 === 0)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(ivf.nonEmpty)
+    assert(ivf === perCell,
+      "cell-keyed band join must equal per-cell generic incremental runs")
+  }
+
   test("approx sketch aggregates land within tolerance of the exact values") {
     // The query now emits the tolerance verdicts itself (oracle-checkable
     // booleans); a drifted sketch shows up as a false flag here AND as a
