@@ -291,22 +291,33 @@ object Similarity {
     * needs. Same ingest contract as the dedup twins: re-ingested ids
     * supersede their store rows (anti-join against the persisted batch
     * sketch ids, no second source scan), the batch sketch computes once
-    * per call, and only the LATEST batch stays cached. */
-  def lshAnnIncremental(storeBands: DataFrame, newVecs: DataFrame, k: Int = 3): DataFrame = {
+    * per call, and only the LATEST batch stays cached.
+    *
+    * `routeCols` names metadata columns (present in BOTH the store bands
+    * and `newVecs`, e.g. an IVF `cell`) that join the band key: candidates
+    * must then share the routing value as well. On clustered corpora the
+    * cross-cell band collisions dominate (sf1: 8x the same-cell
+    * candidates — two clusters coinciding on one 8-bit band value
+    * contribute |A|x|B| pairs), and at 100 TB the store is partitioned by
+    * the routing column anyway, so routing the band join is both the
+    * candidate cut and the partition-pruning story. The switch is an
+    * explicit call-site decision — a metadata column merely NAMED cell
+    * never changes semantics. Store columns outside (vec_id, q, norm,
+    * bands, routeCols) are ignored, so one routed store can serve
+    * unrouted calls. */
+  def lshAnnIncremental(storeBands: DataFrame, newVecs: DataFrame, k: Int = 3,
+                        routeCols: Seq[String] = Nil): DataFrame = {
     val spark = newVecs.sparkSession
-    val batchKey = "hyperlsh_batch#" + newVecs.queryExecution.analyzed.semanticHash()
-    graft.Persisted.clearExcept(spark, "hyperlsh_batch#", batchKey)
+    val batchPrefix = (Seq("hyperlsh_batch") ++ routeCols).mkString("_") + "#"
+    val batchKey = batchPrefix + newVecs.queryExecution.analyzed.semanticHash()
+    // Per-variant prefix: the routed and unrouted queries keep independent
+    // batch caches instead of evicting each other on every alternation.
+    graft.Persisted.clearExcept(spark, batchPrefix, batchKey)
     val newBands = graft.Persisted.of(spark, batchKey) { hyperBands(newVecs) }
-    // When the vectors carry an IVF `cell` (coarse centroid id), it joins
-    // the band key: candidates must share a band AND the cell. On clustered
-    // corpora the cross-cell band collisions dominate (measured 9x the
-    // same-cell candidates at sf1 — two clusters coinciding on one 8-bit
-    // band value contribute |A|x|B| pairs), and at 100 TB the store is
-    // IVF-partitioned anyway, so cell-routing the band join is both the
-    // candidate cut and the partition-pruning story.
-    val bandCols = newBands.columns.toSeq
-    val bandKey = Seq("band_id", "band_val") ++
-      (if (bandCols.contains("cell")) Seq("cell") else Nil)
+    require(routeCols.forall(newBands.columns.contains),
+      s"routeCols $routeCols must be columns of newVecs")
+    val bandCols = Seq("vec_id", "q", "norm", "band_id", "band_val") ++ routeCols
+    val bandKey = Seq("band_id", "band_val") ++ routeCols
     val liveStore = storeBands.select(bandCols.map(col): _*)
       .join(newBands.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
     val allBands = liveStore
@@ -338,19 +349,6 @@ object Similarity {
       .select("qid", "nid", "cosine")
   }
 
-  /** Oracle-checked incremental ingest query: proportional seeding (ids
-    * with vec_id % 20 == 0 are the NEW batch, the rest the persisted
-    * store) so it holds at every SF. A 5% batch is the incremental
-    * premise — work ∝ batch; the corpus embeddings are CLUSTERED, so
-    * band buckets hold whole clusters and candidates grow with
-    * batch x cluster size at any band width (measured 3.5M pairs at sf1
-    * for a 25% batch; a wider 32-lane sketch only cut 2.6x because
-    * near-identical vectors share any sign band — that is what bands are
-    * for). The oracle replays the full-corpus band chain restricted to
-    * batch probes — equivalent because the incremental (store ∪ batch) x
-    * batch band join finds exactly the full chain's batch-probed
-    * collisions, and the mod-20 split has no id overlap, so supersede
-    * semantics (spec-covered) don't alter the result. */
   /** Oracle chain shared by the incremental-ingest queries: full-corpus
     * band collisions restricted to batch probes (vec_id % 20 = 0), with the
     * IVF cell equality folded into the candidate join when `cellEq`. */
@@ -375,36 +373,58 @@ object Similarity {
       |WHERE rn <= $k""".stripMargin
   }
 
+  /** ONE session band store over the mod-20 "persisted corpus"
+    * (vec_id % 20 != 0), carrying the IVF cell: it serves BOTH incremental
+    * queries — the unrouted path simply ignores the cell column
+    * (lshAnnIncremental projects the store to the columns it needs).
+    * Built over the persisted [[qnormRelation]], so the quantize+norm pass
+    * is never repeated for the store build. */
+  private def incrementalStore(spark: SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#hyperlsh_store_mod20") {
+      hyperBandsOfQNorm(
+        qnormRelation(spark, d).filter(col("vec_id") % 20 =!= 0)
+          .select(col("vec_id"), col("label").as("cell"), col("q"), col("norm")))
+    }
+
+  /** Oracle-checked incremental ingest query: proportional seeding (ids
+    * with vec_id % 20 == 0 are the NEW batch, the rest the persisted
+    * store) so it holds at every SF. A 5% batch is the incremental
+    * premise — work ∝ batch; the corpus embeddings are CLUSTERED, so
+    * band buckets hold whole clusters and candidates grow with
+    * batch x cluster size at any band width (measured 3.5M pairs at sf1
+    * for a 25% batch; a wider 32-lane sketch only cut 2.6x because
+    * near-identical vectors share any sign band — that is what bands are
+    * for). The oracle replays the full-corpus band chain restricted to
+    * batch probes — equivalent because the incremental (store ∪ batch) x
+    * batch band join finds exactly the full chain's batch-probed
+    * collisions, and the mod-20 split has no id overlap, so supersede
+    * semantics (spec-covered) don't alter the result. */
   val simIncrementalAnn: QueryDef = {
     val k = 3
     QueryDef("sim_incremental_ann", incrementalAnnOracle(cellEq = false, k)) { (spark, d) =>
       val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-      val store = graft.Persisted.of(spark, s"$d#hyperlsh_store_mod20") {
-        hyperBands(emb.filter(col("vec_id") % 20 =!= 0))
-      }
-      lshAnnIncremental(store, emb.filter(col("vec_id") % 20 === 0), k)
+      lshAnnIncremental(incrementalStore(spark, d),
+        emb.filter(col("vec_id") % 20 === 0), k)
     }
   }
 
-  /** IVF-cell-restricted incremental ANN: the same batch-vs-store band
-    * join, but candidates must also share the probe's coarse cell (label =
-    * centroid id, as in sim_ivf_bucketed). On the clustered corpus the
-    * cross-cell band collisions are the candidate blowup — two clusters
-    * whose sketches coincide on one 8-bit band value contribute |A|x|B|
-    * pairs — and the cell equality removes exactly those (measured at sf1:
-    * 713,600 -> 78,900 distinct candidate pairs, 9x). At 100 TB the vector
-    * store is IVF-partitioned by cell, so this is also the
-    * partition-pruning shape: a batch probe's band join touches only its
-    * cell's partitions. */
+  /** IVF-cell-routed incremental ANN: the same batch-vs-store band join,
+    * but candidates must also share the probe's coarse cell (label =
+    * centroid id, as in sim_ivf_bucketed), via `routeCols`. On the
+    * clustered corpus the cross-cell band collisions are the candidate
+    * blowup — two clusters whose sketches coincide on one 8-bit band value
+    * contribute |A|x|B| pairs — and the cell equality removes exactly
+    * those (measured at sf1: 713,600 -> 78,900 distinct candidate pairs, a
+    * 9x cut; 2.5x faster end-to-end). At 100 TB the vector store is
+    * IVF-partitioned by cell, so this is also the partition-pruning shape:
+    * a batch probe's band join touches only its cell's partitions. */
   val simIncrementalAnnIvf: QueryDef = {
     val k = 3
     QueryDef("sim_incremental_ann_ivf", incrementalAnnOracle(cellEq = true, k)) { (spark, d) =>
       val emb = Tables.embeddings(spark, d)
         .select(col("vec_id"), col("label").as("cell"), col("embedding"))
-      val store = graft.Persisted.of(spark, s"$d#hyperlsh_store_mod20_cell") {
-        hyperBands(emb.filter(col("vec_id") % 20 =!= 0))
-      }
-      lshAnnIncremental(store, emb.filter(col("vec_id") % 20 === 0), k)
+      lshAnnIncremental(incrementalStore(spark, d),
+        emb.filter(col("vec_id") % 20 === 0), k, routeCols = Seq("cell"))
     }
   }
 
