@@ -117,4 +117,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
       s"expected a single agg shuffle:\n$p")
   }
+
+  test("sim_incremental_ann_ivf: cell joins the band key; store and batch read from cache") {
+    val p = plan("sim_incremental_ann_ivf")
+    // the routing column is part of the candidate join's equi-key — the
+    // 9x cross-cell candidate cut depends on it being IN the join, not a
+    // post-filter over the un-routed expansion
+    assert("""HashJoin \[band_id#\d+, band_val#\d+L?, cell#\d+\]""".r
+      .findFirstIn(p).isDefined, s"expected cell in the band join key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join must stay an equi-join:\n$p")
+    // both the mod-20 store and the batch sketch come from persisted
+    // relations (compute-once contract)
+    assert("InMemoryTableScan".r.findAllMatchIn(p).size >= 2,
+      s"expected cached store + batch bands:\n$p")
+  }
 }
