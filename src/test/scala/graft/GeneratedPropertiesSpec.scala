@@ -240,4 +240,34 @@ class GeneratedPropertiesSpec extends SparkSpec {
       assert(expected.contains(out(site)), s"$site expected $expected got ${out.get(site)}")
     }
   }
+
+  test("routed incremental ANN equals per-cell generic runs on random clustered vectors") {
+    // routeCols semantics on arbitrary data, not just the fixture corpus:
+    // routing the band join on a cell column must equal running the
+    // UNROUTED incremental ANN independently inside each cell and
+    // unioning — for any clustering, any batch split.
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      val cell = rnd.nextInt(4)
+      val emb = Array.tabulate(64) { j =>
+        (math.sin(cell * 17 + j * 3) + (rnd.nextDouble() - 0.5) * 0.3).toFloat
+      }
+      (i.toLong, cell, emb)
+    }
+    val df = rows.toDF("vec_id", "cell", "embedding")
+    val routed = Similarity.lshAnnIncremental(
+      Similarity.hyperBands(df.filter($"vec_id" % 4 =!= 0)),
+      df.filter($"vec_id" % 4 === 0), k = 3, routeCols = Seq("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val perCell = (0 until 4).flatMap { c =>
+      val sub = df.filter($"cell" === c).select("vec_id", "embedding")
+      Similarity.lshAnnIncremental(
+        Similarity.hyperBands(sub.filter($"vec_id" % 4 =!= 0)),
+        sub.filter($"vec_id" % 4 === 0), k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(routed.nonEmpty)
+    assert(routed === perCell)
+  }
 }
