@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.{SeedPipeline, Sinks}
 import graft.sources.Connectors
-import graft.streaming.StreamingSeed
+import graft.streaming.{RollingIngest, StreamingSeed}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -104,5 +104,57 @@ class StreamingAndIoSpec extends SparkSpec {
     // partition pruning visible in the plan
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || one.inputFiles.length == 1)
+  }
+
+  test("rolling ingest: streamed micro-batches drive the ANN store; equals batch replay") {
+    // The streaming x incremental composition: three micro-batches flow
+    // through RollingIngest.annIngest — each probes the store of every
+    // PRIOR batch and appends its own bands, batch 3 RE-INGESTING two ids
+    // with perturbed vectors (supersede). The cumulative sink output must
+    // equal calling lshAnnIncremental in plain batch mode per step over
+    // the same superseded corpora — streaming mechanics (foreachBatch,
+    // versioned parquet store, round-trip) must not change one row.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(64)(j => (math.sin(seed * 31 + j * 7) * 2).toFloat)
+    val b1 = (0L until 8L).map(i => (i, vec(i.toInt)))
+    val b2 = (8L until 14L).map(i => (i, vec(i.toInt)))
+    val b3 = (14L until 18L).map(i => (i, vec(i.toInt))) ++
+      Seq(2L, 5L).map(i => (i, vec(i.toInt + 100))) // re-ingest, new payload
+    val dir = Files.createTempDirectory("graft_roll").toString + "/store"
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = RollingIngest.annIngest(
+      in.toDF().toDF("vec_id", "embedding"), dir) { (nbrs, id) =>
+      got ++= nbrs.collect().map(r => (id, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // independent replay: plain batch calls over the superseded corpora.
+    // Stream batch ids remap to their rank (an empty startup batch, if the
+    // trigger emits one, is skipped by annIngest and takes no rank).
+    val rank = got.map(_._1).distinct.sorted.zipWithIndex.toMap
+    val gotRanked = got.map { case (id, q1, n1, c1) => (rank(id).toLong, q1, n1, c1) }.toSet
+    val steps = Seq(b1, b2, b3)
+    val expected = steps.indices.flatMap { i =>
+      val batch = steps(i)
+      val prior = steps.take(i).flatten
+        .filterNot { case (id, _) => batch.exists(_._1 == id) }
+      val store = Similarity.hyperBands(prior.toDF("vec_id", "embedding"))
+      Similarity.lshAnnIncremental(store, batch.toDF("vec_id", "embedding"))
+        .collect().map(r => (i.toLong, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(got.nonEmpty)
+    assert(gotRanked === expected)
+    // the store on disk ends at three versions, newest containing every
+    // live id exactly twice (2 bands per vector)
+    val vDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("v"))
+    assert(vDirs.length == 3)
+    val latest = spark.read.parquet(dir + "/v" + vDirs.map(_.getName.drop(1).toInt).max)
+    assert(latest.groupBy("vec_id").count().filter($"count" =!= 2).count() == 0)
+    assert(latest.select("vec_id").distinct().count() == 18)
   }
 }
