@@ -314,8 +314,18 @@ object Similarity {
     // batch caches instead of evicting each other on every alternation.
     graft.Persisted.clearExcept(spark, batchPrefix, batchKey)
     val newBands = graft.Persisted.of(spark, batchKey) { hyperBands(newVecs) }
+    lshAnnIncrementalBands(storeBands, newBands, k, routeCols)
+  }
+
+  /** [[lshAnnIncremental]] over a PRE-SKETCHED batch: `newBands` is the
+    * batch's band relation (from [[hyperBands]]), already persisted by the
+    * caller — the entry a driver that also WRITES the batch bands uses
+    * (e.g. [[graft.streaming.RollingIngest]]), so the sketch computes once
+    * for both the probe and the store append. */
+  def lshAnnIncrementalBands(storeBands: DataFrame, newBands: DataFrame,
+                             k: Int = 3, routeCols: Seq[String] = Nil): DataFrame = {
     require(routeCols.forall(newBands.columns.contains),
-      s"routeCols $routeCols must be columns of newVecs")
+      s"routeCols $routeCols must be columns of the batch bands")
     val bandCols = Seq("vec_id", "q", "norm", "band_id", "band_val") ++ routeCols
     val bandKey = Seq("band_id", "band_val") ++ routeCols
     val liveStore = storeBands.select(bandCols.map(col): _*)

@@ -149,12 +149,49 @@ class StreamingAndIoSpec extends SparkSpec {
     }.toSet
     assert(got.nonEmpty)
     assert(gotRanked === expected)
-    // the store on disk ends at three versions, newest containing every
-    // live id exactly twice (2 bands per vector)
+    // versions below the replay horizon are pruned: exactly the newest
+    // snapshot plus the one a replay of the last batch would re-read
+    // survive, and the newest holds every live id exactly twice (2 bands
+    // per vector)
     val vDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("v"))
-    assert(vDirs.length == 3)
+    assert(vDirs.length == 2, vDirs.map(_.getName).mkString(","))
     val latest = spark.read.parquet(dir + "/v" + vDirs.map(_.getName.drop(1).toInt).max)
     assert(latest.groupBy("vec_id").count().filter($"count" =!= 2).count() == 0)
     assert(latest.select("vec_id").distinct().count() == 18)
+  }
+
+  test("routed rolling ingest partitions the store by cell and matches the routed batch path") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(64)(j => (math.cos(seed * 13 + j * 5) * 2).toFloat)
+    val b1 = (0L until 10L).map(i => (i, (i % 3).toInt, vec(i.toInt)))
+    val b2 = (10L until 16L).map(i => (i, (i % 3).toInt, vec(i.toInt)))
+    val dir = Files.createTempDirectory("graft_roll_cell").toString + "/store"
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val in = MemoryStream[(Long, Int, Seq[Float])]
+    val q = RollingIngest.annIngest(
+      in.toDF().toDF("vec_id", "cell", "embedding"), dir,
+      routeCols = Seq("cell")) { (nbrs, _) =>
+      got ++= nbrs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      Seq(b1, b2).foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // the versioned snapshots are cell-partitioned on disk
+    val vDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("v"))
+    assert(vDirs.nonEmpty)
+    assert(vDirs.forall(_.listFiles().exists(_.getName.startsWith("cell="))))
+    // per-step replay through the ROUTED batch entry point
+    val expected = Seq(b1, b2).zipWithIndex.flatMap { case (batch, i) =>
+      val prior = Seq(b1, b2).take(i).flatten
+      Similarity.lshAnnIncremental(
+        Similarity.hyperBands(prior.toDF("vec_id", "cell", "embedding")),
+        batch.toDF("vec_id", "cell", "embedding"), routeCols = Seq("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(got.nonEmpty)
+    assert(got.toSet === expected)
   }
 }
