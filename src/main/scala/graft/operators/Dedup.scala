@@ -692,6 +692,16 @@ object Dedup {
     val newBands = graft.Persisted.of(spark, batchKey) {
       simhash64Bands(newDocs)
     }
+    simhashNearDupIncrementalBands(storeBands, newBands, maxHamming)
+  }
+
+  /** [[simhashNearDupIncremental]] over a PRE-SKETCHED batch: `newBands`
+    * is the batch's 64-bit band relation (from [[simhash64Bands]]),
+    * already persisted by the caller — the entry a driver that also
+    * WRITES the batch bands uses ([[graft.streaming.RollingIngest]]), so
+    * the sketch computes once for probe and append. */
+  def simhashNearDupIncrementalBands(storeBands: DataFrame, newBands: DataFrame,
+                                     maxHamming: Int = 3): DataFrame = {
     // unionByName: a store that was written/projected with a different
     // column order (e.g. partitioned by band) must not silently match
     // doc ids against band ids the way a positional union would;

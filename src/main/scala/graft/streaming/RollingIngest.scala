@@ -1,45 +1,44 @@
 package graft.streaming
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 
-/** Rolling-ingest driver: the composition of Structured Streaming with the
-  * incremental batch-vs-store entry points, i.e. the shape a continuously
-  * crawled 100 TB corpus actually runs. Each micro-batch of vectors
+/** Rolling-ingest drivers: the composition of Structured Streaming with
+  * the incremental batch-vs-store entry points — the shape a continuously
+  * crawled 100 TB corpus actually runs, for BOTH incremental families
+  * (ANN neighbors over vectors, simhash near-dup pairs over documents).
+  * Each micro-batch
   *
-  *   1. probes the band store built from every batch BEFORE it —
-  *      top-k exact-cosine neighbors via
-  *      [[Similarity.lshAnnIncrementalBands]], so probe work ∝ batch,
-  *      never ∝ corpus;
-  *   2. hands its per-batch neighbor rows to `sink` (the caller's output
-  *      contract — a parquet append, a metrics table, an alert);
-  *   3. appends its own bands to the store, re-ingested ids superseding
-  *      their old rows (left-anti on the batch's ids, the same contract
-  *      the incremental queries pin in spec). Duplicate vec_ids WITHIN a
-  *      micro-batch collapse to one arbitrary-but-single row first — a
-  *      micro-batch has no internal order, and the store invariant (two
-  *      band rows per live id) must hold regardless.
+  *   1. sketches ONCE (the persisted batch band relation serves the probe
+  *      and the store append);
+  *   2. probes the band store built from every batch BEFORE it — work ∝
+  *      batch, never ∝ corpus;
+  *   3. hands its result rows to `sink` (the caller's output contract),
+  *      synchronously within the micro-batch;
+  *   4. appends its bands to the store, re-ingested ids superseding their
+  *      old rows. Duplicate ids WITHIN a micro-batch collapse to one
+  *      arbitrary-but-single row first — a micro-batch has no internal
+  *      order, and the store invariant (a fixed band-row count per live
+  *      id) must hold regardless.
   *
   * The store lives as parquet under `storeDir`, one versioned directory
-  * per micro-batch (`v<batchId>`), the latest version discovered by
-  * listing. A replayed batch id (checkpoint recovery re-runs the LAST
-  * uncommitted batch) re-reads the newest version OLDER than itself and
-  * overwrites ITS OWN version deterministically instead of
-  * double-appending, so the store is idempotent under Structured
-  * Streaming's at-least-once foreachBatch; versions older than the
-  * replay horizon (everything below the previous version) are pruned
-  * after each commit, so disk holds at most two full snapshots. Starting
-  * a FRESH stream (new checkpoint, batch ids from 0) against a populated
-  * storeDir is refused rather than silently probing an empty store.
+  * per micro-batch (`v<batchId>`), the latest discovered by listing. A
+  * replayed batch id (checkpoint recovery re-runs the LAST uncommitted
+  * batch) re-reads the newest version OLDER than itself and overwrites
+  * ITS OWN version deterministically instead of double-appending, so the
+  * store is idempotent under Structured Streaming's at-least-once
+  * foreachBatch; versions below the replay horizon are pruned after each
+  * commit, so disk holds at most two snapshots. Starting a FRESH stream
+  * (new checkpoint, batch ids from 0) against a populated storeDir is
+  * refused rather than silently probing an empty store.
   *
-  * The batch sketch computes ONCE: the same persisted band relation
-  * serves the probe and the store append. With `routeCols` the store is
-  * written `partitionBy` the routing columns, so the cell-routed probe's
-  * candidate pruning has its storage-layout counterpart (a rewrite or an
-  * external reader touches only the cells present in the batch; partition
-  * values round-trip for int/long/string cells — Spark's partition-column
-  * type inference).
+  * With `routeCols` (ANN) the store is written `partitionBy` the routing
+  * columns, so the cell-routed probe's candidate pruning has its
+  * storage-layout counterpart: a rewrite or an external reader touches
+  * only the cells present in the batch (partition values round-trip for
+  * int/long/string cells — Spark's partition-column type inference).
   */
 object RollingIngest {
 
@@ -56,18 +55,15 @@ object RollingIngest {
       .sortBy(_._1)
   }
 
-  /** Start the rolling ANN ingest over a streaming relation of
-    * (vec_id[, routeCols…], embedding). `sink` receives each batch's
-    * neighbor rows (qid, nid, cosine) with the batch id, synchronously
-    * within the micro-batch. `configure` is applied to the writer before
-    * start — set `checkpointLocation` there for a durable query (the
-    * replay idempotency above assumes the query HAS a checkpoint),
-    * plus trigger/queryName as needed. */
-  def annIngest(vecs: DataFrame, storeDir: String, k: Int = 3,
-                routeCols: Seq[String] = Nil,
-                configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
-               (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    configure(vecs.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+  /** The shared micro-batch loop; `bandsOf` sketches a deduplicated
+    * batch, `probe(store, batchBands)` computes the batch's result rows. */
+  private def ingest(src: DataFrame, storeDir: String, idCol: String,
+                     bandsOf: DataFrame => DataFrame,
+                     probe: (DataFrame, DataFrame) => DataFrame,
+                     partitionCols: Seq[String],
+                     configure: DataStreamWriter[Row] => DataStreamWriter[Row])
+                    (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    configure(src.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
       if (!b.isEmpty) {
         val spark = b.sparkSession
         val vs = versions(spark, storeDir)
@@ -80,15 +76,15 @@ object RollingIngest {
         // checkpoint-replayed batch re-reads the store it originally saw
         val store = vs.filter(_._1 < id).lastOption
           .map(v => spark.read.parquet(v._2))
-          .getOrElse(Similarity.hyperBands(b.limit(0)))
-        val bands = Similarity.hyperBands(b.dropDuplicates("vec_id")).persist()
+          .getOrElse(bandsOf(b.limit(0)))
+        val bands = bandsOf(b.dropDuplicates(idCol)).persist()
         try {
-          sink(Similarity.lshAnnIncrementalBands(store, bands, k, routeCols), id)
+          sink(probe(store, bands), id)
           val w = store
-            .join(bands.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
-            .unionByName(bands.select(store.columns.map(org.apache.spark.sql.functions.col): _*))
+            .join(bands.select(idCol).distinct(), Seq(idCol), "left_anti")
+            .unionByName(bands.select(store.columns.map(col): _*))
             .write.mode("overwrite")
-          (if (routeCols.nonEmpty) w.partitionBy(routeCols: _*) else w)
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
             .parquet(s"$storeDir/v$id")
           // prune everything below the replay horizon (keep v$id + the
           // version a replay of THIS batch would re-read)
@@ -101,4 +97,29 @@ object RollingIngest {
       }
     }).start()
   }
+
+  /** Rolling ANN ingest over a streaming relation of
+    * (vec_id[, routeCols…], embedding). `sink` receives each batch's
+    * neighbor rows (qid, nid, cosine) with the batch id. `configure` is
+    * applied to the writer before start — set `checkpointLocation` there
+    * for a durable query (the replay idempotency assumes the query HAS a
+    * checkpoint), plus trigger/queryName as needed. */
+  def annIngest(vecs: DataFrame, storeDir: String, k: Int = 3,
+                routeCols: Seq[String] = Nil,
+                configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
+               (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    ingest(vecs, storeDir, "vec_id", Similarity.hyperBands,
+      (store, bands) => Similarity.lshAnnIncrementalBands(store, bands, k, routeCols),
+      routeCols, configure)(sink)
+
+  /** Rolling simhash near-dup ingest over a streaming relation of
+    * (doc_id, text): each micro-batch emits its (doc_a, doc_b, hamming)
+    * pairs touching the batch, then its 64-bit bands join the store.
+    * Same store/versioning/supersede contract as [[annIngest]]. */
+  def dedupIngest(docs: DataFrame, storeDir: String, maxHamming: Int = 3,
+                  configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
+                 (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    ingest(docs, storeDir, "doc_id", Dedup.simhash64Bands,
+      (store, bands) => Dedup.simhashNearDupIncrementalBands(store, bands, maxHamming),
+      Nil, configure)(sink)
 }

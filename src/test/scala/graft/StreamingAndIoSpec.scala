@@ -194,4 +194,44 @@ class StreamingAndIoSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.toSet === expected)
   }
+
+  test("rolling dedup ingest: streamed document batches emit incremental near-dup pairs") {
+    // The dedup family through the same driver: fixture documents arrive
+    // in three micro-batches (the third re-crawling two early ids with
+    // changed text), each batch's emitted (doc_a, doc_b, hamming) pairs
+    // must equal the plain-batch simhashNearDupIncremental replay over
+    // the same superseded corpora.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val third = docs.length / 3
+    val (b1, rest) = docs.splitAt(third)
+    val (b2, b3base) = rest.splitAt(third)
+    val b3 = b3base ++ b1.take(2).map { case (id, t) => (id, t + " recrawled anew") }
+    val dir = Files.createTempDirectory("graft_roll_dd").toString + "/store"
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+    val in = MemoryStream[(Long, String)]
+    val q = RollingIngest.dedupIngest(
+      in.toDF().toDF("doc_id", "text"), dir) { (pairs, id) =>
+      got ++= pairs.collect().map(r => (id, r.getLong(0), r.getLong(1), r.getInt(2)))
+    }
+    try {
+      Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val rank = got.map(_._1).distinct.sorted.zipWithIndex.toMap
+    val gotRanked = got.map { case (id, a, b2c, h) => (rank(id).toLong, a, b2c, h) }.toSet
+    val steps = Seq(b1, b2, b3)
+    val expected = steps.indices.flatMap { i =>
+      val batch = steps(i)
+      val prior = steps.take(i).flatten
+        .filterNot { case (id, _) => batch.exists(_._1 == id) }
+      val store = Dedup.simhash64Bands(prior.toDF("doc_id", "text"))
+      Dedup.simhashNearDupIncremental(store, batch.toDF("doc_id", "text"))
+        .collect().map(r => (i.toLong, r.getLong(0), r.getLong(1), r.getInt(2)))
+    }.toSet
+    assert(gotRanked === expected)
+    assert(gotRanked.nonEmpty, "fixture corpus should contain near-dup pairs")
+  }
 }
