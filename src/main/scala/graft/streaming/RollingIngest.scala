@@ -32,7 +32,10 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
   * foreachBatch; versions below the replay horizon are pruned after each
   * commit, so disk holds at most two snapshots. Starting a FRESH stream
   * (new checkpoint, batch ids from 0) against a populated storeDir is
-  * refused rather than silently probing an empty store.
+  * refused rather than silently probing an empty store — which makes the
+  * one crash window before the FIRST version's checkpoint commit a
+  * guided manual recovery (the guard's message names the version to
+  * delete) instead of an automatic replay.
   *
   * With `routeCols` (ANN) the store is written `partitionBy` the routing
   * columns, so the cell-routed probe's candidate pruning has its
@@ -67,23 +70,40 @@ object RollingIngest {
       if (!b.isEmpty) {
         val spark = b.sparkSession
         val vs = versions(spark, storeDir)
-        require(!vs.exists(_._1 > id),
-          s"$storeDir holds store versions newer than batch $id — a replay " +
-            "only re-runs the LAST batch, so this is a fresh stream (new " +
-            "checkpoint) against an existing store; point it at its " +
-            "original checkpoint or an empty storeDir")
+        // Refuse every shape where this batch did not produce the store's
+        // history: versions NEWER than the batch (restart mid-history), or
+        // a populated store with nothing OLDER than the batch (fresh
+        // stream, ids from 0, against an existing store — including the
+        // v0-only store a one-batch run leaves behind). The one legitimate
+        // case this rejects is a crash between writing the very FIRST
+        // version and its checkpoint commit; the message names the
+        // recovery (delete that version — the replayed batch rebuilds it
+        // deterministically), which is strictly safer than the silent
+        // empty-store probe + overwrite a fresh-stream mixup would get.
+        require(vs.isEmpty || (vs.head._1 < id && !vs.exists(_._1 > id)),
+          s"$storeDir holds versions [${vs.map(_._1).mkString(",")}] not " +
+            s"strictly older than batch $id — this stream did not build " +
+            "that store (fresh checkpoint against a populated storeDir?). " +
+            "Point the query at its original checkpoint, use an empty " +
+            s"storeDir, or — after a crash before the first commit — " +
+            s"delete $storeDir/v$id and restart")
         // store = newest version strictly OLDER than this batch id, so a
         // checkpoint-replayed batch re-reads the store it originally saw
         val store = vs.filter(_._1 < id).lastOption
           .map(v => spark.read.parquet(v._2))
           .getOrElse(bandsOf(b.limit(0)))
         val bands = bandsOf(b.dropDuplicates(idCol)).persist()
+        // next = the superseded store ∪ batch bands, persisted: the probe
+        // receives it AS the store (its internal anti-join over the cached
+        // relation is a no-op re-derivation), and the version write reads
+        // the same cache — the store parquet is scanned ONCE per batch.
+        val next = store
+          .join(bands.select(idCol).distinct(), Seq(idCol), "left_anti")
+          .unionByName(bands.select(store.columns.map(col): _*))
+          .persist()
         try {
-          sink(probe(store, bands), id)
-          val w = store
-            .join(bands.select(idCol).distinct(), Seq(idCol), "left_anti")
-            .unionByName(bands.select(store.columns.map(col): _*))
-            .write.mode("overwrite")
+          sink(probe(next, bands), id)
+          val w = next.write.mode("overwrite")
           (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
             .parquet(s"$storeDir/v$id")
           // prune everything below the replay horizon (keep v$id + the
@@ -93,7 +113,7 @@ object RollingIngest {
           vs.filter(_._1 < id).dropRight(1).foreach { case (_, p) =>
             fs.delete(new org.apache.hadoop.fs.Path(p), true)
           }
-        } finally bands.unpersist()
+        } finally { bands.unpersist(); next.unpersist() }
       }
     }).start()
   }

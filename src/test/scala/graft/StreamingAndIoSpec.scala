@@ -125,18 +125,22 @@ class StreamingAndIoSpec extends SparkSpec {
       Seq(2L, 5L).map(i => (i, vec(i.toInt + 100))) // re-ingest, new payload
     val dir = Files.createTempDirectory("graft_roll").toString + "/store"
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
     val in = MemoryStream[(Long, Seq[Float])]
     val q = RollingIngest.annIngest(
       in.toDF().toDF("vec_id", "embedding"), dir) { (nbrs, id) =>
+      seen += id
       got ++= nbrs.collect().map(r => (id, r.getLong(0), r.getLong(1), r.getDouble(2)))
     }
     try {
       Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
     } finally q.stop()
     // independent replay: plain batch calls over the superseded corpora.
-    // Stream batch ids remap to their rank (an empty startup batch, if the
-    // trigger emits one, is skipped by annIngest and takes no rank).
-    val rank = got.map(_._1).distinct.sorted.zipWithIndex.toMap
+    // Stream batch ids remap to their rank via the ids the sink actually
+    // saw (an empty startup batch, if the trigger emits one, is skipped
+    // by annIngest and takes no rank; a data batch emitting zero rows
+    // still takes one).
+    val rank = seen.distinct.sorted.zipWithIndex.toMap
     val gotRanked = got.map { case (id, q1, n1, c1) => (rank(id).toLong, q1, n1, c1) }.toSet
     val steps = Seq(b1, b2, b3)
     val expected = steps.indices.flatMap { i =>
@@ -212,15 +216,19 @@ class StreamingAndIoSpec extends SparkSpec {
     val b3 = b3base ++ b1.take(2).map { case (id, t) => (id, t + " recrawled anew") }
     val dir = Files.createTempDirectory("graft_roll_dd").toString + "/store"
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+    // batch ids recorded on every sink call — a NON-empty batch may
+    // legitimately emit zero pairs yet still consume a rank
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
     val in = MemoryStream[(Long, String)]
     val q = RollingIngest.dedupIngest(
       in.toDF().toDF("doc_id", "text"), dir) { (pairs, id) =>
+      seen += id
       got ++= pairs.collect().map(r => (id, r.getLong(0), r.getLong(1), r.getInt(2)))
     }
     try {
       Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
     } finally q.stop()
-    val rank = got.map(_._1).distinct.sorted.zipWithIndex.toMap
+    val rank = seen.distinct.sorted.zipWithIndex.toMap
     val gotRanked = got.map { case (id, a, b2c, h) => (rank(id).toLong, a, b2c, h) }.toSet
     val steps = Seq(b1, b2, b3)
     val expected = steps.indices.flatMap { i =>
