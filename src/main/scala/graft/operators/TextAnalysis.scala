@@ -359,7 +359,46 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit(UrlRe), lit(0))).cast("long").as("n_urls"))
   }
 
+  /** Benchmark decontamination (the GPT-3/Pile curation stage): flag
+    * corpus documents whose word-3-gram shingles overlap a held-out
+    * benchmark set — here the mod-50 slice of the documents table stands
+    * in for the benchmark, so the split is proportional at every SF.
+    * Output per overlapping doc: distinct-shingle count, overlapping
+    * count, and the ratio>=1/2 contamination verdict (integer arithmetic,
+    * engine-exact).
+    *
+    * Scale shape: this is the ASYMMETRIC corpus-vs-reference analogue of
+    * the dedup self-joins — the benchmark's distinct-shingle dictionary is
+    * small and BROADCAST (never shuffled, like a dim table), the corpus
+    * side is one scan-stage shingle explode plus a single groupBy(doc_id)
+    * shuffle. No self-join, no candidate blowup; work ∝ corpus. Past
+    * broadcast size the dictionary becomes a bloom filter (false
+    * positives re-checked by an equi-join on the survivors), the same
+    * two-phase candidate/verify discipline as the dedup family. */
+  val taDecontam = QueryDef("ta_decontam",
+    s"""WITH ${Dedup.shingleCtes},
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+      |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+      |agg AS (SELECT c.doc_id, COUNT(*) AS n_shingles, COUNT(b.shingle) AS n_overlap
+      |  FROM corpus c LEFT JOIN bench b ON b.shingle = c.shingle
+      |  GROUP BY c.doc_id)
+      |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+      |  CAST(n_overlap AS BIGINT) AS n_overlap,
+      |  2*n_overlap >= n_shingles AS contaminated
+      |FROM agg WHERE n_overlap > 0""".stripMargin) { (spark, d) =>
+    val sh = Dedup.docShingles(Tables.documents(spark, d))
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select("shingle").distinct().withColumn("hit", lit(1))
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (lit(2) * col("n_overlap") >= col("n_shingles")).as("contaminated"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
-    taKeepFilter, taScrub)
+    taKeepFilter, taScrub, taDecontam)
 }
