@@ -370,27 +370,33 @@ object TextAnalysis {
     * Scale shape: this is the ASYMMETRIC corpus-vs-reference analogue of
     * the dedup self-joins — the benchmark's distinct-shingle dictionary is
     * small and BROADCAST (never shuffled, like a dim table), the corpus
-    * side is one scan-stage shingle explode plus a single groupBy(doc_id)
-    * shuffle. No self-join, no candidate blowup; work ∝ corpus. Past
-    * broadcast size the dictionary becomes a bloom filter (false
-    * positives re-checked by an equi-join on the survivors), the same
-    * two-phase candidate/verify discipline as the dedup family. */
+    * side is the native codegen'd shingle-ID pass ([[Dedup.docWidArrays]],
+    * the same scan-stage sketch every dd_* query rides — the raw-string
+    * shingle explode measured 2.95 s at sf0.1, this form 0.1 s) plus a
+    * single groupBy(doc_id) shuffle of longs. No self-join, no candidate
+    * blowup; work ∝ corpus. Overlap is measured in sketch-id space (the
+    * dd family's documented tradeoff — an id collision can only merge two
+    * shingles, slightly over-counting overlap). Past broadcast size the
+    * dictionary becomes a bloom filter (false positives re-checked by an
+    * equi-join on the survivors), the same two-phase candidate/verify
+    * discipline as the dedup family. */
   val taDecontam = QueryDef("ta_decontam",
-    s"""WITH ${Dedup.shingleCtes},
-      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
-      |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
-      |agg AS (SELECT c.doc_id, COUNT(*) AS n_shingles, COUNT(b.shingle) AS n_overlap
-      |  FROM corpus c LEFT JOIN bench b ON b.shingle = c.shingle
+    s"""WITH ${Dedup.shingleListCtes},
+      |bw AS (SELECT DISTINCT unnest(wids) AS wid FROM widl WHERE doc_id % 50 = 0),
+      |cw AS (SELECT doc_id, unnest(wids) AS wid FROM widl WHERE doc_id % 50 <> 0),
+      |agg AS (SELECT c.doc_id, COUNT(*) AS n_shingles, COUNT(b.wid) AS n_overlap
+      |  FROM cw c LEFT JOIN bw b ON b.wid = c.wid
       |  GROUP BY c.doc_id)
       |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
       |  CAST(n_overlap AS BIGINT) AS n_overlap,
       |  2*n_overlap >= n_shingles AS contaminated
       |FROM agg WHERE n_overlap > 0""".stripMargin) { (spark, d) =>
-    val sh = Dedup.docShingles(Tables.documents(spark, d))
-    val bench = sh.filter(col("doc_id") % 50 === 0)
-      .select("shingle").distinct().withColumn("hit", lit(1))
-    sh.filter(col("doc_id") % 50 =!= 0)
-      .join(broadcast(bench), Seq("shingle"), "left")
+    val wid = Dedup.docWidArrays(Tables.documents(spark, d))
+    val bench = wid.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("wids")).as("wid")).distinct().withColumn("hit", lit(1))
+    wid.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("wids")).as("wid"))
+      .join(broadcast(bench), Seq("wid"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
       .filter(col("n_overlap") > 0)
