@@ -372,7 +372,7 @@ object TextAnalysis {
     * small and BROADCAST (never shuffled, like a dim table), the corpus
     * side is the native codegen'd shingle-ID pass ([[Dedup.docWidArrays]],
     * the same scan-stage sketch every dd_* query rides — the raw-string
-    * shingle explode measured 2.95 s at sf0.1, this form 0.1 s) plus a
+    * shingle explode measured 2.95 s at sf0.1, this form 0.17 s) plus a
     * single groupBy(doc_id) shuffle of longs. No self-join, no candidate
     * blowup; work ∝ corpus. Overlap is measured in sketch-id space (the
     * dd family's documented tradeoff — an id collision can only merge two

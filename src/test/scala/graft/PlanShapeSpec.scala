@@ -118,6 +118,17 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a single agg shuffle:\n$p")
   }
 
+  test("ta_decontam: benchmark dictionary broadcasts; no string shingles in the corpus scan") {
+    val p = plan("ta_decontam")
+    // the asymmetric corpus-vs-reference shape: dictionary = broadcast
+    // build side, corpus = scan-stage native shingle ids (the raw-string
+    // explode form measured 17x slower)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dictionary:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must never shuffle for the join:\n$p")
+    assert(p.contains("graft_word_shingles"), s"expected native shingle-id pass:\n$p")
+    assert(!p.contains("concat_ws"), s"no string-shingle construction allowed:\n$p")
+  }
+
   test("sim_incremental_ann_ivf: cell joins the band key; store and batch read from cache") {
     val p = plan("sim_incremental_ann_ivf")
     // the routing column is part of the candidate join's equi-key — the
