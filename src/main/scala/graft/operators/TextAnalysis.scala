@@ -376,10 +376,11 @@ object TextAnalysis {
     * single groupBy(doc_id) shuffle of longs. No self-join, no candidate
     * blowup; work ∝ corpus. Overlap is measured in sketch-id space (the
     * dd family's documented tradeoff — an id collision can only merge two
-    * shingles, slightly over-counting overlap). Past broadcast size the
-    * dictionary becomes a bloom filter (false positives re-checked by an
-    * equi-join on the survivors), the same two-phase candidate/verify
-    * discipline as the dedup family. */
+    * shingles, slightly over-counting overlap). The planned tier past
+    * broadcast size (not implemented here — the fixture benchmark is a
+    * dictionary of a few thousand ids) is a bloom-filter dictionary with
+    * an equi-join re-check of survivors, the dedup family's two-phase
+    * candidate/verify discipline. */
   val taDecontam = QueryDef("ta_decontam",
     s"""WITH ${Dedup.shingleListCtes},
       |bw AS (SELECT DISTINCT unnest(wids) AS wid FROM widl WHERE doc_id % 50 = 0),
