@@ -384,23 +384,30 @@ object TextAnalysis {
   val taDecontam = QueryDef("ta_decontam",
     s"""WITH ${Dedup.shingleListCtes},
       |bw AS (SELECT DISTINCT unnest(wids) AS wid FROM widl WHERE doc_id % 50 = 0),
-      |cw AS (SELECT doc_id, unnest(wids) AS wid FROM widl WHERE doc_id % 50 <> 0),
-      |agg AS (SELECT c.doc_id, COUNT(*) AS n_shingles, COUNT(b.wid) AS n_overlap
-      |  FROM cw c LEFT JOIN bw b ON b.wid = c.wid
-      |  GROUP BY c.doc_id)
+      |cw AS (SELECT doc_id, len(wids) AS n_shingles, unnest(wids) AS wid
+      |  FROM widl WHERE doc_id % 50 <> 0),
+      |agg AS (SELECT doc_id, n_shingles, COUNT(*) AS n_overlap
+      |  FROM cw JOIN bw USING (wid)
+      |  GROUP BY doc_id, n_shingles)
       |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
       |  CAST(n_overlap AS BIGINT) AS n_overlap,
       |  2*n_overlap >= n_shingles AS contaminated
-      |FROM agg WHERE n_overlap > 0""".stripMargin) { (spark, d) =>
+      |FROM agg""".stripMargin) { (spark, d) =>
+    // inner join, not left: the aggregate consumes only OVERLAP rows
+    // (sum of per-doc matches) instead of every exploded shingle — at
+    // sf10 that is the difference between aggregating 26M rows and ~2M,
+    // and non-overlapping docs (already excluded from the output) never
+    // reach the shuffle. n_shingles rides the row as size(wids) — wids
+    // are per-doc distinct — so nothing needs the full explode counted.
     val wid = Dedup.docWidArrays(Tables.documents(spark, d))
     val bench = wid.filter(col("doc_id") % 50 === 0)
-      .select(explode(col("wids")).as("wid")).distinct().withColumn("hit", lit(1))
+      .select(explode(col("wids")).as("wid")).distinct()
     wid.filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), explode(col("wids")).as("wid"))
-      .join(broadcast(bench), Seq("wid"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
-      .filter(col("n_overlap") > 0)
+      .select(col("doc_id"), size(col("wids")).cast("long").as("n_shingles"),
+        explode(col("wids")).as("wid"))
+      .join(broadcast(bench), Seq("wid"))
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_overlap"))
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         (lit(2) * col("n_overlap") >= col("n_shingles")).as("contaminated"))
   }
