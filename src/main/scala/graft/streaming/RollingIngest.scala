@@ -1,9 +1,11 @@
 package graft.streaming
 
 import graft.operators.{Dedup, Similarity}
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, col, lit, max, row_number, xxhash64}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types.StructType
 
 /** Rolling-ingest drivers: the composition of Structured Streaming with
   * the incremental batch-vs-store entry points — the shape a continuously
@@ -17,45 +19,156 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
   *      batch, never ∝ corpus;
   *   3. hands its result rows to `sink` (the caller's output contract),
   *      synchronously within the micro-batch;
-  *   4. appends its bands to the store, re-ingested ids superseding their
-  *      old rows. Duplicate ids WITHIN a micro-batch collapse to one
-  *      arbitrary-but-single row first — a micro-batch has no internal
-  *      order, and the store invariant (a fixed band-row count per live
-  *      id) must hold regardless.
+  *   4. appends its bands to the store as a DELTA, re-ingested ids
+  *      superseding their old rows at READ time. Duplicate ids WITHIN a
+  *      micro-batch collapse to one row first, picked DETERMINISTICALLY
+  *      (min xxhash64 over the full row) — a micro-batch has no internal
+  *      order, and a checkpoint replay must rebuild the byte-identical
+  *      delta, so an arbitrary `dropDuplicates` pick would break replay
+  *      idempotence for duplicate ids with differing payloads.
   *
-  * The store lives as parquet under `storeDir`, one versioned directory
-  * per micro-batch (`v<batchId>`), the latest discovered by listing. A
-  * replayed batch id (checkpoint recovery re-runs the LAST uncommitted
-  * batch) re-reads the newest version OLDER than itself and overwrites
-  * ITS OWN version deterministically instead of double-appending, so the
-  * store is idempotent under Structured Streaming's at-least-once
-  * foreachBatch; versions below the replay horizon are pruned after each
-  * commit, so disk holds at most two snapshots. Starting a FRESH stream
-  * (new checkpoint, batch ids from 0) against a populated storeDir is
-  * refused rather than silently probing an empty store — which makes the
-  * one crash window before the FIRST version's checkpoint commit a
-  * guided manual recovery (the guard's message names the version to
-  * delete) instead of an automatic replay.
+  * == Store layout: write ∝ batch, never ∝ corpus ==
   *
-  * With `routeCols` (ANN) the store is written `partitionBy` the routing
-  * columns, so the cell-routed probe's candidate pruning has its
-  * storage-layout counterpart: a rewrite or an external reader touches
-  * only the cells present in the batch (partition values round-trip for
-  * int/long/string cells — Spark's partition-column type inference).
+  * The store lives as parquet under `storeDir` in two kinds of directory:
+  *
+  *   - `d<batchId>`  — one DELTA per micro-batch, holding ONLY that
+  *     batch's band rows. The per-batch write I/O is proportional to the
+  *     batch — the property that makes a rolling 100 TB corpus ingestable
+  *     (a versioned-snapshot store would rewrite the accumulated corpus
+  *     every commit: O(n·corpus) cumulative write I/O after n batches).
+  *   - `base<v>`     — a compacted base: the supersede-resolved union of
+  *     everything up to and including delta `v`. Written once every
+  *     `compactEvery` batches, so the corpus-sized write is amortized to
+  *     corpus/K per batch; at most one base is live.
+  *
+  * The EFFECTIVE store before batch B = live(base) ∪ live(deltas in
+  * (baseVersion, B)), where supersede resolves newest-delta-wins per id:
+  * the base anti-joins the union of delta ids (batch-sized, broadcast —
+  * the corpus-sized base never shuffles), and delta rows keep only each
+  * id's newest batch (a groupBy over batch-sized relations). Re-reading
+  * that resolution per probe costs K broadcast anti-joins of small sets —
+  * the read-side price of not rewriting the corpus per commit.
+  *
+  * == Replay idempotence and crash recovery ==
+  *
+  * A replayed batch id (checkpoint recovery re-runs the LAST uncommitted
+  * batch) sees exactly the effective store it originally saw: its own
+  * delta is excluded (only deltas < B are read), and compaction folds
+  * only deltas < B — so a crash after compaction but before the
+  * checkpoint commit replays against the compacted base, which resolves
+  * to the identical effective store. The replayed delta overwrites its
+  * own directory with identical rows (deterministic intra-batch dedup).
+  * Housekeeping is self-healing: any delta at-or-below the live base's
+  * version and any base below it are stale leftovers of a mid-compaction
+  * crash — excluded by the read path and swept on the next commit.
+  * Starting a FRESH stream (new checkpoint, batch ids from 0) against a
+  * populated storeDir is refused rather than silently probing an empty
+  * store — which makes the one crash window before the FIRST delta's
+  * checkpoint commit a guided manual recovery (the guard's message names
+  * the directory to delete) instead of an automatic replay.
+  *
+  * With `routeCols` (ANN) every store directory is written `partitionBy`
+  * the routing columns, and the probe's store read is pre-filtered to the
+  * batch's own route values — so the cell-routed candidate pruning has
+  * its storage-layout counterpart: a probe or an external reader touches
+  * only the cells present in the batch (partition pruning, pinned by
+  * RollingIngestSpec). Store reads disable partition-column type
+  * inference and cast back to the band schema, so string route values
+  * that LOOK numeric (cell "01") round-trip unchanged instead of being
+  * inferred as int 1 and silently mis-matching the supersede anti-join.
   */
 object RollingIngest {
 
-  /** Versioned store directories under `storeDir`, oldest first. */
-  private def versions(spark: org.apache.spark.sql.SparkSession,
-                       storeDir: String): Seq[(Long, String)] = {
+  /** Store directories under `storeDir` with the given prefix, as
+    * (version, path), oldest first. */
+  private def dirs(spark: SparkSession, storeDir: String,
+                   prefix: String): Seq[(Long, String)] = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-      .flatMap(s => s.getPath.getName.drop(1).toLongOption
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap(s => s.getPath.getName.drop(prefix.length).toLongOption
         .map(_ -> s.getPath.toString))
       .sortBy(_._1)
+  }
+
+  private def delete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Read one store directory back to the band schema. Partition-column
+    * type inference is disabled for the read (then every column is cast
+    * to its band-schema type): inference would turn a numeric-looking
+    * STRING route value (cell "01") into int 1, silently changing the
+    * column — with inference off the raw partition string survives, and
+    * the cast is exact for genuinely numeric route columns. */
+  private def readBands(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(key, "true")
+    // schema resolution (file listing + partition discovery) is eager at
+    // read time, so the conf toggle is scoped to this call
+    val raw = try {
+      spark.conf.set(key, "false")
+      spark.read.parquet(path)
+    } finally spark.conf.set(key, prev)
+    raw.select(schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Supersede-resolved union of delta relations (each tagged with its
+    * batch id in `__b`): per id, only the rows of its NEWEST batch
+    * survive. Deltas are batch-sized, so the winner aggregation and join
+    * stay small regardless of corpus size. */
+  private def resolveDeltas(tagged: DataFrame, idCol: String,
+                            schema: StructType): DataFrame = {
+    val winners = tagged.groupBy(idCol).agg(max(col("__b")).as("__b"))
+    tagged.join(broadcast(winners), Seq(idCol, "__b"))
+      .select(schema.fields.toSeq.map(f => col(f.name)): _*)
+  }
+
+  /** The effective store under `storeDir` strictly BEFORE batch `upTo`
+    * (pass Long.MaxValue for "everything committed"): live base rows plus
+    * supersede-resolved delta rows. `routeFilter`, if given, is applied
+    * to every directory read BEFORE the union — on a `partitionBy`
+    * routed store this prunes to the filter's partitions. Returns None
+    * when the store holds nothing below `upTo`. */
+  private[graft] def storeView(spark: SparkSession, storeDir: String,
+                               schema: StructType, idCol: String,
+                               upTo: Long = Long.MaxValue,
+                               routeFilter: Option[Column] = None): Option[DataFrame] = {
+    val filt = (df: DataFrame) => routeFilter.map(df.filter).getOrElse(df)
+    val baseOpt = dirs(spark, storeDir, "base").filter(_._1 < upTo).lastOption
+    val baseVer = baseOpt.map(_._1).getOrElse(-1L)
+    val live = dirs(spark, storeDir, "d")
+      .filter { case (v, _) => v > baseVer && v < upTo }
+    val deltaAll = live
+      .map { case (v, p) => filt(readBands(spark, p, schema)).withColumn("__b", lit(v)) }
+      .reduceOption(_ unionByName _)
+    (baseOpt.map(b => filt(readBands(spark, b._2, schema))), deltaAll) match {
+      case (None, None)       => None
+      case (Some(base), None) => Some(base)
+      case (None, Some(d))    => Some(resolveDeltas(d, idCol, schema))
+      case (Some(base), Some(d)) =>
+        // delta ids are batch-sized: the corpus-sized base anti-joins a
+        // broadcast id set and never shuffles
+        val ids = d.select(idCol).distinct()
+        Some(base.join(broadcast(ids), Seq(idCol), "left_anti")
+          .unionByName(resolveDeltas(d, idCol, schema)))
+    }
+  }
+
+  /** Deterministic one-row-per-id pick: min xxhash64 over every column.
+    * Order-independent, so a checkpoint replay of a batch holding
+    * duplicate ids with DIFFERENT payloads rebuilds the same delta (a
+    * plain dropDuplicates pick is arbitrary per run). */
+  private def dedupDeterministic(b: DataFrame, idCol: String): DataFrame = {
+    val h = xxhash64(b.columns.sorted.toSeq.map(col): _*)
+    val w = Window.partitionBy(idCol).orderBy(h.asc)
+    b.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** The shared micro-batch loop; `bandsOf` sketches a deduplicated
@@ -63,57 +176,80 @@ object RollingIngest {
   private def ingest(src: DataFrame, storeDir: String, idCol: String,
                      bandsOf: DataFrame => DataFrame,
                      probe: (DataFrame, DataFrame) => DataFrame,
-                     partitionCols: Seq[String],
+                     partitionCols: Seq[String], compactEvery: Int,
                      configure: DataStreamWriter[Row] => DataStreamWriter[Row])
                     (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
     configure(src.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
       if (!b.isEmpty) {
         val spark = b.sparkSession
-        val vs = versions(spark, storeDir)
+        val els = (dirs(spark, storeDir, "base") ++ dirs(spark, storeDir, "d"))
+          .map(_._1).sorted
         // Refuse every shape where this batch did not produce the store's
-        // history: versions NEWER than the batch (restart mid-history), or
+        // history: elements NEWER than the batch (restart mid-history), or
         // a populated store with nothing OLDER than the batch (fresh
         // stream, ids from 0, against an existing store — including the
-        // v0-only store a one-batch run leaves behind). The one legitimate
+        // d0-only store a one-batch run leaves behind). The one legitimate
         // case this rejects is a crash between writing the very FIRST
-        // version and its checkpoint commit; the message names the
-        // recovery (delete that version — the replayed batch rebuilds it
+        // delta and its checkpoint commit; the message names the recovery
+        // (delete that delta — the replayed batch rebuilds it
         // deterministically), which is strictly safer than the silent
         // empty-store probe + overwrite a fresh-stream mixup would get.
-        require(vs.isEmpty || (vs.head._1 < id && !vs.exists(_._1 > id)),
-          s"$storeDir holds versions [${vs.map(_._1).mkString(",")}] not " +
+        require(els.isEmpty || (els.head < id && !els.exists(_ > id)),
+          s"$storeDir holds versions [${els.mkString(",")}] not " +
             s"strictly older than batch $id — this stream did not build " +
             "that store (fresh checkpoint against a populated storeDir?). " +
             "Point the query at its original checkpoint, use an empty " +
             s"storeDir, or — after a crash before the first commit — " +
-            s"delete $storeDir/v$id and restart")
-        // store = newest version strictly OLDER than this batch id, so a
-        // checkpoint-replayed batch re-reads the store it originally saw
-        val store = vs.filter(_._1 < id).lastOption
-          .map(v => spark.read.parquet(v._2))
-          .getOrElse(bandsOf(b.limit(0)))
-        val bands = bandsOf(b.dropDuplicates(idCol)).persist()
-        // next = the superseded store ∪ batch bands, persisted: the probe
-        // receives it AS the store (its internal anti-join over the cached
-        // relation is a no-op re-derivation), and the version write reads
-        // the same cache — the store parquet is scanned ONCE per batch.
-        val next = store
-          .join(bands.select(idCol).distinct(), Seq(idCol), "left_anti")
-          .unionByName(bands.select(store.columns.map(col): _*))
-          .persist()
+            s"delete $storeDir/d$id and restart")
+        val schema = bandsOf(b.limit(0)).schema
+        val bands = bandsOf(dedupDeterministic(b, idCol)).persist()
         try {
-          sink(probe(next, bands), id)
-          val w = next.write.mode("overwrite")
-          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-            .parquet(s"$storeDir/v$id")
-          // prune everything below the replay horizon (keep v$id + the
-          // version a replay of THIS batch would re-read)
-          val fs = new org.apache.hadoop.fs.Path(storeDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          vs.filter(_._1 < id).dropRight(1).foreach { case (_, p) =>
-            fs.delete(new org.apache.hadoop.fs.Path(p), true)
+          // Routed stores: pre-filter the store read to the batch's own
+          // route values — the partition-pruning counterpart of the
+          // routed band join (only the batch's cells are scanned). The
+          // per-column isin is a SUPERSET of the batch's route tuples, so
+          // it is purely a pruning optimization; the band join enforces
+          // exact equality.
+          val routeFilter = if (partitionCols.isEmpty) None else {
+            val vals = bands.select(partitionCols.map(col): _*).distinct().collect()
+            Some(partitionCols.zipWithIndex.map { case (c, i) =>
+              col(c).isin(vals.map(_.get(i)).distinct.toSeq: _*)
+            }.reduce(_ && _))
           }
-        } finally { bands.unpersist(); next.unpersist() }
+          val store = storeView(spark, storeDir, schema, idCol, upTo = id, routeFilter)
+            .getOrElse(bandsOf(b.limit(0)))
+          sink(probe(store, bands), id)
+          // the delta write is the ONLY per-batch store write: bytes ∝ batch
+          val w = bands.write.mode("overwrite")
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+            .parquet(s"$storeDir/d$id")
+          // housekeeping — every step idempotent and replay-safe:
+          // (1) sweep stale leftovers of a mid-compaction crash (the read
+          //     path already ignores them)
+          val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
+          dirs(spark, storeDir, "base").dropRight(1)
+            .foreach { case (_, p) => delete(spark, p) }
+          dirs(spark, storeDir, "d").filter(_._1 <= baseVer)
+            .foreach { case (_, p) => delete(spark, p) }
+          // (2) compact deltas STRICTLY OLDER than this batch once K have
+          //     accumulated: fold them + the base into base<newest folded
+          //     delta>, amortizing the corpus-sized write to corpus/K per
+          //     batch. This batch's own delta is never folded, so a replay
+          //     (which reads only elements < id) sees the same store.
+          val pending = dirs(spark, storeDir, "d")
+            .filter { case (v, _) => v > baseVer && v < id }
+          if (pending.size >= compactEvery) {
+            val compactTo = pending.map(_._1).max
+            val compacted = storeView(spark, storeDir, schema, idCol, upTo = id, None)
+              .getOrElse(bandsOf(b.limit(0)))
+            val cw = compacted.write.mode("overwrite")
+            (if (partitionCols.nonEmpty) cw.partitionBy(partitionCols: _*) else cw)
+              .parquet(s"$storeDir/base$compactTo")
+            pending.foreach { case (_, p) => delete(spark, p) }
+            if (baseVer >= 0) delete(spark, s"$storeDir/base$baseVer")
+          }
+        } finally bands.unpersist()
       }
     }).start()
   }
@@ -123,23 +259,26 @@ object RollingIngest {
     * neighbor rows (qid, nid, cosine) with the batch id. `configure` is
     * applied to the writer before start — set `checkpointLocation` there
     * for a durable query (the replay idempotency assumes the query HAS a
-    * checkpoint), plus trigger/queryName as needed. */
+    * checkpoint), plus trigger/queryName as needed. `compactEvery` bounds
+    * how many per-batch deltas accumulate before they fold into the
+    * compacted base. */
   def annIngest(vecs: DataFrame, storeDir: String, k: Int = 3,
-                routeCols: Seq[String] = Nil,
+                routeCols: Seq[String] = Nil, compactEvery: Int = 8,
                 configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
                (sink: (DataFrame, Long) => Unit): StreamingQuery =
     ingest(vecs, storeDir, "vec_id", Similarity.hyperBands,
       (store, bands) => Similarity.lshAnnIncrementalBands(store, bands, k, routeCols),
-      routeCols, configure)(sink)
+      routeCols, compactEvery, configure)(sink)
 
   /** Rolling simhash near-dup ingest over a streaming relation of
     * (doc_id, text): each micro-batch emits its (doc_a, doc_b, hamming)
     * pairs touching the batch, then its 64-bit bands join the store.
-    * Same store/versioning/supersede contract as [[annIngest]]. */
+    * Same store/delta/compaction contract as [[annIngest]]. */
   def dedupIngest(docs: DataFrame, storeDir: String, maxHamming: Int = 3,
+                  compactEvery: Int = 8,
                   configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
                  (sink: (DataFrame, Long) => Unit): StreamingQuery =
     ingest(docs, storeDir, "doc_id", Dedup.simhash64Bands,
       (store, bands) => Dedup.simhashNearDupIncrementalBands(store, bands, maxHamming),
-      Nil, configure)(sink)
+      Nil, compactEvery, configure)(sink)
 }

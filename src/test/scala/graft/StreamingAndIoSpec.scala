@@ -153,15 +153,17 @@ class StreamingAndIoSpec extends SparkSpec {
     }.toSet
     assert(got.nonEmpty)
     assert(gotRanked === expected)
-    // versions below the replay horizon are pruned: exactly the newest
-    // snapshot plus the one a replay of the last batch would re-read
-    // survive, and the newest holds every live id exactly twice (2 bands
-    // per vector)
-    val vDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("v"))
-    assert(vDirs.length == 2, vDirs.map(_.getName).mkString(","))
-    val latest = spark.read.parquet(dir + "/v" + vDirs.map(_.getName.drop(1).toInt).max)
-    assert(latest.groupBy("vec_id").count().filter($"count" =!= 2).count() == 0)
-    assert(latest.select("vec_id").distinct().count() == 18)
+    // delta layout: one d<batchId> directory per data batch, no base yet
+    // (below the compaction threshold), and the supersede-resolved
+    // effective store holds every live id exactly twice (2 bands/vector)
+    val dDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("d"))
+    assert(dDirs.length == 3, dDirs.map(_.getName).mkString(","))
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("base")))
+    val schema = Similarity.hyperBands(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")).schema
+    val eff = RollingIngest.storeView(spark, dir, schema, "vec_id").get
+    assert(eff.groupBy("vec_id").count().filter($"count" =!= 2).count() == 0)
+    assert(eff.select("vec_id").distinct().count() == 18)
   }
 
   test("routed rolling ingest partitions the store by cell and matches the routed batch path") {
@@ -183,10 +185,10 @@ class StreamingAndIoSpec extends SparkSpec {
     try {
       Seq(b1, b2).foreach { b => in.addData(b); q.processAllAvailable() }
     } finally q.stop()
-    // the versioned snapshots are cell-partitioned on disk
-    val vDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("v"))
-    assert(vDirs.nonEmpty)
-    assert(vDirs.forall(_.listFiles().exists(_.getName.startsWith("cell="))))
+    // the per-batch deltas are cell-partitioned on disk
+    val dDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("d"))
+    assert(dDirs.nonEmpty)
+    assert(dDirs.forall(_.listFiles().exists(_.getName.startsWith("cell="))))
     // per-step replay through the ROUTED batch entry point
     val expected = Seq(b1, b2).zipWithIndex.flatMap { case (batch, i) =>
       val prior = Seq(b1, b2).take(i).flatten
