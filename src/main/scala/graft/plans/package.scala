@@ -39,6 +39,12 @@ package object plans {
   def wordShingles(text: Column, coef: Seq[Long], k2: Long, k3: Long, p: Long): Column =
     ColumnBridge.column(WordShingleIds(expr(text), coef, k2, k3, p))
 
+  /** Codegen'd membership probe of a broadcast bloom filter over a bigint
+    * column (the decontam dictionary tier past broadcast-join size). */
+  def bloomContains(wid: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    ColumnBridge.column(BloomMightContainLong(expr(wid), bloom))
+
   /** One-pass per-document (token, tf, dl) counting — the scan-stage form
     * of tokenize + COUNT(*) GROUP BY (doc, word); explode with `inline`. */
   def wordCounts(text: Column): Column =
