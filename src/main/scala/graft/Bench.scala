@@ -43,6 +43,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // tz-pin: the ntz->timestamp dispatch in Tables.tsUsSql is only a
+      // reinterpretation under UTC (same pin as Verify/SparkSpec)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // The testdata files are ONE parquet row group each, so byte-range
@@ -321,6 +324,11 @@ object Bench {
     if (headlineBroken) {
       // exit nonzero so the run records as invalid, not flattering
       spark.stop(); sys.exit(3)
+    }
+    if (failed.nonEmpty) {
+      // ADVICE r9: any declared query carrying the -1.0 sentinel makes the
+      // run rc-visibly incomplete — distinct code from headline breakage
+      spark.stop(); sys.exit(4)
     }
     spark.stop()
   }

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata tables (TESTDATA.md).
   *
@@ -54,6 +56,26 @@ object Tables {
       }
     })
   }
+
+  /** Microseconds-since-epoch for `events.ts` as a SQL fragment, dispatched
+    * on the column's ACTUAL type — the testdata has shipped two vintages:
+    * INT64 TIMESTAMP(NANOS) (read as raw nanos longs via `nanosAsLong`,
+    * converted with integral `div`) and TIMESTAMP_NTZ(µs). Sessions are
+    * UTC-pinned, so the ntz->timestamp cast is a tz-free reinterpretation
+    * and `unix_micros` matches DuckDB's `epoch_us(ts)` exactly. Every
+    * ts-consuming query MUST go through this dispatch instead of assuming a
+    * vintage: the r9 regression (7 queries red) was exactly that assumption
+    * going stale. */
+  def tsUsSql(df: DataFrame): String = df.schema("ts").dataType match {
+    case LongType          => "(ts div 1000)"
+    case TimestampNTZType  => "unix_micros(cast(ts as timestamp))"
+    case TimestampType     => "unix_micros(ts)"
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported type $other; expected nanos LONG, TIMESTAMP or TIMESTAMP_NTZ")
+  }
+
+  /** Column form of [[tsUsSql]]. */
+  def tsUs(df: DataFrame): Column = expr(tsUsSql(df))
 
   def lineitem(spark: SparkSession, d: String): DataFrame  = t(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame    = t(spark, d, "orders")

@@ -307,21 +307,22 @@ object CoreQueries {
         val u = s.select(lit("s").as("side"), col("s_suppkey").as("key"), col("sn").as("name"))
           .unionAll(c.select(lit("c").as("side"), col("c_custkey").as("key"), col("cn").as("name")))
         // MIXED-LENGTH grams (the "longer gram" saturation lever, the j3
-        // analogue of the simhash wide tier): containers index BOTH their
-        // 3-grams and 4-grams; a contained row probes with one rarest gram
-        // of ITS OWN length class — 4 if len >= 4, else 3. Completeness is
-        // per class (every L-gram of a contained string of length >= L
-        // occurs in its container's L-gram entries), and the two classes
-        // can never collide (different string lengths). On the digit-
-        // alphabet names the 4-gram universe is 10x sparser, which is what
-        // bounds candidate growth at sf1+ (measured 8M verify pairs with
-        // trigram-only probes).
+        // analogue of the simhash wide tier): containers index their
+        // 3-, 4- AND 5-grams; a contained row probes with one rarest gram
+        // of ITS OWN longest class — 5 if len >= 5, else 4, else 3.
+        // Completeness is per class (every L-gram of a contained string of
+        // length >= L occurs in its container's L-gram entries), and the
+        // classes can never collide (different gram lengths). On the
+        // digit-alphabet names each extra gram char makes the universe 10x
+        // sparser, which is what bounds candidate growth at sf1+ (measured
+        // 8M verify pairs with trigram-only probes; the 4-gram class cut
+        // that ~10x, and the 5-gram class is the next decade).
         def gramsOfLen(l: Int) = u.filter(length(col("name")) >= l)
           .select(col("side"), col("key"), col("name"),
             explode(sequence(lit(0), length(col("name")) - l)).as("i"))
           .select(col("side"), col("key"), col("name"),
             col("name").substr(col("i") + 1, lit(l)).as("g"))
-        val grams = gramsOfLen(3).unionAll(gramsOfLen(4))
+        val grams = gramsOfLen(3).unionAll(gramsOfLen(4)).unionAll(gramsOfLen(5))
           .distinct() // per-row distinct grams: freqs are carrier counts
         // len<3 names can only ever match by EQUALITY (the containment
         // branches require length >= 3), and equality of len>=3 names is
@@ -364,7 +365,8 @@ object CoreQueries {
       grams.join(freq, "g")
         // probe with the longest gram class the row supports
         .filter(length(col("g")) ===
-          when(length(col("name")) >= 4, 4).otherwise(3))
+          when(length(col("name")) >= 5, 5)
+            .when(length(col("name")) >= 4, 4).otherwise(3))
         .groupBy("side", "key", "name")
         .agg(min_by(col("g"), struct(otherF.as("f"), col("g"))).as("g"),
           min(otherF).as("fmin"))

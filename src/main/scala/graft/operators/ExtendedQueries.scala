@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * first-success pattern chain, generator-shaped word counting (X9), map
   * lookup (X17), distinct-count stats, bucket collect (A6).
   *
-  * events.ts arrives as raw nanosecond longs (Tables: nanosAsLong); queries
-  * convert with integral `div 1000` to microseconds, exactly matching
-  * DuckDB's epoch_us() truncation — no float in any time arithmetic.
+  * events.ts has shipped as both raw nanosecond longs and TIMESTAMP_NTZ;
+  * `Tables.tsUs` dispatches on the actual schema to microseconds, exactly
+  * matching DuckDB's epoch_us() truncation — no float in any time
+  * arithmetic.
   */
 object ExtendedQueries {
 
-  private val tsUs = expr("ts div 1000")
+  private def tsUs(df: org.apache.spark.sql.DataFrame) = Tables.tsUs(df)
 
   /** Analytic window: lag delta + running decimal sum with ROWS frame. */
   val waLagDelta = QueryDef("wa_lag_delta",
@@ -28,8 +29,9 @@ object ExtendedQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin) { (spark, d) =>
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, d)
-      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
+    val raw = Tables.events(spark, d)
+    raw
+      .select(col("user_id"), col("event_id"), tsUs(raw).as("ts_us"),
         col("value").cast("decimal(18,2)").as("v"))
       .select(col("user_id"), col("event_id"),
         (col("ts_us") - lag("ts_us", 1).over(w)).as("delta_us"),
@@ -52,8 +54,9 @@ object ExtendedQueries {
       |FROM s GROUP BY user_id, session_seq""".stripMargin) { (spark, d) =>
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, d)
-      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"))
+    val raw = Tables.events(spark, d)
+    raw
+      .select(col("user_id"), col("event_id"), tsUs(raw).as("ts_us"))
       .withColumn("new_s",
         when(lag("ts_us", 1).over(w).isNull ||
           col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1).otherwise(0))
@@ -272,13 +275,14 @@ object ExtendedQueries {
   }
 
   /** The events table as the typed stream-shaped Dataset both batch-mode
-    * streaming twins fold over — ONE definition of the nanos->timestamp
-    * conversion (the st_session oracle's ms-flooring contract hangs off
-    * it), two callers. */
+    * streaming twins fold over — ONE definition of the schema-dispatched
+    * ts->timestamp conversion (the st_session oracle's ms-flooring contract
+    * hangs off it), two callers. */
   private def eventsDs(spark: org.apache.spark.sql.SparkSession, d: String) = {
     import spark.implicits._
-    Tables.events(spark, d)
-      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+    val raw = Tables.events(spark, d)
+    raw
+      .select(expr(s"timestamp_micros(${Tables.tsUsSql(raw)})").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[graft.streaming.StreamingEvents.Event]
   }

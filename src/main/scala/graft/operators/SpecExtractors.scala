@@ -229,22 +229,26 @@ object SpecExtractors {
         col("f_orders"), col("c_acctbal"))
   }
 
-  /** X18 date bucketing, timezone-free by construction: epoch-nanos ts to a
-    * pure DATE via integer day arithmetic (no session-timezone rendering —
-    * the cross-engine hazard of date_format/strftime on TIMESTAMP).
-    * Restricted to ts >= 0 on BOTH sides: for pre-epoch nanos Spark's `div`
-    * truncates toward zero while a timestamp->date cast floors, so the
-    * equivalence is only by-construction on the non-negative domain (the
-    * events table is entirely post-epoch; the filter makes the parity claim
-    * hold regardless of data). */
+  /** X18 date bucketing, timezone-free by construction: epoch-microsecond
+    * ts (via the `Tables.tsUsSql` schema dispatch — nanos-long and
+    * timestamp_ntz vintages both land on integral µs) to a pure DATE via
+    * integer day arithmetic (no session-timezone rendering — the
+    * cross-engine hazard of date_format/strftime on TIMESTAMP). Restricted
+    * to ts >= 0 on BOTH sides: for pre-epoch values Spark's `div` truncates
+    * toward zero while a timestamp->date cast floors, so the equivalence is
+    * only by-construction on the non-negative domain (the events table is
+    * entirely post-epoch; the filter makes the parity claim hold regardless
+    * of data). */
   val x18DateBucket = QueryDef("x18_date_bucket",
     """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
       |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
       |FROM events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' GROUP BY 1""".stripMargin) { (spark, d) =>
-    Tables.events(spark, d)
-      .filter(col("ts") >= 0)
+    val raw = Tables.events(spark, d)
+    val us = Tables.tsUsSql(raw)
+    raw
+      .filter(expr(s"$us >= 0"))
       .withColumn("day",
-        expr("CAST(date_add(DATE'1970-01-01', CAST(ts div 86400000000000 AS INT)) AS STRING)"))
+        expr(s"CAST(date_add(DATE'1970-01-01', CAST($us div 86400000000 AS INT)) AS STRING)"))
       .groupBy("day")
       .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
   }

@@ -19,12 +19,13 @@ import org.apache.spark.sql.functions._
   *    applies the exact predicate. Work is proportional to true pair count,
   *    not |L|x|R| per key.
   *
-  * events.ts arrives as raw nanosecond longs (Tables: nanosAsLong); integral
-  * `div 1000` microseconds match DuckDB's epoch_us() exactly.
+  * events.ts has shipped as both raw nanosecond longs and TIMESTAMP_NTZ;
+  * `Tables.tsUs` dispatches on the actual schema to microseconds matching
+  * DuckDB's epoch_us() exactly.
   */
 object TemporalQueries {
 
-  private val tsUs = expr("ts div 1000")
+  private def tsUs(df: DataFrame) = Tables.tsUs(df)
 
   /** As-of join: for each purchase event, the most recent error event of the
     * same user at or before it. Union + running `last(ignoreNulls)` over an
@@ -40,8 +41,9 @@ object TemporalQueries {
       |SELECT event_id, user_id, err_id AS last_err_id,
       |  CAST(ts_us - err_ts AS BIGINT) AS gap_us
       |FROM j WHERE rn = 1""".stripMargin) { (spark, d) =>
-    val ev = Tables.events(spark, d)
-      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"), col("event_type"))
+    val raw = Tables.events(spark, d)
+    val ev = raw
+      .select(col("event_id"), col("user_id"), tsUs(raw).as("ts_us"), col("event_type"))
     val tagged = ev.filter(col("event_type").isin("purchase", "error"))
       .select(col("user_id"), col("ts_us"),
         when(col("event_type") === "error", 0).otherwise(1).as("tag"),
@@ -71,8 +73,9 @@ object TemporalQueries {
       |FROM p JOIN e ON e.user_id = p.user_id
       |  AND e.ts_us <= p.ts_us AND p.ts_us - e.ts_us <= 300000000""".stripMargin) { (spark, d) =>
     val BandUs = 300000000L // 5 minutes
-    val ev = Tables.events(spark, d)
-      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"), col("event_type"))
+    val raw = Tables.events(spark, d)
+    val ev = raw
+      .select(col("event_id"), col("user_id"), tsUs(raw).as("ts_us"), col("event_type"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_ts"),
         (col("ts_us") / BandUs).cast("long").as("cell"))

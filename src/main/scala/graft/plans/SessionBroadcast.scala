@@ -30,15 +30,16 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
   * hash relations behind the one-batch state bound (code-review r7).
   *
   * EVICTION CONTRACT (ADVICE r7): `Persisted.clear`/`clearExcept` is the
-  * ONLY path that invalidates entries by relation. A relation unpersisted
-  * outside it — `df.unpersist()`, `spark.catalog.clearCache()` — leaves
-  * its broadcast entry pinned until session stop. That is a memory-
-  * lifetime gap, never a correctness one: re-caching creates a new
-  * `CachedRDDBuilder`, hence a different canonicalized cache key, so a
-  * stale entry can never serve a new plan's data. Eligible relations in
-  * this engine are exactly the `Persisted` stores, which is why the
-  * narrow hook suffices; callers managing caches by hand should route
-  * releases through `Persisted.clear` or accept the pin.
+  * targeted invalidation path. A relation unpersisted outside it —
+  * `df.unpersist()`, `spark.catalog.clearCache()` — is caught by the
+  * access-time [[sweep]] instead (VERDICT r9 #8): a cached entry's
+  * builder necessarily had its column buffers loaded when the broadcast
+  * was built (the build scans the IMR), so a builder now reporting
+  * unloaded buffers was cleared externally and its entry is dropped on
+  * the next cache access. Either way the gap was memory-lifetime, never
+  * correctness: re-caching creates a new `CachedRDDBuilder`, hence a
+  * different canonicalized cache key, so a stale entry can never serve a
+  * new plan's data.
   * Capacity is capped: past [[maxEntries]] distinct dims, new exchanges
   * simply build uncached (vanilla behavior), so a pathological workload
   * cannot pin unbounded executor memory. Stopped sessions' entries are
@@ -94,11 +95,37 @@ object SessionBroadcastCache {
       }
     }
 
+  /** Evict entries whose in-memory relation was unpersisted OUTSIDE
+    * `Persisted.clear` (`df.unpersist()`, `spark.catalog.clearCache()`).
+    * Detection: the broadcast build materialized the IMR's column buffers,
+    * so a `CachedRDDBuilder` reporting unloaded buffers now was cleared
+    * externally (block-manager memory pressure never unloads a builder —
+    * only `clearCache()` does). Cheap (≤ maxEntries tree walks of field
+    * checks), so it runs on every cache access. */
+  def sweep(sc: SparkContext): Int = cache.synchronized {
+    val m = cache.get(sc)
+    if (m == null) 0
+    else {
+      val it = m.keySet().iterator()
+      var n = 0
+      while (it.hasNext) {
+        val stale = it.next().find {
+          case s: InMemoryTableScanExec =>
+            !s.relation.cacheBuilder.isCachedColumnBuffersLoaded
+          case _ => false
+        }.isDefined
+        if (stale) { it.remove(); n += 1 }
+      }
+      n
+    }
+  }
+
   def getOrBuild(sc: SparkContext, key: SparkPlan,
                  build: () => Broadcast[Any]): Broadcast[Any] = {
     val existing = cache.synchronized {
       val it = cache.keySet().iterator()
       while (it.hasNext) if (it.next().isStopped) it.remove()
+      sweep(sc)
       val m = cache.get(sc)
       if (m == null) null else m.get(key)
     }

@@ -88,6 +88,27 @@ class SessionBroadcastSpec extends SparkSpec {
     Persisted.clear(spark, "spec#ctr_dim")
   }
 
+  test("external df.unpersist() is caught by the access-time sweep") {
+    import org.apache.spark.sql.functions._
+    // a persisted dim cached OUTSIDE Persisted (hand-managed .persist()):
+    // its broadcast entry must be swept once the relation is unpersisted
+    // externally, without Persisted.clear ever being involved
+    val dim = spark.range(7).select(col("id"), (col("id") * 2).as("y")).persist()
+    dim.count() // materialize the IMR
+    def q() = spark.range(7).toDF("id2")
+      .join(broadcast(dim), col("id2") === col("id")).count()
+    q(); q() // second action plans + caches the dim broadcast
+    val (n0, _, _) = SessionBroadcastCache.stats(spark.sparkContext)
+    assert(n0 >= 1, "the hand-persisted dim must populate the broadcast cache")
+    // sweeping while the relation is LIVE drops nothing
+    assert(SessionBroadcastCache.sweep(spark.sparkContext) === 0,
+      "sweep must not evict entries over live relations")
+    dim.unpersist(blocking = true) // external path: no Persisted.clear
+    val swept = SessionBroadcastCache.sweep(spark.sparkContext)
+    assert(swept >= 1, "externally-unpersisted relation's broadcast must be swept")
+    assert(SessionBroadcastCache.stats(spark.sparkContext)._1 === n0 - swept)
+  }
+
   test("executed plan carries SessionCachedBroadcast over the static dim") {
     val df = runJ4()
     df.collect() // execute THIS plan so AQE finalizes it

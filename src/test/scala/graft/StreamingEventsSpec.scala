@@ -103,8 +103,10 @@ class StreamingEventsSpec extends SparkSpec {
     val out = graft.operators.ExtendedQueries.stSession.fn(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(out.nonEmpty)
-    val events = Tables.events(spark, sf0001)
-      .selectExpr("user_id", "ts div 1000000 as ts_ms") // nanos -> floor ms
+    val eventsRaw = Tables.events(spark, sf0001)
+    val events = eventsRaw
+      // schema-dispatched µs, floored to ms (matches Timestamp.getTime)
+      .selectExpr("user_id", s"${Tables.tsUsSql(eventsRaw)} div 1000 as ts_ms")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val expected = events.groupBy(_._1).flatMap { case (u, rows) =>
       val ts = rows.map(_._2).sorted

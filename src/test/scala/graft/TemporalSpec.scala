@@ -7,11 +7,10 @@ import org.apache.spark.sql.functions._
   * checked against independently-computed brute-force references. */
 class TemporalSpec extends SparkSpec {
 
-  private val tsUs = expr("ts div 1000")
-
   test("aj_asof_join picks the latest error at-or-before each purchase") {
-    val ev = Tables.events(spark, sf0001)
-      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"), col("event_type"))
+    val raw = Tables.events(spark, sf0001)
+    val ev = raw
+      .select(col("event_id"), col("user_id"), Tables.tsUs(raw).as("ts_us"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us")).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
@@ -37,8 +36,9 @@ class TemporalSpec extends SparkSpec {
   }
 
   test("aj_range_join equals the brute-force theta join") {
-    val ev = Tables.events(spark, sf0001)
-      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"), col("event_type"))
+    val raw = Tables.events(spark, sf0001)
+    val ev = raw
+      .select(col("event_id"), col("user_id"), Tables.tsUs(raw).as("ts_us"), col("event_type"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_ts"))
     val e = ev.filter(col("event_type") === "error")
