@@ -101,6 +101,35 @@ object Probe {
         graft.operators.CoreQueries.j3Bucketed.fn(spark, d) // warm path incl. store
           .limit(1)
       }),
+      "j3x_pairs" -> (() => {
+        // candidate pairs ENTERING the exact containment verify — the
+        // number the gram-class lever (3/4/5) is sized by. Prints the
+        // count (run with PROBE_ITERS=1; the timing line is secondary).
+        val (buckets, rarest) = graft.operators.CoreQueries.j3Stores(spark, d)
+        val pairs = rarest
+          .select(col("side").as("i_side"), col("name").as("i_name"), col("g"))
+          .join(buckets.select(col("side").as("o_side"), col("name").as("o_name"),
+            col("g").as("o_g")),
+            col("g") === col("o_g") && col("i_side") =!= col("o_side"))
+          .count()
+        System.err.println(s"[probe] j3x_pairs verify-candidates=$pairs")
+        spark.range(1).toDF("id")
+      }),
+      // Bloom-tier decade attribution (VERDICT r9 #7): the SAME contamination
+      // query with a mod-2 split — at sf10 the dictionary side is 250k docs
+      // (tens of millions of distinct shingle ids, far past the 4M-id
+      // broadcast ceiling) — once through each tier.
+      "tdx_bigdict_bloom" -> (() => {
+        val wid = graft.operators.Dedup.widRelation(spark, d)
+        graft.operators.TextAnalysis.decontamBloom(
+          wid.filter(col("doc_id") % 2 =!= 0), wid.filter(col("doc_id") % 2 === 0),
+          expectedDictIds = 40000000L)
+      }),
+      "tdx_bigdict_bcast" -> (() => {
+        val wid = graft.operators.Dedup.widRelation(spark, d)
+        graft.operators.TextAnalysis.decontamBroadcast(
+          wid.filter(col("doc_id") % 2 =!= 0), wid.filter(col("doc_id") % 2 === 0))
+      }),
       "j4_predim" -> (() => {
         val dim = Tables.customer(spark, d)
           .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))

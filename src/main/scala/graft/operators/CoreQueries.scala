@@ -280,6 +280,32 @@ object CoreQueries {
       |  ON sn = cn
       |  OR (contains(cn, sn) AND length(sn) >= 3)
       |  OR (contains(sn, cn) AND length(cn) >= 3)""".stripMargin) { (spark, d) =>
+    val (buckets, rarest) = j3Stores(spark, d)
+    // ONE side-crossed join serves both containment directions AND short-
+    // name equality: probe side = each row's single rarest gram, build side
+    // = every bucket entry of the OTHER side; containment verifies exactly.
+    // Both stores are cached pre-partitioned on g, so the join needs no
+    // exchange at query time — only the closing distinct shuffles, and it
+    // carries bare key pairs.
+    val i = rarest.select(
+      col("side").as("i_side"), col("key").as("i_key"),
+      col("name").as("i_name"), col("g"))
+    val o = buckets.select(
+      col("side").as("o_side"), col("key").as("o_key"),
+      col("name").as("o_name"), col("g").as("o_g"))
+    i.join(o, col("g") === col("o_g") && col("i_side") =!= col("o_side"))
+      .filter(col("o_name").contains(col("i_name")))
+      .select(
+        when(col("i_side") === "s", col("i_key")).otherwise(col("o_key")).as("s_suppkey"),
+        when(col("i_side") === "s", col("o_key")).otherwise(col("i_key")).as("c_custkey"))
+      .distinct()
+  }
+
+  /** The j3 gram-index stores `(buckets, rarest)`, shared by [[j3Bucketed]]
+    * and the Probe candidate-count diagnostics (the 5-gram-lever sizing
+    * runs count the pre-verify join without touching the judged query). */
+  private[graft] def j3Stores(spark: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val s = Tables.supplier(spark, d)
       .select(col("s_suppkey"), regexp_replace(col("s_name"), "^Supplier#0*", "").as("sn"))
     val c = Tables.customer(spark, d)
@@ -322,7 +348,12 @@ object CoreQueries {
             explode(sequence(lit(0), length(col("name")) - l)).as("i"))
           .select(col("side"), col("key"), col("name"),
             col("name").substr(col("i") + 1, lit(l)).as("g"))
-        val grams = gramsOfLen(3).unionAll(gramsOfLen(4)).unionAll(gramsOfLen(5))
+        // graft.j3.maxGram (default 5, judged path) exists for measured
+        // tier attribution only — Probe sweeps 4 vs 5 on the same data
+        val maxGram = spark.conf.getOption("graft.j3.maxGram")
+          .map(_.toInt).getOrElse(5)
+        val grams = (4 to maxGram)
+          .foldLeft(gramsOfLen(3))((acc, l) => acc.unionAll(gramsOfLen(l)))
           .distinct() // per-row distinct grams: freqs are carrier counts
         // len<3 names can only ever match by EQUALITY (the containment
         // branches require length >= 3), and equality of len>=3 names is
@@ -364,9 +395,13 @@ object CoreQueries {
       val otherF = when(col("side") === "s", col("fC")).otherwise(col("fS"))
       grams.join(freq, "g")
         // probe with the longest gram class the row supports
-        .filter(length(col("g")) ===
-          when(length(col("name")) >= 5, 5)
-            .when(length(col("name")) >= 4, 4).otherwise(3))
+        .filter(length(col("g")) === {
+          val maxGram = spark.conf.getOption("graft.j3.maxGram")
+            .map(_.toInt).getOrElse(5)
+          (4 to maxGram).foldLeft(lit(3)) { (acc, l) =>
+            when(length(col("name")) >= l, l).otherwise(acc)
+          }
+        })
         .groupBy("side", "key", "name")
         .agg(min_by(col("g"), struct(otherF.as("f"), col("g"))).as("g"),
           min(otherF).as("fmin"))
@@ -374,24 +409,7 @@ object CoreQueries {
         .unionAll(short)
         .repartition(parts, col("g"))
     }
-    // ONE side-crossed join serves both containment directions AND short-
-    // name equality: probe side = each row's single rarest gram, build side
-    // = every bucket entry of the OTHER side; containment verifies exactly.
-    // Both stores are cached pre-partitioned on g, so the join needs no
-    // exchange at query time — only the closing distinct shuffles, and it
-    // carries bare key pairs.
-    val i = rarest.select(
-      col("side").as("i_side"), col("key").as("i_key"),
-      col("name").as("i_name"), col("g"))
-    val o = buckets.select(
-      col("side").as("o_side"), col("key").as("o_key"),
-      col("name").as("o_name"), col("g").as("o_g"))
-    i.join(o, col("g") === col("o_g") && col("i_side") =!= col("o_side"))
-      .filter(col("o_name").contains(col("i_name")))
-      .select(
-        when(col("i_side") === "s", col("i_key")).otherwise(col("o_key")).as("s_suppkey"),
-        when(col("i_side") === "s", col("o_key")).otherwise(col("i_key")).as("c_custkey"))
-      .distinct()
+    (buckets, rarest)
   }
 
   /** Semi join — customers having at least one open order. */

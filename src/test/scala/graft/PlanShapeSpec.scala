@@ -73,6 +73,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(bucketed === theta, "candidate generation + verify must reproduce the theta join")
   }
 
+  test("aj_asof_join: one shuffle + ordered window, never a join operator") {
+    // the union+running-last() formulation: at 100 TB the naive
+    // `LEFT JOIN ... ts <= ts` plans as a nested loop and dies — the whole
+    // point of the shape is that NO join node exists at all
+    val p = plan("aj_asof_join")
+    assert(p.contains("Window"), s"expected the running-last window:\n$p")
+    assert(!p.contains("Join"), s"as-of must not plan ANY join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"expected exactly one shuffle (on user_id):\n$p")
+  }
+
+  test("aj_range_join: time-cell band join stays an equi-join") {
+    val p = plan("aj_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join must never nested-loop:\n$p")
+    assert("""HashJoin \[user_id#\d+L?, cell#\d+L?\]""".r.findFirstIn(p).isDefined,
+      s"expected (user_id, cell) as the equi-join key:\n$p")
+  }
+
   test("j_salted: pinned to the shuffled-join regime where salting matters") {
     val p = plan("j_salted")
     // under a broadcast the salt would be inert (no reducer-side skew to
