@@ -1,27 +1,35 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Completeness-gated dump (VERDICT r9 #3): a query that throws must turn
+    * the correctness artifact RED, not shorter. A failed query still writes
+    * an output — a one-row relation whose `__verify_error` schema can never
+    * match any oracle — so every declared query yields a (mismatching)
+    * entry downstream, and `verify_status.json` records
+    * declared-vs-succeeded explicitly. Returns the (name, error) failures. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+           queries: Map[String, (SparkSession, String) => DataFrame])
+      : Seq[(String, String)] = {
     new java.io.File(outDir).mkdirs()
-    // Completeness gate (VERDICT r9 #3): a query that throws must turn the
-    // correctness artifact RED, not shorter. A failed query still writes an
-    // output — a one-row relation whose schema can never match any oracle —
-    // so every declared query yields a (mismatching) entry downstream, and
-    // verify_status.json records declared-vs-succeeded explicitly.
     val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -32,26 +40,28 @@ object Verify {
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val status =
-      s"""{"declared": ${SparkEntry.queries.size}, "succeeded": ${SparkEntry.queries.size - failed.size}, """ +
+      s"""{"declared": ${queries.size}, "succeeded": ${queries.size - failed.size}, """ +
       s""""failed": ${failed.map(f => q(f._1)).mkString("[", ",", "]")}, """ +
       s""""errors": ${failed.map(f => s"${q(f._1)}: ${q(f._2)}").mkString("{", ",", "}")}}"""
     Files.writeString(Paths.get(s"$outDir/verify_status.json"), status)
+    failed.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val failed = dump(spark, sfDir, outDir, SparkEntry.queries)
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (failed.nonEmpty)
       // rc stays 0: the driver's compare must still run so every failed
       // query surfaces as a RED entry (via the placeholder schema) — the
