@@ -206,6 +206,44 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "weight")
   }
 
+  /** Repetition signals (the Gopher/MassiveText curation family's other
+    * axis): duplicate-word fraction (1 - distinct/total) and top-word
+    * share (max tf / total), plus the composite `repetitive` gate over
+    * the round(6) values (both engines round identically; the raw-double
+    * threshold compare would be the only parity hazard here). Rides the
+    * SAME session-persisted (doc, w, tf, dl) term store as ta_term_weight
+    * — the scan-stage `graft_word_counts` pass means the shuffle carries
+    * distinct (word, tf) pairs, never token occurrences, and a corpus
+    * already running TF-IDF pays nothing extra for repetition scoring.
+    * All metrics are per-doc aggregates of the counts relation:
+    * order-independent, exactly replayable as grouped SQL. */
+  val taRepetition = QueryDef("ta_repetition",
+    """WITH w AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w)
+      |SELECT doc_id,
+      |  CAST(SUM(tf) AS BIGINT) AS n_words,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(tf), 6) AS dup_word_frac,
+      |  round(CAST(MAX(tf) AS DOUBLE) / SUM(tf), 6) AS top_word_frac,
+      |  (round(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(tf), 6) > 0.3
+      |   OR round(CAST(MAX(tf) AS DOUBLE) / SUM(tf), 6) > 0.1) AS repetitive
+      |FROM tf GROUP BY doc_id""".stripMargin) { (spark, d) =>
+    val docs = Tables.documents(spark, d)
+    val tf = graft.Persisted.of(spark, s"$d#term_tf") {
+      docs.select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+    }
+    val dupF = round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+    val topF = round(col("top_cnt").cast("double") / col("n_words"), 6)
+    tf.groupBy("doc_id")
+      .agg(sum("tf").as("n_words"), count(lit(1)).as("n_distinct"),
+        max("tf").as("top_cnt"))
+      .select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        dupF.as("dup_word_frac"), topF.as("top_word_frac"),
+        (dupF > 0.3 || topF > 0.1).as("repetitive"))
+  }
+
   /** Deterministic sampling + split assignment — the reproducible (seeded
     * RNG-free) shape a training pipeline needs: membership is a pure
     * function of the key, so it is stable across runs, engines, executors,
@@ -476,5 +514,5 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
-    taKeepFilter, taScrub, taDecontam)
+    taKeepFilter, taScrub, taDecontam, taRepetition)
 }

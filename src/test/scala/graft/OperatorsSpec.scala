@@ -289,6 +289,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got(6L) == ((false, "too_short")), "NULL text must be rejected")
   }
 
+  test("ta_repetition: metrics match hand-computed values on a synthetic corpus") {
+    // live corpus sanity
+    val live = TextAnalysis.taRepetition.fn(spark, sf0001).collect()
+    assert(live.nonEmpty)
+    live.foreach { r =>
+      val (n, d) = (r.getLong(1), r.getLong(2))
+      assert(d >= 1 && d <= n, s"doc ${r.getLong(0)}: distinct in [1, n_words]")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // synthetic pins: "a a a a b" -> n=5, distinct=2, dup=0.6, top=0.8
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a a a a b"), (2L, "x y z"), (3L, "w w")).toDF("doc_id", "text")
+      .select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+    val dupF = round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+    val topF = round(col("top_cnt").cast("double") / col("n_words"), 6)
+    val got = df.groupBy("doc_id")
+      .agg(sum("tf").as("n_words"), count(lit(1)).as("n_distinct"), max("tf").as("top_cnt"))
+      .select(col("doc_id"), dupF.as("dup"), topF.as("top"),
+        (dupF > 0.3 || topF > 0.1).as("rep"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((0.6, 0.8, true)))
+    assert(got(2L) == ((0.0, 0.333333, true)),
+      "uniform 3-word doc: top share 1/3 > 0.1 gate")
+    assert(got(3L) == ((0.5, 1.0, true)))
+  }
+
   test("decontam bloom tier is result-identical to the broadcast tier") {
     // VERDICT r8 #3: the dictionary tier past broadcast size — bloom
     // candidate probe + exact equi-join re-check. False positives from the
