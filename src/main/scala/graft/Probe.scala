@@ -152,6 +152,10 @@ object Probe {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // tz-pin like Bench/Verify: the ntz ts dispatch is only tz-free
+      // under UTC (belt-and-braces — build.sbt's forked javaOptions set
+      // it too, but Probe must stay correct under any launcher)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // Same default as Bench so probe timings attribute headline behavior.

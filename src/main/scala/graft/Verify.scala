@@ -35,9 +35,17 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         failed += name -> String.valueOf(e.getMessage).take(500)
-        import spark.implicits._
-        Seq(s"$name: ${e.getMessage}".take(500)).toDF("__verify_error")
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // The placeholder write must never abort the dump loop: a
+        // session-level failure (stopped context, ENOSPC) would throw HERE
+        // too, and losing the remaining queries + status file would be
+        // worse than the r9 silently-shorter artifact this gate fixes.
+        try {
+          import spark.implicits._
+          Seq(s"$name: ${e.getMessage}".take(500)).toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name placeholder write failed too: ${e2.getMessage}")
+        }
       }
     }
     val status =

@@ -245,8 +245,17 @@ object SpecExtractors {
       |FROM events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00' GROUP BY 1""".stripMargin) { (spark, d) =>
     val raw = Tables.events(spark, d)
     val us = Tables.tsUsSql(raw)
+    // The guard must exclude EXACTLY what the oracle's `ts >= TIMESTAMP
+    // '1970-01-01'` excludes: on the nanos-long vintage a raw value in
+    // [-999, -1] ns still lands on µs 0 under truncating div, so the
+    // filter runs on the RAW nanos there; µs-resolution vintages have no
+    // sub-µs values and filter on the dispatched µs directly.
+    val nonNeg = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts") >= 0L
+      case _ => expr(s"$us >= 0")
+    }
     raw
-      .filter(expr(s"$us >= 0"))
+      .filter(nonNeg)
       .withColumn("day",
         expr(s"CAST(date_add(DATE'1970-01-01', CAST($us div 86400000000 AS INT)) AS STRING)"))
       .groupBy("day")

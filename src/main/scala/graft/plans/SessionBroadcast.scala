@@ -32,11 +32,10 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
   * EVICTION CONTRACT (ADVICE r7): `Persisted.clear`/`clearExcept` is the
   * targeted invalidation path. A relation unpersisted outside it —
   * `df.unpersist()`, `spark.catalog.clearCache()` — is caught by the
-  * access-time [[sweep]] instead (VERDICT r9 #8): a cached entry's
-  * builder necessarily had its column buffers loaded when the broadcast
-  * was built (the build scans the IMR), so a builder now reporting
-  * unloaded buffers was cleared externally and its entry is dropped on
-  * the next cache access. Either way the gap was memory-lifetime, never
+  * access-time [[sweep]] instead (VERDICT r9 #8): an entry is dropped
+  * once its `CachedRDDBuilder` is no longer the registered builder for
+  * its plan in the session's CacheManager (the registration is removed
+  * synchronously by unpersist). Either way the gap was memory-lifetime, never
   * correctness: re-caching creates a new `CachedRDDBuilder`, hence a
   * different canonicalized cache key, so a stale entry can never serve a
   * new plan's data.
@@ -97,11 +96,15 @@ object SessionBroadcastCache {
 
   /** Evict entries whose in-memory relation was unpersisted OUTSIDE
     * `Persisted.clear` (`df.unpersist()`, `spark.catalog.clearCache()`).
-    * Detection: the broadcast build materialized the IMR's column buffers,
-    * so a `CachedRDDBuilder` reporting unloaded buffers now was cleared
-    * externally (block-manager memory pressure never unloads a builder —
-    * only `clearCache()` does). Cheap (≤ maxEntries tree walks of field
-    * checks), so it runs on every cache access. */
+    * Detection is the DIRECT one: the entry's `CachedRDDBuilder` must still
+    * be the registered builder for its logical plan in the session's
+    * CacheManager (`graftbridge.CacheBridge`). Unpersist removes the
+    * registration synchronously on the driver; a re-cached identical plan
+    * registers a NEW builder — both read as stale here. Memory-pressure
+    * block eviction leaves the registration intact, so a still-persisted
+    * relation can never be falsely swept, and the check is a driver-local
+    * list lookup (no executor RPCs) cheap enough to run on every cache
+    * access (≤ maxEntries entries). */
   def sweep(sc: SparkContext): Int = cache.synchronized {
     val m = cache.get(sc)
     if (m == null) 0
@@ -109,9 +112,11 @@ object SessionBroadcastCache {
       val it = m.keySet().iterator()
       var n = 0
       while (it.hasNext) {
-        val stale = it.next().find {
+        val k = it.next()
+        val stale = k.find {
           case s: InMemoryTableScanExec =>
-            !s.relation.cacheBuilder.isCachedColumnBuffersLoaded
+            !org.apache.spark.sql.graftbridge.CacheBridge
+              .builderLive(s.session, s.relation.cacheBuilder)
           case _ => false
         }.isDefined
         if (stale) { it.remove(); n += 1 }

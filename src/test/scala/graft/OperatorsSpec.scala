@@ -289,6 +289,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got(6L) == ((false, "too_short")), "NULL text must be rejected")
   }
 
+  test("j3 gram stores rebuild when graft.j3.maxGram changes mid-session") {
+    import org.apache.spark.sql.functions._
+    // the conf is part of the store cache keys (code-review r10): an A/B in
+    // ONE session must never serve the other tier's cached index. sf0.01:
+    // its 4-digit customer names carry 4-grams but sf0.001's (<= 3 chars)
+    // carry none, so the 3-vs-4 ceiling discriminates the store contents.
+    val sf001 = "/root/testdata/sf0.01"
+    def gram4Count(): Long = {
+      val (buckets, _) = graft.operators.CoreQueries.j3Stores(spark, sf001)
+      buckets.filter(length(col("g")) === 4).count()
+    }
+    spark.conf.set("graft.j3.maxGram", "3")
+    val g3 = try gram4Count() finally spark.conf.set("graft.j3.maxGram", "4")
+    val g4 = gram4Count()
+    spark.conf.unset("graft.j3.maxGram")
+    assert(g3 === 0L, "maxGram=3 store must hold no 4-gram entries")
+    assert(g4 > 0L, "maxGram=4 store must hold 4-gram entries")
+  }
+
   test("ta_repetition: metrics match hand-computed values on a synthetic corpus") {
     // live corpus sanity
     val live = TextAnalysis.taRepetition.fn(spark, sf0001).collect()
