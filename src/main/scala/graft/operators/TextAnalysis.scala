@@ -282,6 +282,58 @@ object TextAnalysis {
     }
   }
 
+  /** Deterministic shard packing — the training-data step after curation:
+    * assign each document to a fixed-token-budget shard by greedy
+    * sequential fill in doc_id order (shard = the budget window its
+    * running-prefix START falls in). The semantics is a GLOBAL ordered
+    * prefix sum, but the plan must never be the naive
+    * `Window.orderBy(doc_id)` — an un-partitioned window is an
+    * Exchange SinglePartition that funnels 100 TB through one task. This
+    * is the classic two-level parallel prefix sum instead:
+    *
+    *   1. bucket = doc_id div 1000 — doc_id-contiguous ranges, so bucket
+    *      order IS global order;
+    *   2. local prefix within each bucket (window PARTITIONED by bucket —
+    *      parallel, shuffle keyed on bucket);
+    *   3. bucket START offsets = prefix over per-bucket totals — a
+    *      relation `corpus/1000` the size of the bucket count, where the
+    *      single-partition window is as legitimate as any dim build (at
+    *      petabyte scale recurse the same construction once more);
+    *   4. global_prefix = bucket_offset + local_prefix, broadcast-joined
+    *      back on bucket.
+    *
+    * The oracle states the straight global-window form — the two-level
+    * decomposition is exactly equal, per-row, by construction. */
+  val taShardPack: QueryDef = {
+    val Budget = 4096L
+    QueryDef("ta_shard_pack",
+      s"""WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tok, CAST((cum - n_tok) // $Budget AS BIGINT) AS shard_id
+        |FROM s""".stripMargin) { (spark, d) =>
+      val toks = Tables.documents(spark, d)
+        .select(col("doc_id"),
+          size(split(normText(col("text")), " ")).cast("long").as("n_tok"),
+          expr("doc_id div 1000").as("bucket"))
+      val localW = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = toks.withColumn("local_cum", sum("n_tok").over(localW))
+      val offsets = toks.groupBy("bucket").agg(sum("n_tok").as("btot"))
+        .withColumn("boff",
+          coalesce(sum("btot").over(
+            Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "boff")
+      local.join(broadcast(offsets), "bucket")
+        .select(col("doc_id"), col("n_tok"),
+          expr(s"(boff + local_cum - n_tok) div $Budget").as("shard_id"))
+    }
+  }
+
   /** The curation DECISION — what a corpus filter actually emits: per doc,
     * keep/drop plus the FIRST failing rule as the reason (the
     * Gopher/C4-style rule-cascade shape). Rules in fixed order: token-count
@@ -514,5 +566,5 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
-    taKeepFilter, taScrub, taDecontam, taRepetition)
+    taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack)
 }

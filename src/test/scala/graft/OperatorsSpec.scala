@@ -308,6 +308,26 @@ class OperatorsSpec extends SparkSpec {
     assert(g4 > 0L, "maxGram=4 store must hold 4-gram entries")
   }
 
+  test("ta_shard_pack: two-level prefix equals the sequential fill; corpus window partitions by bucket") {
+    val df = SparkEntry.queries("ta_shard_pack")(spark, sf0001)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.nonEmpty)
+    // sequential greedy-fill reference: shard = budget window of the
+    // running prefix START, in doc_id order
+    var cum = 0L
+    val expShards = got.map { case (_, n, _) => val s = cum / 4096L; cum += n; s }
+    assert(got.map(_._3).toSeq === expShards.toSeq,
+      "two-level prefix must equal the global sequential fill exactly")
+    assert(got.head._3 === 0L && expShards.max > 0L,
+      "test corpus must span multiple shards for the check to bite")
+    // scale guard: the corpus-side prefix window must be PARTITIONED (by
+    // bucket) — the single-partition window exists only on the tiny
+    // bucket-totals relation
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(bucket"),
+      s"expected the corpus window shuffled by bucket:\n$p")
+  }
+
   test("ta_repetition: metrics match hand-computed values on a synthetic corpus") {
     // live corpus sanity
     val live = TextAnalysis.taRepetition.fn(spark, sf0001).collect()
