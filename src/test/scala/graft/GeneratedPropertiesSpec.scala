@@ -25,6 +25,22 @@ class GeneratedPropertiesSpec extends SparkSpec {
     w <- Gen.listOfN(words, Gen.oneOf("acme", "zen", "cap", "partners", "ab", "x"))
   } yield w.mkString(" ")
 
+  test("Tables.tsUs: nanos-long and timestamp_ntz vintages agree on random post-epoch instants") {
+    // the r9 regression class: a query hardcoding one vintage breaks when
+    // the storage layer ships the other. Property: for any µs instant, a
+    // column stored as raw nanos and one stored as TIMESTAMP_NTZ dispatch
+    // to the SAME microsecond value (UTC-pinned session).
+    val usGen: Gen[Long] = Gen.choose(0L, 4102444800000000L) // 1970..2100 in µs
+    val us = sample(usGen, 200)
+    val nanos = us.map(u => Tuple1(u * 1000L)).toDF("ts")
+    val ntz = us.map(Tuple1(_)).toDF("us")
+      .select(expr("cast(timestamp_micros(us) as timestamp_ntz)").as("ts"))
+    val fromNanos = nanos.select(Tables.tsUs(nanos).as("v")).collect().map(_.getLong(0)).toSeq
+    val fromNtz = ntz.select(Tables.tsUs(ntz).as("v")).collect().map(_.getLong(0)).toSeq
+    assert(fromNanos === us, "nanos vintage must floor-divide to the exact µs")
+    assert(fromNtz === us, "ntz vintage must unix_micros to the exact µs")
+  }
+
   test("graft_html_class_elements equals the generator's own span ledger on random well-formed pages") {
     // Build random nested HTML while recording, for every class-attributed
     // element, its outer-HTML span as generated — then the scanner must
