@@ -319,6 +319,12 @@ object CoreQueries {
     val maxGram = spark.conf.getOption("graft.j3.maxGram")
       .map(_.toInt).getOrElse(5)
     val dk = s"$d#g$maxGram"
+    // A tier FLIP must not pin the previous tier's index for the session:
+    // the gram stores are the session's largest relations at sf1+, and an
+    // A/B sweep would otherwise hold one full copy per tier visited. Evict
+    // every sibling tier's stores up front (no-op when none exist).
+    (3 to 8).filter(_ != maxGram)
+      .foreach(g => graft.Persisted.clear(spark, s"$d#g$g#j3_gram"))
     // The session's NAME-GRAM INDEX: one side-tagged store holding (a)
     // every (row, distinct trigram) bucket entry and (b) each row's single
     // RAREST gram by global carrier count (any gram of a contained string

@@ -322,7 +322,13 @@ object TextAnalysis {
       val localW = Window.partitionBy("bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = toks.withColumn("local_cum", sum("n_tok").over(localW))
-      val offsets = toks.groupBy("bucket").agg(sum("n_tok").as("btot"))
+      // bucket totals DERIVE from the windowed relation (max of a
+      // monotone prefix = the bucket total): the agg's required
+      // distribution is the window's own hashpartitioning(bucket), so the
+      // offsets branch reuses the SAME scan+tokenize+exchange instead of
+      // re-reading the corpus (code-review r10 — the groupBy-on-toks form
+      // scanned and tokenized every document twice per action)
+      val offsets = local.groupBy("bucket").agg(max("local_cum").as("btot"))
         .withColumn("boff",
           coalesce(sum("btot").over(
             Window.orderBy("bucket")

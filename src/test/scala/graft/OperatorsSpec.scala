@@ -300,10 +300,14 @@ class OperatorsSpec extends SparkSpec {
       val (buckets, _) = graft.operators.CoreQueries.j3Stores(spark, sf001)
       buckets.filter(length(col("g")) === 4).count()
     }
-    spark.conf.set("graft.j3.maxGram", "3")
-    val g3 = try gram4Count() finally spark.conf.set("graft.j3.maxGram", "4")
-    val g4 = gram4Count()
-    spark.conf.unset("graft.j3.maxGram")
+    // the whole sweep is finally-guarded: a failure mid-A/B must not leak
+    // a non-default tier into the shared session for later suites
+    val (g3, g4) = try {
+      spark.conf.set("graft.j3.maxGram", "3")
+      val a = gram4Count()
+      spark.conf.set("graft.j3.maxGram", "4")
+      (a, gram4Count())
+    } finally spark.conf.unset("graft.j3.maxGram")
     assert(g3 === 0L, "maxGram=3 store must hold no 4-gram entries")
     assert(g4 > 0L, "maxGram=4 store must hold 4-gram entries")
   }

@@ -30,9 +30,21 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Cross-check the dump's own status: a query Verify recorded as FAILED
+    # must never score OK off a stale prior-round parquet dir (the
+    # placeholder write can itself fail on session-level errors).
+    status_path = os.path.join(out_dir, "verify_status.json")
+    dump_failed = set()
+    if os.path.exists(status_path):
+        st = json.load(open(status_path))
+        dump_failed = set(st.get("failed", []))
+        if st.get("declared") != len(oracle):
+            print(f"WARN verify_status declared={st.get('declared')} != oracle entries {len(oracle)}")
     failures = 0
     for name, sql in sorted(oracle.items()):
         spark_path = os.path.join(out_dir, name)
+        if name in dump_failed:
+            print(f"FAIL {name}: verify dump recorded failure"); failures += 1; continue
         if not os.path.isdir(spark_path):
             print(f"FAIL {name}: no spark output dir"); failures += 1; continue
         try:
