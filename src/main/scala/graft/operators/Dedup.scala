@@ -959,8 +959,60 @@ object Dedup {
     }
   }
 
+  /** Cross-document duplicated-span coverage — the n-gram-granularity form
+    * of exact substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better": memorization tracks VERBATIM spans
+    * shared across documents, which whole-doc digests and per-doc sketches
+    * both miss). Per document: how many of its distinct 3-gram shingles
+    * also occur in at least one OTHER document, and the covered fraction —
+    * the signal a curation pipeline thresholds to drop boilerplate-heavy
+    * pages.
+    *
+    * Scale shape (this is how cross-doc span stats are computed at 100 TB,
+    * where a suffix array is not an option):
+    *   1. per-doc distinct shingle ids from the shared scan-stage sketch
+    *     pass ([[widArrayRelation]] — no extra text scan);
+    *   2. duplicated-id dictionary: groupBy(wid) count > 1 — partial aggs
+    *     make the shuffle carry one (wid, n) per distinct id per partition,
+    *     and because the exploded rows are per-doc DISTINCT, count(*) IS
+    *     the containing-doc count;
+    *   3. per-doc overlap = INNER join of the exploded relation against
+    *     the dictionary, aggregated on doc_id — only duplicated rows reach
+    *     the second shuffle (the decontamAgg pattern: non-shared shingles,
+    *     the vast majority on clean corpora, never leave the map side);
+    *   4. assemble onto the cheap no-explode per-doc totals via LEFT join,
+    *     so zero-overlap docs surface with n_dup = 0.
+    * Both joins and the wid agg share the wid/doc_id hash keys — AQE
+    * handles skewed ids (stopword-like shingles) with the same skew-split
+    * the band joins rely on. */
+  val ddCrossDoc = QueryDef("dd_cross_doc",
+    s"""WITH $shingleListCtes,
+      |e AS (SELECT doc_id, unnest(wids) AS wid FROM widl),
+      |g AS (SELECT wid FROM e GROUP BY wid HAVING COUNT(*) >= 2),
+      |o AS (SELECT e.doc_id, COUNT(*) AS n_dup FROM e JOIN g USING (wid) GROUP BY e.doc_id),
+      |p AS (SELECT doc_id, len(wids) AS n FROM widl)
+      |SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_shingles,
+      |  CAST(COALESCE(o.n_dup, 0) AS BIGINT) AS n_dup,
+      |  CASE WHEN p.n = 0 THEN 0.0
+      |       ELSE CAST(COALESCE(o.n_dup, 0) AS DOUBLE) / p.n END AS dup_frac
+      |FROM p LEFT JOIN o USING (doc_id)""".stripMargin) { (spark, d) =>
+    val wid = widArrayRelation(spark, d)
+    val exploded = wid.select(col("doc_id"), explode(col("wids")).as("wid"))
+    val dupWids = exploded.groupBy("wid")
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("wid")
+    val overlap = exploded.join(dupWids, "wid")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    wid.select(col("doc_id"), size(col("wids")).cast("long").as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("dup_frac"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
     ddSimhashNearDup64, ddSimhashNearDup128, ddIncrementalPairs, ddDupClusters,
-    ddFuzzyKeep)
+    ddFuzzyKeep, ddCrossDoc)
 }

@@ -332,8 +332,43 @@ object ExtendedQueries {
       .toDF("user_id", "start_ms", "end_ms", "n_events")
   }
 
+  /** §2.9 streaming surface #3 — the FIRST-SEEN DEDUP semantics of
+    * [[graft.streaming.StreamingEvents.firstSeenDedup]]
+    * (`dropDuplicatesWithinWatermark`) stated in batch, event-time order:
+    * the earliest event per (user_id, event_type) by (ts, event_id).
+    * Batch `dropDuplicates` keeps an ARBITRARY row per key (partition-order
+    * dependent — unhashable), so the batch twin pins the canonical
+    * event-time winner instead, and StreamingEventsSpec closes the loop by
+    * driving the real watermarked stream operator over a ts-ordered replay
+    * and asserting it lands on exactly these rows (arrival order = event
+    * time is the replay/backfill contract under which streaming dedup is
+    * deterministic at all).
+    *
+    * Plan shape: min-of-struct argmin — ONE partial-agg-friendly shuffle
+    * carrying (key, 24-byte struct) per map-side group, vs the oracle's
+    * window statement which would shuffle and sort every raw event. Same
+    * shape as w2's argmax; at 100 TB the map-side combine is the
+    * difference between shuffling the event log and shuffling one row per
+    * live key per partition. */
+  val stFirstSeen: QueryDef = QueryDef("st_first_seen",
+    """WITH t AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type, CAST(ts_us AS BIGINT) AS first_ts_us,
+      |  CAST(event_id AS BIGINT) AS first_event_id, value AS first_value
+      |FROM t WHERE rn = 1""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    raw.select(col("user_id"), col("event_type"),
+        Tables.tsUs(raw).as("ts_us"), col("event_id"), col("value"))
+      .groupBy("user_id", "event_type")
+      .agg(min(struct(col("ts_us"), col("event_id"), col("value"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts_us").as("first_ts_us"), col("f.event_id").as("first_event_id"),
+        col("f.value").as("first_value"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     waLagDelta, waSession, rollupAgg, cubeAgg, o4FirstSuccess, x9WordCount,
     x17MapLookup, a7DistinctStats, a6BucketSort, pivotAgg, unpivotMetrics,
-    approxStats, stRunningStats, stSession)
+    approxStats, stRunningStats, stSession, stFirstSeen)
 }

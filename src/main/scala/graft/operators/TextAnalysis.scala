@@ -570,7 +570,75 @@ object TextAnalysis {
       wid.filter(col("doc_id") % 50 === 0))
   }
 
+  /** Stratified QUOTA sampling — the curation step [[taSample]]'s rate
+    * membership cannot express: take EXACTLY min(quota, |stratum|)
+    * documents per language, chosen by a deterministic hash order (so the
+    * selection is reproducible across engines, retries, and corpus
+    * re-partitioning — same RNG-free contract as ta_sample_split).
+    *
+    * The semantics is a per-stratum ORDERED rank, and the naive plan —
+    * `Window.partitionBy(lang).orderBy(hash)` — funnels each stratum
+    * through ONE task: with a handful of languages over 100 TB that is a
+    * few terabyte-sized partitions, the same single-partition funnel
+    * ta_shard_pack refuses for its global prefix sum. Same remedy, once
+    * more with an ORDER-PRESERVING bucket decomposition of the HASH
+    * domain (not doc_id ranges — rank order here is hash order):
+    *
+    *   1. bucket = hash div (P/256) — 256 contiguous hash ranges, so
+    *      (bucket, hash) order IS stratum-wide hash order;
+    *   2. local rank within (lang, bucket) — parallel window, shuffle
+    *      keyed on (lang, bucket);
+    *   3. per-(lang, bucket) counts DERIVE from the windowed relation
+    *      (max of a dense rank = the count — no second corpus scan);
+    *      bucket START offsets = prefix over counts, a langs x 256
+    *      relation whose window partitions by lang;
+    *   4. global rank = offset + local rank, broadcast-joined back; keep
+    *      rank <= quota(lang). Buckets whose offset already exceeds the
+    *      quota contribute nothing — at scale the quota filter prunes all
+    *      but the first few hash buckets per stratum, so the selection
+    *      cost is ∝ quota, not corpus.
+    *
+    * The oracle states the straight per-stratum window; the two-level
+    * form is per-row equal by construction. */
+  val taStratifiedSample: QueryDef = {
+    val hashSql = Dedup.shingleIdCharSql // over a column named `shingle`
+    val NB = 256L
+    val BW = (Dedup.P + NB - 1) / NB // bucket width: ceil(P / NB)
+    val quotaSql = "CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 50 ELSE 40 END"
+    QueryDef("ta_stratified_sample",
+      s"""WITH h AS (
+        |  SELECT doc_id, lang,
+        |    (SELECT ($hashSql) FROM (SELECT concat('q', CAST(t.doc_id AS VARCHAR)) AS shingle) s) AS hv
+        |  FROM documents t),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+        |  FROM h)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= $quotaSql""".stripMargin) { (spark, d) =>
+      val quota =
+        when(col("lang") === "en", 100L).when(col("lang") === "es", 50L).otherwise(40L)
+      val base = Tables.documents(spark, d).select(
+        col("doc_id"), col("lang"),
+        Dedup.shingleIdChar(concat(lit("q"), col("doc_id").cast("string"))).as("hv"))
+        .withColumn("bucket", expr(s"hv div $BW"))
+      val localW = Window.partitionBy("lang", "bucket").orderBy("hv", "doc_id")
+      val local = base.withColumn("lrk", row_number().over(localW).cast("long"))
+      val offsets = local.groupBy("lang", "bucket").agg(max("lrk").as("bn"))
+        .withColumn("boff",
+          coalesce(sum("bn").over(
+            Window.partitionBy("lang").orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("lang", "bucket", "boff")
+      local.join(broadcast(offsets), Seq("lang", "bucket"))
+        .withColumn("rk", col("boff") + col("lrk"))
+        .filter(col("rk") <= quota)
+        .select(col("doc_id"), col("lang"), col("rk"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
-    taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack)
+    taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
+    taStratifiedSample)
 }

@@ -396,4 +396,73 @@ class OperatorsSpec extends SparkSpec {
     assert(x16.filter(col("rank") === 1 &&
       !col("href").rlike("^/(investments|portfolio)/")).count() == 0)
   }
+
+  test("ta_stratified_sample: exact quotas, two-level rank equals the global window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = SparkEntry.queries("ta_stratified_sample")(spark, sf0001)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val quota = Map("en" -> 100L, "es" -> 50L).withDefaultValue(40L)
+    val strata = Tables.documents(spark, sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exactly min(quota, |stratum|) selected per language
+    val perLang = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    strata.foreach { case (l, n) =>
+      assert(perLang.getOrElse(l, 0L) == math.min(quota(l), n), s"stratum $l")
+    }
+    // ranks are dense 1..k within each stratum
+    got.groupBy(_._2).foreach { case (l, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"ranks $l")
+    }
+    // the two-level decomposition must equal the naive per-stratum window
+    val naive = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        Dedup.shingleIdChar(concat(lit("q"), col("doc_id").cast("string"))).as("hv"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy("hv", "doc_id")).cast("long"))
+      .filter(col("rk") <= when(col("lang") === "en", 100L)
+        .when(col("lang") === "es", 50L).otherwise(40L))
+      .select("doc_id", "lang", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == naive.sortBy(_._1).toSeq)
+    // scale guard: the corpus window is partitioned by (lang, bucket) —
+    // the per-stratum single-partition window exists only on the tiny
+    // offsets relation
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(lang") && p.contains("bucket"),
+      s"expected the corpus window shuffled by (lang, bucket):\n$p")
+  }
+
+  test("dd_cross_doc: duplicated-shingle coverage on constructed docs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base),                          // identical to 1 -> fully covered
+      (1L, base),
+      (2L, base + " lambda mu nu"),        // shares 0/1's shingles + 4 unique (la/mu/nu tails)
+      (3L, "one two three four five six")  // no shingle shared with anyone
+    ).toDF("doc_id", "text")
+    val wid = Dedup.docWidArrays(docs)
+    val exploded = wid.select(col("doc_id"), explode(col("wids")).as("wid"))
+    val dup = exploded.groupBy("wid").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+    val overlap = exploded.join(dup.select("wid"), "wid")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    val out = wid.select(col("doc_id"), size(col("wids")).cast("long").as("n"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"), coalesce(col("n_dup"), lit(0L)).as("nd"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((8L, 8L)), "identical docs: every shingle cross-doc duplicated")
+    assert(out(1L) == ((8L, 8L)))
+    assert(out(2L)._1 == 11L && out(2L)._2 == 8L,
+      "superset doc: the 8 shared shingles duplicated, the 3 new tail shingles not")
+    assert(out(3L) == ((4L, 0L)), "unrelated doc: zero cross-doc shingles")
+    // live-corpus invariants through the declared query
+    val live = SparkEntry.queries("dd_cross_doc")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(live.length == Tables.documents(spark, sf0001).count())
+    live.foreach { case (id, n, nd, f) =>
+      assert(nd >= 0 && nd <= n, s"doc $id: 0 <= n_dup <= n_shingles")
+      assert(n == 0 || math.abs(f - nd.toDouble / n) == 0.0, s"doc $id: frac")
+    }
+  }
 }

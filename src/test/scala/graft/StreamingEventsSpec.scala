@@ -97,6 +97,49 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st_first_seen batch twin equals the streaming dedup over a ts-ordered replay") {
+    // the contract the batch twin pins: when arrival order = event-time
+    // order (the replay/backfill case), dropDuplicatesWithinWatermark
+    // keeps exactly the event-time-first row per key — which is what the
+    // oracle-gated st_first_seen argmin states. Drive the REAL stream
+    // operator over the sf0.001 events replayed in (ts, event_id) order
+    // and compare full rows.
+    implicit val sc = spark.sqlContext
+    val raw = Tables.events(spark, sf0001)
+    val ordered = raw.selectExpr(
+        s"timestamp_micros(${Tables.tsUsSql(raw)}) as ts", "user_id",
+        "event_type", "value", "event_id",
+        s"${Tables.tsUsSql(raw)} as ts_us")
+      .orderBy("ts_us", "event_id")
+      .collect()
+    val in = MemoryStream[(Timestamp, Long, String, Double, Long)]
+    // dedup on the key columns only; event_id rides along to identify the
+    // surviving row exactly (value alone could collide)
+    // horizon wider than the fixture's whole time span: key state must not
+    // evict mid-replay, or a recurring key would legitimately re-emit
+    // (bounded-state eviction behavior is pinned by the unit test above)
+    val q = StreamingEvents.firstSeenDedup(
+        in.toDF().toDF("ts", "user_id", "event_type", "value", "event_id"),
+        Seq("user_id", "event_type"), watermark = "36500 days")
+      .writeStream.format("memory").queryName("first_seen_replay")
+      .outputMode("append").start()
+    try {
+      // two micro-batches to cross a batch boundary mid-stream
+      val (b1, b2) = ordered.splitAt(ordered.length / 2)
+      in.addData(b1.map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4))))
+      q.processAllAvailable()
+      in.addData(b2.map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4))))
+      q.processAllAvailable()
+      val streamed = spark.table("first_seen_replay")
+        .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(4))).toSet
+      val batch = graft.operators.ExtendedQueries.stFirstSeen.fn(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch-mode sessionize (st_session) equals an independent gap fold") {
     // the driver oracle replays this in SQL; here a plain Scala fold over
     // the same events pins the CLOSED-sessions-only contract independently
