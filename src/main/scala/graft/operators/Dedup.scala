@@ -996,7 +996,14 @@ object Dedup {
       |  CASE WHEN p.n = 0 THEN 0.0
       |       ELSE CAST(COALESCE(o.n_dup, 0) AS DOUBLE) / p.n END AS dup_frac
       |FROM p LEFT JOIN o USING (doc_id)""".stripMargin) { (spark, d) =>
-    val wid = widArrayRelation(spark, d)
+    crossDocStats(widArrayRelation(spark, d))
+  }
+
+  /** The cross-doc duplicated-shingle aggregation over any
+    * `(doc_id, wids)` relation (see [[ddCrossDoc]] for the construction
+    * and oracle); exposed so the property suite can drive it against a
+    * brute-force reference on random corpora. */
+  def crossDocStats(wid: DataFrame): DataFrame = {
     val exploded = wid.select(col("doc_id"), explode(col("wids")).as("wid"))
     val dupWids = exploded.groupBy("wid")
       .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("wid")

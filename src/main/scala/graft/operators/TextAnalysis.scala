@@ -602,8 +602,6 @@ object TextAnalysis {
     * form is per-row equal by construction. */
   val taStratifiedSample: QueryDef = {
     val hashSql = Dedup.shingleIdCharSql // over a column named `shingle`
-    val NB = 256L
-    val BW = (Dedup.P + NB - 1) / NB // bucket width: ceil(P / NB)
     val quotaSql = "CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 50 ELSE 40 END"
     QueryDef("ta_stratified_sample",
       s"""WITH h AS (
@@ -618,23 +616,33 @@ object TextAnalysis {
         |FROM r WHERE rk <= $quotaSql""".stripMargin) { (spark, d) =>
       val quota =
         when(col("lang") === "en", 100L).when(col("lang") === "es", 50L).otherwise(40L)
-      val base = Tables.documents(spark, d).select(
-        col("doc_id"), col("lang"),
-        Dedup.shingleIdChar(concat(lit("q"), col("doc_id").cast("string"))).as("hv"))
-        .withColumn("bucket", expr(s"hv div $BW"))
-      val localW = Window.partitionBy("lang", "bucket").orderBy("hv", "doc_id")
-      val local = base.withColumn("lrk", row_number().over(localW).cast("long"))
-      val offsets = local.groupBy("lang", "bucket").agg(max("lrk").as("bn"))
-        .withColumn("boff",
-          coalesce(sum("bn").over(
-            Window.partitionBy("lang").orderBy("bucket")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("lang", "bucket", "boff")
-      local.join(broadcast(offsets), Seq("lang", "bucket"))
-        .withColumn("rk", col("boff") + col("lrk"))
-        .filter(col("rk") <= quota)
-        .select(col("doc_id"), col("lang"), col("rk"))
+      stratifiedSample(Tables.documents(spark, d), quota)
     }
+  }
+
+  /** The two-level stratified quota rank over any `(doc_id, lang)` relation
+    * (see [[taStratifiedSample]] for the construction and oracle); exposed
+    * so the property suite can drive it over adversarial strata (empty,
+    * singleton, all-in-one-bucket). */
+  def stratifiedSample(docs: DataFrame, quota: org.apache.spark.sql.Column): DataFrame = {
+    val NB = 256L
+    val BW = (Dedup.P + NB - 1) / NB // bucket width: ceil(P / NB)
+    val base = docs.select(
+      col("doc_id"), col("lang"),
+      Dedup.shingleIdChar(concat(lit("q"), col("doc_id").cast("string"))).as("hv"))
+      .withColumn("bucket", expr(s"hv div $BW"))
+    val localW = Window.partitionBy("lang", "bucket").orderBy("hv", "doc_id")
+    val local = base.withColumn("lrk", row_number().over(localW).cast("long"))
+    val offsets = local.groupBy("lang", "bucket").agg(max("lrk").as("bn"))
+      .withColumn("boff",
+        coalesce(sum("bn").over(
+          Window.partitionBy("lang").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bucket", "boff")
+    local.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("rk", col("boff") + col("lrk"))
+      .filter(col("rk") <= quota)
+      .select(col("doc_id"), col("lang"), col("rk"))
   }
 
   val all: Seq[QueryDef] = Seq(

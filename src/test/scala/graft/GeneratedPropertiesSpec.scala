@@ -286,4 +286,56 @@ class GeneratedPropertiesSpec extends SparkSpec {
     assert(routed.nonEmpty)
     assert(routed === perCell)
   }
+
+  test("stratified two-level rank equals the naive per-stratum window on adversarial strata") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.expressions.Window
+    // strata deliberately include: empty pool members (never drawn),
+    // singleton strata, one stratum holding almost everything, and doc_ids
+    // spanning the full long range of the hash preimage
+    val rnd = new scala.util.Random(11)
+    val langs = Seq("en", "en", "en", "en", "zz", "s1", "s2")
+    val docs = (0 until 500).map { i =>
+      val id = if (i % 7 == 0) rnd.nextLong().abs % 1000000000000L else i.toLong * 13
+      (id, langs(rnd.nextInt(langs.length)))
+    }.distinct.toDF("doc_id", "lang")
+    val quota = when($"lang" === "en", 30L).when($"lang" === "s1", 1L).otherwise(5L)
+    val got = TextAnalysis.stratifiedSample(docs, quota)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val naive = docs
+      .select($"doc_id", $"lang",
+        Dedup.shingleIdChar(concat(lit("q"), $"doc_id".cast("string"))).as("hv"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy("hv", "doc_id")).cast("long"))
+      .filter($"rk" <= quota)
+      .select("doc_id", "lang", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got === naive)
+  }
+
+  test("crossDocStats equals a brute-force shared-shingle count on random corpora") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    // docs of 0..12 words over a tiny vocabulary: heavy cross-doc shingle
+    // sharing, many short docs below the 3-gram threshold (n_shingles = 0)
+    val docs = (0L until 80L).map { i =>
+      val n = rnd.nextInt(13)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val wid = Dedup.docWidArrays(docs)
+    val got = Dedup.crossDocStats(wid)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // brute force over the engine's own wid arrays (the property targets
+    // the dictionary/join/assembly logic, not the hash)
+    val sets = wid.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(sets.values.exists(_.isEmpty) && sets.values.exists(_.nonEmpty))
+    sets.foreach { case (id, s) =>
+      val nDup = s.count(w => sets.exists { case (o, t) => o != id && t.contains(w) })
+      val (gn, gd, gf) = got(id)
+      assert(gn == s.size.toLong, s"doc $id n_shingles")
+      assert(gd == nDup.toLong, s"doc $id n_dup")
+      assert(gf == (if (s.isEmpty) 0.0 else nDup.toDouble / s.size), s"doc $id frac")
+    }
+  }
 }
