@@ -627,10 +627,20 @@ object TextAnalysis {
   def stratifiedSample(docs: DataFrame, quota: org.apache.spark.sql.Column): DataFrame = {
     val NB = 256L
     val BW = (Dedup.P + NB - 1) / NB // bucket width: ceil(P / NB)
+    // Both coalesces make hv AND bucket NON-NULLABLE (IntegralDivide is
+    // unconditionally nullable — div-by-zero yields null — so hv alone is
+    // not enough). Nullable join keys made the offsets join spray
+    // IsNotNull(<24-term hash>) into the probe branch's scan filter (the
+    // full hash evaluated per row in the scan, before any CSE) and the
+    // branches' differing filters defeated ReusedExchange, so the
+    // scan+hash+window subtree executed TWICE. doc_id is never null in
+    // any vintage; the 0 fallbacks are unreachable and keep semantics
+    // oracle-identical.
     val base = docs.select(
       col("doc_id"), col("lang"),
-      Dedup.shingleIdChar(concat(lit("q"), col("doc_id").cast("string"))).as("hv"))
-      .withColumn("bucket", expr(s"hv div $BW"))
+      coalesce(Dedup.shingleIdChar(concat(lit("q"), col("doc_id").cast("string"))),
+        lit(0L)).as("hv"))
+      .withColumn("bucket", coalesce(expr(s"hv div $BW"), lit(0L)))
     val localW = Window.partitionBy("lang", "bucket").orderBy("hv", "doc_id")
     val local = base.withColumn("lrk", row_number().over(localW).cast("long"))
     val offsets = local.groupBy("lang", "bucket").agg(max("lrk").as("bn"))
