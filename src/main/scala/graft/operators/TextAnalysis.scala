@@ -620,11 +620,46 @@ object TextAnalysis {
     }
   }
 
+  /** [[corpusShuffle]] as a declared query: the oracle states the straight
+    * global window in the independent 'r'-salted hash order; the two-level
+    * decomposition is per-row equal by construction. */
+  val taCorpusShuffle: QueryDef = {
+    val hashSql = Dedup.shingleIdCharSql // over a column named `shingle`
+    QueryDef("ta_corpus_shuffle",
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    (SELECT ($hashSql) FROM (SELECT concat('r', CAST(t.doc_id AS VARCHAR)) AS shingle) s) AS hv
+        |  FROM documents t)
+        |SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin) { (spark, d) =>
+      corpusShuffle(Tables.documents(spark, d))
+    }
+  }
+
   /** The two-level stratified quota rank over any `(doc_id, lang)` relation
     * (see [[taStratifiedSample]] for the construction and oracle); exposed
     * so the property suite can drive it over adversarial strata (empty,
     * singleton, all-in-one-bucket). */
-  def stratifiedSample(docs: DataFrame, quota: org.apache.spark.sql.Column): DataFrame = {
+  def stratifiedSample(docs: DataFrame, quota: org.apache.spark.sql.Column): DataFrame =
+    twoLevelHashRank(docs, salt = "q").filter(col("rk") <= quota)
+      .select(col("doc_id"), col("lang"), col("rk"))
+
+  /** Deterministic global corpus shuffle — the order-randomization step
+    * between curation and [[taShardPack]] in a training pipeline: a
+    * reproducible pseudo-random permutation of the corpus as
+    * (doc_id, pos), stated as the global rank in salted-hash order. Same
+    * two-level construction over ONE pseudo-stratum: rank order is hash
+    * order, buckets are contiguous hash ranges, so parallelism comes from
+    * the 256 hash buckets, never a single-partition window. An
+    * independent salt ('r') keeps the permutation uncorrelated with the
+    * sampling decisions ('q'/'s'/'p' streams). */
+  def corpusShuffle(docs: DataFrame): DataFrame =
+    twoLevelHashRank(docs.withColumn("lang", lit("_")), salt = "r")
+      .select(col("doc_id"), col("rk").as("pos"))
+
+  /** Shared two-level global-rank core: per-stratum rank in
+    * (salted-hash, doc_id) order as (doc_id, lang, rk). */
+  private def twoLevelHashRank(docs: DataFrame, salt: String): DataFrame = {
     val NB = 256L
     val BW = (Dedup.P + NB - 1) / NB // bucket width: ceil(P / NB)
     // Both coalesces make hv AND bucket NON-NULLABLE (IntegralDivide is
@@ -638,7 +673,7 @@ object TextAnalysis {
     // oracle-identical.
     val base = docs.select(
       col("doc_id"), col("lang"),
-      coalesce(Dedup.shingleIdChar(concat(lit("q"), col("doc_id").cast("string"))),
+      coalesce(Dedup.shingleIdChar(concat(lit(salt), col("doc_id").cast("string"))),
         lit(0L)).as("hv"))
       .withColumn("bucket", coalesce(expr(s"hv div $BW"), lit(0L)))
     val localW = Window.partitionBy("lang", "bucket").orderBy("hv", "doc_id")
@@ -651,12 +686,10 @@ object TextAnalysis {
       .select("lang", "bucket", "boff")
     local.join(broadcast(offsets), Seq("lang", "bucket"))
       .withColumn("rk", col("boff") + col("lrk"))
-      .filter(col("rk") <= quota)
-      .select(col("doc_id"), col("lang"), col("rk"))
   }
 
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
-    taStratifiedSample)
+    taStratifiedSample, taCorpusShuffle)
 }

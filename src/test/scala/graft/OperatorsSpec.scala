@@ -433,6 +433,31 @@ class OperatorsSpec extends SparkSpec {
       s"expected the corpus window shuffled by (lang, bucket):\n$p")
   }
 
+  test("ta_corpus_shuffle: dense permutation equal to the naive global hash-order window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = SparkEntry.queries("ta_corpus_shuffle")(spark, sf0001)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables.documents(spark, sf0001).count()
+    assert(got.length.toLong == n, "every doc gets a position")
+    assert(got.map(_._2).sorted.toSeq == (1L to n).toSeq, "positions are a dense permutation")
+    val naive = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        Dedup.shingleIdChar(concat(lit("r"), col("doc_id").cast("string"))).as("hv"))
+      .withColumn("pos", row_number().over(Window.orderBy("hv", "doc_id")).cast("long"))
+      .select("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (id, p) => assert(naive(id) == p, s"doc $id position") }
+    // the permutation must not be doc_id order (that would mean the hash
+    // collapsed) nor the 'q'-salted sampling order
+    assert(got.sortBy(_._1).map(_._2).toSeq != (1L to n).toSeq)
+    // scale guard: the optimizer constant-folds the pseudo-stratum away,
+    // so the corpus window partitions by the hash bucket ALONE — still
+    // never a single-partition window
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(bucket"),
+      s"expected the corpus window shuffled by bucket:\n$p")
+  }
+
   test("dd_cross_doc: duplicated-shingle coverage on constructed docs") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
