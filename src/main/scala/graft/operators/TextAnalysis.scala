@@ -636,6 +636,50 @@ object TextAnalysis {
     }
   }
 
+  /** Sliding-window document chunking — the step that turns curated
+    * documents into fixed-budget training sequences: windows of `ChunkW`
+    * tokens advancing by `ChunkS` (overlap = ChunkW - ChunkS), final
+    * partial window kept, short docs yield their single partial chunk.
+    * Emits (doc_id, chunk_idx, start_tok, n_tok, chunk_text).
+    *
+    * Scale shape: pure scan-stage row expansion — tokenize once per doc,
+    * explode over the chunk-index sequence, slice the shared words array
+    * per chunk. ZERO shuffles; output size is corpus x (1/stride overlap
+    * factor), the same expansion any chunking pass pays. Chunk count and
+    * boundaries are integer arithmetic (ceil via (n + S - 1) div S), so
+    * the layout is bit-identical on any engine or partitioning. */
+  val taChunk: QueryDef = {
+    val W = 64
+    val S = 48
+    QueryDef("ta_chunk",
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS nw FROM t),
+        |c AS (
+        |  SELECT doc_id, ws, nw,
+        |    unnest(generate_series(0, CASE WHEN nw <= $W THEN 0 ELSE (nw - $W + $S - 1) // $S END)) AS ci
+        |  FROM n)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  CAST(ci * $S AS BIGINT) AS start_tok,
+        |  CAST(LEAST($W, nw - ci * $S) AS BIGINT) AS n_tok,
+        |  array_to_string(list_slice(ws, ci * $S + 1, ci * $S + LEAST($W, nw - ci * $S)), ' ') AS chunk_text
+        |FROM c""".stripMargin) { (spark, d) =>
+      Tables.documents(spark, d)
+        .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
+        .select(col("doc_id"), col("ws"), size(col("ws")).as("nw"))
+        .select(col("doc_id"), col("ws"), col("nw"),
+          explode(sequence(lit(0),
+            when(col("nw") <= W, 0)
+              .otherwise(floor((col("nw") - W + (S - 1)) / S)).cast("int"))).as("ci"))
+        .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+          (col("ci") * S).cast("long").as("start_tok"),
+          least(lit(W), col("nw") - col("ci") * S).cast("long").as("n_tok"),
+          concat_ws(" ", slice(col("ws"), col("ci") * S + 1,
+            least(lit(W), col("nw") - col("ci") * S))).as("chunk_text"))
+    }
+  }
+
   /** The two-level stratified quota rank over any `(doc_id, lang)` relation
     * (see [[taStratifiedSample]] for the construction and oracle); exposed
     * so the property suite can drive it over adversarial strata (empty,
@@ -691,5 +735,5 @@ object TextAnalysis {
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
-    taStratifiedSample, taCorpusShuffle)
+    taStratifiedSample, taCorpusShuffle, taChunk)
 }

@@ -458,6 +458,38 @@ class OperatorsSpec extends SparkSpec {
       s"expected the corpus window shuffled by bucket:\n$p")
   }
 
+  test("ta_chunk: stride/overlap invariants and exact document reconstruction") {
+    val (w, s) = (64, 48)
+    val out = SparkEntry.queries("ta_chunk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Exprs.normText(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "every doc chunks")
+    byDoc.foreach { case (id, chunks) =>
+      val words = docs(id).split(" ")
+      val sorted = chunks.sortBy(_._2)
+      // dense chunk ids, stride-s starts, full windows except possibly last
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, ci, start, n, text) =>
+        assert(start == ci * s)
+        assert(n == math.min(w, words.length - start).toLong)
+        assert(text == words.slice(start.toInt, start.toInt + n.toInt).mkString(" "))
+      }
+      // windows cover the doc: last chunk reaches the final token
+      val (_, _, lastStart, lastN, _) = sorted.last
+      assert(lastStart + lastN == words.length.toLong)
+      // consecutive windows overlap by w - s tokens (full-window case)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 - a._3 == s.toLong)
+          if (a._4 == w.toLong) assert(a._3 + a._4 - b._3 == (w - s).toLong)
+        case _ =>
+      }
+    }
+  }
+
   test("dd_cross_doc: duplicated-shingle coverage on constructed docs") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
