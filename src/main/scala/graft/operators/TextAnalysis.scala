@@ -665,20 +665,25 @@ object TextAnalysis {
         |  CAST(LEAST($W, nw - ci * $S) AS BIGINT) AS n_tok,
         |  array_to_string(list_slice(ws, ci * $S + 1, ci * $S + LEAST($W, nw - ci * $S)), ' ') AS chunk_text
         |FROM c""".stripMargin) { (spark, d) =>
-      Tables.documents(spark, d)
-        .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
-        .select(col("doc_id"), col("ws"), size(col("ws")).as("nw"))
-        .select(col("doc_id"), col("ws"), col("nw"),
-          explode(sequence(lit(0),
-            when(col("nw") <= W, 0)
-              .otherwise(floor((col("nw") - W + (S - 1)) / S)).cast("int"))).as("ci"))
-        .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
-          (col("ci") * S).cast("long").as("start_tok"),
-          least(lit(W), col("nw") - col("ci") * S).cast("long").as("n_tok"),
-          concat_ws(" ", slice(col("ws"), col("ci") * S + 1,
-            least(lit(W), col("nw") - col("ci") * S))).as("chunk_text"))
+      chunk(Tables.documents(spark, d))
     }
   }
+
+  /** The sliding-window chunker over any `(doc_id, text)` relation (see
+    * [[taChunk]] for the window/stride contract and oracle). */
+  def chunk(docs: DataFrame, w: Int = 64, s: Int = 48): DataFrame =
+    docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("nw"))
+      .select(col("doc_id"), col("ws"), col("nw"),
+        explode(sequence(lit(0),
+          when(col("nw") <= w, 0)
+            .otherwise(floor((col("nw") - w + (s - 1)) / s)).cast("int"))).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        (col("ci") * s).cast("long").as("start_tok"),
+        least(lit(w), col("nw") - col("ci") * s).cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("ws"), col("ci") * s + 1,
+          least(lit(w), col("nw") - col("ci") * s))).as("chunk_text"))
 
   /** The two-level stratified quota rank over any `(doc_id, lang)` relation
     * (see [[taStratifiedSample]] for the construction and oracle); exposed

@@ -114,4 +114,42 @@ class InvariantsSpec extends SparkSpec {
     val again = words.select(Dedup.shingleIdChar($"s").as("id"))
     assert(ids.exceptAll(again).count() == 0)
   }
+
+  test("curation pipeline composes end-to-end: gate -> quota -> shuffle -> chunk") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    // 1. quality/dedup gate
+    val kept = TextAnalysis.keepFilter(docs).filter(col("keep"))
+      .select("doc_id").join(docs, "doc_id")
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty && keptIds.size < docs.count())
+    // 2. exact per-language quotas over the SURVIVORS
+    val quota = when(col("lang") === "en", 40L).otherwise(15L)
+    val sampled = TextAnalysis.stratifiedSample(kept, quota)
+    val sampledRows = sampled.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sampledRows.map(_._1).toSet.subsetOf(keptIds), "quota draws only from survivors")
+    val keptStrata = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sampledRows.groupBy(_._2).foreach { case (l, rows) =>
+      val q = if (l == "en") 40L else 15L
+      assert(rows.length.toLong == math.min(q, keptStrata(l)), s"stratum $l quota")
+    }
+    // 3. deterministic shuffle of the sample is a dense permutation
+    val sampleDocs = sampled.select("doc_id").join(docs, "doc_id")
+    val shuffled = TextAnalysis.corpusShuffle(sampleDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(shuffled.map(_._1).toSet == sampledRows.map(_._1).toSet)
+    assert(shuffled.map(_._2).sorted.toSeq == (1L to shuffled.length).toSeq)
+    // 4. chunking the sample covers every sampled doc, tokens conserved
+    val chunks = TextAnalysis.chunk(sampleDocs)
+      .groupBy("doc_id").agg(max(col("start_tok") + col("n_tok")).as("end"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = sampleDocs.select(col("doc_id"),
+        size(split(normText(col("text")), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == toks.keySet)
+    chunks.foreach { case (id, end) =>
+      assert(end == toks(id), s"doc $id: chunk tail reaches the last token")
+    }
+  }
 }
