@@ -367,8 +367,40 @@ object ExtendedQueries {
         col("f.value").as("first_value"))
   }
 
+  /** CDC latest-state compaction — the lakehouse upsert view: the event
+    * log is a change stream keyed by user_id, the snapshot is each key's
+    * LATEST event, and keys whose latest event is a tombstone ('error'
+    * stands in for the delete marker on this schema) drop out entirely.
+    * The complement of [[stFirstSeen]]: same one-shuffle arg-max-struct
+    * aggregate (max instead of min; (ts_us, event_id) is a unique key so
+    * the trailing payload fields never decide the comparison), with the
+    * tombstone filter applied AFTER the arg-max — a key deleted then
+    * never re-upserted must vanish, not resurface its prior state.
+    *
+    * Scale shape: partial arg-max per input partition, then one shuffle
+    * of one row per live key per partition — log-volume-independent
+    * state, the compaction every streaming-table reader runs. */
+  val stCdcUpsert: QueryDef = QueryDef("st_cdc_upsert",
+    """WITH t AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+      |l AS (SELECT user_id, event_id, event_type, value, ts_us,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM t)
+      |SELECT user_id, CAST(event_id AS BIGINT) AS last_event_id,
+      |  CAST(ts_us AS BIGINT) AS last_ts_us, event_type AS last_type, value AS last_value
+      |FROM l WHERE rn = 1 AND event_type <> 'error'""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    raw.select(col("user_id"), tsUs(raw).as("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+        col("value"))).as("l"))
+      .filter(col("l.event_type") =!= "error")
+      .select(col("user_id"), col("l.event_id").as("last_event_id"),
+        col("l.ts_us").as("last_ts_us"), col("l.event_type").as("last_type"),
+        col("l.value").as("last_value"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     waLagDelta, waSession, rollupAgg, cubeAgg, o4FirstSuccess, x9WordCount,
     x17MapLookup, a7DistinctStats, a6BucketSort, pivotAgg, unpivotMetrics,
-    approxStats, stRunningStats, stSession, stFirstSeen)
+    approxStats, stRunningStats, stSession, stFirstSeen, stCdcUpsert)
 }

@@ -544,7 +544,63 @@ object Similarity {
     }
   }
 
+  /** All-pairs k-NN graph over the corpus — the SemDeDup-family building
+    * block: semantic near-dup clustering, diversity filtering, and
+    * embedding-space outlier pruning all start from "top-k neighbors for
+    * EVERY vector", not for a probe set. [[simLshHyperplane]] with the
+    * probe restriction removed: the persisted LSH band relation
+    * SELF-joins on (band_id, band_val), so candidate volume is
+    * sum-of-squared-bucket-sizes — ~n^2/256 per band at uniform spread,
+    * against n^2 for the brute-force graph — then exact quantized cosine
+    * on candidates only and a per-node top-3 window.
+    *
+    * Scale shape: no broadcast side exists (both sides are the corpus),
+    * so this is the one similarity query that MUST shuffle the corpus —
+    * once, by band key, the same exchange both sides reuse
+    * (ReusedExchange: the two branches are projections of one persisted
+    * relation). Hot buckets (clustered corpora collapse to few sketch
+    * values) are AQE skew-split; recall is the band-collision probability,
+    * raised by adding bands, never by widening buckets. */
+  val simKnnGraph: QueryDef = {
+    val k = 3
+    QueryDef("sim_knn_graph",
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
+        |sig AS (SELECT vec_id, qv, ${lshSigSql("qv")} AS sg FROM q),
+        |bands AS (SELECT vec_id, band_id, (sg >> (band_id*8)) & 255 AS band_val
+        |          FROM sig CROSS JOIN (VALUES (0),(1)) b(band_id)),
+        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+        |    AND a.vec_id <> b.vec_id),
+        |dots AS (SELECT c.qid, c.nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(x.qv)), i -> x.qv[i] * y.qv[i])) AS DOUBLE) AS dot
+        |  FROM cand c JOIN q x ON x.vec_id = c.qid JOIN q y ON y.vec_id = c.nid),
+        |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q)
+        |SELECT qid, nid, cosine FROM (
+        |  SELECT qid, nid, round(dot / (na.norm * nb.norm), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
+        |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
+        |WHERE rn <= $k""".stripMargin) { (spark, d) =>
+      val bands = graft.Persisted.of(spark, s"$d#hyperlsh_bands") {
+        hyperBandsOfQNorm(qnormRelation(spark, d).select("vec_id", "q", "norm"))
+      }
+      val a = bands.select(col("band_id"), col("band_val"),
+        col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na"))
+      val b = bands.select(col("band_id"), col("band_val"),
+        col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb"))
+      val cand = a.join(b, Seq("band_id", "band_val"))
+        .filter(col("qid") =!= col("nid"))
+        .select("qid", "nid", "qa", "qb", "na", "nb")
+        .distinct()
+      val scored = cand.select(col("qid"), col("nid"),
+        round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb")), 6).as("cosine"))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("qid", "nid", "cosine")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
-    simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf)
+    simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf, simKnnGraph)
 }

@@ -737,8 +737,115 @@ object TextAnalysis {
       .withColumn("rk", col("boff") + col("lrk"))
   }
 
+  /** BM25 keyword retrieval over the corpus — the lexical-search half of a
+    * curation stack (targeted quality audits, contamination spot-checks,
+    * topic-sliced subcorpus pulls all start from "find the docs matching
+    * these terms"). Rides the SAME session-persisted (doc, w, tf, dl)
+    * term store as [[taTermWeight]]/[[taRepetition]] — the inverted-index
+    * relation a 100 TB pipeline materializes once.
+    *
+    * Scoring is the standard BM25 shape (k1=1.2, b=0.75) with a RATIONAL
+    * idf, (N - df + 0.5)/(df + 0.5), instead of its logarithm: ln() is
+    * the one transcendental whose last-ulp behavior the two engines don't
+    * contractually share, while +,*,/ on doubles are IEEE-exact on both.
+    * Same monotone ordering for fixed N, bit-identical scores. Per-doc
+    * totals sum the round(6) term scores in DECIMAL so accumulation order
+    * can't perturb the hash (the house sum rule).
+    *
+    * Plan shape: the term filter hits the store first (candidates = docs
+    * containing >= 1 query term — inverted-index pruning, not a corpus
+    * scan); df and the corpus stats are term-count-sized broadcasts; the
+    * final top-10 is orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of 10-row
+    * heads, never a global sort). Work ∝ posting-list sizes. */
+  val taBm25: QueryDef = {
+    val terms = Seq("scan", "merge", "window", "spark")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    QueryDef("ta_bm25",
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
+        |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |  CAST(SUM(tf) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl FROM tf),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |df AS (SELECT w, COUNT(*) AS df FROM tf WHERE w IN ($inList) GROUP BY w),
+        |sc AS (SELECT tf.doc_id,
+        |    round(((st.n - df.df + 0.5) / (df.df + 0.5))
+        |      * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))), 6) AS ts
+        |  FROM tf JOIN df ON df.w = tf.w JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st)
+        |SELECT doc_id, n_hit, score FROM (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+        |    CAST(SUM(CAST(ts AS DECIMAL(28,6))) AS DOUBLE) AS score,
+        |    ROW_NUMBER() OVER (ORDER BY CAST(SUM(CAST(ts AS DECIMAL(28,6))) AS DOUBLE) DESC, doc_id) AS rn
+        |  FROM sc GROUP BY doc_id) t
+        |WHERE rn <= 10""".stripMargin) { (spark, d) =>
+      val docs = Tables.documents(spark, d)
+      val tf = graft.Persisted.of(spark, s"$d#term_tf") {
+        docs.select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+      }
+      val stats = broadcast(
+        tf.agg(sum("tf").as("sumtok")).crossJoin(docs.agg(count(lit(1)).as("n")))
+          .select(col("n"), (col("sumtok").cast("double") / col("n")).as("avgdl")))
+      val df = broadcast(
+        tf.filter(col("w").isin(terms: _*)).groupBy("w").agg(count(lit(1)).as("df")))
+      // tf rows already carry dl (the scan-stage wordCounts sketch emits
+      // it per row), so no per-doc dl join is needed on this side; the
+      // oracle derives dl from its tf CTE instead — same values.
+      val ts = round(
+        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))), 6)
+      tf.filter(col("w").isin(terms: _*))
+        .join(df, "w").crossJoin(stats)
+        .select(col("doc_id"), ts.as("ts"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_hit"),
+          sum(col("ts").cast("decimal(28,6)")).cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }
+  }
+
+  /** Temperature-scaled source-mixture weights — the sampling step that
+    * turns per-source corpus statistics into a training mixture: weight
+    * each source by n_docs^alpha (alpha = 1/2, the standard multilingual
+    * temperature that up-samples small sources), normalize, and emit the
+    * per-source document quota for a fixed 100k-doc epoch budget.
+    *
+    * alpha = 1/2 is deliberately sqrt: among x^alpha kernels it is the
+    * one IEEE requires to be CORRECTLY ROUNDED (pow() is not), so both
+    * engines compute the identical double. The normalizer sums the
+    * round(6) weights in DECIMAL (exact, order-free); per-source shares
+    * divide by that one scalar.
+    *
+    * Scale shape: one partial+final groupBy over the corpus to
+    * source-level stats (source cardinality is tiny), then a broadcast
+    * scalar join — the same two-level "aggregate, then normalize against
+    * a broadcast total" shape as [[taShardPack]]'s offsets. The epoch
+    * quota feeds [[taStratifiedSample]]'s exact-quota draw. */
+  val taMixture: QueryDef = QueryDef("ta_mixture",
+    """WITH s AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs, n_chars, round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS w FROM s),
+      |t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS tot FROM w)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_chars AS BIGINT) AS n_chars,
+      |  round(w / tot, 6) AS p,
+      |  CAST(floor(100000 * round(w / tot, 6)) AS BIGINT) AS quota_docs
+      |FROM w CROSS JOIN t""".stripMargin) { (spark, d) =>
+    val bySrc = Tables.documents(spark, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .withColumn("w", round(sqrt(col("n_docs").cast("double")), 6))
+    val tot = broadcast(
+      bySrc.agg(sum(col("w").cast("decimal(28,6)")).cast("double").as("tot")))
+    val p = round(col("w") / col("tot"), 6)
+    bySrc.crossJoin(tot).select(
+      col("source"), col("n_docs").cast("long").as("n_docs"),
+      col("n_chars").cast("long").as("n_chars"), p.as("p"),
+      floor(lit(100000) * p).cast("long").as("quota_docs"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
-    taStratifiedSample, taCorpusShuffle, taChunk)
+    taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture)
 }

@@ -152,4 +152,82 @@ class InvariantsSpec extends SparkSpec {
       assert(end == toks(id), s"doc $id: chunk tail reaches the last token")
     }
   }
+
+  test("ta_bm25: hits contain a query term; scores positive and rank-ordered") {
+    import graft.operators.TextAnalysis
+    val terms = Set("scan", "merge", "window", "spark")
+    val top = TextAnalysis.taBm25.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.length == 10)
+    assert(top.forall { case (_, nHit, s) => s > 0 && nHit >= 1 && nHit <= terms.size })
+    // result arrives in rank order: score desc, doc_id tie-break
+    top.sliding(2).foreach { case Array((d1, _, s1), (d2, _, s2)) =>
+      assert(s1 > s2 || (s1 == s2 && d1 < d2))
+    }
+    val texts = Tables.documents(spark, sf0001)
+      .filter(col("doc_id").isin(top.map(_._1): _*))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    top.foreach { case (id, _, _) =>
+      assert(texts(id).split("\\s+").exists(terms), s"doc $id contains a query term")
+    }
+  }
+
+  test("ta_mixture: probabilities normalize and follow sqrt up-sampling") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.taMixture.fn(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4) // round(6) per-source residue only
+    assert(rows.map(_._4).sum <= 100000L)      // floor never over-allocates
+    // temperature alpha=1/2: share ordering tracks n_docs ordering, and the
+    // largest/smallest share ratio is sqrt of the doc-count ratio (to 6dp)
+    val byN = rows.sortBy(_._2)
+    byN.sliding(2).foreach { case Array((_, n1, p1, _), (_, n2, p2, _)) =>
+      assert(n1 < n2 === p1 < p2 || n1 == n2 || p1 == p2)
+    }
+    val (min, max) = (byN.head, byN.last)
+    assert(math.abs(max._3 / min._3 - math.sqrt(max._2.toDouble / min._2)) < 1e-3)
+  }
+
+  test("st_cdc_upsert: one live row per key, tombstoned keys vanish") {
+    import graft.operators.ExtendedQueries
+    val snap = ExtendedQueries.stCdcUpsert.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(snap.map(_._1).distinct.length == snap.length, "one row per key")
+    assert(snap.forall(_._3 != "error"), "no tombstone survives")
+    // replay the log driver-side: latest by (ts_us, event_id) per user
+    val raw = Tables.events(spark, sf0001)
+    val log = raw.select(col("user_id"), Tables.tsUs(raw).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val latest = log.groupBy(_._1).map { case (u, es) => u -> es.maxBy(e => (e._2, e._3)) }
+    latest.foreach { case (u, (_, _, eid, typ)) =>
+      val row = snap.find(_._1 == u)
+      if (typ == "error") assert(row.isEmpty, s"user $u tombstoned")
+      else assert(row.exists(_._2 == eid), s"user $u latest event")
+    }
+  }
+
+  test("sim_knn_graph: no self-edges, <=3 ranked neighbors, recall bounded by exact top-1") {
+    import graft.operators.Similarity
+    val edges = Similarity.simKnnGraph.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (q, n, c) => q != n && c >= -1.0001 && c <= 1.0001 })
+    edges.groupBy(_._1).foreach { case (q, es) =>
+      assert(es.length <= 3, s"node $q degree")
+      es.sortBy(e => (-e._3, e._2)).zip(es).foreach { case (a, b) =>
+        assert(a == b, s"node $q neighbors rank-ordered")
+      }
+    }
+    // LSH graph can MISS neighbors but never invent a better-than-exact one:
+    // each node's best graph cosine <= its exact best cosine over all
+    // vectors (1e-5 slack: the graph scores quantized round(6) cosines,
+    // the brute helper raw doubles)
+    val emb = Tables.embeddings(spark, sf0001)
+    val exactBest = Similarity.cosineTopK(emb, emb, k = 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Double]("cosine")).toMap
+    edges.groupBy(_._1).foreach { case (q, es) =>
+      exactBest.get(q).foreach(b => assert(es.map(_._3).max <= b + 1e-5, s"node $q"))
+    }
+  }
 }
