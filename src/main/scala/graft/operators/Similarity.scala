@@ -583,17 +583,29 @@ object Similarity {
       val bands = graft.Persisted.of(spark, s"$d#hyperlsh_bands") {
         hyperBandsOfQNorm(qnormRelation(spark, d).select("vec_id", "q", "norm"))
       }
-      val a = bands.select(col("band_id"), col("band_val"),
-        col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na"))
-      val b = bands.select(col("band_id"), col("band_val"),
-        col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb"))
+      // Candidate generation, THEN gather: dedup bare (qid, nid) id pairs
+      // first — 16 bytes/row through the distinct's exchange — and only
+      // re-attach the ~1 KB quantized vectors (from the persisted qnorm
+      // relation) to the SURVIVING pairs. The probe-style form (arrays
+      // riding the band join into the distinct, fine when one side is a
+      // 100-probe broadcast) shuffled every band collision at full vector
+      // width here, and was the suite's slowest query (1.6 s at sf0.1 for
+      // 146k collisions). At 100 TB this is the fetch-from-vector-store
+      // half of any ANN graph build; both gather joins key on ids, so the
+      // second reuses the per-node partitioning the top-k window needs.
+      val a = bands.select(col("band_id"), col("band_val"), col("vec_id").as("qid"))
+      val b = bands.select(col("band_id"), col("band_val"), col("vec_id").as("nid"))
       val cand = a.join(b, Seq("band_id", "band_val"))
         .filter(col("qid") =!= col("nid"))
-        .select("qid", "nid", "qa", "qb", "na", "nb")
+        .select("qid", "nid")
         .distinct()
-      val scored = cand.select(col("qid"), col("nid"),
-        round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
-          (col("na") * col("nb")), 6).as("cosine"))
+      val qn = qnormRelation(spark, d)
+      val scored = cand
+        .join(qn.select(col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb")), "nid")
+        .join(qn.select(col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na")), "qid")
+        .select(col("qid"), col("nid"),
+          round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
+            (col("na") * col("nb")), 6).as("cosine"))
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
         .select("qid", "nid", "cosine")
