@@ -583,29 +583,29 @@ object Similarity {
       val bands = graft.Persisted.of(spark, s"$d#hyperlsh_bands") {
         hyperBandsOfQNorm(qnormRelation(spark, d).select("vec_id", "q", "norm"))
       }
-      // Candidate generation, THEN gather: dedup bare (qid, nid) id pairs
-      // first — 16 bytes/row through the distinct's exchange — and only
-      // re-attach the ~1 KB quantized vectors (from the persisted qnorm
-      // relation) to the SURVIVING pairs. The probe-style form (arrays
-      // riding the band join into the distinct, fine when one side is a
-      // 100-probe broadcast) shuffled every band collision at full vector
-      // width here, and was the suite's slowest query (1.6 s at sf0.1 for
-      // 146k collisions). At 100 TB this is the fetch-from-vector-store
-      // half of any ANN graph build; both gather joins key on ids, so the
-      // second reuses the per-node partitioning the top-k window needs.
-      val a = bands.select(col("band_id"), col("band_val"), col("vec_id").as("qid"))
-      val b = bands.select(col("band_id"), col("band_val"), col("vec_id").as("nid"))
-      val cand = a.join(b, Seq("band_id", "band_val"))
+      // Score DURING the band join, dedup AFTER: the ~1 KB quantized
+      // vectors shuffle exactly once, by band key, on each side of the
+      // self-join (volume ∝ corpus, never ∝ pairs); the cosine is computed
+      // in the join stage, so what reaches the distinct is the 24-byte
+      // (qid, nid, cosine) row — sound because cosine is a pure function
+      // of the pair, at the price of re-scoring the <=2x pairs that
+      // collide on both bands. The two earlier forms both shuffled
+      // per-PAIR wide rows somewhere (arrays through the distinct: 1.6 s
+      // at sf0.1; bare-id distinct then vector gather joins: 0.6 s at
+      // sf0.1 but ~12 s at sf1, where the duplicate-heavy inflated corpus
+      // pushes 14M candidate pairs through a ~0.5 KB/row gather
+      // exchange). Pair volume only ever rides narrow rows here — the
+      // shape that survives a duplicate-skewed 100 TB corpus.
+      val a = bands.select(col("band_id"), col("band_val"),
+        col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na"))
+      val b = bands.select(col("band_id"), col("band_val"),
+        col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb"))
+      val scored = a.join(b, Seq("band_id", "band_val"))
         .filter(col("qid") =!= col("nid"))
-        .select("qid", "nid")
-        .distinct()
-      val qn = qnormRelation(spark, d)
-      val scored = cand
-        .join(qn.select(col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb")), "nid")
-        .join(qn.select(col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na")), "qid")
         .select(col("qid"), col("nid"),
           round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
             (col("na") * col("nb")), 6).as("cosine"))
+        .distinct()
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
         .select("qid", "nid", "cosine")
