@@ -11,7 +11,8 @@ object SparkEntry {
     CoreQueries.all ++ Consensus.all ++ Dedup.all ++
       Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
       ExtendedQueries.all ++ TemporalQueries.all ++ PipelineQueries.all ++
-      SpecExtractors.all
+      SpecExtractors.all ++ EventAnalytics.all ++ Clustering.all ++
+      GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd) over the embeddings table — the centroid
+  * TRAINING step the IVF family consumes (sim_ivf_bucketed and the routed
+  * incremental-ANN store treat the coarse cell id as given; this is where
+  * those cells come from in a real vector pipeline).
+  *
+  * Exactness: vectors ride the shared 1e-8-quantized long store
+  * ([[Similarity.qnormRelation]]), so squared L2 distances are EXACT long
+  * arithmetic (|a|² + |b|² − 2a·b, three fused native dot products — max
+  * |q| ≈ 5.8e7 at unit-ish norm, so k·Σdiff² ≤ 64·(1.2e8)² ≈ 9e17 < 2⁶³)
+  * and the argmin is bit-identical on any engine. Only the UPDATE step's
+  * mean touches doubles, and both engines compute it as the same two IEEE
+  * divisions on identical integer sums (+ round-9 formatting guard, the
+  * cosine precedent).
+  *
+  * Scale shape — the canonical distributed k-means iteration:
+  *   - centroids live on the DRIVER (k·dim longs — k-means' defining
+  *     property is that centroids fit anywhere even when data doesn't) and
+  *     enter the plan as literal arrays: assignment is a ZERO-shuffle
+  *     fused-codegen scan projection, never a join;
+  *   - the update is one shuffle of (cluster, dim, Σq, n) partial
+  *     aggregates — map-side combine collapses every partition to at most
+  *     k·dim narrow rows regardless of row count, the classic
+  *     reduceByKey-style centroid update;
+  *   - a full Lloyd loop is this step iterated driver-side, re-literalizing
+  *     k·dim numbers per round — the only driver traffic an iteration pays.
+  */
+object Clustering {
+
+  private val K = 8
+  private val Scale = 1.0e8
+
+  /** Seed centroids = the k smallest vec_ids' quantized vectors (a
+    * deterministic, engine-stable init — k-means++ would add RNG the
+    * oracle cannot replay). Driver-side by design: k rows, bounded. */
+  private def seedCentroids(spark: SparkSession, d: String): Seq[(Int, Array[Long])] =
+    Similarity.qnormRelation(spark, d)
+      .filter(col("vec_id") < K).orderBy("vec_id")
+      .select(col("vec_id"), col("q"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
+      .toSeq
+
+  /** (vec_id, q, cluster_id, dist): every vector tagged with its nearest
+    * seed centroid, ties to the lowest centroid id (array_position finds
+    * the FIRST minimum). One projection over the persisted store. */
+  private def assigned(spark: SparkSession, d: String): DataFrame = {
+    val cents = seedCentroids(spark, d)
+    val qq = graft.plans.dotQNative(col("q"), col("q"))
+    val dists: Seq[Column] = cents.map { case (_, cv) =>
+      val bb = cv.map(v => v * v).sum
+      col("qq") + lit(bb) - lit(2L) * graft.plans.dotQNative(col("q"), lit(cv))
+    }
+    Similarity.qnormRelation(spark, d)
+      .select(col("vec_id"), col("q"), qq.as("qq"))
+      .withColumn("darr", array(dists: _*))
+      .select(col("vec_id"), col("q"),
+        (array_position(col("darr"), array_min(col("darr"))) - 1L)
+          .cast("int").as("cluster_id"),
+        array_min(col("darr")).as("dist"))
+  }
+
+  private val oracleCte =
+    """q AS (SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE)*100000000.0) AS BIGINT) AS v,
+      |      generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |c AS (SELECT vec_id AS cid, i, v FROM q WHERE vec_id < 8),
+      |dd AS (SELECT q.vec_id, c.cid, SUM((q.v - c.v)*(q.v - c.v)) AS dist
+      |       FROM q JOIN c ON q.i = c.i GROUP BY q.vec_id, c.cid),
+      |a AS (SELECT vec_id, cid, dist FROM (
+      |        SELECT vec_id, cid, dist,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |        FROM dd) t WHERE rn = 1)""".stripMargin
+
+  /** Assignment step alone, oracle-checked end-to-end in exact longs. */
+  val simKmeansAssign = QueryDef("sim_kmeans_assign",
+    s"""WITH $oracleCte
+      |SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, CAST(dist AS BIGINT) AS dist
+      |FROM a""".stripMargin) { (spark, d) =>
+    assigned(spark, d).select("vec_id", "cluster_id", "dist")
+  }
+
+  /** Per-cluster per-dim integer sums — the shuffle of the update step:
+    * (cluster, dim, Σq, n) partial aggregates, at most k·dim rows per map
+    * partition after combine. */
+  private def clusterDimSums(spark: SparkSession, d: String): DataFrame =
+    assigned(spark, d)
+      .select(col("cluster_id"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy("cluster_id", "dim")
+      .agg(sum("qv").as("qsum"), count(lit(1)).as("n"))
+
+  /** One full Lloyd iteration: assignment + centroid update, emitting the
+    * k updated centroids with member counts. The oracle-facing shape stays
+    * in EXACT integers end to end: the centroid is emitted as the per-dim
+    * Σq CSV (mean = Σq / n / 1e8, derivable losslessly) — a float mean
+    * would hash on engine-specific double formatting, and an array column
+    * on comparer array support; the a4 string-serialization precedent
+    * avoids both. [[centroids]] is the typed engine API over the same
+    * aggregate. */
+  val simKmeansUpdate = QueryDef("sim_kmeans_update",
+    s"""WITH $oracleCte,
+      |s AS (SELECT a.cid, q.i, SUM(q.v) AS qsum, COUNT(*) AS n
+      |      FROM q JOIN a ON q.vec_id = a.vec_id GROUP BY a.cid, q.i)
+      |SELECT CAST(cid AS BIGINT) AS cluster_id, CAST(MAX(n) AS BIGINT) AS n_members,
+      |  string_agg(CAST(qsum AS VARCHAR), ',' ORDER BY i) AS qsums
+      |FROM s GROUP BY cid""".stripMargin) { (spark, d) =>
+    clusterDimSums(spark, d)
+      .groupBy("cluster_id")
+      .agg(max("n").as("n_members"),
+        sort_array(collect_list(struct(col("dim"), col("qsum")))).as("ds"))
+      .select(col("cluster_id").cast("long").as("cluster_id"), col("n_members"),
+        concat_ws(",", transform(col("ds"),
+          s => s.getField("qsum").cast("string"))).as("qsums"))
+  }
+
+  /** Updated centroids as typed vectors (cluster_id, n_members,
+    * array<double> centroid) — what the next Lloyd round or an IVF build
+    * consumes. Same plan as [[simKmeansUpdate]] minus the serialization. */
+  def centroids(spark: SparkSession, d: String): DataFrame =
+    clusterDimSums(spark, d)
+      .groupBy("cluster_id")
+      .agg(max("n").as("n_members"),
+        sort_array(collect_list(struct(col("dim"), col("qsum")))).as("ds"))
+      .select(col("cluster_id").cast("long").as("cluster_id"), col("n_members"),
+        transform(col("ds"),
+          s => s.getField("qsum").cast("double") / col("n_members") / lit(Scale))
+          .as("centroid"))
+
+  val all: Seq[QueryDef] = Seq(simKmeansAssign, simKmeansUpdate)
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics beyond the reference's surface: ordered-stage funnel
+  * conversion and cohort retention — the two aggregate shapes every
+  * product-analytics workload runs over an events table, phrased as
+  * one-shuffle-per-stage Spark plans with exact integer time arithmetic
+  * (`Tables.tsUs` schema dispatch, same contract as the wa_ and st_ family).
+  */
+object EventAnalytics {
+
+  /** Ordered funnel signup -> view -> purchase per user, computed as ONE
+    * sort-fold per user: collect the user's funnel-relevant events, sort by
+    * (ts_us, event_id), fold a 3-slot state machine over them. Stage k's
+    * timestamp is the EARLIEST qualifying event STRICTLY after stage k-1
+    * (strict: a same-microsecond event cannot witness "happened after").
+    *
+    * Scale shape: the filter keeps only the three funnel types, then one
+    * hash shuffle on user_id; the per-user array is bounded by per-user
+    * activity (the same bound any per-entity sessionization carries), and
+    * the fold is a single pass — against the alternative chained-min form
+    * (three aggregates + two joins, each a shuffle on the same key), this
+    * runs ONE shuffle and never re-reads the log. The oracle states the
+    * same semantics relationally (chained conditional MINs): the fold's
+    * first-qualifying-event-in-sorted-order IS that min, because events
+    * are folded in ascending (ts_us, event_id) order and a slot, once set,
+    * never moves. */
+  val waFunnel = QueryDef("wa_funnel",
+    """WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM t WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT t.user_id, MIN(t.ts_us) AS t2 FROM t JOIN s1 ON t.user_id = s1.user_id
+      |       WHERE t.event_type = 'view' AND t.ts_us > s1.t1 GROUP BY t.user_id),
+      |s3 AS (SELECT t.user_id, MIN(t.ts_us) AS t3 FROM t JOIN s2 ON t.user_id = s2.user_id
+      |       WHERE t.event_type = 'purchase' AND t.ts_us > s2.t2 GROUP BY t.user_id)
+      |SELECT s1.user_id, CAST(s1.t1 AS BIGINT) AS t1,
+      |  CAST(s2.t2 AS BIGINT) AS t2, CAST(s3.t3 AS BIGINT) AS t3,
+      |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+      |            WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS stage
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    raw
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id"), Tables.tsUs(raw).as("ts_us"), col("event_id"),
+        col("event_type"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(col("user_id"), expr(
+        """aggregate(evs,
+          |  named_struct('t1', CAST(NULL AS BIGINT), 't2', CAST(NULL AS BIGINT),
+          |               't3', CAST(NULL AS BIGINT)),
+          |  (acc, e) -> named_struct(
+          |    't1', CASE WHEN acc.t1 IS NULL AND e.event_type = 'signup'
+          |               THEN e.ts_us ELSE acc.t1 END,
+          |    't2', CASE WHEN acc.t2 IS NULL AND e.event_type = 'view'
+          |                    AND acc.t1 IS NOT NULL AND e.ts_us > acc.t1
+          |               THEN e.ts_us ELSE acc.t2 END,
+          |    't3', CASE WHEN acc.t3 IS NULL AND e.event_type = 'purchase'
+          |                    AND acc.t2 IS NOT NULL AND e.ts_us > acc.t2
+          |               THEN e.ts_us ELSE acc.t3 END))""".stripMargin).as("f"))
+      .filter(col("f.t1").isNotNull)
+      .select(col("user_id"), col("f.t1").as("t1"), col("f.t2").as("t2"),
+        col("f.t3").as("t3"),
+        when(col("f.t3").isNotNull, 3).when(col("f.t2").isNotNull, 2)
+          .otherwise(1).cast("int").as("stage"))
+  }
+
+  /** Cohort retention: users bucketed by their FIRST-active day (cohort),
+    * counted per (cohort_day, day_offset) cell — the triangle every
+    * retention dashboard renders. Day arithmetic is pure integer division
+    * on epoch-µs; restricted to ts_us >= 0 on both sides because Spark's
+    * `div` truncates toward zero while floor-division engines floor — the
+    * x18 precedent, vacuous on this (post-epoch) data but keeps the parity
+    * claim data-independent.
+    *
+    * Scale shape: the log collapses to DISTINCT (user, day) FIRST — one
+    * partial-agg'd shuffle on user_id, active-days volume, not event
+    * volume; the cohort min reuses the same user_id hash (exchange reuse),
+    * the join is key-aligned, and the final (cohort, offset) aggregate is
+    * triangle-sized (days²), broadcast-small at any corpus size. */
+  val waRetention = QueryDef("wa_retention",
+    """WITH t AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |           FROM events WHERE epoch_us(ts) >= 0),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM t GROUP BY user_id)
+      |SELECT f.cohort_day, t.day - f.cohort_day AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM t JOIN f ON t.user_id = f.user_id
+      |GROUP BY f.cohort_day, t.day - f.cohort_day""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    val t = raw
+      .select(col("user_id"), Tables.tsUs(raw).as("ts_us"))
+      .filter(col("ts_us") >= 0L)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val f = t.groupBy("user_id").agg(min("day").as("cohort_day"))
+    t.join(f, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** §2.9 streaming surface #5: the watermarked tumbling-window aggregate
+    * ([[graft.streaming.StreamingEvents.windowedCounts]]) run in BATCH mode
+    * — the SAME function, one code path, two execution modes (withWatermark
+    * is documented no-op on a batch Dataset), finally tying the windowed
+    * streaming op to a DuckDB oracle like its st_* siblings. `window()`
+    * aligns to the epoch, so the oracle is integer floor-division of
+    * epoch-µs to 5-minute boundaries; the sum is exact decimal cents (the
+    * streaming op itself aggregates DECIMAL(18,2) — order-independence is
+    * what makes a streaming aggregate's answer well-defined at all).
+    * Post-epoch guard: same trunc-vs-floor note as [[waRetention]]. */
+  val stWindowAgg = QueryDef("st_window_agg",
+    """SELECT CAST(epoch_us(ts) // 300000000 * 300000000 AS BIGINT) AS w_start_us,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events WHERE epoch_us(ts) >= 0
+      |GROUP BY 1, 2""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    val ev = raw
+      .select(expr(s"timestamp_micros(${Tables.tsUsSql(raw)})").as("ts"),
+        col("event_type"), col("value"))
+      .filter(col("ts") >= lit("1970-01-01 00:00:00").cast("timestamp"))
+    graft.streaming.StreamingEvents.windowedCounts(ev)
+      .select(unix_micros(col("w_start")).as("w_start_us"), col("event_type"),
+        col("n"), col("total"))
+  }
+
+  val all: Seq[QueryDef] = Seq(waFunnel, waRetention, stWindowAgg)
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over derived relations — here PageRank on the k-NN
+  * similarity graph ([[Similarity.simKnnGraph]]), the centrality signal
+  * SemDeDup-style curation uses to find prototypical vs outlier documents
+  * in embedding space (a highly-ranked node sits in a dense semantic
+  * neighborhood; low-rank nodes are isolates).
+  */
+object GraphQueries {
+
+  /** Three damped PageRank iterations (d = 0.85) over the directed knn
+    * edge set, in FIXED-POINT 1e-9-unit longs: contribution = r div deg
+    * and the damping step (85·Σ) div 100 are pure integer arithmetic, so
+    * every iteration is exact, order-independent, and bit-identical on
+    * both engines — the float formulation would hash on accumulation
+    * order. Truncating div equals floor div here because every rank is
+    * positive. Fixed iteration count (not convergence-tested): the oracle
+    * can unroll it, and a production run picks iterations up front the
+    * same way. Dangling-node mass is dropped (nodes without band
+    * collisions have no out-edges), the standard simplification.
+    *
+    * Scale shape: the edge relation is session-persisted WITH its
+    * out-degree attached (the adjacency store a graph pipeline
+    * materializes once — at cluster scale, bucketed by src so rank joins
+    * are co-located); each iteration is one key-aligned join plus one
+    * partial-agg'd shuffle of (dst, contribution) longs; hub nodes (the
+    * skewed in-degree of any similarity graph) are AQE skew-split. The
+    * driver holds NO graph state — it only issues the fixed number of
+    * rounds, so the loop scales to any node count. */
+  val grPagerank: QueryDef = {
+    val knnSql = Similarity.simKnnGraph.oracle.get
+    val iters = 3
+    val cs = (1 to iters).map { i =>
+      s"""c$i AS (SELECT ed.nid, SUM(n${i - 1}.r // ed.deg) AS s
+         |  FROM ed JOIN n${i - 1} ON n${i - 1}.vec_id = ed.qid GROUP BY ed.nid),
+         |n$i AS (SELECT n.vec_id,
+         |    CAST(150000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i c ON c.nid = n.vec_id)""".stripMargin
+    }.mkString(",\n")
+    QueryDef("gr_pagerank",
+      s"""WITH edges AS (SELECT qid, nid FROM ($knnSql) kg),
+        |deg AS (SELECT qid, COUNT(*) AS deg FROM edges GROUP BY qid),
+        |ed AS (SELECT e.qid, e.nid, d.deg FROM edges e JOIN deg d ON d.qid = e.qid),
+        |nodes AS (SELECT vec_id FROM embeddings),
+        |n0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS r FROM embeddings),
+        |$cs
+        |SELECT vec_id, r AS rank_e9 FROM n$iters""".stripMargin) { (spark, d) =>
+      val edges = graft.Persisted.of(spark, s"$d#knn_adjacency") {
+        val e = Similarity.simKnnGraph.fn(spark, d).select(col("qid"), col("nid"))
+        e.join(e.groupBy("qid").agg(count(lit(1)).as("deg")), "qid")
+      }
+      val nodes = Tables.embeddings(spark, d).select("vec_id")
+      var ranks = nodes.select(col("vec_id").as("rvid"), lit(1000000000L).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = edges.join(ranks, col("qid") === col("rvid"))
+          .select(col("nid"), expr("r div deg").as("cb"))
+          .groupBy("nid").agg(sum("cb").as("s"))
+        ranks = nodes.join(contrib, col("vec_id") === col("nid"), "left_outer")
+          .select(col("vec_id").as("rvid"),
+            expr("150000000L + (85 * coalesce(s, 0L)) div 100").as("r"))
+      }
+      ranks.select(col("rvid").as("vec_id"), col("r").as("rank_e9"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(grPagerank)
+}

@@ -844,8 +844,54 @@ object TextAnalysis {
       floor(lit(100000) * p).cast("long").as("quota_docs"))
   }
 
+  /** Unigram language-model rarity score — the log-free analogue of the
+    * LM-perplexity quality filter (CCNet/Gopher rank documents by how
+    * surprising their tokens are under a corpus LM; rare-token-heavy docs
+    * are gibberish/OCR-noise candidates, vanishingly-common-token docs are
+    * boilerplate). Per token the surprise is the INVERSE smoothed unigram
+    * probability (C + V) / (c(w) + 1) — the likelihood ratio itself, not
+    * its logarithm, per the [[taBm25]] house rule (ln() is the
+    * transcendental the engines don't contractually share; +,*,/ are
+    * IEEE-exact on both). Per-doc score = tf-weighted mean of the round(6)
+    * per-term surprises, accumulated in DECIMAL so order can't perturb
+    * the hash.
+    *
+    * Scale shape: rides the session-persisted (doc, w, tf, dl) term store
+    * (one scan-stage `graft_word_counts` pass shared with
+    * ta_term_weight/ta_repetition/ta_bm25); corpus counts c(w) are
+    * vocabulary-sized (Heap's law) and AQE-broadcast back onto the store;
+    * the scalar (C, V) pair is a broadcast cross join. One shuffle for
+    * c(w), one for the per-doc mean — both partial-agg'd. */
+  val taRarity: QueryDef = QueryDef("ta_rarity",
+    """WITH w AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
+      |c AS (SELECT w, SUM(tf) AS c FROM tf GROUP BY w),
+      |st AS (SELECT CAST(SUM(c) AS DOUBLE) AS ctot, CAST(COUNT(*) AS DOUBLE) AS v FROM c),
+      |sc AS (SELECT tf.doc_id, tf.tf,
+      |    round((st.ctot + st.v) / (c.c + 1), 6) AS surprise
+      |  FROM tf JOIN c ON c.w = tf.w CROSS JOIN st)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl,
+      |  round(CAST(SUM(CAST(round(tf * surprise, 6) AS DECIMAL(28,6))) AS DOUBLE)
+      |        / SUM(tf), 6) AS rarity
+      |FROM sc GROUP BY doc_id""".stripMargin) { (spark, d) =>
+    val docs = Tables.documents(spark, d)
+    val tf = graft.Persisted.of(spark, s"$d#term_tf") {
+      docs.select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+    }
+    val c = tf.groupBy("w").agg(sum("tf").as("c"))
+    val st = broadcast(c.agg(sum("c").cast("double").as("ctot"),
+      count(lit(1)).cast("double").as("v")))
+    val surprise = round((col("ctot") + col("v")) / (col("c") + lit(1)), 6)
+    tf.join(c, "w").crossJoin(st)
+      .select(col("doc_id"), col("tf"), surprise.as("surprise"))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("dl"),
+        round(sum(round(col("tf") * col("surprise"), 6).cast("decimal(28,6)"))
+          .cast("double") / sum("tf"), 6).as("rarity"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
-    taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture)
+    taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture, taRarity)
 }

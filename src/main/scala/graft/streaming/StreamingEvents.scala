@@ -23,12 +23,19 @@ object StreamingEvents {
   /** Tumbling 5-minute windows with a 10-minute watermark: per-window
     * per-type counts and value sums. Append mode — a window emits once its
     * end passes the watermark, late rows beyond it are dropped (the
-    * reference has no late-data story; this is the standard Spark answer). */
+    * reference has no late-data story; this is the standard Spark answer).
+    * The sum aggregates DECIMAL(18,2) cents, not doubles: a streaming
+    * aggregate folds rows in arrival order, so only an order-independent
+    * accumulator gives a well-defined answer — and it is what lets the
+    * batch twin (`st_window_agg`, EventAnalytics) hash-match a relational
+    * oracle. Runs unchanged on a batch DataFrame (withWatermark is a
+    * documented no-op there). */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total"))
 
