@@ -77,11 +77,13 @@ object EventAnalytics {
     * x18 precedent, vacuous on this (post-epoch) data but keeps the parity
     * claim data-independent.
     *
-    * Scale shape: the log collapses to DISTINCT (user, day) FIRST — one
-    * partial-agg'd shuffle on user_id, active-days volume, not event
-    * volume; the cohort min reuses the same user_id hash (exchange reuse),
-    * the join is key-aligned, and the final (cohort, offset) aggregate is
-    * triangle-sized (days²), broadcast-small at any corpus size. */
+    * Scale shape: TWO shuffles total, no join. The log collapses to one
+    * active-day SET per user (partial collect_set dedups map-side, so the
+    * shuffle carries distinct (user, day) volume, and a user's set is
+    * bounded by the retention horizon — days, not events); the cohort day
+    * is `array_min` of the same set, so the cohort lookup that is usually
+    * a self-join costs nothing; the exploded (cohort, offset) aggregate is
+    * triangle-sized (horizon²), broadcast-small at any corpus size. */
   val waRetention = QueryDef("wa_retention",
     """WITH t AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
       |           FROM events WHERE epoch_us(ts) >= 0),
@@ -91,13 +93,12 @@ object EventAnalytics {
       |FROM t JOIN f ON t.user_id = f.user_id
       |GROUP BY f.cohort_day, t.day - f.cohort_day""".stripMargin) { (spark, d) =>
     val raw = Tables.events(spark, d)
-    val t = raw
+    raw
       .select(col("user_id"), Tables.tsUs(raw).as("ts_us"))
       .filter(col("ts_us") >= 0L)
       .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
-      .distinct()
-    val f = t.groupBy("user_id").agg(min("day").as("cohort_day"))
-    t.join(f, "user_id")
+      .groupBy("user_id").agg(collect_set(col("day")).as("days"))
+      .select(array_min(col("days")).as("cohort_day"), explode(col("days")).as("day"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }

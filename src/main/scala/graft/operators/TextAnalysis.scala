@@ -854,7 +854,12 @@ object TextAnalysis {
     * transcendental the engines don't contractually share; +,*,/ are
     * IEEE-exact on both). Per-doc score = tf-weighted mean of the round(6)
     * per-term surprises, accumulated in DECIMAL so order can't perturb
-    * the hash.
+    * the hash, and EMITTED in integer micro-units via exact floor
+    * division: `round(mean, 6)` is not engine-portable when the exact
+    * rational mean lands ON a 6-dp tie (sf0.1's doc 4032: 541.095885/18 =
+    * 30.0608825 exactly — Spark rounds the under-tie double down via
+    * BigDecimal expansion, DuckDB rounds its shortest-decimal reading up),
+    * while Σ·1e6 div dl is one integer operation both engines share.
     *
     * Scale shape: rides the session-persisted (doc, w, tf, dl) term store
     * (one scan-stage `graft_word_counts` pass shared with
@@ -871,8 +876,8 @@ object TextAnalysis {
       |    round((st.ctot + st.v) / (c.c + 1), 6) AS surprise
       |  FROM tf JOIN c ON c.w = tf.w CROSS JOIN st)
       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl,
-      |  round(CAST(SUM(CAST(round(tf * surprise, 6) AS DECIMAL(28,6))) AS DOUBLE)
-      |        / SUM(tf), 6) AS rarity
+      |  CAST(CAST(SUM(CAST(round(tf * surprise, 6) AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+      |    // SUM(tf) AS BIGINT) AS rarity_micro
       |FROM sc GROUP BY doc_id""".stripMargin) { (spark, d) =>
     val docs = Tables.documents(spark, d)
     val tf = graft.Persisted.of(spark, s"$d#term_tf") {
@@ -886,8 +891,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("tf"), surprise.as("surprise"))
       .groupBy("doc_id")
       .agg(sum("tf").cast("long").as("dl"),
-        round(sum(round(col("tf") * col("surprise"), 6).cast("decimal(28,6)"))
-          .cast("double") / sum("tf"), 6).as("rarity"))
+        expr("cast(sum(cast(round(tf * surprise, 6) as decimal(28,6))) * 1000000 as bigint)" +
+          " div sum(tf)").as("rarity_micro"))
   }
 
   val all: Seq[QueryDef] = Seq(

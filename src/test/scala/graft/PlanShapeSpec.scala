@@ -162,4 +162,57 @@ class PlanShapeSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllMatchIn(p).size >= 2,
       s"expected cached store + batch bands:\n$p")
   }
+
+  test("wa_funnel: one shuffle to a per-user sorted fold, no window, type filter pushed") {
+    // the funnel is a fold over collect_list, NOT the chained-min 3-shuffle
+    // relational form the oracle states — and the stage-type filter must
+    // reach the parquet scan so only funnel-relevant events are read
+    val p = plan("wa_funnel")
+    assert(!p.contains("Window"), s"funnel must not plan a window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"expected exactly one shuffle (on user_id):\n$p")
+    assert(p.contains("In(event_type"), s"expected pushed stage-type filter:\n$p")
+  }
+
+  test("wa_retention: two shuffles, no join — cohort comes from the day set itself") {
+    val p = plan("wa_retention")
+    assert(!p.contains("Join"), s"retention must not self-join for the cohort:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 2,
+      s"expected day-set agg + triangle agg only:\n$p")
+  }
+
+  test("st_window_agg: tumbling window is a projection + one agg shuffle") {
+    // TimeWindowing rewrites single-window tumbling into a plain projection
+    // — no Expand, no window operator, just a grouped aggregate
+    val p = plan("st_window_agg")
+    assert(!p.contains("Window ["), s"expected no window operator:\n$p")
+    assert(!p.contains("Expand"), s"expected no Expand for a tumbling window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"expected one aggregate shuffle:\n$p")
+  }
+
+  test("sim_kmeans_assign: assignment is a zero-shuffle projection over the store") {
+    // centroids enter as literals (driver-held k-means state), so the
+    // assignment must plan as a pure scan projection: no join, no exchange
+    val p = plan("sim_kmeans_assign")
+    assert(!p.contains("Join"), s"assignment must not join centroids:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).isEmpty,
+      s"assignment must not shuffle:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"expected the persisted qnorm store:\n$p")
+  }
+
+  test("sim_kmeans_update: literal centroids — no join, two aggregate shuffles") {
+    val p = plan("sim_kmeans_update")
+    assert(!p.contains("Join"), s"update must not join centroids:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 2,
+      s"expected (cluster,dim) agg + cluster assembly only:\n$p")
+  }
+
+  test("gr_pagerank: iterations stay equi-joins over the cached adjacency") {
+    val p = plan("gr_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank propagation must never nested-loop:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the persisted knn adjacency:\n$p")
+  }
 }
