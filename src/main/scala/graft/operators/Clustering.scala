@@ -47,23 +47,29 @@ object Clustering {
       .toSeq
 
   /** (vec_id, q, cluster_id, dist): every vector tagged with its nearest
-    * seed centroid, ties to the lowest centroid id (array_position finds
-    * the FIRST minimum). One projection over the persisted store. */
-  private def assigned(spark: SparkSession, d: String): DataFrame = {
-    val cents = seedCentroids(spark, d)
+    * centroid, ties to the lowest-POSITION centroid (array_position finds
+    * the FIRST minimum; `cents` must be sorted by id, ids = positions for
+    * the seed round). One projection over the persisted store. */
+  private def assignedTo(spark: SparkSession, d: String,
+                         cents: Seq[(Int, Array[Long])]): DataFrame = {
     val qq = graft.plans.dotQNative(col("q"), col("q"))
     val dists: Seq[Column] = cents.map { case (_, cv) =>
       val bb = cv.map(v => v * v).sum
       col("qq") + lit(bb) - lit(2L) * graft.plans.dotQNative(col("q"), lit(cv))
     }
+    val ids = cents.map(_._1).toArray
     Similarity.qnormRelation(spark, d)
-      .select(col("vec_id"), col("q"), qq.as("qq"))
+      .select(col("vec_id"), col("q"), col("norm"), qq.as("qq"))
       .withColumn("darr", array(dists: _*))
-      .select(col("vec_id"), col("q"),
-        (array_position(col("darr"), array_min(col("darr"))) - 1L)
-          .cast("int").as("cluster_id"),
+      .select(col("vec_id"), col("q"), col("norm"),
+        element_at(lit(ids),
+          array_position(col("darr"), array_min(col("darr"))).cast("int"))
+          .as("cluster_id"),
         array_min(col("darr")).as("dist"))
   }
+
+  private def assigned(spark: SparkSession, d: String): DataFrame =
+    assignedTo(spark, d, seedCentroids(spark, d))
 
   private val oracleCte =
     """q AS (SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE)*100000000.0) AS BIGINT) AS v,
@@ -117,11 +123,11 @@ object Clustering {
           s => s.getField("qsum").cast("string"))).as("qsums"))
   }
 
-  /** Updated centroids as typed vectors (cluster_id, n_members,
-    * array<double> centroid) — what the next Lloyd round or an IVF build
-    * consumes. Same plan as [[simKmeansUpdate]] minus the serialization. */
-  def centroids(spark: SparkSession, d: String): DataFrame =
-    clusterDimSums(spark, d)
+  private def centroidsOf(assignedDf: DataFrame): DataFrame =
+    assignedDf
+      .select(col("cluster_id"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy("cluster_id", "dim")
+      .agg(sum("qv").as("qsum"), count(lit(1)).as("n"))
       .groupBy("cluster_id")
       .agg(max("n").as("n_members"),
         sort_array(collect_list(struct(col("dim"), col("qsum")))).as("ds"))
@@ -130,5 +136,103 @@ object Clustering {
           s => s.getField("qsum").cast("double") / col("n_members") / lit(Scale))
           .as("centroid"))
 
-  val all: Seq[QueryDef] = Seq(simKmeansAssign, simKmeansUpdate)
+  /** Updated centroids as typed vectors (cluster_id, n_members,
+    * array<double> centroid) — what the next Lloyd round or an IVF build
+    * consumes. Same plan as [[simKmeansUpdate]] minus the serialization. */
+  def centroids(spark: SparkSession, d: String): DataFrame =
+    centroidsOf(assigned(spark, d))
+
+  /** Full Lloyd loop: `iters` assignment+update rounds. Between rounds the
+    * k updated centroids are RE-QUANTIZED to the exact long domain
+    * (round(mean·1e8)) and re-literalized — the k·dim-number driver
+    * round-trip is the ONLY cross-round traffic, which is why Lloyd scales
+    * to any corpus: per-round cost is one zero-shuffle assignment
+    * projection plus one (cluster, dim) partial-agg shuffle, and the
+    * driver never holds anything data-sized. Clusters that lose every
+    * member simply drop out of later rounds (the standard k-means
+    * degeneracy; a production run re-seeds them). */
+  def lloyd(spark: SparkSession, d: String, iters: Int): DataFrame = {
+    require(iters >= 1)
+    var cents = seedCentroids(spark, d)
+    var out: DataFrame = null
+    for (_ <- 1 to iters) {
+      out = centroidsOf(assignedTo(spark, d, cents))
+      cents = quantizedCentroids(out)
+    }
+    out
+  }
+
+  /** Total within-cluster squared distance (quantized units) against the
+    * given centroids — the k-means objective, for convergence monitoring
+    * and the spec's non-increase pin. */
+  def objective(spark: SparkSession, d: String,
+                cents: Seq[(Int, Array[Long])]): Long =
+    assignedTo(spark, d, cents)
+      .agg(sum(col("dist"))).collect()(0).getLong(0)
+
+  /** Centroids as (id, quantized-long vector) pairs, the literal form
+    * [[lloyd]] feeds back into assignment. */
+  def quantizedCentroids(c: DataFrame): Seq[(Int, Array[Long])] =
+    c.select(col("cluster_id"), col("centroid")).collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Double](1).map(x => math.round(x * Scale)).toArray))
+      .sortBy(_._1).toSeq
+
+  /** SemDeDup (Abbas et al.): semantic deduplication = cluster the
+    * embedding space, prune near-duplicates WITHIN each cluster only.
+    * Composes the pieces this module + the dedup family already check:
+    * k-means cells (the coarse partition that makes within-cell all-pairs
+    * affordable — cross-cell pairs are never formed), exact quantized
+    * cosine >= 0.3 on the in-cell candidates (id window <= 200 standing in
+    * for the LSH candidate set, the dd_embedding_neardup convention),
+    * connected components, cluster-min keeper. Output rows = vectors that
+    * BELONG to a semantic dup group, tagged with their keeper.
+    *
+    * Scale shape: the assignment relation is session-persisted (built once
+    * per session, shared with every consumer of the cell partition); the
+    * pair join is an equi-join ON the cell id, so candidate volume is
+    * sum-of-squared-cell-sizes over the window — the SemDeDup economics —
+    * and AQE skew-splits hot cells; components route through the
+    * size-gated driver union-find with the distributed min-label fallback
+    * ([[Dedup.labelPropagation]]). */
+  val ddSemdedup: QueryDef = QueryDef("dd_semdedup",
+    s"""WITH RECURSIVE $oracleCte,
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE)) AS norm
+      |          FROM q GROUP BY vec_id),
+      |dots AS (SELECT a1.vec_id AS va, a2.vec_id AS vb,
+      |    CAST(CAST(SUM(x.v * y.v) AS BIGINT) AS DOUBLE) AS dot
+      |  FROM a a1 JOIN a a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+      |    AND a2.vec_id - a1.vec_id <= 200
+      |  JOIN q x ON x.vec_id = a1.vec_id
+      |  JOIN q y ON y.vec_id = a2.vec_id AND y.i = x.i
+      |  GROUP BY a1.vec_id, a2.vec_id),
+      |sed AS (SELECT va, vb FROM dots JOIN norms na ON na.vec_id = va
+      |        JOIN norms nb ON nb.vec_id = vb
+      |        WHERE round(dot / (na.norm * nb.norm), 6) >= 0.3),
+      |edges AS (SELECT va AS src, vb AS dst FROM sed UNION SELECT vb, va FROM sed),
+      |reach AS (
+      |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS vec_id, CAST(MIN(dst) AS BIGINT) AS keeper_id
+      |FROM reach GROUP BY src""".stripMargin) { (spark, d) =>
+    val aRel = graft.Persisted.of(spark, s"$d#kmeans_assign") {
+      assigned(spark, d).select("vec_id", "q", "norm", "cluster_id")
+    }
+    val x = aRel.select(col("cluster_id"), col("vec_id").as("va"),
+      col("q").as("qa"), col("norm").as("na"))
+    val y = aRel.select(col("cluster_id"), col("vec_id").as("vb"),
+      col("q").as("qb"), col("norm").as("nb"))
+    val pairs = x.join(y, Seq("cluster_id"))
+      .filter(col("va") < col("vb") && col("vb") - col("va") <= 200)
+      .select(col("va"), col("vb"),
+        round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .select(col("va"), col("vb"))
+    Dedup.labelPropagation(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("keeper_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(simKmeansAssign, simKmeansUpdate, ddSemdedup)
 }

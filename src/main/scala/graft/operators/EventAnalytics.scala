@@ -129,5 +129,47 @@ object EventAnalytics {
         col("n"), col("total"))
   }
 
-  val all: Seq[QueryDef] = Seq(waFunnel, waRetention, stWindowAgg)
+  /** Per-type 3σ anomaly counts — the statistical QC pass a pipeline runs
+    * over a metric stream, with the σ-test done ENTIRELY in exact integer
+    * arithmetic: values become cents (the house fixed-point), and
+    * |x − μ| > 3σ is algebraically cleared of both divisions,
+    * (n·x − S)² > 9·(n·Q − S²) with S = Σx, Q = Σx² — so there is no
+    * float, no sqrt, and no rounding boundary anywhere; the comparison is
+    * bit-identical on any engine. The squares exceed 64 bits at large n
+    * (S² ~ 10²² at 10M events/type), so both sides widen first: DECIMAL(38)
+    * here, HUGEINT in the oracle — exact integers either way.
+    *
+    * Scale shape: one partial-agg'd shuffle to type-level (n, S, Q) — five
+    * rows — broadcast back onto a second scan pass for the per-row test,
+    * then a partial-agg'd count. The classic two-pass variance scan; no
+    * row-level shuffle ever happens. */
+  val waOutliers = QueryDef("wa_outliers",
+    """WITH t AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |s AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS sc, SUM(c * c) AS q
+      |      FROM t GROUP BY event_type)
+      |SELECT t.event_type, CAST(MAX(s.n) AS BIGINT) AS n,
+      |  CAST(MAX(s.sc) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(CASE WHEN
+      |      (CAST(s.n AS HUGEINT) * t.c - s.sc) * (CAST(s.n AS HUGEINT) * t.c - s.sc)
+      |      > 9 * (CAST(s.n AS HUGEINT) * s.q - CAST(s.sc AS HUGEINT) * s.sc)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM t JOIN s ON s.event_type = t.event_type
+      |GROUP BY t.event_type""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    val t = raw.select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val s = t.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"), sum(col("c") * col("c")).as("q"))
+    val dev = (col("n") * col("c") - col("sc")).cast("decimal(20,0)")
+    val spread = lit(9).cast("decimal(20,0)") *
+      (col("n").cast("decimal(20,0)") * col("q").cast("decimal(20,0)") -
+        col("sc").cast("decimal(20,0)") * col("sc").cast("decimal(20,0)"))
+    t.join(broadcast(s), "event_type")
+      .select(col("event_type"), col("n"), col("sc"),
+        when(dev * dev > spread, 1L).otherwise(0L).as("o"))
+      .groupBy("event_type")
+      .agg(max("n").cast("long").as("n"), max("sc").cast("long").as("sum_cents"),
+        sum("o").as("n_outliers"))
+  }
+
+  val all: Seq[QueryDef] = Seq(waFunnel, waRetention, stWindowAgg, waOutliers)
 }

@@ -84,6 +84,47 @@ class EventAnalyticsClusteringSpec extends SparkSpec {
     u.unpersist()
   }
 
+  test("wa_outliers: counts bounded by Chebyshev, totals cover the log") {
+    val o = EventAnalytics.waOutliers.fn(spark, sf0001).cache()
+    val raw = Tables.events(spark, sf0001)
+    assert(o.agg(sum("n")).collect()(0).getLong(0) == raw.count())
+    // Chebyshev: P(|x-mu| > 3 sigma) <= 1/9 — per type, strictly
+    val viol = o.filter(col("n_outliers") * 9 > col("n")).count()
+    assert(viol == 0, "outlier fraction above the Chebyshev bound")
+    o.unpersist()
+  }
+
+  test("lloyd loop: objective is non-increasing across three iterations") {
+    val c1 = Clustering.lloyd(spark, sf0001, 1)
+    val c2 = Clustering.lloyd(spark, sf0001, 2)
+    val c3 = Clustering.lloyd(spark, sf0001, 3)
+    val o1 = Clustering.objective(spark, sf0001, Clustering.quantizedCentroids(c1))
+    val o2 = Clustering.objective(spark, sf0001, Clustering.quantizedCentroids(c2))
+    val o3 = Clustering.objective(spark, sf0001, Clustering.quantizedCentroids(c3))
+    // re-quantization perturbs each mean by <= 0.5 quantized units per dim
+    // (|delta| <= 4 in L2 over 64 dims); per-vector objective slack is
+    // 2*|a-c|*|delta| + |delta|^2 <= ~2e9 at |a-c| <= 2e8 — negligible
+    // against per-vector distances of ~1e15 but the bound must hold exactly
+    val n = Tables.embeddings(spark, sf0001).count()
+    val eps = 2000000000L * n
+    assert(o2 <= o1 + eps, s"iteration 2 raised the objective: $o1 -> $o2")
+    assert(o3 <= o2 + eps, s"iteration 3 raised the objective: $o2 -> $o3")
+  }
+
+  test("dd_semdedup: keepers are component minima and members of the output") {
+    val s = Clustering.ddSemdedup.fn(spark, sf0001).cache()
+    assert(s.count() > 0, "expected at least one semantic dup group")
+    assert(s.filter(col("keeper_id") > col("vec_id")).count() == 0,
+      "keeper must be the component minimum")
+    // every keeper id is itself in the output, kept by itself
+    val orphan = s.select(col("keeper_id").as("vec_id"))
+      .distinct()
+      .join(s.filter(col("vec_id") === col("keeper_id")), Seq("vec_id"), "left_anti")
+      .count()
+    assert(orphan == 0, "every keeper must appear as its own row")
+    s.unpersist()
+  }
+
   test("kmeans update step does not increase total within-cluster distance") {
     // One Lloyd iteration must not increase the objective: recompute the
     // assignment distance against the UPDATED centroids and compare totals.
