@@ -1018,8 +1018,66 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup — C(A,B) = |A∩B| / min(|A|,|B|): the
+    * quote/subset/template relationship symmetric Jaccard dilutes (a short
+    * doc fully embedded in a long one has Jaccard |A|/|B| ≈ 0 but
+    * containment 1.0 — exactly the boilerplate-extraction and
+    * quoted-passage signal a curation pipeline needs alongside whole-doc
+    * dedup). Verification is integer-exact on the shared wid-array store:
+    * 5·|A∩B| >= 4·min(|A|,|B|), no float on the gate.
+    *
+    * Candidate recall caveat, stated honestly: candidates come from the
+    * SAME MinHash LSH bands as the Jaccard pipeline, and MinHash collides
+    * by JACCARD — an extreme-ratio containment (tiny quote in a huge doc)
+    * can fall below the bands' Jaccard recall. That is the standard
+    * engineering trade (one shared sketch store for both signals); a
+    * containment-optimal candidate stage would band a bottom-k sketch of
+    * the SHORTER side only, a different store this corpus does not
+    * warrant. Pairs that do collide are verified exactly.
+    *
+    * Scale shape: identical to the fuzzy verify — banded equi-join
+    * candidates (never all-pairs), wid arrays read twice from the
+    * session-persisted relation, work ∝ candidate count. */
+  val ddContainment: QueryDef = {
+    val mhSql = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      s"${mhListSql(a, b)} AS mh$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { bid =>
+      s"SELECT doc_id, $bid AS band_id, CAST(mh${2 * bid} AS VARCHAR) || ',' || CAST(mh${2 * bid + 1} AS VARCHAR) AS band_sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    QueryDef("dd_containment",
+      s"""WITH $shingleListCtes,
+        |sig AS (SELECT doc_id, $mhSql FROM widl),
+        |bands AS ($bandSelects),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+        |    AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+        |ver AS (SELECT c.doc_a, c.doc_b,
+        |    len(list_filter(wa.wids, w -> list_contains(wb.wids, w))) AS inter,
+        |    len(wa.wids) AS na, len(wb.wids) AS nb
+        |  FROM cand c JOIN widl wa ON wa.doc_id = c.doc_a
+        |              JOIN widl wb ON wb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM ver
+        |WHERE LEAST(na, nb) > 0 AND inter * 5 >= LEAST(na, nb) * 4""".stripMargin) { (spark, d) =>
+      val cand = lshCandidatePairs(minhashSigRelation(spark, d))
+      val wid = widArrayRelation(spark, d)
+      val inter = size(array_intersect(col("wa"), col("wb")))
+      cand
+        .join(wid.select(col("doc_id").as("doc_a"), col("wids").as("wa")), "doc_a")
+        .join(wid.select(col("doc_id").as("doc_b"), col("wids").as("wb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), inter.as("inter"),
+          size(col("wa")).as("na"), size(col("wb")).as("nb"))
+        .filter(least(col("na"), col("nb")) > 0 &&
+          col("inter") * 5 >= least(col("na"), col("nb")) * 4)
+        .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
     ddSimhashNearDup64, ddSimhashNearDup128, ddIncrementalPairs, ddDupClusters,
-    ddFuzzyKeep, ddCrossDoc)
+    ddFuzzyKeep, ddCrossDoc, ddContainment)
 }

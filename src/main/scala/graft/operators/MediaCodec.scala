@@ -90,4 +90,56 @@ object MediaCodec {
       if (ok1 && ok2 && w > 0 && h > 0) Some(("ppm", w, h)) else None
     } else None
   }
+
+  /** 8x8 average-hash over the REAL pixel raster: decode the header, read
+    * every pixel (BMP bottom-up row storage per the format, PPM top-down),
+    * box-bin into the 8x8 grid by cell = (8*coord) div extent, and emit
+    * '1' where the cell's channel-sum mean exceeds the global mean. The
+    * comparison is the division-free cross-multiply
+    * cellSum*totalSamples > totalSum*cellSamples, so the 64-char bit
+    * string is EXACT integer arithmetic from bytes to hash — an oracle
+    * that predicts the pixel fill can predict every bit. Cells are
+    * row-major (top-left cell first). None for unparseable or truncated
+    * payloads. */
+  def aHashBits(bytes: Array[Byte]): Option[String] =
+    decode(bytes).flatMap { case (fmt, w, h) =>
+      val rowSize = (3 * w + 3) / 4 * 4
+      val hlen = bytes.length - 3 * w * h
+      val ok = fmt match {
+        case "bmp" => bytes.length >= 54 + rowSize * h
+        case "ppm" => hlen >= 9 && bytes.length >= hlen + 3 * w * h
+        case _     => false
+      }
+      if (!ok) None
+      else {
+        val sums = new Array[Long](64)
+        val samples = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cj = 8 * y / h
+          var x = 0
+          while (x < w) {
+            val base =
+              if (fmt == "bmp") 54 + (h - 1 - y) * rowSize + 3 * x
+              else hlen + 3 * (y * w + x)
+            val g = (bytes(base) & 0xFF) + (bytes(base + 1) & 0xFF) +
+              (bytes(base + 2) & 0xFF)
+            val k = cj * 8 + 8 * x / w
+            sums(k) += g
+            samples(k) += 3 // 3 channel samples/pixel, the oracle's COUNT(*)
+            x += 1
+          }
+          y += 1
+        }
+        val ts = sums.sum
+        val ta = samples.sum
+        val sb = new StringBuilder(64)
+        var k = 0
+        while (k < 64) {
+          sb.append(if (sums(k) * ta > ts * samples(k)) '1' else '0')
+          k += 1
+        }
+        Some(sb.toString)
+      }
+    }
 }

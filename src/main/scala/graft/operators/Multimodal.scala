@@ -197,5 +197,52 @@ object Multimodal {
       }.toDF("doc_id", "out_w", "out_h", "resized")
   }
 
-  val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample, mmResize)
+  /** Perceptual average-hash over the REAL pixel raster — the image-dedup
+    * feature extractor ([[MediaCodec.aHashBits]]): decode BMP/PPM pixels
+    * (bottom-up rows for BMP per the format), box-bin to an 8x8 grid,
+    * threshold each cell against the global mean with a division-free
+    * integer cross-multiply. The Spark side reads every pixel OUT OF THE
+    * BYTES; the oracle predicts every bit from the construction formulas
+    * (fill byte i = ((seed+i)*31) mod 256, BMP indexing from the padded
+    * row size, PPM from the derived header length) — a one-pixel indexing
+    * error anywhere flips bits and fails the driver hash. The hash feeds
+    * the same banding machinery as SimHash for image near-dup at scale
+    * (64-bit Hamming neighborhoods via pigeonhole bands).
+    *
+    * Scale shape: pure per-partition scan work (decode + one raster pass
+    * per row), no shuffle — the batch-stage shape of every real
+    * featurizer; at 100 TB the cost is the payload scan itself. */
+  val mmAhash = QueryDef("mm_ahash",
+    """WITH m AS (SELECT doc_id, CAST(16 + doc_id % 32 AS BIGINT) AS w,
+      |             CAST(16 + n_chars % 32 AS BIGINT) AS h,
+      |             doc_id % 2 = 0 AS isbmp, doc_id AS seed FROM documents),
+      |px AS (SELECT doc_id,
+      |    (8*x.x)//w AS ci, (8*y.y)//h AS cj,
+      |    CASE WHEN isbmp THEN ((seed + (h-1-y.y)*((3*w+3)//4*4) + 3*x.x + c.c)*31) % 256
+      |         ELSE ((seed + 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*(y.y*w+x.x)+c.c)*31) % 256 END AS v
+      |  FROM m
+      |  JOIN generate_series(0, 46) x(x) ON x.x < w
+      |  JOIN generate_series(0, 46) y(y) ON y.y < h
+      |  CROSS JOIN generate_series(0, 2) c(c)),
+      |cell AS (SELECT doc_id, cj, ci, SUM(v) AS s, COUNT(*) AS a FROM px GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, SUM(s) AS ts, SUM(a) AS ta FROM cell GROUP BY doc_id)
+      |SELECT cell.doc_id,
+      |  CASE WHEN cell.doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+      |  string_agg(CASE WHEN CAST(s AS BIGINT)*ta > CAST(ts AS BIGINT)*a THEN '1' ELSE '0' END,
+      |             '' ORDER BY cj, ci) AS ahash
+      |FROM cell JOIN tot ON tot.doc_id = cell.doc_id
+      |GROUP BY cell.doc_id""".stripMargin) { (spark, d) =>
+    val sp = spark
+    import sp.implicits._
+    Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].mapPartitions { it =>
+        it.map { case (id, nc) =>
+          val bytes = mediaBytes(id, nc)
+          val fmt = MediaCodec.decode(bytes).map(_._1).getOrElse("raw")
+          (id, fmt, MediaCodec.aHashBits(bytes).getOrElse(""))
+        }
+      }.toDF("doc_id", "format", "ahash")
+  }
+
+  val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample, mmResize, mmAhash)
 }
