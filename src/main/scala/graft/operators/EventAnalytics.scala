@@ -171,5 +171,47 @@ object EventAnalytics {
         sum("o").as("n_outliers"))
   }
 
-  val all: Seq[QueryDef] = Seq(waFunnel, waRetention, stWindowAgg, waOutliers)
+  /** §2.9 streaming surface #6: Spark's NATIVE `session_window` operator
+    * (gap-merged event-time sessions — the built-in the custom
+    * flatMapGroupsWithState sessionizer (`st_session`) reimplements for
+    * its emit-on-close semantics) run in batch mode against a relational
+    * oracle. Window semantics: a session's end is max(ts) + gap, so the
+    * oracle states gap-sessionization with that end convention; the gap
+    * threshold is STRICT < in session_window merging (an event exactly
+    * `gap` later starts a new session), matching the oracle's `>=` split.
+    * All time arithmetic integral µs through the vintage dispatch.
+    *
+    * Why both sessionizers exist: the native operator gives watermarked
+    * incremental sessions with state eviction for free on a stream and
+    * whole-stage codegen in batch, but emits only completed aggregates;
+    * the custom fold streams out CLOSED sessions while keeping the open
+    * one in state. One semantics, two execution contracts — both now
+    * oracle-pinned. */
+  val stSessionNative = QueryDef("st_session_native",
+    """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |m AS (SELECT user_id, event_id, ts_us,
+      |  CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (SELECT user_id, ts_us,
+      |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      |  FROM m)
+      |SELECT user_id, CAST(MIN(ts_us) AS BIGINT) AS w_start_us,
+      |  CAST(MAX(ts_us) + 1800000000 AS BIGINT) AS w_end_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, seq""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    raw
+      .select(expr(s"timestamp_micros(${Tables.tsUsSql(raw)})").as("ts"),
+        col("user_id"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("w_start_us"),
+        unix_micros(col("session_window.end")).as("w_end_us"),
+        col("n_events"))
+  }
+
+  val all: Seq[QueryDef] = Seq(waFunnel, waRetention, stWindowAgg, waOutliers,
+    stSessionNative)
 }

@@ -895,8 +895,44 @@ object TextAnalysis {
           " div sum(tf)").as("rarity_micro"))
   }
 
+  /** The first BPE-training iteration: corpus-weighted adjacent
+    * character-pair counts, top-20 merge candidates by (count DESC, pair)
+    * — the primitive a tokenizer-training pipeline iterates (count pairs →
+    * merge the argmax → recount). Emitted as one oracle-checked round
+    * because each round is this same relational shape re-run on the merged
+    * symbol stream.
+    *
+    * Scale shape: the pair explode runs over the VOCABULARY, not token
+    * occurrences — the term store collapses to (w, Σtf) first (one
+    * vocab-sized partial-agg'd shuffle, Heap's-law sublinear), each
+    * distinct word contributes its pairs once weighted by its corpus
+    * count, and the final top-20 is TakeOrderedAndProject (per-partition
+    * heaps, no global sort). At 100 TB the per-round cost is a vocab scan,
+    * which is why BPE training is tractable at all. */
+  val taBpePairs: QueryDef = QueryDef("ta_bpe_pairs",
+    """WITH w AS (SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+      |p AS (SELECT substring(w, i.i, 2) AS pair FROM w
+      |      JOIN generate_series(1, 30) i(i) ON i.i <= length(w) - 1)
+      |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (spark, d) =>
+    val tf = graft.Persisted.of(spark, s"$d#term_tf") {
+      Tables.documents(spark, d)
+        .select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+    }
+    tf.groupBy("w").agg(sum("tf").as("wn"))
+      // single-char words emit no pairs; the filter also guards Spark's
+      // sequence(1, 0), which DESCENDS ([1, 0]) rather than being empty
+      .filter(length(col("w")) >= 2)
+      .select(col("wn"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wn").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
-    taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture, taRarity)
+    taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture, taRarity,
+    taBpePairs)
 }
