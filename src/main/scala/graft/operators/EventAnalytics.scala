@@ -28,24 +28,11 @@ object EventAnalytics {
     * first-qualifying-event-in-sorted-order IS that min, because events
     * are folded in ascending (ts_us, event_id) order and a slot, once set,
     * never moves. */
-  val waFunnel = QueryDef("wa_funnel",
-    """WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-      |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM t WHERE event_type = 'signup' GROUP BY user_id),
-      |s2 AS (SELECT t.user_id, MIN(t.ts_us) AS t2 FROM t JOIN s1 ON t.user_id = s1.user_id
-      |       WHERE t.event_type = 'view' AND t.ts_us > s1.t1 GROUP BY t.user_id),
-      |s3 AS (SELECT t.user_id, MIN(t.ts_us) AS t3 FROM t JOIN s2 ON t.user_id = s2.user_id
-      |       WHERE t.event_type = 'purchase' AND t.ts_us > s2.t2 GROUP BY t.user_id)
-      |SELECT s1.user_id, CAST(s1.t1 AS BIGINT) AS t1,
-      |  CAST(s2.t2 AS BIGINT) AS t2, CAST(s3.t3 AS BIGINT) AS t3,
-      |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
-      |            WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS stage
-      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
-      |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin) { (spark, d) =>
-    val raw = Tables.events(spark, d)
-    raw
-      .filter(col("event_type").isin("signup", "view", "purchase"))
-      .select(col("user_id"), Tables.tsUs(raw).as("ts_us"), col("event_id"),
-        col("event_type"))
+  /** The funnel core over any (user_id, ts_us, event_id, event_type)
+    * relation — one shuffle, sorted fold (see [[waFunnel]] for semantics).
+    * Exposed for reuse and for the randomized reference spec. */
+  def funnel(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev
       .groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
         col("event_type")))).as("evs"))
@@ -67,6 +54,25 @@ object EventAnalytics {
         col("f.t3").as("t3"),
         when(col("f.t3").isNotNull, 3).when(col("f.t2").isNotNull, 2)
           .otherwise(1).cast("int").as("stage"))
+
+  val waFunnel = QueryDef("wa_funnel",
+    """WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM t WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT t.user_id, MIN(t.ts_us) AS t2 FROM t JOIN s1 ON t.user_id = s1.user_id
+      |       WHERE t.event_type = 'view' AND t.ts_us > s1.t1 GROUP BY t.user_id),
+      |s3 AS (SELECT t.user_id, MIN(t.ts_us) AS t3 FROM t JOIN s2 ON t.user_id = s2.user_id
+      |       WHERE t.event_type = 'purchase' AND t.ts_us > s2.t2 GROUP BY t.user_id)
+      |SELECT s1.user_id, CAST(s1.t1 AS BIGINT) AS t1,
+      |  CAST(s2.t2 AS BIGINT) AS t2, CAST(s3.t3 AS BIGINT) AS t3,
+      |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+      |            WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS stage
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    funnel(raw
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id"), Tables.tsUs(raw).as("ts_us"), col("event_id"),
+        col("event_type")))
   }
 
   /** Cohort retention: users bucketed by their FIRST-active day (cohort),

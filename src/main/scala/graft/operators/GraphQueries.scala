@@ -53,17 +53,28 @@ object GraphQueries {
         e.join(e.groupBy("qid").agg(count(lit(1)).as("deg")), "qid")
       }
       val nodes = Tables.embeddings(spark, d).select("vec_id")
-      var ranks = nodes.select(col("vec_id").as("rvid"), lit(1000000000L).as("r"))
-      for (_ <- 1 to iters) {
-        val contrib = edges.join(ranks, col("qid") === col("rvid"))
-          .select(col("nid"), expr("r div deg").as("cb"))
-          .groupBy("nid").agg(sum("cb").as("s"))
-        ranks = nodes.join(contrib, col("vec_id") === col("nid"), "left_outer")
-          .select(col("vec_id").as("rvid"),
-            expr("150000000L + (85 * coalesce(s, 0L)) div 100").as("r"))
-      }
-      ranks.select(col("rvid").as("vec_id"), col("r").as("rank_e9"))
+      pagerank(edges, nodes, iters).select(col("rvid").as("vec_id"),
+        col("r").as("rank_e9"))
     }
+  }
+
+  /** The fixed-point iteration core over ANY degree-attached adjacency
+    * (columns qid, nid, deg) and node set (column vec_id). Returns
+    * (rvid, r) in 1e-9 rank units. Exposed for reuse and for the
+    * randomized reference spec. */
+  def pagerank(edges: org.apache.spark.sql.DataFrame,
+               nodes: org.apache.spark.sql.DataFrame,
+               iters: Int): org.apache.spark.sql.DataFrame = {
+    var ranks = nodes.select(col("vec_id").as("rvid"), lit(1000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(ranks, col("qid") === col("rvid"))
+        .select(col("nid"), expr("r div deg").as("cb"))
+        .groupBy("nid").agg(sum("cb").as("s"))
+      ranks = nodes.join(contrib, col("vec_id") === col("nid"), "left_outer")
+        .select(col("vec_id").as("rvid"),
+          expr("150000000L + (85 * coalesce(s, 0L)) div 100").as("r"))
+    }
+    ranks
   }
 
   val all: Seq[QueryDef] = Seq(grPagerank)

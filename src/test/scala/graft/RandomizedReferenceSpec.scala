@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{EventAnalytics, GraphQueries, MediaCodec}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized differential tests: each new operator core against an
+  * INDEPENDENT straight-line Scala reference on generated inputs — the
+  * oracle gate pins values on the driver corpus; these pin the semantics on
+  * inputs the corpus never exercises (ties, empty stages, dangling nodes,
+  * degenerate dimensions). Fixed seeds, one Spark job per property. */
+class RandomizedReferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel fold equals the brute-force reference on random event logs") {
+    val rnd = new Random(7)
+    val types = Seq("signup", "view", "purchase")
+    // heavy ts collisions on purpose: the strict-after semantics and the
+    // (ts, event_id) sort tiebreak are where implementations drift
+    val events = (1 to 4000).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(50).toLong * 1000L,
+        i.toLong, types(rnd.nextInt(3)))
+    }
+    val got = EventAnalytics.funnel(
+      events.toDF("user_id", "ts_us", "event_id", "event_type"))
+      .collect()
+      .map(r => (r.getLong(0), (Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4))))
+      .toMap
+    val want = events.groupBy(_._1).flatMap { case (u, evs) =>
+      var t1, t2, t3 = Option.empty[Long]
+      evs.sortBy(e => (e._2, e._3)).foreach { case (_, ts, _, tp) =>
+        if (t1.isEmpty && tp == "signup") t1 = Some(ts)
+        else if (t2.isEmpty && tp == "view" && t1.exists(ts > _)) t2 = Some(ts)
+        else if (t3.isEmpty && tp == "purchase" && t2.exists(ts > _)) t3 = Some(ts)
+      }
+      val stage = if (t3.isDefined) 3 else if (t2.isDefined) 2 else 1
+      t1.map(_ => u -> ((t1, t2, t3, stage)))
+    }
+    assert(got === want)
+  }
+
+  test("aHashBits equals the construction-formula reference on random media") {
+    val rnd = new Random(11)
+    (1 to 60).foreach { _ =>
+      val w = 8 + rnd.nextInt(40)
+      val h = 8 + rnd.nextInt(40)
+      val seed = rnd.nextInt(100000).toLong
+      val bmp = rnd.nextBoolean()
+      val bytes =
+        if (bmp) MediaCodec.encodeBmp(w, h, seed) else MediaCodec.encodePpm(w, h, seed)
+      // reference: predict every pixel byte from the fill formula alone
+      // (never reading the encoded bytes), like the oracle does
+      def fill(i: Long): Long = ((seed + i) * 31) & 0xFF
+      val rowSize = (3 * w + 3) / 4 * 4
+      val hlen = 9 + w.toString.length + h.toString.length
+      val sums = Array.fill(64)(0L); val n = Array.fill(64)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (0 until 3).map { c =>
+          if (bmp) fill((h - 1 - y).toLong * rowSize + 3 * x + c)
+          else fill(hlen.toLong + 3 * (y.toLong * w + x) + c)
+        }.sum
+        val k = (8 * y / h) * 8 + 8 * x / w
+        sums(k) += g; n(k) += 3
+      }
+      val ts = sums.sum; val ta = n.sum
+      val want = (0 until 64)
+        .map(k => if (sums(k) * ta > ts * n(k)) '1' else '0').mkString
+      assert(MediaCodec.aHashBits(bytes).contains(want), s"w=$w h=$h bmp=$bmp seed=$seed")
+    }
+  }
+
+  test("pagerank core equals the integer reference on random graphs with dangling nodes") {
+    val rnd = new Random(13)
+    val n = 40
+    val edges = (for {
+      src <- 0 until n if rnd.nextInt(4) != 0 // ~25% dangling
+      k = 1 + rnd.nextInt(3)
+      dst <- Seq.fill(k)(rnd.nextInt(n).toLong).distinct if dst != src
+    } yield (src.toLong, dst)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val edgesDf = edges.toDF("qid", "nid")
+      .join(edges.toDF("qid", "x").groupBy("qid").agg(count(lit(1)).as("deg")), "qid")
+      .select("qid", "nid", "deg")
+    val nodesDf = (0 until n).map(_.toLong).toDF("vec_id")
+    val got = GraphQueries.pagerank(edgesDf, nodesDf, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var r = Map((0 until n).map(i => i.toLong -> 1000000000L): _*)
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      r = (0 until n).map { i =>
+        i.toLong -> (150000000L + (85L * contrib.getOrElse(i.toLong, 0L)) / 100L)
+      }.toMap
+    }
+    assert(got === r)
+  }
+}
