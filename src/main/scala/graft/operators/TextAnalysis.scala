@@ -930,9 +930,56 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair")).limit(20)
   }
 
+  /** The SECOND BPE-training iteration — proof the round iterates: take
+    * round 1's argmax pair, APPLY the merge to every word (non-regex
+    * `replace`, whose left-to-right non-overlapping semantics both engines
+    * share — "aaa" under merge "aa" becomes [aa][a] on each), and recount
+    * adjacent symbol pairs on the merged stream, where the merged symbol
+    * is a marker char (chr(1), absent from any corpus word) rendered as
+    * '<M>' in the output. A full tokenizer build is THIS query iterated V
+    * times with the merge table as the loop state — per round one
+    * vocab-sized recount, the same shape as round 1.
+    *
+    * Scale shape: identical to [[taBpePairs]] plus a 1-row broadcast (the
+    * argmax merge) joined onto the vocab before the re-explode. */
+  val taBpeMerge2: QueryDef = QueryDef("ta_bpe_merge2",
+    """WITH v AS (SELECT w, COUNT(*) AS wn FROM (
+      |    SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents) t
+      |  GROUP BY w),
+      |p1 AS (SELECT substring(v.w, i.i, 2) AS pair, SUM(wn) AS n FROM v
+      |       JOIN generate_series(1, 30) i(i) ON i.i <= length(v.w) - 1
+      |       GROUP BY 1),
+      |top1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair LIMIT 1),
+      |m AS (SELECT replace(v.w, top1.pair, chr(1)) AS w2, wn FROM v CROSS JOIN top1),
+      |p2 AS (SELECT substring(m.w2, i.i, 2) AS pair, SUM(wn) AS n FROM m
+      |       JOIN generate_series(1, 30) i(i) ON i.i <= length(m.w2) - 1
+      |       GROUP BY 1)
+      |SELECT replace(pair, chr(1), '<M>') AS pair, CAST(n AS BIGINT) AS n
+      |FROM p2 ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (spark, d) =>
+    val tf = graft.Persisted.of(spark, s"$d#term_tf") {
+      Tables.documents(spark, d)
+        .select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+    }
+    val vocab = tf.groupBy("w").agg(sum("tf").as("wn"))
+    def pairsOf(words: org.apache.spark.sql.DataFrame, wc: String) =
+      words.filter(length(col(wc)) >= 2)
+        .select(col("wn"), explode(expr(
+          s"transform(sequence(1, length($wc) - 1), i -> substring($wc, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wn").as("n"))
+    val top1 = pairsOf(vocab, "w").orderBy(col("n").desc, col("pair")).limit(1)
+      .select(col("pair").as("mergep"))
+    val merged = vocab.crossJoin(broadcast(top1))
+      .select(expr("replace(w, mergep, char(1))").as("w2"), col("wn"))
+    pairsOf(merged, "w2")
+      .select(expr("replace(pair, char(1), '<M>')").as("pair"),
+        col("n").cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
     taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture, taRarity,
-    taBpePairs)
+    taBpePairs, taBpeMerge2)
 }
