@@ -218,6 +218,33 @@ object EventAnalytics {
         col("n_events"))
   }
 
+  /** §2.9 streaming surface #7: the watermarked STREAM-STREAM interval
+    * join ([[graft.streaming.StreamingEvents.intervalJoin]] — click →
+    * same-user purchase within 10 minutes, the attribution shape) run in
+    * batch mode against a DuckDB oracle. The time bound is what makes the
+    * streaming form viable at all (it lets Spark size and evict join
+    * state); in batch the same condition is a per-user interval join whose
+    * range predicate is bounded by per-user activity — user_id is the
+    * fine-grained equi-key, so the post-join range filter never sees a
+    * coarse-bucket quadratic blowup (contrast the dd_semdedup k=8-cell
+    * lesson). Strict > on the lower bound: a purchase at the click's exact
+    * microsecond cannot be attributed to it. */
+  val stStreamJoin = QueryDef("st_stream_join",
+    """WITH t AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us FROM events)
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  CAST(p.ts_us - c.ts_us AS BIGINT) AS delta_us, p.value
+      |FROM t c JOIN t p ON p.user_id = c.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.ts_us > c.ts_us AND p.ts_us <= c.ts_us + 600000000""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    val ev = raw.select(
+      expr(s"timestamp_micros(${Tables.tsUsSql(raw)})").as("ts"),
+      col("user_id"), col("event_id"), col("event_type"), col("value"))
+    graft.streaming.StreamingEvents.intervalJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+  }
+
   val all: Seq[QueryDef] = Seq(waFunnel, waRetention, stWindowAgg, waOutliers,
-    stSessionNative)
+    stSessionNative, stStreamJoin)
 }

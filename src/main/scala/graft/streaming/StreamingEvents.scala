@@ -122,4 +122,31 @@ object StreamingEvents {
   def firstSeenDedup(events: DataFrame, keys: Seq[String],
                      watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked STREAM-STREAM interval join — the attribution shape: each
+    * click joined to the same user's purchases within the next 10 minutes.
+    * Both sides carry watermarks and the join condition time-bounds the
+    * purchase against the click, so Spark can size the join state and EVICT
+    * it as the watermark advances — the unbounded-state hazard of a naive
+    * stream join is exactly what the time bound removes (state per side is
+    * the watermark horizon, not the stream history). Inner join: a click
+    * with no purchase in its window simply never emits. Works identically
+    * on batch DataFrames (watermarks no-op), which is how the oracle
+    * adjudicates it (`st_stream_join`, EventAnalytics). */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+                   windowUs: Long = 600000000L): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL ${windowUs / 1000000} SECONDS"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delta_us"),
+        col("value"))
+  }
 }

@@ -163,4 +163,43 @@ class StreamingEventsSpec extends SparkSpec {
     }.toSet
     assert(out === expected)
   }
+
+  test("stream-stream interval join emits the batch-twin pairs across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val cIn = MemoryStream[(Timestamp, Long, Long, Double)]
+    val pIn = MemoryStream[(Timestamp, Long, Long, Double)]
+    def df(s: MemoryStream[(Timestamp, Long, Long, Double)]) =
+      s.toDF().toDF("ts", "user_id", "event_id", "value")
+    val q = StreamingEvents.intervalJoin(df(cIn), df(pIn))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      // click@1 -> purchase@5 (within 10 min); click@20 -> purchase@25;
+      // user 2's purchase has no click; the @30/@30 pair is NOT attributed
+      // (strict > on the lower bound)
+      cIn.addData((ts(1), 1L, 100L, 0.0), (ts(20), 1L, 101L, 0.0),
+        (ts(30), 4L, 102L, 0.0))
+      pIn.addData((ts(5), 1L, 200L, 9.0), (ts(25), 1L, 201L, 7.0),
+        (ts(40), 2L, 202L, 1.0), (ts(30), 4L, 203L, 5.0))
+      q.processAllAvailable()
+      // advance both watermarks past every window so all results are final
+      cIn.addData((ts(59), 9L, 999L, 0.0))
+      pIn.addData((ts(59), 9L, 998L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed === Set(
+        (1L, 100L, 200L, 240000000L),
+        (1L, 101L, 201L, 300000000L)))
+      // and the SAME function over the same rows in batch mode agrees
+      val rows = Seq((ts(1), 1L, 100L, 0.0), (ts(20), 1L, 101L, 0.0),
+        (ts(30), 4L, 102L, 0.0), (ts(59), 9L, 999L, 0.0))
+      val prows = Seq((ts(5), 1L, 200L, 9.0), (ts(25), 1L, 201L, 7.0),
+        (ts(40), 2L, 202L, 1.0), (ts(30), 4L, 203L, 5.0), (ts(59), 9L, 998L, 0.0))
+      val batch = StreamingEvents.intervalJoin(
+        rows.toDF("ts", "user_id", "event_id", "value"),
+        prows.toDF("ts", "user_id", "event_id", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch === streamed)
+    } finally q.stop()
+  }
 }
