@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * ([[Similarity.qnormRelation]]), so squared L2 distances are EXACT long
   * arithmetic (|a|² + |b|² − 2a·b, three fused native dot products — max
   * |q| ≈ 5.8e7 at unit-ish norm, so k·Σdiff² ≤ 64·(1.2e8)² ≈ 9e17 < 2⁶³)
-  * and the argmin is bit-identical on any engine. Only the UPDATE step's
-  * mean touches doubles, and both engines compute it as the same two IEEE
-  * divisions on identical integer sums (+ round-9 formatting guard, the
-  * cosine precedent).
+  * and the argmin is bit-identical on any engine. The UPDATE step's
+  * oracle-facing output stays integral too (per-dim Σq serialized, mean
+  * derivable); only the typed [[centroids]] API divides, and the Lloyd
+  * loop re-quantizes those doubles straight back to the long domain.
   *
   * Scale shape — the canonical distributed k-means iteration:
   *   - centroids live on the DRIVER (k·dim longs — k-means' defining
