@@ -1076,8 +1076,35 @@ object Dedup {
     }
   }
 
+  /** Boilerplate n-gram detection — the heavy-hitter SHINGLES: the top-20
+    * 3-gram shingle ids by containing-document count. Cross-document
+    * recurrence of the SAME shingle is the boilerplate signature (nav
+    * bars, cookie banners, license headers) that document-level dedup
+    * never removes — a curation pipeline thresholds this list to strip
+    * spans, and [[ddCrossDoc]] scores documents by how much of them is
+    * covered by it.
+    *
+    * Scale shape: per-doc DISTINCT shingle ids come from the shared
+    * session-persisted wid-array store (no extra text scan); the df
+    * aggregate partial-combines so the shuffle carries one (wid, n) per
+    * distinct id per partition; the top-20 is TakeOrderedAndProject —
+    * per-partition heaps, never a global sort. The same plan at 100 TB is
+    * the boilerplate-dictionary build step, whose output is
+    * broadcast-small by construction. */
+  val ddBoilerplate: QueryDef = QueryDef("dd_boilerplate",
+    s"""WITH $shingleListCtes,
+      |e AS (SELECT doc_id, unnest(wids) AS wid FROM widl),
+      |df AS (SELECT wid, COUNT(*) AS df FROM e GROUP BY wid)
+      |SELECT wid, CAST(df AS BIGINT) AS df FROM df
+      |ORDER BY df DESC, wid LIMIT 20""".stripMargin) { (spark, d) =>
+    widArrayRelation(spark, d)
+      .select(explode(col("wids")).as("wid"))
+      .groupBy("wid").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("wid")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
     ddSimhashNearDup64, ddSimhashNearDup128, ddIncrementalPairs, ddDupClusters,
-    ddFuzzyKeep, ddCrossDoc, ddContainment)
+    ddFuzzyKeep, ddCrossDoc, ddContainment, ddBoilerplate)
 }
