@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Artifact framing (VERDICT r10 #3): the driver captures this process's
+// merged stdio and tries to json-parse the FINAL line. sbt's default
+// LoggedOutput prefixes forked-run stdout with "[info] " and then prints
+// "[success] Total time: …" AFTER the program exits — every round's
+// BENCH_r*.json recorded "parsed": null because of exactly those two
+// wrappers. StdoutOutput passes program stdout through verbatim, and
+// showSuccess/showTiming=false silence the trailing banner, so the bench
+// JSON line is the last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// the lint doesn't see command-consumed keys; both are read by sbt itself
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -217,14 +217,21 @@ object Dedup {
     dw.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Packed numeric band key (VERDICT r10 #7): with mh values in [0, P)
+    * and P = 2^31-1, `mh_even * P + mh_odd` is a BIJECTIVE encoding into
+    * a long (< P^2 ~ 4.6e18 < 2^63) — band equality is exactly preserved,
+    * while the highest-volume join in the dedup family shuffles 8-byte
+    * longs instead of ~21-byte "%d,%d" strings and compares with one
+    * integer op instead of a byte-wise scan. */
+  private def packedBandSig(bid: Int): Column =
+    col(s"mh${2 * bid}") * lit(P) + col(s"mh${2 * bid + 1}")
+
   /** LSH candidate pairs (production API): docs sharing any of the 4
     * two-row bands. Pairs are (a < b) distinct — the pre-filter before an
     * exact-Jaccard verify at scale. */
   def lshCandidatePairs(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map { bid =>
-      struct(lit(bid).as("band_id"),
-        concat_ws(",", col(s"mh${2 * bid}").cast("string"),
-          col(s"mh${2 * bid + 1}").cast("string")).as("band_sig"))
+      struct(lit(bid).as("band_id"), packedBandSig(bid).as("band_sig"))
     }: _*)).as("band")).select(col("doc_id"), col("band.*"))
     val a = bands.select(col("band_id"), col("band_sig"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band_id"), col("band_sig"), col("doc_id").as("doc_b"))
@@ -323,8 +330,11 @@ object Dedup {
     val mhSql = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
       s"${mhListSql(a, b)} AS mh$i"
     }.mkString(", ")
+    // band_sig is the packed numeric key ([[packedBandSig]]) in both
+    // engines — same bijective encoding, so bucket membership is identical
+    // to the former "%d,%d" string and the groupBy shuffles 8-byte longs
     val bandSelects = (0 until 4).map { bid =>
-      s"SELECT $bid AS band_id, CAST(mh${2 * bid} AS VARCHAR) || ',' || CAST(mh${2 * bid + 1} AS VARCHAR) AS band_sig, doc_id FROM sig"
+      s"SELECT $bid AS band_id, CAST(mh${2 * bid} AS BIGINT) * 2147483647 + mh${2 * bid + 1} AS band_sig, doc_id FROM sig"
     }.mkString("\n  UNION ALL ")
     QueryDef("dd_lsh_buckets",
       s"""WITH $shingleListCtes,
@@ -334,9 +344,7 @@ object Dedup {
         |FROM bands GROUP BY band_id, band_sig HAVING COUNT(*) > 1""".stripMargin) { (spark, d) =>
       minhashSigRelation(spark, d)
         .select(col("doc_id"), explode(array((0 until 4).map { bid =>
-          struct(lit(bid).as("band_id"),
-            concat_ws(",", col(s"mh${2 * bid}").cast("string"),
-              col(s"mh${2 * bid + 1}").cast("string")).as("band_sig"))
+          struct(lit(bid).as("band_id"), packedBandSig(bid).as("band_sig"))
         }: _*)).as("band"))
         .select(col("doc_id"), col("band.*"))
         .groupBy("band_id", "band_sig")
@@ -761,9 +769,7 @@ object Dedup {
   def lshCandidatesIncremental(storeSigs: DataFrame, newDocs: DataFrame): DataFrame = {
     def bandsOf(sigs: DataFrame): DataFrame =
       sigs.select(col("doc_id"), explode(array((0 until 4).map { bid =>
-        struct(lit(bid).as("band_id"),
-          concat_ws(",", col(s"mh${2 * bid}").cast("string"),
-            col(s"mh${2 * bid + 1}").cast("string")).as("band_sig"))
+        struct(lit(bid).as("band_id"), packedBandSig(bid).as("band_sig"))
       }: _*)).as("band")).select(col("doc_id"), col("band.*"))
     val spark = newDocs.sparkSession
     val batchKey = "minhash_batch#" + newDocs.queryExecution.analyzed.semanticHash()
@@ -839,7 +845,13 @@ object Dedup {
   /** Distributed path: each vertex repeatedly takes the minimum label among
     * itself and its neighbors until a fixpoint — O(component diameter)
     * shuffle rounds; lineage truncated by caching each round's labels. */
-  def labelPropagationDistributed(edges: DataFrame): DataFrame = {
+  def labelPropagationDistributed(edges0: DataFrame): DataFrame = {
+    // Positional contract, matching the driver union-find path's
+    // getLong(0)/getLong(1): callers pass any two-long-column edge list
+    // (ddSemdedup uses (va, vb)); binding by NAME here made the advertised
+    // fallback throw AnalysisException the first time an edge set crossed
+    // driverMaxEdges (ADVICE r10).
+    val edges = edges0.toDF("doc_a", "doc_b")
     // symmetric edge list (a->b and b->a), vertices from the edge set
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -163,12 +163,18 @@ object EventAnalytics {
       |GROUP BY t.event_type""".stripMargin) { (spark, d) =>
     val raw = Tables.events(spark, d)
     val t = raw.select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    // ADVICE r10: the S/Q ACCUMULATORS themselves must widen before the
+    // sum — a LongType sum wraps silently on overflow (Σc² passes 2^63 at
+    // ~10M rows of 10^5-cent values) while DuckDB's SUM(BIGINT) promotes
+    // to HUGEINT. Cast to DECIMAL(38,0) pre-aggregation so partial sums
+    // accumulate exactly, like the oracle's HUGEINT.
+    val c38 = col("c").cast("decimal(38,0)")
     val s = t.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("c").as("sc"), sum(col("c") * col("c")).as("q"))
-    val dev = (col("n") * col("c") - col("sc")).cast("decimal(20,0)")
-    val spread = lit(9).cast("decimal(20,0)") *
-      (col("n").cast("decimal(20,0)") * col("q").cast("decimal(20,0)") -
-        col("sc").cast("decimal(20,0)") * col("sc").cast("decimal(20,0)"))
+      .agg(count(lit(1)).as("n"), sum(c38).as("sc"), sum(c38 * col("c")).as("q"))
+    val dev = col("n").cast("decimal(38,0)") * col("c") - col("sc")
+    val spread = lit(9).cast("decimal(38,0)") *
+      (col("n").cast("decimal(38,0)") * col("q") -
+        col("sc") * col("sc"))
     t.join(broadcast(s), "event_type")
       .select(col("event_type"), col("n"), col("sc"),
         when(dev * dev > spread, 1L).otherwise(0L).as("o"))

@@ -112,5 +112,68 @@ object PipelineQueries {
       .select(col("website"), col("FullName"), col("Founded_Year"))
   }
 
-  val all: Seq[QueryDef] = Seq(portcoE2E, portcoRanks, foundedYearE2E)
+  /** X10/X11/X12 union-type normalization, individually attributable
+    * (VERDICT r10 #6): synthesized JSON-LD nodes cycling on s_suppkey % 6
+    * hit every union arm the reference handles
+    * (step3_attempt1.py:77-84,209-214) —
+    *   logo (X10):   0 object-with-url, 1 object-with-@id, 2 bare string,
+    *                 3..5 absent (null);
+    *   sameAs (X11): even bare string, odd two-element list;
+    *   @type (X12):  0-1 bare string, 2-3 list with a whitelisted type in
+    *                 SECOND position (preference must pick it over 'Thing'),
+    *                 4-5 non-whitelisted list (falls back to first).
+    * The extraction chain is the production one — json_tuple raw values
+    * into logoFromRaw/sameAsFromRaw/typesFromRaw/preferWhitelisted — so a
+    * regression in any arm surfaces here without bisecting
+    * pipe_portco_e2e. Arrays emit as '|'-joined strings to keep the oracle
+    * comparison scalar. */
+  val x10UnionTypes = QueryDef("x10_union_types",
+    """SELECT s_suppkey,
+      |  CASE s_suppkey % 6
+      |    WHEN 0 THEN 'https://logo' || CAST(s_suppkey AS VARCHAR) || '.example.com/a.png'
+      |    WHEN 1 THEN 'https://logo' || CAST(s_suppkey AS VARCHAR) || '.example.com/id'
+      |    WHEN 2 THEN 'https://logo' || CAST(s_suppkey AS VARCHAR) || '.example.com/s.png'
+      |    ELSE NULL END AS logo,
+      |  CASE WHEN s_suppkey % 2 = 0
+      |       THEN 'https://sa' || CAST(s_suppkey AS VARCHAR) || '.example.com'
+      |       ELSE 'https://a' || CAST(s_suppkey AS VARCHAR) || '|https://b' || CAST(s_suppkey AS VARCHAR) END AS same_as,
+      |  CASE WHEN s_suppkey % 6 < 2 THEN 'Organization'
+      |       WHEN s_suppkey % 6 < 4 THEN 'Thing|Organization'
+      |       ELSE 'Article' END AS types,
+      |  CASE WHEN s_suppkey % 6 < 4 THEN 'Organization'
+      |       ELSE 'Article' END AS jsonld_type
+      |FROM supplier""".stripMargin) { (spark, d) =>
+    import graft.functions.Exprs.preferWhitelisted
+    val k = col("s_suppkey").cast("string")
+    val m6 = col("s_suppkey") % 6
+    val typeJson = when(m6 < 2, lit("\"Organization\""))
+      .when(m6 < 4, lit("""["Thing","Organization"]"""))
+      .otherwise(lit("""["Article"]"""))
+    val logoJson = when(m6 === 0,
+        concat(lit("""{"url":"https://logo"""), k, lit(""".example.com/a.png"}""")))
+      .when(m6 === 1,
+        concat(lit("""{"@id":"https://logo"""), k, lit(""".example.com/id"}""")))
+      .when(m6 === 2, concat(lit("\"https://logo"), k, lit(".example.com/s.png\"")))
+    val sameAsJson = when(m6 % 2 === 0,
+        concat(lit("\"https://sa"), k, lit(".example.com\"")))
+      .otherwise(concat(lit("""["https://a"""), k,
+        lit("""","https://b"""), k, lit(""""]""")))
+    val node = concat(lit("""{"@type":"""), typeJson,
+      when(logoJson.isNotNull, concat(lit(""","logo":"""), logoJson)).otherwise(lit("")),
+      lit(""","sameAs":"""), sameAsJson, lit("}"))
+    val types = PortCoPipeline.typesFromRaw(col("t_raw"))
+    Tables.supplier(spark, d)
+      .select(col("s_suppkey"), node.as("node"))
+      .select(col("s_suppkey"),
+        json_tuple(col("node"), "@type", "logo", "sameAs")
+          .as(Seq("t_raw", "logo_raw", "sameas_raw")))
+      .select(col("s_suppkey"),
+        PortCoPipeline.logoFromRaw(col("logo_raw")).as("logo"),
+        concat_ws("|", PortCoPipeline.sameAsFromRaw(col("sameas_raw"))).as("same_as"),
+        concat_ws("|", types).as("types"),
+        preferWhitelisted(types).as("jsonld_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(portcoE2E, portcoRanks, foundedYearE2E,
+    x10UnionTypes)
 }

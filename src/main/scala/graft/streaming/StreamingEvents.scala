@@ -144,7 +144,9 @@ object StreamingEvents {
     c.join(p,
       col("c_user") === col("p_user") &&
         col("p_ts") > col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr(s"INTERVAL ${windowUs / 1000000} SECONDS"))
+        // microsecond interval literal: integer-dividing down to SECONDS
+        // silently truncated any windowUs not a whole second (ADVICE r10)
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowUs MICROSECOND"))
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delta_us"),
         col("value"))
