@@ -208,6 +208,33 @@ class PlanShapeSpec extends SparkSpec {
       s"expected (cluster,dim) agg + cluster assembly only:\n$p")
   }
 
+  test("wa_outliers: stats broadcast back onto the scan, no window, no shuffle join") {
+    // two-pass variance: one partial-agg'd shuffle to 5 type-level rows,
+    // broadcast back for the per-row sigma test — the row-level relation
+    // must never shuffle for the join
+    val p = plan("wa_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"expected stats broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"row side must not shuffle-join or window:\n$p")
+  }
+
+  test("st_stream_join: interval join is an equi-join on user, never nested-loop") {
+    // the time bounds ride as a post-join range condition on the user_id
+    // equi key; a BroadcastNestedLoopJoin here would be the unbounded-state
+    // batch analogue of the stream-join hazard the watermark bound removes
+    val p = plan("st_stream_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must keep its equi key:\n$p")
+  }
+
+  test("sim_knn_graph: banded candidates, no all-pairs join") {
+    val p = plan("sim_knn_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"knn graph must stay banded/bucketed:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the persisted assignment/qnorm store:\n$p")
+  }
+
   test("gr_pagerank: iterations stay equi-joins over the cached adjacency") {
     val p = plan("gr_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
