@@ -228,6 +228,57 @@ object Similarity {
           sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm")): _*))
   }
 
+  // ---- WIDE hyperplane family (the band-saturation tier) ----
+  /** 64-lane hyperplane family for the wide band tier. NOT the narrow
+    * family's {-3..3} mod-7 components: that family has at most 6 x 7 = 42
+    * distinct patterns (a lane depends only on A mod 7, B mod 7), so 64
+    * lanes would necessarily duplicate hyperplanes and the 16-bit bands
+    * would carry far fewer effective bits (measured: only a 2.8x candidate
+    * cut on a spread corpus). Components ((A i + B) mod 101) - 50 in
+    * {-50..50} give ~10k distinct patterns; (A, B) draw from consecutive
+    * primes (primes > 101 are never ≡ 0 mod 101, so no lane degenerates).
+    * Computed, not typed: the same Seq feeds both the Spark literals and
+    * the generated oracle SQL, so the two engines cannot drift. Dots stay
+    * exact longs: |q_i| <= ~1e9, |h_i| <= 50, 64 terms — well under 2^63. */
+  private def primesFrom(start: Long, n: Int): Seq[Long] =
+    Iterator.iterate(start)(_ + 1)
+      .filter(x => x > 1 && (2L to math.sqrt(x.toDouble).toLong).forall(x % _ != 0))
+      .take(n).toSeq
+  val HAWide: Seq[Long] = primesFrom(300000L, 64)
+  val HBWide: Seq[Long] = primesFrom(300L, 64)
+
+  private def hyperplaneW(j: Int): Seq[Long] =
+    (1 to Dim).map(i => ((HAWide(j) * i + HBWide(j)) % 101) - 50)
+
+  /** 16-bit band value b (0..3) of the 64-lane sign sketch: bit t set iff
+    * dot(q, h_{16b+t}) >= 0. Band values are built directly (sum of
+    * disjoint powers of two < 2^16) instead of slicing a packed 64-bit
+    * signature, so no band expression ever touches the long sign bit —
+    * 2^63 does not fit the oracle's BIGINT literal space. */
+  private def wideBandVal(q: Column, b: Int): Column =
+    (0 until 16).map { t =>
+      when(graft.plans.dotQNative(q, typedlit(hyperplaneW(16 * b + t))) >= 0,
+        lit(1L << t)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def wideBandValSql(q: String, b: Int): String =
+    (0 until 16).map { t =>
+      val j = 16 * b + t
+      s"CASE WHEN list_sum(list_transform(generate_series(1, len($q)), i -> $q[i] * (((${HAWide(j)}*i + ${HBWide(j)}) % 101) - 50))) >= 0 THEN CAST(${1L << t} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+
+  /** Wide analogue of [[hyperBandsOfQNorm]]: 4 bands x 16 bits from the
+    * 64-lane sketch — band value space 65,536 vs the narrow tier's 256.
+    * Same relation shape, so every consumer of the narrow store can take
+    * the wide one unchanged. */
+  def hyperBandsWideOfQNorm(r: DataFrame): DataFrame = {
+    val base = r.columns.toSeq.map(col)
+    r.select(base :+ explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_id"), wideBandVal(col("q"), b).as("band_val"))
+      }: _*)).as("band"): _*)
+      .select(base ++ Seq(col("band.band_id"), col("band.band_val")): _*)
+  }
+
   /** Hyperplane-LSH ANN: candidates = vectors sharing either 8-bit band of
     * the 16-bit sign sketch with the probe (sign sketches of near-parallel
     * vectors agree on most bits -> some band collides); exact quantized
@@ -260,9 +311,7 @@ object Similarity {
       // — possibly O(N)-skewed — LSH bucket in one aggregation buffer.
       // The probe side (vec_id < 100) is tiny, so it broadcasts: the
       // corpus never shuffles, which is the 100 TB shape for ANN probing.
-      val bands = graft.Persisted.of(spark, s"$d#hyperlsh_bands") {
-        hyperBandsOfQNorm(qnormRelation(spark, d).select("vec_id", "q", "norm"))
-      }
+      val bands = narrowBandsRelation(spark, d)
       val probe = bands.filter(col("vec_id") < 100)
         .select(col("band_id"), col("band_val"), col("vec_id").as("qid"),
           col("q").as("qa"), col("norm").as("na"))
@@ -580,39 +629,124 @@ object Similarity {
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
         |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
         |WHERE rn <= $k""".stripMargin) { (spark, d) =>
-      val bands = graft.Persisted.of(spark, s"$d#hyperlsh_bands") {
-        hyperBandsOfQNorm(qnormRelation(spark, d).select("vec_id", "q", "norm"))
-      }
-      // Score DURING the band join, dedup AFTER: the ~1 KB quantized
-      // vectors shuffle exactly once, by band key, on each side of the
-      // self-join (volume ∝ corpus, never ∝ pairs); the cosine is computed
-      // in the join stage, so what reaches the distinct is the 24-byte
-      // (qid, nid, cosine) row — sound because cosine is a pure function
-      // of the pair, at the price of re-scoring the <=2x pairs that
-      // collide on both bands. The two earlier forms both shuffled
-      // per-PAIR wide rows somewhere (arrays through the distinct: 1.6 s
-      // at sf0.1; bare-id distinct then vector gather joins: 0.6 s at
-      // sf0.1 but ~12 s at sf1, where the duplicate-heavy inflated corpus
-      // pushes 14M candidate pairs through a ~0.5 KB/row gather
-      // exchange). Pair volume only ever rides narrow rows here — the
-      // shape that survives a duplicate-skewed 100 TB corpus.
-      val a = bands.select(col("band_id"), col("band_val"),
-        col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na"))
-      val b = bands.select(col("band_id"), col("band_val"),
-        col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb"))
-      val scored = a.join(b, Seq("band_id", "band_val"))
-        .filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"),
-          round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
-            (col("na") * col("nb")), 6).as("cosine"))
-        .distinct()
-      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-        .select("qid", "nid", "cosine")
+      knnGraphFromBands(narrowBandsRelation(spark, d), k)
     }
   }
 
+  /** Session-persisted narrow (2 x 8-bit) band store over the corpus —
+    * shared by sim_lsh_ann, sim_knn_graph, and the auto tier router. */
+  def narrowBandsRelation(spark: SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#hyperlsh_bands") {
+      hyperBandsOfQNorm(qnormRelation(spark, d).select("vec_id", "q", "norm"))
+    }
+
+  /** Session-persisted wide (4 x 16-bit) band store — the tier past the
+    * narrow bands' saturation knee. */
+  def wideBandsRelation(spark: SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#hyperlsh_bands_wide") {
+      hyperBandsWideOfQNorm(qnormRelation(spark, d).select("vec_id", "q", "norm"))
+    }
+
+  /** Shared graph tail for both band tiers. Score DURING the band join,
+    * dedup AFTER: the ~1 KB quantized vectors shuffle exactly once, by
+    * band key, on each side of the self-join (volume ∝ corpus, never ∝
+    * pairs); the cosine is computed in the join stage, so what reaches the
+    * distinct is the 24-byte (qid, nid, cosine) row — sound because cosine
+    * is a pure function of the pair, at the price of re-scoring the pairs
+    * that collide on more than one band. The two earlier forms both
+    * shuffled per-PAIR wide rows somewhere (arrays through the distinct:
+    * 1.6 s at sf0.1; bare-id distinct then vector gather joins: 0.6 s at
+    * sf0.1 but ~12 s at sf1, where the duplicate-heavy inflated corpus
+    * pushes 14M candidate pairs through a ~0.5 KB/row gather exchange).
+    * Pair volume only ever rides narrow rows here — the shape that
+    * survives a duplicate-skewed 100 TB corpus. */
+  private def knnGraphFromBands(bands: DataFrame, k: Int): DataFrame = {
+    val a = bands.select(col("band_id"), col("band_val"),
+      col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na"))
+    val b = bands.select(col("band_id"), col("band_val"),
+      col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb"))
+    val scored = a.join(b, Seq("band_id", "band_val"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb")), 6).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "nid", "cosine")
+  }
+
+  /** WIDE-band tier of [[simKnnGraph]] (4 x 16-bit bands, 65,536 bucket
+    * values): candidate volume ~ 4 n^2 / 65536 vs the narrow tier's
+    * 2 n^2 / 256 — a 128x pair cut. Measured: the narrow graph grows
+    * 17x/decade past sf0.1 (sf1 = 7.3 s, 19.5M raw pairs on the
+    * duplicate-skewed inflated corpus) — the same quadratic knee the
+    * simhash family hit at 16-bit bands (ARCHITECTURE.md round-7).
+    * Recall trades per-band collision p^8 -> p^16 against double the
+    * bands: expected collisions 4 p^16 >= 2 p^8 once p >= 2^(-1/8) ≈ 0.92
+    * (cosine ≳ 0.97), so the wide tier keeps the closest edges — the ones
+    * a top-3 list is made of — and sheds the moderate-similarity band
+    * noise the narrow tier drowns in past the knee.
+    * Same banded shape end-to-end: equi-join on (band_id, band_val), exact
+    * rescoring of candidates only, per-node top-k window. */
+  val simKnnGraphWide: QueryDef = {
+    val k = 3
+    val bv = (0 until 4).map(b => wideBandValSql("qv", b))
+    QueryDef("sim_knn_graph_wide",
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
+        |sig AS (SELECT vec_id, qv, ${bv(0)} AS bv0, ${bv(1)} AS bv1, ${bv(2)} AS bv2, ${bv(3)} AS bv3 FROM q),
+        |bands AS (SELECT vec_id, band_id,
+        |    CASE band_id WHEN 0 THEN bv0 WHEN 1 THEN bv1 WHEN 2 THEN bv2 ELSE bv3 END AS band_val
+        |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
+        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+        |    AND a.vec_id <> b.vec_id),
+        |dots AS (SELECT c.qid, c.nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(x.qv)), i -> x.qv[i] * y.qv[i])) AS DOUBLE) AS dot
+        |  FROM cand c JOIN q x ON x.vec_id = c.qid JOIN q y ON y.vec_id = c.nid),
+        |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q)
+        |SELECT qid, nid, cosine FROM (
+        |  SELECT qid, nid, round(dot / (na.norm * nb.norm), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
+        |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
+        |WHERE rn <= $k""".stripMargin) { (spark, d) =>
+      knnGraphFromBands(wideBandsRelation(spark, d), k)
+    }
+  }
+
+  /** Band-occupancy knee for the graph tier rule: expected candidates per
+    * node are b*n/space — narrow n/128, wide n/16384. The wide tier only
+    * has enough bucket-mates to fill a top-k list once n/16384 >= ~8, i.e.
+    * n ≈ 2 * 65536 — the SAME knee arithmetic as the simhash tiers
+    * (Dedup.SimhashBandKnee), where the narrow tier's raw pair volume
+    * (2 n^2 / 256 ≈ 2.7e8 at the knee) has long left the linear regime. */
+  val KnnBandKnee: Long = 2L * 65536
+
+  /** Band bits for a corpus of `nVecs` — the pure tier rule
+    * [[knnGraphAuto]] applies, factored out for spec checks. */
+  def knnGraphTier(nVecs: Long, knee: Long = KnnBandKnee): Int =
+    if (nVecs < knee) 8 else 16
+
+  private val vecCountMemo = new graft.SessionMemo[java.lang.Long]
+  private def vecCount(spark: SparkSession, d: String): Long =
+    vecCountMemo.of(spark, d)(Long.box(Tables.embeddings(spark, d).count()))
+
+  /** AUTO-TIER k-NN graph: routes between the band tiers on corpus size vs
+    * the occupancy knee, the [[graft.operators.Dedup.simhashNearDupAuto]]
+    * pattern — a caller whose corpus grows past saturation does not
+    * silently keep the drowning tier, and a small corpus does not get the
+    * wide tier's near-empty buckets (graph recall collapses below the
+    * knee). The declared oracle queries pin their tiers explicitly so the
+    * gate stays deterministic at every SF. */
+  def knnGraphAuto(spark: SparkSession, d: String, k: Int = 3,
+                   knee: Long = KnnBandKnee): DataFrame =
+    if (knnGraphTier(vecCount(spark, d), knee) == 8)
+      knnGraphFromBands(narrowBandsRelation(spark, d), k)
+    else
+      knnGraphFromBands(wideBandsRelation(spark, d), k)
+
   val all: Seq[QueryDef] = Seq(
     simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
-    simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf, simKnnGraph)
+    simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf, simKnnGraph,
+    simKnnGraphWide)
 }

@@ -235,6 +235,14 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the persisted assignment/qnorm store:\n$p")
   }
 
+  test("sim_knn_graph_wide: same banded shape over the wide band store") {
+    val p = plan("sim_knn_graph_wide")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"wide knn graph must stay banded/bucketed:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the persisted wide band store:\n$p")
+  }
+
   test("gr_pagerank: iterations stay equi-joins over the cached adjacency") {
     val p = plan("gr_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -109,6 +109,56 @@ class ScaleSpec extends SparkSpec {
     assert(wide.map(t => (t._1, t._2)).subsetOf(narrow.map(t => (t._1, t._2))))
   }
 
+  test("wide hyperplane bands keep buckets sparse where the narrow tier saturates") {
+    import graft.operators.Similarity
+    // Spread synthetic corpus (xxhash64-derived components: pairwise
+    // near-orthogonal, so there are no genuine near neighbors — any band
+    // collision is pure bucket saturation): 3000 vectors. Narrow 8-bit
+    // buckets collide random pairs at ~2/256; the 16-bit wide bands must
+    // stay at least an order of magnitude sparser. Count-based
+    // (deterministic) twin of the timed sf1 point in ARCHITECTURE.md.
+    // (The testdata embeddings are the WRONG corpus for this check: they
+    // are cluster-generated, and same-cluster vectors are genuine
+    // neighbors both tiers rightly keep — measured: only a 2.6x cut.)
+    val qn = spark.range(3000)
+      .select(col("id").as("vec_id"), transform(sequence(lit(1), lit(64)),
+        i => pmod(xxhash64(col("id"), i), lit(2001L)) - lit(1000L)).as("q"))
+      .select(col("vec_id"), col("q"),
+        sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm"))
+      .cache()
+    def rawCandidates(bands: org.apache.spark.sql.DataFrame): Long = {
+      val b = bands.select("vec_id", "band_id", "band_val").cache()
+      try {
+        val a1 = b.select(col("band_id"), col("band_val"), col("vec_id").as("qid"))
+        val b1 = b.select(col("band_id"), col("band_val"), col("vec_id").as("nid"))
+        a1.join(b1, Seq("band_id", "band_val")).filter(col("qid") < col("nid"))
+          .select("qid", "nid").distinct().count()
+      } finally b.unpersist()
+    }
+    val cNarrow = rawCandidates(Similarity.hyperBandsOfQNorm(qn))
+    val cWide = rawCandidates(Similarity.hyperBandsWideOfQNorm(qn))
+    qn.unpersist()
+    assert(cWide * 10 <= cNarrow,
+      s"wide bands must cut raw candidates >=10x at 3000 vectors (narrow=$cNarrow, wide=$cWide)")
+  }
+
+  test("auto-tier knn graph flips 8 -> 16 bit bands at the occupancy knee") {
+    import graft.operators.Similarity
+    assert(Similarity.KnnBandKnee === 131072L)
+    assert(Similarity.knnGraphTier(Similarity.KnnBandKnee - 1) === 8)
+    assert(Similarity.knnGraphTier(Similarity.KnnBandKnee) === 16)
+    assert(Similarity.knnGraphTier(5000) === 8)     // every test SF
+    assert(Similarity.knnGraphTier(500000) === 16)  // the sf10 decade point
+    // end-to-end with an overridden knee so both tiers run on the small SF:
+    // the auto path must equal the declared tier queries' edge sets
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val narrow = edges(Similarity.knnGraphAuto(spark, sf0001, knee = Long.MaxValue))
+    val wide = edges(Similarity.knnGraphAuto(spark, sf0001, knee = 1L))
+    assert(narrow === edges(Similarity.simKnnGraph.fn(spark, sf0001)))
+    assert(wide === edges(Similarity.simKnnGraphWide.fn(spark, sf0001)))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
