@@ -258,14 +258,26 @@ object ExtendedQueries {
       |  true AS hll_within_2pct,
       |  true AS p50_within_5pct
       |FROM orders GROUP BY o_orderpriority""".stripMargin) { (spark, d) =>
-    Tables.orders(spark, d)
-      .groupBy("o_orderpriority")
+    // The exact distinct count runs as its OWN aggregation, joined back on
+    // the 5-row group key — NEVER in the same agg as the sketches. Mixing
+    // countDistinct with buffer-heavy imperative aggregates triggers
+    // Spark's distinct-rewrite expand: the sketches lose map-side partial
+    // aggregation and PartialMerge per (group, custkey) row instead — an
+    // O(registers)=2^16 HLL buffer merge PER ROW. Measured: 20 s at
+    // sf0.01 looked like a constant; at sf1 it was 20+ single-core
+    // MINUTES (~750k x 64 KB merges) — the shape never finishes at
+    // 100 TB. Split, both scans keep true partial agg (one merge per map
+    // partition) and the join is a 5-row broadcast.
+    val base = Tables.orders(spark, d)
+    val sketches = base.groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
-        countDistinct(col("o_custkey")).as("exact_customers"),
         approx_count_distinct(col("o_custkey"), 0.005).as("hll_customers"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("kll_median"),
         expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+    val exactDistinct = base.select("o_orderpriority", "o_custkey").distinct()
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("exact_customers"))
+    sketches.join(exactDistinct, "o_orderpriority")
       .select(
         col("o_orderpriority"), col("n"), col("exact_customers"),
         (abs(col("hll_customers") - col("exact_customers")) <=

@@ -244,5 +244,47 @@ object Multimodal {
       }.toDF("doc_id", "format", "ahash")
   }
 
-  val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample, mmResize, mmAhash)
+  /** Video near-dup via shared frame fingerprints: two media items are
+    * near-duplicates when their SAMPLED frame sets share >= 2 distinct
+    * frame digests (re-encodes, trims, and re-containered copies keep most
+    * frame content bit-identical; frame-level fingerprint joins are how
+    * video dedup runs at scale — the equi-join on frame_md5 is the exact
+    * analogue of the text family's band join: candidates ∝ genuine shared
+    * content, never all pairs). overlap_ppm = shared/min(|A|,|B|) in ppm
+    * via integer floor division — the same asymmetric-containment measure
+    * as dd_containment, so a short clip embedded in a longer cut still
+    * scores high. The frame relation is computed once per session
+    * (Persisted) and self-joined; at 100 TB the frame store is written
+    * once per ingest and the join is incremental per batch, like the
+    * MinHash signature store. */
+  val mmFrameOverlap: QueryDef =
+    QueryDef("mm_frame_overlap",
+      s"""WITH fr AS (SELECT DISTINCT doc_id, frame_md5 FROM (
+        |${mmFrameSample.oracle.get}) t),
+        |cnt AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM fr a JOIN fr b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared,
+        |  n_shared * 1000000 // least(ca.nf, cb.nf) AS overlap_ppm
+        |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+        |WHERE n_shared >= 2""".stripMargin) { (spark, d) =>
+      val fr = graft.Persisted.of(spark, s"$d#mm_frames") {
+        mmFrameSample.fn(spark, d).select("doc_id", "frame_md5").distinct()
+      }
+      val cnt = fr.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val a = fr.select(col("doc_id").as("doc_a"), col("frame_md5"))
+      val b = fr.select(col("doc_id").as("doc_b"), col("frame_md5"))
+      a.join(b, Seq("frame_md5")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          expr("(n_shared * 1000000) div least(nfa, nfb)").as("overlap_ppm"))
+    }
+
+  val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample, mmResize, mmAhash,
+    mmFrameOverlap)
 }

@@ -745,8 +745,36 @@ object Similarity {
     else
       knnGraphFromBands(wideBandsRelation(spark, d), k)
 
+  /** Index-quality evaluation: recall@3 of the LSH ANN path against the
+    * exact brute-force top-3, per probe — the standard acceptance check an
+    * approximate index runs on a SAMPLED probe set before serving a 100 TB
+    * corpus (the brute-force side is O(probes x corpus), affordable
+    * exactly because the probe set is a sample; the LSH side reads the
+    * persisted band store the production queries share). Everything is
+    * integer end-to-end (hit counts, ppm via floor division), so the
+    * cross-engine hash has no tie surface; the underlying top-3 sets are
+    * deterministic by the 6-dp round + nid tiebreak both engines already
+    * agree on (sim_cosine_topk / sim_lsh_ann green). */
+  val simRecallEval: QueryDef =
+    QueryDef("sim_recall_eval",
+      s"""SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+        |  CAST(count(a.nid) AS BIGINT) * 1000000 // 3 AS recall_ppm
+        |FROM (${topkOracle(" WHERE vec_id < 20", "", 3)}) e
+        |LEFT JOIN (
+        |${simLshHyperplane.oracle.get}) a ON a.qid = e.qid AND a.nid = e.nid
+        |GROUP BY e.qid""".stripMargin) { (spark, d) =>
+      val exact = sparkTopKDec(spark, d, 20, sameCell = false, k = 3)
+        .select("qid", "nid")
+      val approx = simLshHyperplane.fn(spark, d)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy("qid").agg(count(col("hit")).as("hits"))
+        .select(col("qid"), col("hits"),
+          expr("(hits * 1000000) div 3").as("recall_ppm"))
+    }
+
   val all: Seq[QueryDef] = Seq(
     simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
     simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf, simKnnGraph,
-    simKnnGraphWide)
+    simKnnGraphWide, simRecallEval)
 }
