@@ -28,7 +28,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata = one parquet FILE per table; Inflate scale dirs
+        # (sf1/sf10) = a Spark-written DIRECTORY of part files
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     # Cross-check the dump's own status: a query Verify recorded as FAILED
     # must never score OK off a stale prior-round parquet dir (the
