@@ -77,5 +77,45 @@ object GraphQueries {
     ranks
   }
 
-  val all: Seq[QueryDef] = Seq(grPagerank)
+  /** Triangle count over the undirected knn graph — the local-clustering
+    * diagnostic of an embedding space (a high triangle density means the
+    * ANN edges form coherent semantic neighborhoods; a triangle-free
+    * graph means the top-k lists are mutually inconsistent, the classic
+    * symptom of a bad metric or an over-quantized index).
+    *
+    * Distributed shape: the ORIENTED-WEDGE algorithm. Undirect and orient
+    * every edge low-id -> high-id (each triangle x<y<z then exists as
+    * exactly one wedge (x,y)+(y,z) closed by (x,z) — no double counting,
+    * no direction cases), build wedges with ONE self-equi-join on the
+    * middle vertex, and close them with ONE semi-join against the edge
+    * set. Two shuffles of the edge relation (by v, then by (u, w)), both
+    * partial-agg'd; the session-persisted edge store is read three times
+    * but materialized once. At cluster scale the orientation is by
+    * DEGREE (low-degree endpoint first), which bounds wedge fan-out by
+    * sqrt(m) per node; id-orientation is the same plan with a different
+    * sort key, and on the knn graph out-degree is already capped at k. */
+  val grTriangles: QueryDef = {
+    val knnSql = Similarity.simKnnGraph.oracle.get
+    QueryDef("gr_triangles",
+      s"""WITH g AS (SELECT qid, nid FROM ($knnSql) kg),
+        |e AS (SELECT DISTINCT least(qid, nid) AS u, greatest(qid, nid) AS v FROM g),
+        |w AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e a JOIN e b ON a.v = b.u),
+        |t AS (SELECT 1 FROM w JOIN e ON e.u = w.x AND e.v = w.z)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |       CAST(COUNT(*) AS BIGINT) AS n_triangles FROM t""".stripMargin) { (spark, d) =>
+      val e = graft.Persisted.of(spark, s"$d#knn_undirected") {
+        Similarity.simKnnGraph.fn(spark, d)
+          .select(least(col("qid"), col("nid")).as("u"),
+            greatest(col("qid"), col("nid")).as("v")).distinct()
+      }
+      val wedges = e.select(col("u").as("x"), col("v").as("y"))
+        .join(e.select(col("u").as("y"), col("v").as("z")), "y")
+      val tris = wedges.join(e,
+          wedges("x") === e("u") && wedges("z") === e("v"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(tris)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(grPagerank, grTriangles)
 }
