@@ -275,7 +275,11 @@ object ExtendedQueries {
         approx_count_distinct(col("o_custkey"), 0.005).as("hll_customers"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("kll_median"),
         expr("percentile(o_totalprice, 0.5)").as("exact_median"))
-    val exactDistinct = base.select("o_orderpriority", "o_custkey").distinct()
+    // isNotNull before distinct: COUNT(DISTINCT x) ignores NULLs on both
+    // engines, and distinct()+count would count one — the testdata has no
+    // NULL custkeys today, but the split must preserve the semantics
+    val exactDistinct = base.filter(col("o_custkey").isNotNull)
+      .select("o_orderpriority", "o_custkey").distinct()
       .groupBy("o_orderpriority").agg(count(lit(1)).as("exact_customers"))
     sketches.join(exactDistinct, "o_orderpriority")
       .select(

@@ -49,7 +49,7 @@ object GraphQueries {
         |$cs
         |SELECT vec_id, r AS rank_e9 FROM n$iters""".stripMargin) { (spark, d) =>
       val edges = graft.Persisted.of(spark, s"$d#knn_adjacency") {
-        val e = Similarity.simKnnGraph.fn(spark, d).select(col("qid"), col("nid"))
+        val e = Similarity.knnEdgesRelation(spark, d).select(col("qid"), col("nid"))
         e.join(e.groupBy("qid").agg(count(lit(1)).as("deg")), "qid")
       }
       val nodes = Tables.embeddings(spark, d).select("vec_id")
@@ -104,7 +104,7 @@ object GraphQueries {
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
         |       CAST(COUNT(*) AS BIGINT) AS n_triangles FROM t""".stripMargin) { (spark, d) =>
       val e = graft.Persisted.of(spark, s"$d#knn_undirected") {
-        Similarity.simKnnGraph.fn(spark, d)
+        Similarity.knnEdgesRelation(spark, d)
           .select(least(col("qid"), col("nid")).as("u"),
             greatest(col("qid"), col("nid")).as("v")).distinct()
       }

@@ -714,12 +714,20 @@ object Similarity {
     }
   }
 
+  /** Session-persisted knn-graph edge set (qid, nid, cosine) — the
+    * materialized graph every graph-analytics consumer derives from
+    * (gr_pagerank's degree-attached adjacency, gr_triangles' undirected
+    * edges), so the band self-join + top-k window runs once per session,
+    * not once per consumer. */
+  def knnEdgesRelation(spark: SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#knn_edges") { simKnnGraph.fn(spark, d) }
+
   /** Band-occupancy knee for the graph tier rule: expected candidates per
     * node are b*n/space — narrow n/128, wide n/16384. The wide tier only
     * has enough bucket-mates to fill a top-k list once n/16384 >= ~8, i.e.
     * n ≈ 2 * 65536 — the SAME knee arithmetic as the simhash tiers
     * (Dedup.SimhashBandKnee), where the narrow tier's raw pair volume
-    * (2 n^2 / 256 ≈ 2.7e8 at the knee) has long left the linear regime. */
+    * (2 n^2 / 256 ≈ 1.3e8 at the knee) has long left the linear regime. */
   val KnnBandKnee: Long = 2L * 65536
 
   /** Band bits for a corpus of `nVecs` — the pure tier rule

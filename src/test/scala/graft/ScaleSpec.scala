@@ -53,6 +53,20 @@ class ScaleSpec extends SparkSpec {
     assert(s.filter(!col("s_name").rlike("^Supplier#\\d{10}$")).count() == 0)
   }
 
+  /** Distinct one-directional band-collision pairs of an (id, band_id,
+    * band_val) relation — the shared candidate-counting discipline of both
+    * saturation tests (simhash and hyperplane tiers). */
+  private def rawCandidates(bands: org.apache.spark.sql.DataFrame,
+                            idCol: String): Long = {
+    val b = bands.select(idCol, "band_id", "band_val").cache()
+    try {
+      val a1 = b.select(col("band_id"), col("band_val"), col(idCol).as("id_a"))
+      val b1 = b.select(col("band_id"), col("band_val"), col(idCol).as("id_b"))
+      a1.join(b1, Seq("band_id", "band_val")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    } finally b.unpersist()
+  }
+
   test("64-bit bands keep candidate buckets sparse where the 8-bit baseline saturates") {
     // Word-salted replicas (the Inflate documents transform, in-memory):
     // 3000 docs, shingle-disjoint across replicas, so there are no
@@ -68,17 +82,8 @@ class ScaleSpec extends SparkSpec {
       (col("doc_id") + col("rep") * 100000000L).as("doc_id"),
       regexp_replace(col("text"), lit("(\\S+)"),
         concat(lit("$1x"), col("rep").cast("string"))).as("text")).cache()
-    def rawCandidates(bands: org.apache.spark.sql.DataFrame): Long = {
-      val b = bands.cache()
-      try {
-        val a1 = b.select(col("band_id"), col("band_val"), col("doc_id").as("doc_a"))
-        val b1 = b.select(col("band_id"), col("band_val"), col("doc_id").as("doc_b"))
-        a1.join(b1, Seq("band_id", "band_val")).filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct().count()
-      } finally b.unpersist()
-    }
-    val c32 = rawCandidates(graft.operators.Dedup.simhash32Bands(docs))
-    val c64 = rawCandidates(graft.operators.Dedup.simhash64Bands(docs))
+    val c32 = rawCandidates(graft.operators.Dedup.simhash32Bands(docs), "doc_id")
+    val c64 = rawCandidates(graft.operators.Dedup.simhash64Bands(docs), "doc_id")
     docs.unpersist()
     assert(c64 * 10 <= c32,
       s"production bands must cut raw candidates >=10x at 3000 docs (c32=$c32, c64=$c64)")
@@ -126,17 +131,8 @@ class ScaleSpec extends SparkSpec {
       .select(col("vec_id"), col("q"),
         sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm"))
       .cache()
-    def rawCandidates(bands: org.apache.spark.sql.DataFrame): Long = {
-      val b = bands.select("vec_id", "band_id", "band_val").cache()
-      try {
-        val a1 = b.select(col("band_id"), col("band_val"), col("vec_id").as("qid"))
-        val b1 = b.select(col("band_id"), col("band_val"), col("vec_id").as("nid"))
-        a1.join(b1, Seq("band_id", "band_val")).filter(col("qid") < col("nid"))
-          .select("qid", "nid").distinct().count()
-      } finally b.unpersist()
-    }
-    val cNarrow = rawCandidates(Similarity.hyperBandsOfQNorm(qn))
-    val cWide = rawCandidates(Similarity.hyperBandsWideOfQNorm(qn))
+    val cNarrow = rawCandidates(Similarity.hyperBandsOfQNorm(qn), "vec_id")
+    val cWide = rawCandidates(Similarity.hyperBandsWideOfQNorm(qn), "vec_id")
     qn.unpersist()
     assert(cWide * 10 <= cNarrow,
       s"wide bands must cut raw candidates >=10x at 3000 vectors (narrow=$cNarrow, wide=$cWide)")
