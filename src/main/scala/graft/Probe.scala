@@ -48,6 +48,24 @@ object Probe {
       // NOTE: the winning "+0.5 cast" fixed-point forms were PROMOTED into
       // the declared queries (q1_agg/j4/o1/w1) — probe them by their real
       // names; the variants kept below are the measured alternatives.
+      // A/B for the MinHash band-key encoding (VERDICT r10 #7): the packed
+      // long is the production path (Dedup.packedBandSig); the concat
+      // string is the pre-r10 form kept here for the measured delta.
+      "lsh_pairs_packed" -> (() =>
+        graft.operators.Dedup.lshCandidatePairs(
+          graft.operators.Dedup.minhashSigRelation(spark, d))
+          .select(count(lit(1)))),
+      "lsh_pairs_string" -> (() => {
+        val sigs = graft.operators.Dedup.minhashSigRelation(spark, d)
+        val bands = sigs.select(col("doc_id"), explode(array((0 until 4).map { bid =>
+          struct(lit(bid).as("band_id"),
+            concat_ws(",", col(s"mh${2 * bid}"), col(s"mh${2 * bid + 1}")).as("band_sig"))
+        }: _*)).as("band")).select(col("doc_id"), col("band.*"))
+        val a = bands.select(col("band_id"), col("band_sig"), col("doc_id").as("doc_a"))
+        val b = bands.select(col("band_id"), col("band_sig"), col("doc_id").as("doc_b"))
+        a.join(b, Seq("band_id", "band_sig")).filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct().select(count(lit(1)))
+      }),
       "q1_cents" -> (() => li
         .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
