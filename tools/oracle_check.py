@@ -44,22 +44,53 @@ def main(sf_dir: str, out_dir: str) -> int:
         dump_failed = set(st.get("failed", []))
         if st.get("declared") != len(oracle):
             print(f"WARN verify_status declared={st.get('declared')} != oracle entries {len(oracle)}")
+    # Optional per-oracle wall-clock budget (ORACLE_TIMEOUT_SEC): some
+    # GENERATED oracles (knn/LSH SQL over inflated sf1+ vectors) are
+    # hours-slow in DuckDB while the engine side finishes in seconds — a
+    # timeout records the oracle as TIMEOUT (listed, not scored) so the
+    # rest of the suite still gets checked. Timeouts are an ORACLE-cost
+    # statement, never evidence about the Spark result.
+    timeout_sec = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0") or 0)
+    timeouts = []
+
+    def run_oracle(sql):
+        if timeout_sec <= 0:
+            return con.execute(sql).fetchdf()
+        import threading
+        fired = threading.Event()
+
+        def _interrupt():
+            fired.set()
+            con.interrupt()
+        t = threading.Timer(timeout_sec, _interrupt)
+        t.start()
+        try:
+            return con.execute(sql).fetchdf()
+        except Exception:
+            if fired.is_set():
+                raise TimeoutError(f"oracle exceeded {timeout_sec:.0f}s")
+            raise
+        finally:
+            t.cancel()
+
     failures = 0
     for name, sql in sorted(oracle.items()):
         spark_path = os.path.join(out_dir, name)
         if name in dump_failed:
-            print(f"FAIL {name}: verify dump recorded failure"); failures += 1; continue
+            print(f"FAIL {name}: verify dump recorded failure", flush=True); failures += 1; continue
         if not os.path.isdir(spark_path):
-            print(f"FAIL {name}: no spark output dir"); failures += 1; continue
+            print(f"FAIL {name}: no spark output dir", flush=True); failures += 1; continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: cannot read spark parquet: {e}"); failures += 1; continue
+            print(f"FAIL {name}: cannot read spark parquet: {e}", flush=True); failures += 1; continue
         try:
-            want = con.execute(sql).fetchdf()
+            want = run_oracle(sql)
+        except TimeoutError as e:
+            print(f"TIMEOUT {name}: {e}", flush=True); timeouts.append(name); continue
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}"); failures += 1; continue
+            print(f"FAIL {name}: duckdb error: {e}", flush=True); failures += 1; continue
         got, want = canon(got), canon(want)
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns spark={list(got.columns)} duck={list(want.columns)}")
@@ -85,8 +116,11 @@ def main(sf_dir: str, out_dir: str) -> int:
                     print(f"   row {i} col {c}: spark={got[c].iloc[i]!r} duck={want[c].iloc[i]!r}")
             failures += 1
         else:
-            print(f"OK   {name}: {len(got)} rows")
-    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+            print(f"OK   {name}: {len(got)} rows", flush=True)
+    checked = len(oracle) - len(timeouts)
+    if timeouts:
+        print(f"\nORACLE TIMEOUTS ({len(timeouts)}, unscored): {', '.join(timeouts)}")
+    print(f"\n{checked - failures}/{checked} queries match", flush=True)
     return 1 if failures else 0
 
 
