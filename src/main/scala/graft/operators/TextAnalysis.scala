@@ -997,6 +997,59 @@ object TextAnalysis {
     * demonstration training loop (VERDICT r10 #4 asked >= 4). */
   private val bpeTrainRounds = 5
 
+  /** The SQL training rounds shared by every BPE oracle: CTEs
+    * v0 (corpus vocab), p_k (pair counts), t_k (argmax merge), v_k
+    * (merged vocab), for k = 1..n. Generated from ONE template so the
+    * train and encode oracles cannot drift. */
+  private def bpeTrainCtes(n: Int): String = {
+    val b = new StringBuilder(
+      """v0 AS (SELECT w, COUNT(*) AS wn FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents) t
+        |  GROUP BY w)""".stripMargin)
+    for (k <- 1 to n) b ++=
+      s""",
+         |p$k AS (SELECT substring(w, i, 2) AS pair, SUM(wn) AS n
+         |       FROM (SELECT w, wn, unnest(generate_series(1, length(w) - 1)) AS i FROM v${k - 1}) t
+         |       GROUP BY 1),
+         |t$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
+         |v$k AS (SELECT replace(v${k - 1}.w, t$k.pair, chr($k)) AS w, wn FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
+    b.toString
+  }
+
+  /** The learned merge table (iter, pair, count) for the documents table
+    * of `d` — the [[taBpeTrain]] loop factored out and memoized per
+    * (session, dir): the driver holds only the n-pair table, each round is
+    * one vocab-sized partial-agg'd shuffle + a TakeOrdered(1), and every
+    * consumer (training output, corpus encoding) shares one run. */
+  private val bpeMergesMemo = new graft.SessionMemo[Seq[(Int, String, Long)]]
+  def bpeMerges(spark: org.apache.spark.sql.SparkSession, d: String,
+                n: Int = bpeTrainRounds): Seq[(Int, String, Long)] =
+    bpeMergesMemo.of(spark, s"$d#bpe_merges_$n") {
+      val tf = graft.Persisted.of(spark, s"$d#term_tf") {
+        Tables.documents(spark, d)
+          .select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+      }
+      var vocab = tf.groupBy("w").agg(sum("tf").as("wn"))
+      var prevRound: DataFrame = null
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      for (k <- 1 to n) {
+        val cur = vocab.persist()
+        val top = bpePairCounts(cur, "w")
+          .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
+        merges += ((k, top.getString(0), top.getLong(1)))
+        if (prevRound != null) prevRound.unpersist()
+        prevRound = cur
+        // call_function keeps the merge pair a bound literal — markers are
+        // control chars, so splicing them into SQL text would be fragile
+        vocab = cur.select(
+          call_function("replace", col("w"), lit(top.getString(0)),
+            lit(k.toChar.toString)).as("w"),
+          col("wn"))
+      }
+      if (prevRound != null) prevRound.unpersist()
+      merges.result()
+    }
+
   /** The FULL BPE-training loop to a vocab budget: [[taBpePairs]]'s
     * count→argmax→merge round iterated [[bpeTrainRounds]] times, emitting
     * the learned merge table (iter, pair, corpus pair count). Loop state
@@ -1017,47 +1070,13 @@ object TextAnalysis {
   val taBpeTrain: QueryDef = {
     val n = bpeTrainRounds
     val sql = {
-      val b = new StringBuilder(
-        """WITH v0 AS (SELECT w, COUNT(*) AS wn FROM (
-          |    SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents) t
-          |  GROUP BY w)""".stripMargin)
-      for (k <- 1 to n) b ++=
-        s""",
-           |p$k AS (SELECT substring(w, i, 2) AS pair, SUM(wn) AS n
-           |       FROM (SELECT w, wn, unnest(generate_series(1, length(w) - 1)) AS i FROM v${k - 1}) t
-           |       GROUP BY 1),
-           |t$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
-           |v$k AS (SELECT replace(v${k - 1}.w, t$k.pair, chr($k)) AS w, wn FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
       val render = (1 to n).foldLeft("pair")((acc, k) => s"replace($acc, chr($k), '<M$k>')")
-      b ++= (1 to n).map(k =>
+      s"WITH ${bpeTrainCtes(n)}" + (1 to n).map(k =>
         s"\nSELECT CAST($k AS INTEGER) AS iter, $render AS pair, CAST(n AS BIGINT) AS n FROM t$k")
         .mkString("", "\nUNION ALL", "")
-      b.toString
     }
     QueryDef("ta_bpe_train", sql) { (spark, d) =>
-      val tf = graft.Persisted.of(spark, s"$d#term_tf") {
-        Tables.documents(spark, d)
-          .select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
-      }
-      var vocab = tf.groupBy("w").agg(sum("tf").as("wn"))
-      var prevRound: DataFrame = null
-      val merges = Seq.newBuilder[(Int, String, Long)]
-      for (k <- 1 to n) {
-        val cur = vocab.persist()
-        val top = bpePairCounts(cur, "w")
-          .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
-        val (pr, cnt) = (top.getString(0), top.getLong(1))
-        merges += ((k, pr, cnt))
-        if (prevRound != null) prevRound.unpersist()
-        prevRound = cur
-        // call_function keeps the merge pair a bound literal — markers are
-        // control chars, so splicing them into SQL text would be fragile
-        vocab = cur.select(
-          call_function("replace", col("w"), lit(pr), lit(k.toChar.toString)).as("w"),
-          col("wn"))
-      }
-      if (prevRound != null) prevRound.unpersist()
-      val rendered = merges.result().map { case (k, pr, cnt) =>
+      val rendered = bpeMerges(spark, d, n).map { case (k, pr, cnt) =>
         (k, (1 to n).foldLeft(pr)((s, j) => s.replace(j.toChar.toString, s"<M$j>")), cnt)
       }
       import spark.implicits._
@@ -1065,9 +1084,64 @@ object TextAnalysis {
     }
   }
 
+  /** BPE ENCODING — the trained tokenizer APPLIED to the corpus: per-doc
+    * word/char/BPE-token counts and the compression ratio, under the
+    * [[taBpeTrain]] merge table. Each merge rewrites 2 symbols into 1
+    * marker, so a word's token count is simply its merged length; the
+    * ratio is chars/tokens in ppm via integer floor division (no double
+    * ever formed).
+    *
+    * Scale shape — the reason this is a relational query at all: merges
+    * are applied to the VOCABULARY (distinct words, a map-only replace
+    * chain over the Heap's-law-sublinear vocab), never to token
+    * occurrences; per-doc totals come from the persisted (doc, w, tf)
+    * term store joined to the merged token lengths — one vocab-sized
+    * broadcast/shuffle join + one doc-keyed partial-agg'd sum. A 100 TB
+    * corpus pays the merge chain once per distinct word, exactly like the
+    * signature stores. The oracle reuses the SAME generated training CTEs
+    * as ta_bpe_train, so the two queries' merge tables cannot drift. */
+  val taBpeEncode: QueryDef = {
+    val n = bpeTrainRounds
+    val chain = (1 to n).foldLeft("w")((acc, k) => s"replace($acc, t$k.pair, chr($k))")
+    val crossT = (1 to n).map(k => s"CROSS JOIN t$k").mkString(" ")
+    QueryDef("ta_bpe_encode",
+      s"""WITH ${bpeTrainCtes(n)},
+        |wd AS (SELECT doc_id, w, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w FROM documents) t
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |e AS (SELECT w, length($chain) AS tl
+        |      FROM (SELECT DISTINCT w FROM wd) vw $crossT)
+        |SELECT doc_id,
+        |  CAST(SUM(tf) AS BIGINT) AS n_words,
+        |  CAST(SUM(tf * length(w)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(tf * tl) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(tf * length(w)) AS BIGINT) * 1000000 // CAST(SUM(tf * tl) AS BIGINT) AS ratio_ppm
+        |FROM wd JOIN e USING (w) GROUP BY doc_id""".stripMargin) { (spark, d) =>
+      val tf = graft.Persisted.of(spark, s"$d#term_tf") {
+        Tables.documents(spark, d)
+          .select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+      }.filter(col("w") =!= "")
+      val merges = bpeMerges(spark, d, n)
+      val vocab = tf.select("w").distinct()
+      val mergedVocab = merges.foldLeft(vocab.withColumn("mw", col("w"))) {
+        case (df, (k, pr, _)) =>
+          df.withColumn("mw",
+            call_function("replace", col("mw"), lit(pr), lit(k.toChar.toString)))
+      }
+      val tokLen = mergedVocab.select(col("w"), length(col("mw")).cast("long").as("tl"))
+      tf.join(tokLen, "w")
+        .groupBy("doc_id")
+        .agg(sum("tf").cast("long").as("n_words"),
+          sum(col("tf") * length(col("w"))).cast("long").as("n_chars"),
+          sum(col("tf") * col("tl")).cast("long").as("bpe_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"), col("bpe_tokens"),
+          expr("(n_chars * 1000000) div bpe_tokens").as("ratio_ppm"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
     taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture, taRarity,
-    taBpePairs, taBpeMerge2, taBpeTrain)
+    taBpePairs, taBpeMerge2, taBpeTrain, taBpeEncode)
 }
