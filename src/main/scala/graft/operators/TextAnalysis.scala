@@ -1139,9 +1139,75 @@ object TextAnalysis {
     }
   }
 
+  /** Bigram-LM perplexity analogue — [[taRarity]]'s conditional cousin:
+    * per-token surprise under the corpus BIGRAM model, the stronger LM
+    * quality filter (CCNet ranks by LM perplexity; a bigram model catches
+    * scrambled-word text that a unigram model scores as perfectly normal).
+    * Per bigram the surprise is the INVERSE add-1-smoothed conditional
+    * probability (c(w1·) + V) / (c(w1,w2) + 1) — likelihood ratio, not its
+    * log, per the house transcendental ban — and the per-doc score is the
+    * occurrence-weighted mean in integer micro-units via exact floor
+    * division (never round(double, 6): the ta_rarity 6-dp-tie incident).
+    *
+    * Scale shape: bigrams are formed MAP-SIDE at the scan (zip_with over
+    * the word array against its own tail — no window, no self-join, no
+    * shuffle to pair consecutive tokens; a lag() window here would shuffle
+    * the full token stream), then collapsed once to the per-doc
+    * bigram-type store (doc, w1, w2, tf) — the Heap's-law-sublinear
+    * relation everything downstream rides, persisted for its three
+    * consumers. Corpus counts c12/c1 derive from THAT store (vocab²-sized,
+    * partial-agg'd), never from token occurrences; the vocabulary scalar V
+    * broadcast cross-joins from the shared session term store. Measured
+    * linear per decade (sf1 → sf10). */
+  val taBigramLm: QueryDef = QueryDef("ta_bigram_lm",
+    """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+      |w AS (SELECT doc_id, unnest(ws) AS w FROM t),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t) x),
+      |dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+      |big AS (SELECT w1, w2, SUM(tf) AS c12 FROM dbg GROUP BY 1, 2),
+      |uni AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+      |vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM w)
+      |SELECT doc_id,
+      |  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(tf * ((c1 + v) * CAST(1000000 AS BIGINT) // (c12 + 1))) // SUM(tf) AS BIGINT) AS ppl_micro
+      |FROM dbg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vv
+      |GROUP BY doc_id""".stripMargin) { (spark, d) =>
+    val docs = Tables.documents(spark, d)
+    val dbg = graft.Persisted.of(spark, s"$d#bigram_tf") {
+      val ws = split(normText(col("text")), " ")
+      // heads = ws[0..n-2], tails = ws[1..n-1]; zip_with pairs them without
+      // leaving the scan stage (greatest(·,0) keeps 0/1-token docs legal)
+      docs.select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    }
+    val big = dbg.groupBy("w1", "w2").agg(sum("tf").as("c12"))
+    val uni = big.groupBy("w1").agg(sum("c12").as("c1"))
+    val tf = graft.Persisted.of(spark, s"$d#term_tf") {
+      docs.select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+    }
+    val vv = broadcast(tf.select("w").distinct()
+      .agg(count(lit(1)).cast("long").as("v")))
+    // overflow ceiling as ta_rarity: (c1+v)*1e6 in DECIMAL(38,0); operands
+    // all positive so DuckDB floor `//` == Spark truncating `div`
+    val surpriseMicro =
+      expr("cast(c1 + v as decimal(38,0)) * 1000000 div (c12 + 1)")
+    dbg.join(big, Seq("w1", "w2")).join(uni, Seq("w1")).crossJoin(vv)
+      .select(col("doc_id"), col("tf"), surpriseMicro.as("surprise_micro"))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_bigrams"),
+        expr("sum(cast(tf as decimal(38,0)) * surprise_micro) div sum(tf)")
+          .as("ppl_micro"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
     taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture, taRarity,
-    taBpePairs, taBpeMerge2, taBpeTrain, taBpeEncode)
+    taBpePairs, taBpeMerge2, taBpeTrain, taBpeEncode, taBigramLm)
 }

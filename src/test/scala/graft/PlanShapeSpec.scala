@@ -243,6 +243,31 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the persisted wide band store:\n$p")
   }
 
+  test("ta_bigram_lm: bigrams form in the scan stage — no window, no self-join on position") {
+    val p = plan("ta_bigram_lm")
+    // zip_with over the word array against its own tail replaces the
+    // lag()-window (full token-stream shuffle) and the pos+1 self-join
+    // (token-stream shuffle twice) the oracle states
+    assert(!p.contains("Window"), s"bigram formation must not plan a window:\n$p")
+    assert(p.contains("zip_with"), s"expected scan-stage zip_with pairing:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"expected the persisted bigram-type store:\n$p")
+    // the only nested-loop allowed is the broadcast 1-row vocabulary scalar
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      s"only the V scalar may cross-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
+
+  test("ta_bpe_encode: merges apply to the vocabulary store, token totals join it back") {
+    val p = plan("ta_bpe_encode")
+    // the merge chain rewrites DISTINCT words (Heap's-law-sublinear), never
+    // token occurrences; the per-doc totals come from the persisted term
+    // store joined to merged token lengths — an equi-join, no all-pairs
+    assert(p.contains("InMemoryTableScan"), s"expected the persisted term store:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"vocab join must stay an equi-join:\n$p")
+    assert(!p.contains("Window"), s"no window operator in the encode path:\n$p")
+  }
+
   test("gr_pagerank: iterations stay equi-joins over the cached adjacency") {
     val p = plan("gr_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
