@@ -251,6 +251,62 @@ object EventAnalytics {
       ev.filter(col("event_type") === "purchase"))
   }
 
+  /** Last-touch attribution: each purchase's value is credited to the most
+    * recent click/view by the same user within a 1-hour lookback, else to
+    * 'direct'. Output per channel: conversion count + attributed cents.
+    *
+    * Scale shape — the [[TemporalQueries.ajAsof]] union+ordered-window
+    * formulation, not the oracle's join+argmax: touches and purchases
+    * union into ONE relation, shuffle once on user_id, and a linear
+    * running `last(ignoreNulls)` sweep carries (channel, ts) forward to
+    * each purchase row. The naive formulation joins every purchase to all
+    * its preceding touches then argmaxes — per-user quadratic and a
+    * nested-loop hazard at 100 TB; this is one shuffle + one sort,
+    * work linear in events. The 1-hour bound applies AFTER selection
+    * (most-recent-overall older than 1 h ⇒ nothing in-window ⇒ 'direct' —
+    * equivalent by recency monotonicity, and cheaper than banding the
+    * bound into the key since the sweep already pays no join). Ties:
+    * same-ts touches sort before purchases (tag), later event_id wins —
+    * total order, both engines. Cents are the house fixed-point; the sum
+    * accumulates in DECIMAL. */
+  val waAttribution = QueryDef("wa_attribution",
+    """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events WHERE event_type IN ('click', 'view')),
+      |p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT p.event_id, p.cents, t.event_type AS ch,
+      |        ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY t.ts_us DESC, t.event_id DESC) AS rn
+      |      FROM p LEFT JOIN t ON t.user_id = p.user_id
+      |        AND t.ts_us <= p.ts_us AND p.ts_us - t.ts_us <= 3600000000)
+      |SELECT COALESCE(ch, 'direct') AS channel, COUNT(*) AS n_conv,
+      |  CAST(SUM(cents) AS BIGINT) AS attributed_cents
+      |FROM j WHERE rn = 1 GROUP BY 1""".stripMargin) { (spark, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val LookbackUs = 3600000000L
+    val raw = Tables.events(spark, d)
+    val tagged = raw
+      .select(col("event_id"), col("user_id"), Tables.tsUs(raw).as("ts_us"),
+        col("event_type"), col("value"))
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("ts_us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("tag"),
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("t_ch",
+        last(when(col("tag") === 0, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("t_ts",
+        last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        when(col("t_ts").isNull || col("ts_us") - col("t_ts") > LookbackUs,
+          lit("direct")).otherwise(col("t_ch")).as("channel"),
+        col("cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"),
+        sum(col("cents").cast("decimal(38,0)")).cast("long").as("attributed_cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(waFunnel, waRetention, stWindowAgg, waOutliers,
-    stSessionNative, stStreamJoin)
+    stSessionNative, stStreamJoin, waAttribution)
 }

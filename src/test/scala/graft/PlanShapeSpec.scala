@@ -268,6 +268,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window operator in the encode path:\n$p")
   }
 
+  test("wa_attribution: union+window sweep — no join, window partitioned by user") {
+    // the oracle states join+argmax (per-purchase × all preceding touches,
+    // per-user quadratic); the engine must plan the one-shuffle ordered
+    // sweep instead, and the window must be user-partitioned (a global
+    // window would single-partition the event stream)
+    val p = plan("wa_attribution")
+    assert(!p.contains("Join"), s"attribution must not join touches to purchases:\n$p")
+    assert(p.contains("Window"), s"expected the running-last window sweep:\n$p")
+    assert("""Window \[.*\], \[user_id#\d+L?\]""".r.findFirstIn(p).isDefined,
+      s"window must partition by user_id:\n$p")
+  }
+
   test("gr_pagerank: iterations stay equi-joins over the cached adjacency") {
     val p = plan("gr_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
