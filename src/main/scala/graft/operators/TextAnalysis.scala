@@ -304,6 +304,35 @@ object TextAnalysis {
     *
     * The oracle states the straight global-window form — the two-level
     * decomposition is exactly equal, per-row, by construction. */
+  /** The two-level global prefix: (doc_id, n_tok, st) where st is each
+    * document's 0-based token START in global doc_id order — shared by
+    * [[taShardPack]] (shard = budget window st falls in) and [[taSeqPack]]
+    * (sequence interval [st, st+n_tok) cut at fixed boundaries). */
+  private def tokenStarts(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(split(normText(col("text")), " ")).cast("long").as("n_tok"),
+        expr("doc_id div 1000").as("bucket"))
+    val localW = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = toks.withColumn("local_cum", sum("n_tok").over(localW))
+    // bucket totals DERIVE from the windowed relation (max of a
+    // monotone prefix = the bucket total): the agg's required
+    // distribution is the window's own hashpartitioning(bucket), so the
+    // offsets branch reuses the SAME scan+tokenize+exchange instead of
+    // re-reading the corpus (code-review r10 — the groupBy-on-toks form
+    // scanned and tokenized every document twice per action)
+    val offsets = local.groupBy("bucket").agg(max("local_cum").as("btot"))
+      .withColumn("boff",
+        coalesce(sum("btot").over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "boff")
+    local.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("n_tok"),
+        expr("boff + local_cum - n_tok").as("st"))
+  }
+
   val taShardPack: QueryDef = {
     val Budget = 4096L
     QueryDef("ta_shard_pack",
@@ -315,28 +344,9 @@ object TextAnalysis {
         |  FROM t)
         |SELECT doc_id, n_tok, CAST((cum - n_tok) // $Budget AS BIGINT) AS shard_id
         |FROM s""".stripMargin) { (spark, d) =>
-      val toks = Tables.documents(spark, d)
-        .select(col("doc_id"),
-          size(split(normText(col("text")), " ")).cast("long").as("n_tok"),
-          expr("doc_id div 1000").as("bucket"))
-      val localW = Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = toks.withColumn("local_cum", sum("n_tok").over(localW))
-      // bucket totals DERIVE from the windowed relation (max of a
-      // monotone prefix = the bucket total): the agg's required
-      // distribution is the window's own hashpartitioning(bucket), so the
-      // offsets branch reuses the SAME scan+tokenize+exchange instead of
-      // re-reading the corpus (code-review r10 — the groupBy-on-toks form
-      // scanned and tokenized every document twice per action)
-      val offsets = local.groupBy("bucket").agg(max("local_cum").as("btot"))
-        .withColumn("boff",
-          coalesce(sum("btot").over(
-            Window.orderBy("bucket")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("bucket", "boff")
-      local.join(broadcast(offsets), "bucket")
+      tokenStarts(spark, d)
         .select(col("doc_id"), col("n_tok"),
-          expr(s"(boff + local_cum - n_tok) div $Budget").as("shard_id"))
+          expr(s"st div $Budget").as("shard_id"))
     }
   }
 
@@ -1205,9 +1215,53 @@ object TextAnalysis {
           .as("ppl_micro"))
   }
 
+  /** Fixed-length SEQUENCE packing — the pretraining-batch shape
+    * [[taShardPack]] stops short of: the tokenized corpus is one
+    * concatenated stream in doc_id order, cut every 512 tokens, and
+    * documents SPAN sequence boundaries (no padding, no doc alignment —
+    * the GPT-style packed-batch layout). Output per sequence: contributing
+    * doc count, token count (512 except the tail), first/last doc.
+    *
+    * Scale shape: the global token offsets come from the shared two-level
+    * prefix sum ([[tokenStarts]] — never a single-partition window); each
+    * doc then explodes to the sequences its [st, st+n_tok) interval
+    * intersects — a BOUNDED expansion of n_tok/512 + 1 rows per doc
+    * (total ≈ corpus_tokens/512 + n_docs, corpus-linear), followed by one
+    * partial-agg'd groupBy(seq_id). The oracle states the straight
+    * global-window form, equal per-row by construction. */
+  val taSeqPack: QueryDef = {
+    val L = 512L
+    QueryDef("ta_seq_pack",
+      s"""WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS st
+        |  FROM t),
+        |e AS (SELECT doc_id, st, st + n_tok AS fin,
+        |    unnest(generate_series(st // $L, (st + n_tok - 1) // $L)) AS seq_id
+        |  FROM s)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEAST(fin, (seq_id + 1) * $L) - GREATEST(st, seq_id * $L)) AS BIGINT) AS n_tokens,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        |FROM e GROUP BY seq_id""".stripMargin) { (spark, d) =>
+      tokenStarts(spark, d)
+        .select(col("doc_id"), col("st"), (col("st") + col("n_tok")).as("fin"))
+        .withColumn("seq_id",
+          explode(sequence(expr(s"st div $L"), expr(s"(fin - 1) div $L"))))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("fin"), (col("seq_id") + 1) * L) -
+            greatest(col("st"), col("seq_id") * L)).cast("long").as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
     taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture, taRarity,
-    taBpePairs, taBpeMerge2, taBpeTrain, taBpeEncode, taBigramLm)
+    taBpePairs, taBpeMerge2, taBpeTrain, taBpeEncode, taBigramLm, taSeqPack)
 }

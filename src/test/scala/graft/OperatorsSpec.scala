@@ -332,6 +332,37 @@ class OperatorsSpec extends SparkSpec {
       s"expected the corpus window shuffled by bucket:\n$p")
   }
 
+  test("ta_seq_pack: every sequence full except the tail; totals reconcile; docs monotone") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ta_seq_pack")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.length > 1, "test corpus must span multiple sequences")
+    assert(got.map(_._1).toSeq === (0L until got.length.toLong).toSeq,
+      "sequence ids must be contiguous from 0")
+    got.init.foreach { case (s, _, n, _, _) =>
+      assert(n === 512L, s"non-tail sequence $s must hold exactly 512 tokens") }
+    assert(got.last._3 >= 1L && got.last._3 <= 512L)
+    val totTok = graft.Tables.documents(spark, sf0001)
+      .select(sum(size(split(graft.functions.Exprs.normText(col("text")), " "))
+        .cast("long")).as("t")).collect()(0).getLong(0)
+    assert(got.map(_._3).sum === totTok,
+      "packed token totals must reconcile with the corpus token count")
+    // the concatenated stream is doc_id-ordered: consecutive sequences
+    // meet at (or after) the boundary-spanning document
+    got.sliding(2).foreach { case Array((_, _, _, _, l1), (_, _, _, f2, _)) =>
+      assert(f2 >= l1, "doc ranges must be monotone across sequences")
+    case _ => ()
+    }
+    // scale guard: the prefix window must be bucket-partitioned (shared
+    // tokenStarts core — the single-partition window exists only on the
+    // tiny bucket-totals relation)
+    val p = SparkEntry.queries("ta_seq_pack")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(bucket"),
+      s"expected the corpus window shuffled by bucket:\n$p")
+  }
+
   test("ta_repetition: metrics match hand-computed values on a synthetic corpus") {
     // live corpus sanity
     val live = TextAnalysis.taRepetition.fn(spark, sf0001).collect()
