@@ -307,6 +307,37 @@ object EventAnalytics {
         sum(col("cents").cast("decimal(38,0)")).cast("long").as("attributed_cents"))
   }
 
+  /** Sliding-window rate limiting: each event's count of same-user events
+    * in the trailing 5 minutes (inclusive) and the throttle verdict at a
+    * 5-per-window policy — the admission-control shape a crawler/API
+    * frontend computes streamside with a per-key sliding counter.
+    *
+    * The frame is RANGE, not ROWS — the engine's only value-based frame,
+    * and the distinction is semantic: the limit is defined over TIME, so
+    * every event at the boundary timestamp must enter the frame together,
+    * which RANGE guarantees and which also makes the result
+    * order-deterministic under equal timestamps (a ROWS frame would count
+    * a nondeterministic subset of ties). One user-keyed shuffle + linear
+    * sweep; the streaming twin's state is the per-user timestamp ring the
+    * 5-minute bound lets the watermark evict. */
+  val waRateLimit = QueryDef("wa_rate_limit",
+    """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+      |SELECT event_id, user_id,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS n_win,
+      |  (COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) > 5) AS throttled
+      |FROM t""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-300000000L, org.apache.spark.sql.expressions.Window.currentRow)
+    raw.select(col("event_id"), col("user_id"), Tables.tsUs(raw).as("ts_us"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("n_win"),
+        (col("n_win") > 5).as("throttled"))
+  }
+
   val all: Seq[QueryDef] = Seq(waFunnel, waRetention, stWindowAgg, waOutliers,
-    stSessionNative, stStreamJoin, waAttribution)
+    stSessionNative, stStreamJoin, waAttribution, waRateLimit)
 }
