@@ -781,8 +781,128 @@ object Similarity {
           expr("(hits * 1000000) div 3").as("recall_ppm"))
     }
 
+  /** Product quantization + asymmetric-distance top-k — the remaining
+    * member of the compressed-ANN family ([[simSq8Rerank]] compresses per
+    * VECTOR with a scalar scale; PQ compresses per SUBSPACE against a
+    * codebook, the FAISS/IVFPQ layout). m = 2 subspaces of 32 dims, k = 8
+    * codewords each = the 8 lowest vec_ids' sub-vectors (seed-codebook
+    * discipline matching sim_kmeans' seeds — codebook TRAINING is the
+    * k-means family's job; this query owns the encode + ADC shapes).
+    *
+    * Encode: per subspace, each corpus vector takes the codeword
+    * minimizing exact-integer L2 (|a|² + |c|² − 2a·c via three fused
+    * native dots, ties to the lowest codeword) — corpus × 8 broadcast
+    * rows, partial-agg'd min(struct). The (vec_id, c1, c2) code relation
+    * is 2 BYTES of payload per vector at this geometry — the 100 TB point
+    * of PQ: the scan phase never touches vectors.
+    *
+    * ADC: each probe precomputes its 8-entry partial-dot table per
+    * subspace (2 × 400 tiny broadcast rows); the corpus scan is then two
+    * code-keyed table lookups + one add per (probe, vector) — against a
+    * 64-multiply full dot — followed by the sq8-pattern funnel: per-probe
+    * top-10 window on the rounded approx cosine, exact rerank of
+    * candidates only, top-3 out. */
+  val simPqAdc: QueryDef = {
+    val (dh, kcw, probes, cand, k) = (32, 8, 50, 10, 3)
+    def encCte(s: Int) =
+      s"""d$s AS (SELECT v.vec_id, c.cw,
+        |    CAST(list_sum(list_transform(generate_series(1, $dh), i -> (v.q$s[i] - c.cv[i]) * (v.q$s[i] - c.cv[i]))) AS BIGINT) AS d2
+        |  FROM s v CROSS JOIN cb$s c),
+        |e$s AS (SELECT vec_id, cw AS c$s FROM (
+        |    SELECT vec_id, cw, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cw) AS rn FROM d$s) t
+        |  WHERE rn = 1)""".stripMargin
+    def adcCte(s: Int) =
+      s"""t$s AS (SELECT p.vec_id AS qid, c.cw,
+        |    CAST(list_sum(list_transform(generate_series(1, $dh), i -> p.q$s[i] * c.cv[i])) AS BIGINT) AS t
+        |  FROM s p CROSS JOIN cb$s c WHERE p.vec_id < $probes)""".stripMargin
+    QueryDef("sim_pq_adc",
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
+        |s AS (SELECT vec_id, qv[1:$dh] AS q1, qv[${dh + 1}:${2 * dh}] AS q2 FROM q),
+        |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q),
+        |cb1 AS (SELECT vec_id AS cw, q1 AS cv FROM s WHERE vec_id < $kcw),
+        |cb2 AS (SELECT vec_id AS cw, q2 AS cv FROM s WHERE vec_id < $kcw),
+        |${encCte(1)},
+        |${encCte(2)},
+        |${adcCte(1)},
+        |${adcCte(2)},
+        |codes AS (SELECT e1.vec_id, e1.c1, e2.c2 FROM e1 JOIN e2 ON e2.vec_id = e1.vec_id),
+        |approx AS (SELECT t1.qid, c.vec_id AS nid,
+        |    round(CAST(t1.t + t2.t AS DOUBLE) / (na.norm * nb.norm), 6) AS acos
+        |  FROM codes c
+        |  JOIN t1 ON t1.cw = c.c1 JOIN t2 ON t2.cw = c.c2 AND t2.qid = t1.qid
+        |  JOIN norms na ON na.vec_id = t1.qid JOIN norms nb ON nb.vec_id = c.vec_id
+        |  WHERE t1.qid <> c.vec_id),
+        |top AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY acos DESC, nid) AS rn
+        |  FROM approx) t WHERE rn <= $cand),
+        |exact AS (
+        |  SELECT t.qid, t.nid,
+        |    round(CAST(list_sum(list_transform(generate_series(1, ${2 * dh}), i -> x.qv[i] * y.qv[i])) AS DOUBLE)
+        |      / (na.norm * nb.norm), 6) AS cosine
+        |  FROM top t JOIN q x ON x.vec_id = t.qid JOIN q y ON y.vec_id = t.nid
+        |  JOIN norms na ON na.vec_id = t.qid JOIN norms nb ON nb.vec_id = t.nid)
+        |SELECT qid, nid, cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        |  FROM exact) t WHERE rn <= $k""".stripMargin) { (spark, d) =>
+      val r = qnormRelation(spark, d)
+      val sub = r.select(col("vec_id"),
+        slice(col("q"), 1, dh).as("q1"), slice(col("q"), dh + 1, dh).as("q2"),
+        col("norm"))
+      def cb(s: Int) = broadcast(sub.filter(col("vec_id") < kcw)
+        .select(col("vec_id").as("cw"), col(s"q$s").as("cv")))
+      // encode: exact-integer L2 argmin over the 8 broadcast codewords;
+      // min(struct(d2, cw)) is the deterministic tie-break, partial-agg'd
+      def enc(s: Int) = sub.select(col("vec_id"), col(s"q$s").as("v"))
+        .crossJoin(cb(s))
+        .select(col("vec_id"), col("cw"),
+          (graft.plans.dotQNative(col("v"), col("v")) +
+            graft.plans.dotQNative(col("cv"), col("cv")) -
+            lit(2L) * graft.plans.dotQNative(col("v"), col("cv"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cw"))).as("m"))
+        .select(col("vec_id"), col(s"m.cw").as(s"c$s"))
+      val codes = graft.Persisted.of(spark, s"$d#pq_codes") {
+        enc(1).join(enc(2), "vec_id")
+      }
+      // ADC tables: per-probe 8-entry partial dots, tiny and broadcast
+      def adc(s: Int) = broadcast(
+        sub.filter(col("vec_id") < probes)
+          .select(col("vec_id").as("qid"), col(s"q$s").as("pv"))
+          .crossJoin(cb(s))
+          .select(col("qid"), col("cw").as(s"c$s"),
+            graft.plans.dotQNative(col("pv"), col("cv")).as(s"t$s")))
+      val probeNorm = r.filter(col("vec_id") < probes)
+        .select(col("vec_id").as("qid"), col("norm").as("na"))
+      val approx = codes
+        .join(r.select(col("vec_id"), col("norm").as("nb")), "vec_id")
+        .join(adc(1), Seq("c1"))
+        .join(adc(2).toDF("qid2", "c2b", "t2"),
+          col("c2") === col("c2b") && col("qid2") === col("qid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .join(broadcast(probeNorm), "qid")
+        .select(col("qid"), col("vec_id").as("nid"),
+          round((col("t1") + col("t2")).cast("double") /
+            (col("na") * col("nb")), 6).as("acos"))
+      val wApprox = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
+      val cands = approx.withColumn("rn", row_number().over(wApprox))
+        .filter(col("rn") <= cand).select("qid", "nid")
+      val exact = cands
+        .join(r.select(col("vec_id").as("qid"), col("q").as("qa"),
+          col("norm").as("qna")), "qid")
+        .join(r.select(col("vec_id").as("nid"), col("q").as("qb"),
+          col("norm").as("qnb")), "nid")
+        .select(col("qid"), col("nid"),
+          round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
+            (col("qna") * col("qnb")), 6).as("cosine"))
+      val wExact = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+      exact.withColumn("rn", row_number().over(wExact)).filter(col("rn") <= k)
+        .select("qid", "nid", "cosine")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
     simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf, simKnnGraph,
-    simKnnGraphWide, simRecallEval)
+    simKnnGraphWide, simRecallEval, simPqAdc)
 }

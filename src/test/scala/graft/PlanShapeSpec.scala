@@ -280,6 +280,17 @@ class PlanShapeSpec extends SparkSpec {
       s"window must partition by user_id:\n$p")
   }
 
+  test("sim_pq_adc: codes persisted, ADC tables broadcast, no cartesian") {
+    // the compressed-domain contract: the scan phase joins the persisted
+    // 2-byte-payload code relation to tiny broadcast lookup tables — the
+    // only nested-loop allowed is the deliberate 8-codeword broadcast
+    // expansion in the encode/table builds, never a corpus × corpus product
+    val p = plan("sim_pq_adc")
+    assert(p.contains("InMemoryTableScan"), s"expected the persisted code relation:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast ADC-table joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
+
   test("gr_pagerank: iterations stay equi-joins over the cached adjacency") {
     val p = plan("gr_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
