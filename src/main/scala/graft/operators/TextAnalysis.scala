@@ -1169,6 +1169,18 @@ object TextAnalysis {
     * partial-agg'd), never from token occurrences; the vocabulary scalar V
     * broadcast cross-joins from the shared session term store. Measured
     * linear per decade (sf1 → sf10). */
+  /** Consecutive word pairs of a text column as array<struct<w1,w2>> —
+    * heads = ws[0..n−2] zipped against tails = ws[1..n−1], entirely inside
+    * the scan projection (no window, no positional self-join);
+    * greatest(·, 0) keeps 0/1-token documents legal (empty array out). */
+  def bigramPairs(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ws = split(normText(text), " ")
+    zip_with(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
   val taBigramLm: QueryDef = QueryDef("ta_bigram_lm",
     """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws FROM documents),
       |w AS (SELECT doc_id, unnest(ws) AS w FROM t),
@@ -1185,15 +1197,9 @@ object TextAnalysis {
       |GROUP BY doc_id""".stripMargin) { (spark, d) =>
     val docs = Tables.documents(spark, d)
     val dbg = graft.Persisted.of(spark, s"$d#bigram_tf") {
-      val ws = split(normText(col("text")), " ")
-      // heads = ws[0..n-2], tails = ws[1..n-1]; zip_with pairs them without
-      // leaving the scan stage (greatest(·,0) keeps 0/1-token docs legal)
-      docs.select(col("doc_id"), ws.as("ws"))
-        .select(col("doc_id"), explode(zip_with(
-          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
-          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      docs.select(col("doc_id"), bigramPairs(col("text")).as("bg"))
+        .select(col("doc_id"), explode(col("bg")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
         .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
     }
     val big = dbg.groupBy("w1", "w2").agg(sum("tf").as("c12"))

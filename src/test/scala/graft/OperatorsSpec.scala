@@ -363,6 +363,26 @@ class OperatorsSpec extends SparkSpec {
       s"expected the corpus window shuffled by bucket:\n$p")
   }
 
+  test("bigramPairs: scan-stage pair formation handles 0/1-token and tie-heavy docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Seq(
+      (1L, "a b c"), (2L, "x"), (3L, ""), (4L, "  "), (5L, "a a a"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.bigramPairs(col("text")).as("bg"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getString(0), p.getString(1))))
+      .toMap
+    assert(got(1L) === Seq(("a", "b"), ("b", "c")))
+    assert(got(2L).isEmpty, "single-token doc yields no bigrams")
+    assert(got(3L).isEmpty && got(4L).isEmpty,
+      "empty/whitespace docs yield no bigrams (normText collapses to one '' token)")
+    assert(got(5L) === Seq(("a", "a"), ("a", "a")),
+      "repeated-token docs keep every occurrence pair")
+  }
+
   test("ta_repetition: metrics match hand-computed values on a synthetic corpus") {
     // live corpus sanity
     val live = TextAnalysis.taRepetition.fn(spark, sf0001).collect()
