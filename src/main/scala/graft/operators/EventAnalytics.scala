@@ -269,6 +269,32 @@ object EventAnalytics {
     * same-ts touches sort before purchases (tag), later event_id wins —
     * total order, both engines. Cents are the house fixed-point; the sum
     * accumulates in DECIMAL. */
+  /** The attribution sweep over any (user_id, ts_us, event_id, event_type,
+    * cents) relation — see [[waAttribution]] for semantics and oracle. */
+  def attribution(ev: DataFrame, lookbackUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = ev
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("ts_us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("tag"),
+        col("event_id"), col("event_type"), col("cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("t_ch",
+        last(when(col("tag") === 0, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("t_ts",
+        last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        when(col("t_ts").isNull || col("ts_us") - col("t_ts") > lookbackUs,
+          lit("direct")).otherwise(col("t_ch")).as("channel"),
+        col("cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"),
+        sum(col("cents").cast("decimal(38,0)")).cast("long").as("attributed_cents"))
+  }
+
   val waAttribution = QueryDef("wa_attribution",
     """WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events WHERE event_type IN ('click', 'view')),
       |p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE event_type = 'purchase'),
@@ -279,32 +305,11 @@ object EventAnalytics {
       |SELECT COALESCE(ch, 'direct') AS channel, COUNT(*) AS n_conv,
       |  CAST(SUM(cents) AS BIGINT) AS attributed_cents
       |FROM j WHERE rn = 1 GROUP BY 1""".stripMargin) { (spark, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val LookbackUs = 3600000000L
     val raw = Tables.events(spark, d)
-    val tagged = raw
+    attribution(raw
       .select(col("event_id"), col("user_id"), Tables.tsUs(raw).as("ts_us"),
-        col("event_type"), col("value"))
-      .filter(col("event_type").isin("click", "view", "purchase"))
-      .select(col("user_id"), col("ts_us"),
-        when(col("event_type") === "purchase", 1).otherwise(0).as("tag"),
-        col("event_id"), col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
-    val w = Window.partitionBy("user_id").orderBy("ts_us", "tag", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("t_ch",
-        last(when(col("tag") === 0, col("event_type")), ignoreNulls = true).over(w))
-      .withColumn("t_ts",
-        last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(w))
-      .filter(col("tag") === 1)
-      .select(
-        when(col("t_ts").isNull || col("ts_us") - col("t_ts") > LookbackUs,
-          lit("direct")).otherwise(col("t_ch")).as("channel"),
-        col("cents"))
-      .groupBy("channel")
-      .agg(count(lit(1)).as("n_conv"),
-        sum(col("cents").cast("decimal(38,0)")).cast("long").as("attributed_cents"))
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents")))
   }
 
   /** Sliding-window rate limiting: each event's count of same-user events
@@ -318,8 +323,12 @@ object EventAnalytics {
     * which RANGE guarantees and which also makes the result
     * order-deterministic under equal timestamps (a ROWS frame would count
     * a nondeterministic subset of ties). One user-keyed shuffle + linear
-    * sweep; the streaming twin's state is the per-user timestamp ring the
-    * 5-minute bound lets the watermark evict. */
+    * sweep. The STREAMING twin is real:
+    * [[graft.streaming.StreamingEvents.rateLimit]] keeps the per-user
+    * in-window timestamp ring in flatMapGroupsWithState state (evicted as
+    * the window slides) and reproduces the RANGE tie semantics by
+    * deciding each tie group together — spec-matched against the same
+    * brute-force reference across micro-batches. */
   val waRateLimit = QueryDef("wa_rate_limit",
     """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
       |SELECT event_id, user_id,

@@ -41,6 +41,37 @@ class RandomizedReferenceSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("attribution sweep equals the brute-force reference on tie-heavy logs") {
+    val rnd = new Random(11)
+    val types = Seq("click", "view", "purchase", "error")
+    // coarse ts grid for heavy collisions; small lookback so the 'direct'
+    // fallback path fires; 'error' rows must be ignored entirely
+    val lookback = 20000L
+    val events = (1 to 5000).map { i =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(60).toLong * 1000L,
+        i.toLong, types(rnd.nextInt(4)), rnd.nextInt(1000).toLong)
+    }
+    val got = EventAnalytics.attribution(
+      events.toDF("user_id", "ts_us", "event_id", "event_type", "cents"),
+      lookbackUs = lookback)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val byUser = events.groupBy(_._1)
+    val credited = events.filter(_._4 == "purchase").map { case (u, ts, id, _, cents) =>
+      // touches at the purchase's exact ts count; latest (ts, event_id) wins
+      val touch = byUser(u)
+        .filter(t => (t._4 == "click" || t._4 == "view") && t._2 <= ts)
+        .sortBy(t => (t._2, t._3)).lastOption
+      val ch = touch match {
+        case Some(t) if ts - t._2 <= lookback => t._4
+        case _ => "direct"
+      }
+      (ch, cents)
+    }
+    val want = credited.groupBy(_._1)
+      .map { case (ch, xs) => ch -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    assert(got === want)
+  }
+
   test("aHashBits equals the construction-formula reference on random media") {
     val rnd = new Random(11)
     (1 to 60).foreach { _ =>

@@ -202,4 +202,39 @@ class StreamingEventsSpec extends SparkSpec {
       assert(batch === streamed)
     } finally q.stop()
   }
+
+  test("streaming rate limiter matches the RANGE-window reference across micro-batches") {
+    import StreamingEvents.{IdEvent, RateDecision}
+    implicit val sc = spark.sqlContext
+    val W = 1000L // 1 ms window in µs-units for a compact fixture
+    // tie-heavy log: user 1 bursts past the limit, user 2 stays under;
+    // ids deliberately out of ts order inside a batch
+    val batch1 = Seq(
+      IdEvent(3L, 1L, 100L), IdEvent(1L, 1L, 100L), IdEvent(2L, 1L, 100L),
+      IdEvent(4L, 1L, 500L), IdEvent(5L, 1L, 900L), IdEvent(6L, 1L, 1000L),
+      IdEvent(10L, 2L, 100L), IdEvent(11L, 2L, 5000L))
+    val batch2 = Seq( // window slides: 100-group evicted by ts 1200
+      IdEvent(7L, 1L, 1200L), IdEvent(8L, 1L, 5000L), IdEvent(12L, 2L, 5400L))
+    val all = batch1 ++ batch2
+    val in = MemoryStream[IdEvent]
+    val q = StreamingEvents.rateLimit(in.toDS(), windowUs = W, limit = 4L)
+      .writeStream.format("memory").queryName("rl").outputMode("append").start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("rl")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+      // brute-force RANGE-frame reference: count same-user events with
+      // ts' in [ts - W, ts] — ALL ties included
+      val want = all.map { e =>
+        val n = all.count(o => o.user_id == e.user_id &&
+          o.ts_us >= e.ts_us - W && o.ts_us <= e.ts_us).toLong
+        e.event_id -> ((n, n > 4L))
+      }.toMap
+      assert(got === want)
+      // the burst actually throttled someone and the slide un-throttled
+      assert(got(6L)._2, "6th event inside the window must be throttled")
+      assert(!got(8L)._2, "after the window slides the user is admitted again")
+    } finally q.stop()
+  }
 }
