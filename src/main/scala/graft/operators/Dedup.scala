@@ -1115,8 +1115,74 @@ object Dedup {
       .orderBy(col("df").desc, col("wid")).limit(20)
   }
 
+  /** Sketch-quality evaluation — the dedup-side sibling of
+    * sim_recall_eval: over the LSH candidate pairs, the 8-lane MinHash
+    * Jaccard ESTIMATE (matching lanes / 8) against the EXACT shingle-set
+    * Jaccard, with the absolute error — all in integer ppm by floor
+    * division. This is the measurement that justifies a banding threshold:
+    * an operator that gates merges at est >= 0.8 needs to know the
+    * estimator's error at 8 lanes (granularity 125,000 ppm) before
+    * trusting the gate, and the eval rides the SAME session signature
+    * store and wid relation the production path uses, so it measures the
+    * deployed sketch, not a reimplementation.
+    *
+    * Scale shape: pairs come from the banded candidate generator (never
+    * all-pairs); the estimate joins the 16-byte signature store; the exact
+    * side joins the persisted wid arrays only for candidate rows — exact
+    * work ∝ candidates, the same funnel discipline as the rerank family. */
+  val ddEstEval: QueryDef = {
+    val mhSql = As.zip(Bs).zipWithIndex.map { case ((a, b), i) =>
+      s"${mhListSql(a, b)} AS mh$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { bid =>
+      s"SELECT doc_id, CAST(mh${2 * bid} AS BIGINT) * 2147483647 + mh${2 * bid + 1} AS band_sig, $bid AS band_id FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val lanesSql = (0 until 8)
+      .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    QueryDef("dd_est_eval",
+      s"""WITH $shingleListCtes,
+        |sig AS (SELECT doc_id, $mhSql FROM widl),
+        |bands AS ($bandSelects),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+        |est AS (SELECT c.doc_a, c.doc_b, $lanesSql AS lanes
+        |  FROM cand c JOIN sig x ON x.doc_id = c.doc_a JOIN sig y ON y.doc_id = c.doc_b),
+        |ex AS (SELECT c.doc_a, c.doc_b,
+        |    len(list_filter(wa.wids, w -> list_contains(wb.wids, w))) AS i_n,
+        |    len(wa.wids) + len(wb.wids) AS ab_n
+        |  FROM cand c JOIN widl wa ON wa.doc_id = c.doc_a JOIN widl wb ON wb.doc_id = c.doc_b)
+        |SELECT e.doc_a, e.doc_b,
+        |  CAST(e.lanes * CAST(1000000 AS BIGINT) // 8 AS BIGINT) AS est_ppm,
+        |  CAST(x.i_n * CAST(1000000 AS BIGINT) // (x.ab_n - x.i_n) AS BIGINT) AS exact_ppm,
+        |  CAST(abs(e.lanes * CAST(1000000 AS BIGINT) // 8 - x.i_n * CAST(1000000 AS BIGINT) // (x.ab_n - x.i_n)) AS BIGINT) AS err_ppm
+        |FROM est e JOIN ex x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b""".stripMargin) { (spark, d) =>
+      val sigs = minhashSigRelation(spark, d)
+      val cand = lshCandidatePairs(sigs)
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+      val lanes = (0 until 8)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val wr = widRelation(spark, d)
+      cand
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), lanes.as("lanes"))
+        .join(wr.select(col("doc_id").as("doc_a"), col("wids").as("wa")), "doc_a")
+        .join(wr.select(col("doc_id").as("doc_b"), col("wids").as("wb")), "doc_b")
+        .withColumn("inter_n", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+        .withColumn("union_n",
+          size(col("wa")).cast("long") + size(col("wb")).cast("long") - col("inter_n"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("lanes * 1000000 div 8").as("est_ppm"),
+          expr("inter_n * 1000000 div union_n").as("exact_ppm"),
+          expr("abs(lanes * 1000000 div 8 - inter_n * 1000000 div union_n)").as("err_ppm"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
     ddSimhashNearDup64, ddSimhashNearDup128, ddIncrementalPairs, ddDupClusters,
-    ddFuzzyKeep, ddCrossDoc, ddContainment, ddBoilerplate)
+    ddFuzzyKeep, ddCrossDoc, ddContainment, ddBoilerplate, ddEstEval)
 }
