@@ -117,5 +117,58 @@ object GraphQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(grPagerank, grTriangles)
+  /** Common-neighbor Jaccard over the undirected knn graph — the
+    * link-prediction / second-order-similarity signal: two documents whose
+    * NEIGHBORHOODS overlap are semantically close even if no band ever
+    * collided them directly (the classic ANN-recall repair), and a pair
+    * with high neighborhood overlap but NO direct edge is exactly the
+    * candidate an index-quality audit wants surfaced. Emitted for pairs
+    * sharing >= 2 neighbors: inter/union in integer ppm (floor division,
+    * no doubles).
+    *
+    * Distributed shape: symmetric adjacency from the SAME session-persisted
+    * oriented edge store as [[grTriangles]]; candidate pairs come from ONE
+    * wedge self-join on the shared middle vertex (work = Σ deg² — bounded
+    * on a knn graph where degree is capped near k, the same fan-out bound
+    * as the triangle count), then one partial-agg'd pair count and two
+    * vocabulary-scale degree joins. Never an all-pairs neighborhood
+    * comparison. */
+  val grCommonNeighbors: QueryDef = {
+    val knnSql = Similarity.simKnnGraph.oracle.get
+    QueryDef("gr_common_neighbors",
+      s"""WITH g AS (SELECT qid, nid FROM ($knnSql) kg),
+        |e AS (SELECT DISTINCT least(qid, nid) AS u, greatest(qid, nid) AS v FROM g),
+        |adj AS (SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY n),
+        |wed AS (SELECT a.nbr AS x, b.nbr AS y, COUNT(*) AS inter_n
+        |  FROM adj a JOIN adj b ON a.n = b.n AND a.nbr < b.nbr GROUP BY 1, 2)
+        |SELECT x AS a, y AS b, CAST(inter_n AS BIGINT) AS inter_n,
+        |  CAST(dx.deg + dy.deg - inter_n AS BIGINT) AS union_n,
+        |  CAST(inter_n * CAST(1000000 AS BIGINT) // (dx.deg + dy.deg - inter_n) AS BIGINT) AS jac_ppm
+        |FROM wed JOIN deg dx ON dx.n = x JOIN deg dy ON dy.n = y
+        |WHERE inter_n >= 2""".stripMargin) { (spark, d) =>
+      val e = graft.Persisted.of(spark, s"$d#knn_undirected") {
+        Similarity.knnEdgesRelation(spark, d)
+          .select(least(col("qid"), col("nid")).as("u"),
+            greatest(col("qid"), col("nid")).as("v")).distinct()
+      }
+      val adj = e.select(col("u").as("n"), col("v").as("nbr"))
+        .union(e.select(col("v").as("n"), col("u").as("nbr")))
+      val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+      val wed = adj.select(col("n"), col("nbr").as("x"))
+        .join(adj.select(col("n"), col("nbr").as("y")), "n")
+        .filter(col("x") < col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("inter_n"))
+        .filter(col("inter_n") >= 2)
+      wed
+        .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+        .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+        .select(col("x").as("a"), col("y").as("b"),
+          col("inter_n").cast("long").as("inter_n"),
+          (col("dx") + col("dy") - col("inter_n")).cast("long").as("union_n"),
+          expr("inter_n * 1000000 div (dx + dy - inter_n)").as("jac_ppm"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(grPagerank, grTriangles, grCommonNeighbors)
 }
