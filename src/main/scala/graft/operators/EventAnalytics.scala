@@ -347,6 +347,97 @@ object EventAnalytics {
         (col("n_win") > 5).as("throttled"))
   }
 
+  /** Rolling active users: per active day, DAU (distinct users that day),
+    * trailing-7-day WAU, and the DAU/WAU stickiness ratio in integer ppm —
+    * the engagement triple every analytics deployment computes daily.
+    *
+    * The scale-defining choice: a DISTINCT count over a sliding time
+    * window is NOT a window function (COUNT(DISTINCT) OVER RANGE doesn't
+    * exist, and emulating it per-day re-scans the week). Instead each
+    * (user, active-day) fact — already deduplicated, the per-user-day
+    * grain is tiny — explodes to the <= 7 report days it supports, and WAU
+    * becomes a plain partial-agg'd groupBy(day) count over the re-deduped
+    * (user, report-day) pairs. Work is 7x the user-day grain, independent
+    * of raw event volume; every shuffle carries (user_id, day) longs only.
+    * Report days are the days with >= 1 event (the left-semi gate), so a
+    * quiet calendar day emits no row rather than a zero. */
+  val waRollingActive = QueryDef("wa_rolling_active",
+    """WITH t AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM t GROUP BY day),
+      |x AS (SELECT DISTINCT t.user_id, d.day
+      |      FROM t JOIN (SELECT day FROM dau) d ON d.day BETWEEN t.day AND t.day + 6),
+      |wau AS (SELECT day, COUNT(*) AS wau FROM x GROUP BY day)
+      |SELECT w.day AS day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+      |  CAST(d.dau * CAST(1000000 AS BIGINT) // w.wau AS BIGINT) AS stick_ppm
+      |FROM wau w JOIN dau d ON d.day = w.day""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    val t = raw.select(col("user_id"), Tables.tsUs(raw).as("ts_us"))
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day")).distinct()
+    val dau = t.groupBy("day").agg(count(lit(1)).as("dau"))
+    val x = t.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .join(dau.select("day"), Seq("day"), "left_semi")
+      .distinct()
+    x.groupBy("day").agg(count(lit(1)).as("wau"))
+      .join(dau, "day")
+      .select(col("day"), col("dau").cast("long").as("dau"),
+        col("wau").cast("long").as("wau"),
+        expr("dau * 1000000L div wau").as("stick_ppm"))
+  }
+
+  /** Robust (median/MAD) outlier counts per event type — the companion to
+    * [[waOutliers]]'s mean/variance test: a median-absolute-deviation gate
+    * is immune to the very outliers it hunts (one 10^9-cent event drags a
+    * mean-based 3-sigma fence across the sky; it moves the median by at
+    * most one rank). Flag c where |c - median| > 3*MAD.
+    *
+    * Exactness: medians of integers interpolate only to halves, so 2x the
+    * interpolated median is EXACTLY integral in doubles (a+b < 2^53) and
+    * both engines' double->int cast agrees on integral values. The
+    * pipeline therefore carries med_half = 2*median(cents) (half-cents),
+    * hv = |2c - med_half| (half-cents), mad_q = 2*median(hv) (quarter-
+    * cents), and tests 2*hv > 3*mad_q — every comparison integer, no
+    * 6-dp rounding anywhere.
+    *
+    * Scale shape: three scans of the (type, cents) projection with only
+    * vocabulary-sized (5-row) aggregates shuffled and broadcast back.
+    * Exact `percentile` buffers distinct values per group — the
+    * documented cost of any exact median (agg_quantile carries the same
+    * note); a 100 TB deployment swaps in approx_percentile / t-digest
+    * with the rest of the pipeline unchanged, while the mean-based twin
+    * (waOutliers) remains the pure two-pass streaming form. */
+  val waMadOutliers = QueryDef("wa_mad_outliers",
+    """WITH t AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |m AS (SELECT event_type, CAST(2 * quantile_cont(CAST(c AS DOUBLE), 0.5) AS BIGINT) AS med_half FROM t GROUP BY event_type),
+      |h AS (SELECT t.event_type, t.c, abs(2*t.c - m.med_half) AS hv, m.med_half
+      |      FROM t JOIN m ON m.event_type = t.event_type),
+      |md AS (SELECT event_type, CAST(2 * quantile_cont(CAST(hv AS DOUBLE), 0.5) AS BIGINT) AS mad_q,
+      |             COUNT(*) AS n FROM h GROUP BY event_type)
+      |SELECT h.event_type AS event_type, CAST(MAX(md.n) AS BIGINT) AS n,
+      |  CAST(MAX(h.med_half) AS BIGINT) AS med_half,
+      |  CAST(MAX(md.mad_q) AS BIGINT) AS mad_q,
+      |  CAST(SUM(CASE WHEN 2*h.hv > 3*md.mad_q THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM h JOIN md ON md.event_type = h.event_type
+      |GROUP BY h.event_type""".stripMargin) { (spark, d) =>
+    val t = Tables.events(spark, d)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val m = t.groupBy("event_type")
+      .agg((lit(2) * expr("percentile(c, 0.5)")).cast("long").as("med_half"))
+    val h = t.join(broadcast(m), "event_type")
+      .select(col("event_type"), abs(lit(2) * col("c") - col("med_half")).as("hv"),
+        col("med_half"))
+    val md = h.groupBy("event_type")
+      .agg((lit(2) * expr("percentile(hv, 0.5)")).cast("long").as("mad_q"),
+        count(lit(1)).as("n"))
+    h.join(broadcast(md), "event_type")
+      .groupBy("event_type")
+      .agg(max("n").cast("long").as("n"), max("med_half").as("med_half"),
+        max("mad_q").as("mad_q"),
+        sum(when(lit(2) * col("hv") > lit(3) * col("mad_q"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   val all: Seq[QueryDef] = Seq(waFunnel, waRetention, stWindowAgg, waOutliers,
-    stSessionNative, stStreamJoin, waAttribution, waRateLimit)
+    stSessionNative, stStreamJoin, waAttribution, waRateLimit, waRollingActive,
+    waMadOutliers)
 }

@@ -415,8 +415,37 @@ object ExtendedQueries {
         col("l.value").as("last_value"))
   }
 
+  /** Equi-width histogram of event value per type: bucket = cents div 1000
+    * (10-dollar bins), count and within-type share in integer ppm. The
+    * distribution-profiling primitive (data validation, drift monitoring,
+    * bin-packing decisions) as ONE partial-agg'd groupBy over (type,
+    * bucket) — the histogram never materializes per-row state, and the
+    * per-type totals DERIVE from the bucket counts (a second, vocabulary-
+    * sized aggregation) instead of re-scanning the table. Bucket ids use
+    * truncating div == floor div because values are non-negative by
+    * construction (cents >= 1 in this schema; a signed-value deployment
+    * would switch to floor()). */
+  val aggHistogram = QueryDef("agg_histogram",
+    """WITH t AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) // 1000 AS bucket FROM events),
+      |b AS (SELECT event_type, bucket, COUNT(*) AS n FROM t GROUP BY event_type, bucket),
+      |s AS (SELECT event_type, SUM(n) AS tot FROM b GROUP BY event_type)
+      |SELECT b.event_type AS event_type, CAST(b.bucket AS BIGINT) AS bucket,
+      |  CAST(b.n AS BIGINT) AS n,
+      |  CAST(b.n * CAST(1000000 AS BIGINT) // s.tot AS BIGINT) AS share_ppm
+      |FROM b JOIN s ON s.event_type = b.event_type""".stripMargin) { (spark, d) =>
+    val b = Tables.events(spark, d)
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint) div 1000").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+    val s = b.groupBy("event_type").agg(sum("n").as("tot"))
+    b.join(broadcast(s), "event_type")
+      .select(col("event_type"), col("bucket"), col("n").cast("long").as("n"),
+        expr("n * 1000000L div tot").as("share_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     waLagDelta, waSession, rollupAgg, cubeAgg, o4FirstSuccess, x9WordCount,
     x17MapLookup, a7DistinctStats, a6BucketSort, pivotAgg, unpivotMetrics,
-    approxStats, stRunningStats, stSession, stFirstSeen, stCdcUpsert)
+    approxStats, stRunningStats, stSession, stFirstSeen, stCdcUpsert,
+    aggHistogram)
 }

@@ -48,7 +48,10 @@ object GraphQueries {
         |n0 AS (SELECT vec_id, CAST(1000000000 AS BIGINT) AS r FROM embeddings),
         |$cs
         |SELECT vec_id, r AS rank_e9 FROM n$iters""".stripMargin) { (spark, d) =>
-      val edges = graft.Persisted.of(spark, s"$d#knn_adjacency") {
+      val tier = spark.conf.getOption("graft.knn.tier").getOrElse("narrow")
+      Seq("narrow", "auto").filter(_ != tier)
+        .foreach(t => graft.Persisted.clear(spark, s"$d#knn_adjacency#$t"))
+      val edges = graft.Persisted.of(spark, s"$d#knn_adjacency#$tier") {
         val e = Similarity.knnEdgesRelation(spark, d).select(col("qid"), col("nid"))
         e.join(e.groupBy("qid").agg(count(lit(1)).as("deg")), "qid")
       }
@@ -94,6 +97,23 @@ object GraphQueries {
     * DEGREE (low-degree endpoint first), which bounds wedge fan-out by
     * sqrt(m) per node; id-orientation is the same plan with a different
     * sort key, and on the knn graph out-degree is already capped at k. */
+  /** Session-persisted UNDIRECTED oriented edge store (u < v, distinct)
+    * derived from [[Similarity.knnEdgesRelation]] — shared by the triangle
+    * count and the common-neighbor query. Tier-keyed like the edge store
+    * itself (`graft.knn.tier`): a derived relation must never outlive a
+    * flip of the relation it derives from. */
+  private def undirectedKnn(spark: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    val tier = spark.conf.getOption("graft.knn.tier").getOrElse("narrow")
+    Seq("narrow", "auto").filter(_ != tier)
+      .foreach(t => graft.Persisted.clear(spark, s"$d#knn_undirected#$t"))
+    graft.Persisted.of(spark, s"$d#knn_undirected#$tier") {
+      Similarity.knnEdgesRelation(spark, d)
+        .select(least(col("qid"), col("nid")).as("u"),
+          greatest(col("qid"), col("nid")).as("v")).distinct()
+    }
+  }
+
   val grTriangles: QueryDef = {
     val knnSql = Similarity.simKnnGraph.oracle.get
     QueryDef("gr_triangles",
@@ -103,11 +123,7 @@ object GraphQueries {
         |t AS (SELECT 1 FROM w JOIN e ON e.u = w.x AND e.v = w.z)
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
         |       CAST(COUNT(*) AS BIGINT) AS n_triangles FROM t""".stripMargin) { (spark, d) =>
-      val e = graft.Persisted.of(spark, s"$d#knn_undirected") {
-        Similarity.knnEdgesRelation(spark, d)
-          .select(least(col("qid"), col("nid")).as("u"),
-            greatest(col("qid"), col("nid")).as("v")).distinct()
-      }
+      val e = undirectedKnn(spark, d)
       val wedges = e.select(col("u").as("x"), col("v").as("y"))
         .join(e.select(col("u").as("y"), col("v").as("z")), "y")
       val tris = wedges.join(e,
@@ -147,27 +163,30 @@ object GraphQueries {
         |  CAST(inter_n * CAST(1000000 AS BIGINT) // (dx.deg + dy.deg - inter_n) AS BIGINT) AS jac_ppm
         |FROM wed JOIN deg dx ON dx.n = x JOIN deg dy ON dy.n = y
         |WHERE inter_n >= 2""".stripMargin) { (spark, d) =>
-      val e = graft.Persisted.of(spark, s"$d#knn_undirected") {
-        Similarity.knnEdgesRelation(spark, d)
-          .select(least(col("qid"), col("nid")).as("u"),
-            greatest(col("qid"), col("nid")).as("v")).distinct()
-      }
-      val adj = e.select(col("u").as("n"), col("v").as("nbr"))
-        .union(e.select(col("v").as("n"), col("u").as("nbr")))
-      val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
-      val wed = adj.select(col("n"), col("nbr").as("x"))
-        .join(adj.select(col("n"), col("nbr").as("y")), "n")
-        .filter(col("x") < col("y"))
-        .groupBy("x", "y").agg(count(lit(1)).as("inter_n"))
-        .filter(col("inter_n") >= 2)
-      wed
-        .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
-        .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
-        .select(col("x").as("a"), col("y").as("b"),
-          col("inter_n").cast("long").as("inter_n"),
-          (col("dx") + col("dy") - col("inter_n")).cast("long").as("union_n"),
-          expr("inter_n * 1000000 div (dx + dy - inter_n)").as("jac_ppm"))
+      commonNeighbors(undirectedKnn(spark, d))
     }
+  }
+
+  /** The neighborhood-Jaccard core over ANY oriented undirected edge list
+    * (columns u < v, pre-deduplicated). Returns (a, b, inter_n, union_n,
+    * jac_ppm) for pairs sharing >= 2 neighbors. Exposed for reuse and for
+    * the randomized reference spec. */
+  def commonNeighbors(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val adj = e.select(col("u").as("n"), col("v").as("nbr"))
+      .union(e.select(col("v").as("n"), col("u").as("nbr")))
+    val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+    val wed = adj.select(col("n"), col("nbr").as("x"))
+      .join(adj.select(col("n"), col("nbr").as("y")), "n")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("inter_n"))
+      .filter(col("inter_n") >= 2)
+    wed
+      .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+      .select(col("x").as("a"), col("y").as("b"),
+        col("inter_n").cast("long").as("inter_n"),
+        (col("dx") + col("dy") - col("inter_n")).cast("long").as("union_n"),
+        expr("inter_n * 1000000 div (dx + dy - inter_n)").as("jac_ppm"))
   }
 
   val all: Seq[QueryDef] = Seq(grPagerank, grTriangles, grCommonNeighbors)

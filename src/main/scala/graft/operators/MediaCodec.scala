@@ -101,7 +101,11 @@ object MediaCodec {
     * that predicts the pixel fill can predict every bit. Cells are
     * row-major (top-left cell first). None for unparseable or truncated
     * payloads. */
-  def aHashBits(bytes: Array[Byte]): Option[String] =
+  /** 8x8 box-binned cell sums over the pixel raster: (sums, samples) where
+    * sums(k) accumulates the channel bytes of cell k = cj*8+ci and
+    * samples(k) counts them (3 per pixel, the oracle's COUNT(*)). Shared by
+    * the aHash (mean threshold) and pHash (DCT) featurizers. */
+  private def cellSums(bytes: Array[Byte]): Option[(Array[Long], Array[Long])] =
     decode(bytes).flatMap { case (fmt, w, h) =>
       val rowSize = (3 * w + 3) / 4 * 4
       val hlen = bytes.length - 3 * w * h
@@ -131,15 +135,60 @@ object MediaCodec {
           }
           y += 1
         }
-        val ts = sums.sum
-        val ta = samples.sum
-        val sb = new StringBuilder(64)
-        var k = 0
-        while (k < 64) {
-          sb.append(if (sums(k) * ta > ts * samples(k)) '1' else '0')
-          k += 1
-        }
-        Some(sb.toString)
+        Some((sums, samples))
       }
+    }
+
+  def aHashBits(bytes: Array[Byte]): Option[String] =
+    cellSums(bytes).map { case (sums, samples) =>
+      val ts = sums.sum
+      val ta = samples.sum
+      val sb = new StringBuilder(64)
+      var k = 0
+      while (k < 64) {
+        sb.append(if (sums(k) * ta > ts * samples(k)) '1' else '0')
+        k += 1
+      }
+      sb.toString
+    }
+
+  /** Integer DCT-II basis, scaled by 1024 and rounded once at build time:
+    * DctT(u)(i) = round(1024*cos((2i+1)*u*pi/16)). The SAME literals are
+    * embedded in the mm_phash oracle SQL, so engine and oracle share one
+    * matrix by construction — no runtime trigonometry anywhere. */
+  val DctT: IndexedSeq[IndexedSeq[Long]] =
+    (0 until 8).map(u => (0 until 8).map(i =>
+      math.round(1024.0 * math.cos((2 * i + 1) * u * math.Pi / 16))))
+
+  /** Perceptual DCT hash: 8x8 integer cell means (floor), exact integer
+    * 2-D DCT via [[DctT]], 64 bits = coefficient > median of the 63 AC
+    * coefficients (32nd smallest, exact — no doubles anywhere). Bits
+    * ordered row-major by (u, v); the DC bit is compared against the same
+    * AC median (deterministically 1 on any non-degenerate raster). */
+  def pHashBits(bytes: Array[Byte]): Option[String] =
+    cellSums(bytes).map { case (sums, samples) =>
+      val cells = Array.tabulate(64)(k => sums(k) / samples(k))
+      val coefs = new Array[Long](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0L
+          var cj = 0
+          while (cj < 8) {
+            var ci = 0
+            while (ci < 8) {
+              s += DctT(u)(cj) * DctT(v)(ci) * cells(cj * 8 + ci)
+              ci += 1
+            }
+            cj += 1
+          }
+          coefs(u * 8 + v) = s
+          v += 1
+        }
+        u += 1
+      }
+      val med = coefs.drop(1).sorted.apply(31) // 32nd smallest of the 63 AC
+      coefs.map(c => if (c > med) '1' else '0').mkString
     }
 }

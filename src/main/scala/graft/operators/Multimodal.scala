@@ -285,6 +285,67 @@ object Multimodal {
           expr("(n_shared * 1000000) div least(nfa, nfb)").as("overlap_ppm"))
     }
 
+  /** Perceptual DCT hash (pHash) over the same pixel raster as
+    * [[mmAhash]]: 8x8 integer cell means (floor division — sub-integer
+    * precision is irrelevant to a 64-bit sketch), an EXACT integer 2-D
+    * DCT-II ([[MediaCodec.DctT]], cosines scaled by 1024 and rounded ONCE
+    * at build time into literals both engines share), and one bit per
+    * coefficient: greater than the median of the 63 AC coefficients (the
+    * 32nd smallest — a rank, not an interpolation, so no doubles exist
+    * anywhere in the pipeline). pHash survives brightness/contrast shifts
+    * and local noise that flip aHash bits (the mean moves, the spectral
+    * ordering doesn't), which is why image-dedup stacks run both; the 64
+    * bits feed the same pigeonhole band machinery as SimHash.
+    *
+    * Scale shape: identical to mm_ahash — pure per-partition scan work
+    * (decode + one raster pass + a 64x64 integer matmul per row), no
+    * shuffle. The oracle rebuilds the raster from the construction
+    * formulas, runs the DCT as two joins against the embedded basis
+    * matrix, and takes the median as ROW_NUMBER = 32 — any disagreement
+    * in any pixel, cell, coefficient, or rank fails the driver hash. */
+  val mmPhash: QueryDef = {
+    val tRows = (for {
+      u <- 0 until 8; i <- 0 until 8
+    } yield s"($u, $i, ${MediaCodec.DctT(u)(i)})").mkString(", ")
+    QueryDef("mm_phash",
+      s"""WITH m AS (SELECT doc_id, CAST(16 + doc_id % 32 AS BIGINT) AS w,
+        |             CAST(16 + n_chars % 32 AS BIGINT) AS h,
+        |             doc_id % 2 = 0 AS isbmp, doc_id AS seed FROM documents),
+        |px AS (SELECT doc_id,
+        |    (8*x.x)//w AS ci, (8*y.y)//h AS cj,
+        |    CASE WHEN isbmp THEN ((seed + (h-1-y.y)*((3*w+3)//4*4) + 3*x.x + c.c)*31) % 256
+        |         ELSE ((seed + 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*(y.y*w+x.x)+c.c)*31) % 256 END AS v
+        |  FROM m
+        |  JOIN generate_series(0, 46) x(x) ON x.x < w
+        |  JOIN generate_series(0, 46) y(y) ON y.y < h
+        |  CROSS JOIN generate_series(0, 2) c(c)),
+        |cell AS (SELECT doc_id, cj, ci, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cv
+        |         FROM px GROUP BY 1, 2, 3),
+        |basis(u, i, bw) AS (VALUES $tRows),
+        |co AS (SELECT cell.doc_id, tu.u AS u, tv.u AS v2,
+        |         SUM(CAST(tu.bw AS BIGINT) * tv.bw * cell.cv) AS coef
+        |       FROM cell JOIN basis tu ON tu.i = cell.cj
+        |                 JOIN basis tv ON tv.i = cell.ci
+        |       GROUP BY 1, 2, 3),
+        |med AS (SELECT doc_id, coef AS mc FROM (
+        |         SELECT doc_id, coef,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+        |         FROM co WHERE NOT (u = 0 AND v2 = 0)) r WHERE rn = 32)
+        |SELECT co.doc_id,
+        |  string_agg(CASE WHEN coef > mc THEN '1' ELSE '0' END, '' ORDER BY u, v2) AS phash
+        |FROM co JOIN med ON med.doc_id = co.doc_id
+        |GROUP BY co.doc_id""".stripMargin) { (spark, d) =>
+      val sp = spark
+      import sp.implicits._
+      Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)].mapPartitions { it =>
+          it.map { case (id, nc) =>
+            (id, MediaCodec.pHashBits(mediaBytes(id, nc)).getOrElse(""))
+          }
+        }.toDF("doc_id", "phash")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample, mmResize, mmAhash,
-    mmFrameOverlap)
+    mmFrameOverlap, mmPhash)
 }

@@ -718,9 +718,26 @@ object Similarity {
     * materialized graph every graph-analytics consumer derives from
     * (gr_pagerank's degree-attached adjacency, gr_triangles' undirected
     * edges), so the band self-join + top-k window runs once per session,
-    * not once per consumer. */
-  def knnEdgesRelation(spark: SparkSession, d: String): DataFrame =
-    graft.Persisted.of(spark, s"$d#knn_edges") { simKnnGraph.fn(spark, d) }
+    * not once per consumer.
+    *
+    * `graft.knn.tier` (default `narrow`) exists for measured scale
+    * attribution only, the j3 maxGram pattern: the DECLARED graph queries
+    * pin the narrow tier so the oracle gate stays deterministic at every
+    * SF, but past the band-occupancy knee (n >= [[KnnBandKnee]], e.g. the
+    * 200k-vector sf10 probe corpus) the narrow store saturates into
+    * mega-buckets and a graph consumer would measure the saturation, not
+    * the graph stage — `auto` routes the store through [[knnGraphAuto]]'s
+    * knee rule, which is what a production deployment rides. The tier is
+    * part of the cache key, and sibling tiers are evicted on a flip so an
+    * A/B never compares a tier against itself or holds both stores. */
+  def knnEdgesRelation(spark: SparkSession, d: String): DataFrame = {
+    val tier = spark.conf.getOption("graft.knn.tier").getOrElse("narrow")
+    Seq("narrow", "auto").filter(_ != tier)
+      .foreach(t => graft.Persisted.clear(spark, s"$d#knn_edges#$t"))
+    graft.Persisted.of(spark, s"$d#knn_edges#$tier") {
+      if (tier == "auto") knnGraphAuto(spark, d) else simKnnGraph.fn(spark, d)
+    }
+  }
 
   /** Band-occupancy knee for the graph tier rule: expected candidates per
     * node are b*n/space — narrow n/128, wide n/16384. The wide tier only

@@ -1265,9 +1265,117 @@ object TextAnalysis {
     }
   }
 
+  /** Winnowing fingerprints (the MOSS algorithm): per document, hash every
+    * 3-word gram, slide a 4-gram window, and keep each window's MINIMUM
+    * hash — ties broken RIGHTMOST, the detail that makes winnowing's
+    * fingerprint density guarantee (2/(w+1)) hold. The selected (position,
+    * hash) set is the document's fingerprint: position-robust (an edit
+    * perturbs only the windows it touches) where ta_fingerprint's global
+    * rolling hash flips entirely — the local-similarity signal plagiarism
+    * / near-dup span detection keys on.
+    *
+    * Argmin-with-rightmost-tie is ENCODED, not cased: v = h·2^20 − gpos is
+    * order-isomorphic to (h asc, gpos desc) because the gram index is
+    * bounded by the 2^20 words-per-document cap (shared by engine AND
+    * oracle, so both stay structurally equivalent — the ta_bpe series-cap
+    * lesson), and min(v) decodes back to (pos, h) exactly. Overflow-safe:
+    * v < P·2^20 < 2^51.
+    *
+    * Scale shape: the whole selection runs INSIDE the scan — word-hash
+    * array, gram-hash array, per-window array_min over a 4-slice, distinct
+    * — zero shuffle, no window operator, no per-doc state beyond the row.
+    * The oracle states the same semantics relationally (a ROWS 3 PRECEDING
+    * frame over the gram sequence). Documents shorter than 3 words have no
+    * grams; shorter than 6 words (< 4 grams) have no full window — both
+    * emit nothing, winnowing's standard convention. */
+  val taWinnow: QueryDef = {
+    val M = 1048576L // 2^20: per-doc gram-position cap, shared with oracle
+    val sql =
+      s"""WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w,
+        |    generate_subscripts(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1) AS pos
+        |  FROM documents),
+        |h AS (SELECT doc_id, pos, ${Dedup.wordHashSql} AS wh FROM w),
+        |g AS (SELECT a.doc_id, a.pos - 1 AS gpos,
+        |        ((a.wh + ${Dedup.K2}*b.wh + ${Dedup.K3}*c.wh) % ${Dedup.P}) * $M - (a.pos - 1) AS v
+        |      FROM h a JOIN h b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |               JOIN h c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |m AS (SELECT doc_id, gpos,
+        |        MIN(v) OVER (PARTITION BY doc_id ORDER BY gpos
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mv
+        |      FROM g),
+        |s AS (SELECT DISTINCT doc_id, mv FROM m WHERE gpos >= 3)
+        |SELECT doc_id,
+        |  CAST((mv + ${M - 1}) // $M * $M - mv AS BIGINT) AS pos,
+        |  CAST((mv + ${M - 1}) // $M AS BIGINT) AS wid
+        |FROM s""".stripMargin
+    QueryDef("ta_winnow", sql) { (spark, d) =>
+      // The selection runs as ONE fused native pass in the scan stage
+      // (graft.plans.WinnowSelect, whole-stage codegen): tokenize, word
+      // hashes, encoded gram values, sliding-4 min, consecutive-dup
+      // suppression — O(words) per doc. A declarative higher-order form
+      // exists ([[winnowSelsDecl]], spec-matched) but is NOT the declared
+      // path: the optimizer's inferred IsNotNull/size predicates re-inline
+      // the whole interpreted transform chain into a Filter, re-deriving
+      // word hashes per row (a measured 300+ s wedge at sf0.1 vs ~0.1 s
+      // fused).
+      Tables.documents(spark, d)
+        .select(col("doc_id"),
+          explode(graft.plans.winnowSelect(col("text"),
+            Dedup.Coef.take(Dedup.WordHashWidth), Dedup.K2, Dedup.K3,
+            Dedup.P, M)).as("mv"))
+        .select(col("doc_id"),
+          (expr(s"(mv + ${M - 1}) div $M") * M - col("mv")).as("pos"),
+          expr(s"(mv + ${M - 1}) div $M").as("wid"))
+    }
+  }
+
+  /** Declarative twin of the fused winnowing selection — (doc_id, mv)
+    * encoded selections via staged higher-order expressions and a single
+    * aggregate() fold (ring of the last 3 gram values + append-if-changed).
+    * Kept OFF the declared path (see [[taWinnow]]'s plan note) and
+    * cross-checked against the native expression in PlansSpec. */
+  def winnowSelsDecl(docs: DataFrame, M: Long = 1048576L): DataFrame =
+    docs
+      .select(col("doc_id"), transform(Dedup.wordsOf(col("text")),
+        w => Dedup.wordHash(w)).as("wh"))
+      // encoded gram hashes: ((wh[i] + K2·wh[i+1] + K3·wh[i+2]) % P)·M − i
+      .select(col("doc_id"), when(size(col("wh")) >= 3,
+        transform(sequence(lit(0), size(col("wh")) - 3), i =>
+          (element_at(col("wh"), i + 1) +
+            lit(Dedup.K2) * element_at(col("wh"), i + 2) +
+            lit(Dedup.K3) * element_at(col("wh"), i + 3)) % lit(Dedup.P) *
+            lit(M) - i))
+        .otherwise(array().cast("array<bigint>")).as("gv"))
+      // ONE fold over the gram array: the accumulator carries the ring of
+      // the last 3 encoded values and appends each full window's min. A
+      // window's selection repeats only in CONSECUTIVE windows (once a
+      // strictly smaller value enters, the old min can never win again,
+      // and windows covering a position form an interval), so append-if-
+      // changed IS the winnowing dedup.
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(gv) >= 4 THEN aggregate(gv,
+          |  named_struct('i', CAST(0 AS BIGINT),
+          |               'r', CAST(array() AS ARRAY<BIGINT>),
+          |               'o', CAST(array() AS ARRAY<BIGINT>)),
+          |  (acc, x) -> named_struct(
+          |    'i', acc.i + 1L,
+          |    'r', CASE WHEN size(acc.r) < 3 THEN concat(acc.r, array(x))
+          |              ELSE concat(slice(acc.r, 2, 2), array(x)) END,
+          |    'o', CASE WHEN acc.i >= 3
+          |                AND (size(acc.o) = 0
+          |                     OR element_at(acc.o, -1) != least(x, array_min(acc.r)))
+          |              THEN concat(acc.o, array(least(x, array_min(acc.r))))
+          |              ELSE acc.o END),
+          |  acc -> acc.o)
+          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("sels"))
+      .select(col("doc_id"), explode(col("sels")).as("mv"))
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
     taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture, taRarity,
-    taBpePairs, taBpeMerge2, taBpeTrain, taBpeEncode, taBigramLm, taSeqPack)
+    taBpePairs, taBpeMerge2, taBpeTrain, taBpeEncode, taBigramLm, taSeqPack,
+    taWinnow)
 }

@@ -127,6 +127,69 @@ object SketchUtil {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Winnowing fingerprint selection (MOSS) in ONE fused pass: tokenize,
+    * per-word polynomial hash, 3-word gram hashes encoded as
+    * v = h*m - gramPos (order-isomorphic to (h asc, pos desc) — rightmost
+    * tie-break for free), sliding 4-gram window minimum with
+    * consecutive-duplicate suppression. Same-value selections are always
+    * consecutive (v is position-unique and the windows containing a
+    * position form an interval), so the last-emitted check IS the per-doc
+    * distinct. Semantics identical to TextAnalysis.taWinnow's declarative
+    * chain and its DuckDB windowed-frame twin; this exists because the
+    * staged higher-order form gets re-inlined into optimizer-inferred
+    * predicates (InferFiltersFromConstraints), where the interpreted
+    * evaluator re-derives the whole gram chain per row — the fused loop is
+    * O(words) with zero allocation beyond the output. */
+  def winnowSelect(text: UTF8String, coef: Array[Long], k2: Long, k3: Long,
+                   p: Long, m: Long): ArrayData = {
+    if (text == null) return null
+    val s = text.toString
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < s.length && !isWs(s.charAt(i))) i += 1
+      if (i > start) words.add(s.substring(start, i))
+    }
+    val n = words.size()
+    // < 6 words -> < 4 grams -> no full window -> empty fingerprint
+    if (n < 6) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val hs = new Array[Long](n)
+    var w = 0
+    while (w < n) {
+      val cps = words.get(w).codePoints().toArray
+      hs(w) = wordHash(cps, cps.length, coef, p)
+      w += 1
+    }
+    val ng = n - 2
+    val g = new Array[Long](ng)
+    var j = 0
+    while (j < ng) {
+      g(j) = ((hs(j) + k2 * hs(j + 1) + k3 * hs(j + 2)) % p) * m - j
+      j += 1
+    }
+    val out = new Array[Long](ng - 3)
+    var o = 0
+    var haveLast = false
+    var last = 0L
+    j = 3
+    while (j < ng) {
+      var mv = g(j)
+      if (g(j - 1) < mv) mv = g(j - 1)
+      if (g(j - 2) < mv) mv = g(j - 2)
+      if (g(j - 3) < mv) mv = g(j - 3)
+      if (!haveLast || mv != last) {
+        out(o) = mv; o += 1
+        haveLast = true; last = mv
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, o))
+  }
+
   /** min over wids of (a(j)*w+b(j)) mod p, per lane j; null for empty input
     * (mirrors array_min/list_min over an empty list). */
   def minhash(wids: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
@@ -313,6 +376,36 @@ case class WordShingleIds(child: Expression, coef: Seq[Long], k2: Long, k3: Long
     val cRef = ctx.addReferenceObj("shingleCoef", coefArr, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.SketchUtil.wordShingleIds($c, $cRef, ${k2}L, ${k3}L, ${modulus}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_winnow(text)`: winnowing fingerprint selection values in a
+  * single codegen'd pass (see [[SketchUtil.winnowSelect]]). */
+case class WinnowSelect(child: Expression, coef: Seq[Long], k2: Long, k3: Long,
+                        modulus: Long, posCap: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  private lazy val coefArr: Array[Long] = coef.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    SketchUtil.winnowSelect(v.asInstanceOf[UTF8String], coefArr, k2, k3,
+      modulus, posCap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("winnowCoef", coefArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchUtil.winnowSelect($c, $cRef, " +
+        s"${k2}L, ${k3}L, ${modulus}L, ${posCap}L);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

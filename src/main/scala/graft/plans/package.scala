@@ -39,6 +39,13 @@ package object plans {
   def wordShingles(text: Column, coef: Seq[Long], k2: Long, k3: Long, p: Long): Column =
     ColumnBridge.column(WordShingleIds(expr(text), coef, k2, k3, p))
 
+  /** One-pass winnowing (MOSS) fingerprint selection over a document:
+    * encoded (hash*posCap - gramPos) minima of every sliding 4-gram
+    * window, consecutive duplicates suppressed. */
+  def winnowSelect(text: Column, coef: Seq[Long], k2: Long, k3: Long, p: Long,
+                   posCap: Long): Column =
+    ColumnBridge.column(WinnowSelect(expr(text), coef, k2, k3, p, posCap))
+
   /** Codegen'd membership probe of a broadcast bloom filter over a bigint
     * column (the decontam dictionary tier past broadcast-join size). */
   def bloomContains(wid: Column,

@@ -374,4 +374,30 @@ class PlansSpec extends SparkSpec {
     assert(m((7L, "b b")) === ((1L, 4L)))
     assert(!m.keySet.exists(_._1 == 6L))
   }
+
+  test("graft_winnow equals the declarative fold on testdata + edge docs") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import spark.implicits._
+    val edge = Seq(
+      (9001L, ""),                                  // no words
+      (9002L, "one two three four five"),           // 5 words: 3 grams, no full window
+      (9003L, "one two three four five six"),       // exactly one full window
+      (9004L, "a a a a a a a a a a"),               // all-equal grams: one selection
+      (9005L, null.asInstanceOf[String]),           // null text drops the doc
+      (9006L, "  spaced \t out\n tokens  here by seven words  total "))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").union(edge)
+    def sels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val native = sels(docs.select(col("doc_id"),
+      explode(graft.plans.winnowSelect(col("text"),
+        Dedup.Coef.take(Dedup.WordHashWidth), Dedup.K2, Dedup.K3,
+        Dedup.P, 1048576L)).as("mv")))
+    val decl = sels(TextAnalysis.winnowSelsDecl(docs))
+    assert(native === decl)
+    assert(native.exists(_._1 == 9003L) && !native.exists(_._1 == 9002L))
+    // all-equal grams: each window's rightmost min differs by position, but
+    // consecutive-dup suppression still emits one selection per new min
+    assert(native.count(_._1 == 9004L) >= 1)
+  }
 }

@@ -128,4 +128,27 @@ class RandomizedReferenceSpec extends SparkSpec {
     }
     assert(got === r)
   }
+
+  test("commonNeighbors equals the brute-force set reference on random graphs") {
+    val rnd = new Random(29)
+    val n = 60
+    // dense enough that >=2 shared neighbors actually occur, plus isolated
+    // vertices and degree-1 leaves (never emitted, must not crash the joins)
+    val edges = (for {
+      _ <- 1 to 260
+      u = rnd.nextInt(n).toLong; v = rnd.nextInt(n).toLong if u != v
+    } yield (math.min(u, v), math.max(u, v))).distinct
+    val got = GraphQueries.commonNeighbors(edges.toDF("u", "v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (a, es) => a -> es.map(_._2).toSet }
+    val want = (for {
+      (a, na) <- nbrs; (b, nb) <- nbrs if a < b
+      inter = (na & nb).size.toLong if inter >= 2
+      union = (na | nb).size.toLong
+    } yield (a, b) -> ((inter, union, inter * 1000000L / union))).toMap
+    assert(got === want)
+  }
 }
