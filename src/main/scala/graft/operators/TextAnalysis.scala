@@ -1372,10 +1372,53 @@ object TextAnalysis {
           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("sels"))
       .select(col("doc_id"), explode(col("sels")).as("mv"))
 
+  /** Corpus heavy hitters with a sketch-membership guarantee adjudicated by
+    * the oracle (the approx_stats/dd_est_eval house pattern for
+    * approximate operators): exact token counts gate the emitted rows —
+    * words with cnt·K > W, i.e. above a 1/K frequency share — and
+    * `in_sketch` probes each against a K-slot weighted Misra-Gries summary
+    * ([[graft.plans.MisraGriesTopK]], a TypedImperativeAggregate). The MG
+    * mergeable-summaries bound says every item with weight > W/(K+1) holds
+    * a slot REGARDLESS of Spark's partial-aggregation merge order, so
+    * `in_sketch` is deterministically TRUE for every emitted row — which
+    * is exactly what the oracle asserts. The sketch's candidates BELOW the
+    * guarantee are merge-order-dependent and never emitted.
+    *
+    * Scale shape: the sketch side aggregates the vocabulary-sized term
+    * store into O(K) state per partition — K·16 bytes cross the wire per
+    * partition, never the vocabulary — which is the 100 TB path (trust the
+    * sketch, skip the exact join). The exact side here is the evaluation
+    * harness, itself one vocabulary-sized partial-agg'd groupBy. Items
+    * ride as xxhash64(word): a collision only ADDS weight to a wid, so the
+    * guarantee direction (heavy => present) survives hashing. */
+  val taHeavyHitters: QueryDef = {
+    val K = 32
+    QueryDef("ta_heavy_hitters",
+      s"""WITH w AS (SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w FROM documents),
+        |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY w),
+        |t AS (SELECT SUM(cnt) AS wt FROM c)
+        |SELECT c.w AS w, c.cnt AS cnt, TRUE AS in_sketch
+        |FROM c, t WHERE c.cnt * $K > t.wt""".stripMargin) { (spark, d) =>
+      val tf = graft.Persisted.of(spark, s"$d#term_tf") {
+        Tables.documents(spark, d)
+          .select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+      }
+      val sketch = tf
+        .agg(graft.plans.mgTopK(xxhash64(col("w")), col("tf"), K).as("cand"))
+      val counts = tf.groupBy("w").agg(sum("tf").as("cnt"))
+      val tot = counts.agg(sum("cnt").as("wt"))
+      counts.crossJoin(broadcast(tot))
+        .filter(col("cnt") * K > col("wt"))
+        .crossJoin(broadcast(sketch))
+        .select(col("w"), col("cnt").cast("long").as("cnt"),
+          array_contains(col("cand"), xxhash64(col("w"))).as("in_sketch"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     taLangId, taQuality, taTokens, taFingerprint, taTermWeight, taSample,
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
     taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture, taRarity,
     taBpePairs, taBpeMerge2, taBpeTrain, taBpeEncode, taBigramLm, taSeqPack,
-    taWinnow)
+    taWinnow, taHeavyHitters)
 }

@@ -46,6 +46,13 @@ package object plans {
                    posCap: Long): Column =
     ColumnBridge.column(WinnowSelect(expr(text), coef, k2, k3, p, posCap))
 
+  /** Weighted Misra-Gries heavy-hitters summary (mergeable sketch): at most
+    * k candidate item ids, sorted; every item with weight > W/(k+1)
+    * guaranteed present regardless of partial-aggregation merge order. */
+  def mgTopK(item: Column, weight: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesTopK(expr(item), expr(weight), k).toAggregateExpression())
+
   /** Codegen'd membership probe of a broadcast bloom filter over a bigint
     * column (the decontam dictionary tier past broadcast-join size). */
   def bloomContains(wid: Column,

@@ -400,4 +400,31 @@ class PlansSpec extends SparkSpec {
     // consecutive-dup suppression still emits one selection per new min
     assert(native.count(_._1 == 9004L) >= 1)
   }
+
+  test("graft_mg_topk: heavy items survive any partitioning; slots bounded by k") {
+    import spark.implicits._
+    val k = 8
+    // skewed weighted stream: items 1..3 heavy (>= W/(k+1) each), long tail
+    val rows = (Seq.fill(400)((1L, 5L)) ++ Seq.fill(300)((2L, 5L)) ++
+      Seq.fill(250)((3L, 5L)) ++ (1 to 2000).map(i => (100L + i % 700, 1L)))
+    val w = rows.map(_._2).sum
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("item", "wt")
+      val cand = df.agg(graft.plans.mgTopK(col("item"), col("wt"), k).as("c"))
+        .collect().head.getSeq[Long](0)
+      assert(cand.length <= k, s"parts=$parts: more than k slots")
+      for (heavy <- Seq(1L, 2L, 3L)) {
+        val hw = rows.filter(_._1 == heavy).map(_._2).sum
+        assert(hw * (k + 1) > w, "test construction: item must be guaranteed-heavy")
+        assert(cand.contains(heavy), s"parts=$parts: guaranteed item $heavy missing")
+      }
+      assert(cand === cand.sorted)
+    }
+    // zero/negative weights and null items are ignored, empty input -> empty array
+    val edge = Seq((Some(1L), 0L), (Some(2L), -5L), (None, 9L))
+      .toDF("item", "wt")
+    val ec = edge.agg(graft.plans.mgTopK(col("item"), col("wt"), k).as("c"))
+      .collect().head.getSeq[Long](0)
+    assert(ec.isEmpty)
+  }
 }
