@@ -443,9 +443,46 @@ object ExtendedQueries {
         expr("n * 1000000L div tot").as("share_ppm"))
   }
 
+  /** Quartile binning of documents by length — the quantile-discretizer
+    * primitive (feature binning, curriculum bucketing, length-balanced
+    * batch packing). The scale-defining choice: NEVER a global
+    * `ntile() OVER (ORDER BY ...)` — that is a single-partition total sort
+    * of the corpus. Thresholds come from ONE aggregate (three exact
+    * interpolated quartiles over a 5-value-ish distribution), broadcast
+    * back, and the assignment is a codegen'd CASE in the scan stage: one
+    * pass, no wide shuffle, no sort.
+    *
+    * Exactness: quartile interpolation lands only on quarter-integers, so
+    * 4x every quantity is EXACTLY integral in doubles and the engines'
+    * casts agree — the wa_mad_outliers half-cent rule at 0.25 grain. At
+    * 100 TB the thresholds swap to approx_percentile with the binning CASE
+    * unchanged (the same documented swap as agg_quantile/wa_mad_outliers). */
+  val aggQuantileBins = QueryDef("agg_quantile_bins",
+    """WITH q AS (SELECT
+      |    CAST(4*quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS BIGINT) AS t1,
+      |    CAST(4*quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS BIGINT) AS t2,
+      |    CAST(4*quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS BIGINT) AS t3
+      |  FROM documents)
+      |SELECT doc_id, CAST(CASE WHEN 4*n_chars <= t1 THEN 0
+      |  WHEN 4*n_chars <= t2 THEN 1 WHEN 4*n_chars <= t3 THEN 2
+      |  ELSE 3 END AS BIGINT) AS bin
+      |FROM documents, q""".stripMargin) { (spark, d) =>
+    val docs = Tables.documents(spark, d).select("doc_id", "n_chars")
+    val q = docs.agg(
+      (lit(4) * expr("percentile(n_chars, 0.25)")).cast("long").as("t1"),
+      (lit(4) * expr("percentile(n_chars, 0.5)")).cast("long").as("t2"),
+      (lit(4) * expr("percentile(n_chars, 0.75)")).cast("long").as("t3"))
+    docs.crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        when(lit(4) * col("n_chars") <= col("t1"), 0L)
+          .when(lit(4) * col("n_chars") <= col("t2"), 1L)
+          .when(lit(4) * col("n_chars") <= col("t3"), 2L)
+          .otherwise(3L).as("bin"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     waLagDelta, waSession, rollupAgg, cubeAgg, o4FirstSuccess, x9WordCount,
     x17MapLookup, a7DistinctStats, a6BucketSort, pivotAgg, unpivotMetrics,
     approxStats, stRunningStats, stSession, stFirstSeen, stCdcUpsert,
-    aggHistogram)
+    aggHistogram, aggQuantileBins)
 }

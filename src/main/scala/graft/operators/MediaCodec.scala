@@ -191,4 +191,56 @@ object MediaCodec {
       val med = coefs.drop(1).sorted.apply(31) // 32nd smallest of the 63 AC
       coefs.map(c => if (c > med) '1' else '0').mkString
     }
+
+  /** Canonical RIFF/WAVE container, 8-bit mono PCM: 12-byte RIFF header,
+    * 24-byte "fmt " chunk (PCM, 1 channel, `rate` Hz, 8 bits), "data"
+    * chunk of `nSamples` unsigned bytes. Sample fill is the house
+    * deterministic pattern ((seed + j) * 31) & 0xFF with j indexed from
+    * the start of the DATA region, so the oracle's sample formula does
+    * not depend on header length. */
+  def encodeWav(nSamples: Int, rate: Int, seed: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(44 + nSamples).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(US_ASCII)).putInt(36 + nSamples)
+    b.put("WAVE".getBytes(US_ASCII))
+    b.put("fmt ".getBytes(US_ASCII)).putInt(16)
+    b.putShort(1).putShort(1).putInt(rate).putInt(rate).putShort(1).putShort(8)
+    b.put("data".getBytes(US_ASCII)).putInt(nSamples)
+    var j = 0
+    while (j < nSamples) { b.put((((seed + j) * 31) & 0xFF).toByte); j += 1 }
+    b.array()
+  }
+
+  /** REAL RIFF chunk walk: (sampleRate, dataOffset, nSamples) for 8-bit
+    * mono PCM, None for anything else (wrong magic, non-PCM format code,
+    * truncated or oversized chunk, missing fmt/data). Walks chunks with
+    * the RIFF word-alignment rule (odd-length chunks pad one byte), so a
+    * payload with extra chunks (LIST/INFO metadata) still decodes — the
+    * container is parsed, not pattern-matched at fixed offsets. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 12) return None
+    def str4(off: Int) = new String(bytes, off, 4, US_ASCII)
+    if (str4(0) != "RIFF" || str4(8) != "WAVE") return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var rate = -1; var bits = -1; var channels = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length) {
+      val id = str4(off)
+      val len = bb.getInt(off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " if len >= 16 =>
+          if (bb.getShort(off + 8) != 1) return None // PCM only
+          channels = bb.getShort(off + 10)
+          rate = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => ()
+      }
+      off += 8 + len + (len & 1)
+    }
+    if (rate > 0 && bits == 8 && channels == 1 && dataOff >= 0)
+      Some((rate, dataOff, dataLen))
+    else None
+  }
 }

@@ -346,6 +346,65 @@ object Multimodal {
     }
   }
 
+  /** Deterministic audio synthesis: every doc gets a REAL 8-bit mono PCM
+    * WAV payload with 200 + doc_id % 300 samples at 8 kHz; the decoder
+    * must chunk-walk the RIFF container to find the rate and the data
+    * region (see [[MediaCodec.decodeWav]]). */
+  def audioBytes(id: Long): Array[Byte] =
+    MediaCodec.encodeWav((200 + id % 300).toInt, 8000, id)
+
+  /** Per-frame audio energy over the REAL WAV decode — the third modality
+    * (image decode, frame sampling, now audio) through the same batch
+    * plumbing: synthesize → parse the container → per-partition
+    * featurize, zero shuffle. Each 64-sample frame emits its exact
+    * integer energy (sum of squared centered samples) plus a loudness
+    * flag against the uniform-expectation power 16384/3 (3·energy >
+    * 16384·n, integers both sides — frames land on either side, so the
+    * flag actually discriminates). The oracle replays the construction
+    * formula ((doc_id + j)·31) mod 256 − 128 over the data region and
+    * must agree with what Spark reads back out of the bytes: a chunk-walk
+    * misparse (wrong data offset, missed word-alignment pad) shifts every
+    * sample and fails the driver hash.
+    *
+    * Scale shape: pure scan work — the frame explode is bounded (≤ 8
+    * frames/doc) and partition-local; a real audio pipeline swaps the
+    * synthesizer for a bytes column and the energy loop for the
+    * featurizer, with the plumbing unchanged. */
+  val mmAudioEnergy = QueryDef("mm_audio_energy",
+    """WITH m AS (SELECT doc_id, 200 + doc_id % 300 AS ns FROM documents),
+      |s AS (SELECT m.doc_id, i.i AS i, ((m.doc_id + i.i) * 31) % 256 - 128 AS v
+      |      FROM m JOIN generate_series(0, 499) i(i) ON i.i < ns),
+      |f AS (SELECT doc_id, i // 64 AS frame, COUNT(*) AS n,
+      |        SUM(v*v) AS energy FROM s GROUP BY 1, 2)
+      |SELECT doc_id, CAST(frame AS BIGINT) AS frame, CAST(n AS BIGINT) AS n,
+      |  CAST(energy AS BIGINT) AS energy, CAST(8000 AS BIGINT) AS rate,
+      |  3*energy > 16384*n AS loud
+      |FROM f""".stripMargin) { (spark, d) =>
+    val sp = spark
+    import sp.implicits._
+    Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val bytes = audioBytes(id)
+          MediaCodec.decodeWav(bytes).toSeq.flatMap { case (rate, off, n) =>
+            (0 until (n + 63) / 64).map { f =>
+              val s = f * 64
+              val e = math.min(s + 64, n)
+              var energy = 0L
+              var j = s
+              while (j < e) {
+                val v = (bytes(off + j) & 0xFF) - 128
+                energy += v.toLong * v
+                j += 1
+              }
+              (id, f.toLong, (e - s).toLong, energy, rate.toLong,
+                3L * energy > 16384L * (e - s))
+            }
+          }
+        }
+      }.toDF("doc_id", "frame", "n", "energy", "rate", "loud")
+  }
+
   val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample, mmResize, mmAhash,
-    mmFrameOverlap, mmPhash)
+    mmFrameOverlap, mmPhash, mmAudioEnergy)
 }

@@ -98,6 +98,26 @@ class OperatorsSpec extends SparkSpec {
     assert(MediaCodec.decode("P6\n4 99999999999999999999\n255\n".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("wav codec: RIFF chunk walk survives extra/odd chunks, rejects non-PCM and truncation") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val wav = MediaCodec.encodeWav(300, 8000, 5L)
+    assert(MediaCodec.decodeWav(wav) === Some((8000, 44, 300)))
+    // a LIST chunk of ODD length between fmt and data: the walker must pad
+    // to the word boundary or every later offset shifts by one
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3)
+    val withList = wav.take(36) ++ list ++ Array[Byte](0) ++ wav.drop(36)
+    ByteBuffer.wrap(withList).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withList.length - 8)
+    assert(MediaCodec.decodeWav(withList) === Some((8000, 44 + 12, 300)))
+    // non-PCM format code, truncated payload, wrong magic
+    val nonPcm = wav.clone()
+    ByteBuffer.wrap(nonPcm).order(ByteOrder.LITTLE_ENDIAN).putShort(20, 3)
+    assert(MediaCodec.decodeWav(nonPcm).isEmpty)
+    assert(MediaCodec.decodeWav(wav.take(100)).isEmpty)
+    assert(MediaCodec.decodeWav("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("multimodal metadata: decoded dims equal the construction params on real payloads") {
     val out = Multimodal.mediaMeta(Tables.documents(spark, sf0001)).collect()
     assert(out.nonEmpty)
