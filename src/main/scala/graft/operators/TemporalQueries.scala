@@ -60,6 +60,38 @@ object TemporalQueries {
         (col("ts_us") - col("last_err_ts")).as("gap_us"))
   }
 
+  /** The SAME as-of semantics through the native whole-operator path
+    * ([[graft.plans.AsofJoinPlan]] → AsofJoinStrategy → AsofJoinExec): a
+    * custom LogicalPlan node planned by an injected strategy into a
+    * physical two-pointer merge sweep with ClusteredDistribution +
+    * SortOrder requirements — one hash shuffle and one per-partition sort
+    * PER SIDE (probes never union with references, no window operator, no
+    * per-probe buffering). Declared alongside [[ajAsof]] with the
+    * identical oracle, so the custom operator is driver-adjudicated
+    * row-for-row against DuckDB every round, and spec-pinned equal to the
+    * union+window composition. */
+  val ajAsofNative = QueryDef("aj_asof_native",
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events WHERE event_type = 'error'),
+      |j AS (SELECT p.event_id, p.user_id, p.ts_us, e.event_id AS err_id, e.ts_us AS err_ts,
+      |        ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY e.ts_us DESC, e.event_id DESC) AS rn
+      |      FROM p LEFT JOIN e ON e.user_id = p.user_id AND e.ts_us <= p.ts_us)
+      |SELECT event_id, user_id, err_id AS last_err_id,
+      |  CAST(ts_us - err_ts AS BIGINT) AS gap_us
+      |FROM j WHERE rn = 1""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    val ev = raw
+      .select(col("event_id"), col("user_id"), tsUs(raw).as("ts_us"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("last_err_id"), col("ts_us").as("err_ts"))
+    graft.plans.AsofJoin(p, e, key = "user_id", time = "ts_us", tie = "last_err_id")
+      .select(col("event_id"), col("user_id"), col("last_err_id"),
+        (col("ts_us") - col("err_ts")).as("gap_us"))
+  }
+
   /** Bounded range (band) join: all (error, purchase) pairs of the same user
     * with 0 <= purchase.ts - error.ts <= 5 min. Implementation buckets time
     * into 5-minute cells and equi-joins on (user_id, cell) — the error side
@@ -103,5 +135,5 @@ object TemporalQueries {
         round(expr("percentile(value, 0.9)"), 6).as("p90"))
   }
 
-  val all: Seq[QueryDef] = Seq(ajAsof, ajRange, aggQuantile)
+  val all: Seq[QueryDef] = Seq(ajAsof, ajAsofNative, ajRange, aggQuantile)
 }

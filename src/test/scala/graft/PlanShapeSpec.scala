@@ -298,4 +298,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       s"expected the persisted knn adjacency:\n$p")
   }
+
+  test("ta_winnow: fused native selection in the scan — no lambda chain, no window, no shuffle") {
+    val p = plan("ta_winnow")
+    assert(p.contains("graft_winnow"), s"expected the fused WinnowSelect:\n$p")
+    // the wedge this guard pins: interpreted transform/aggregate lambdas
+    // cloned into inferred predicates (PLANS.md ta_winnow)
+    assert(!p.contains("transform(") && !p.contains("aggregate("),
+      s"no higher-order lambdas may survive on the declared path:\n$p")
+    assert(!p.contains("Window") && !p.contains("Exchange"),
+      s"selection must complete inside the scan stage:\n$p")
+  }
+
+  test("wa_rolling_active: bounded day-explode, no window, no distinct-over-range") {
+    val p = plan("wa_rolling_active")
+    assert(!p.contains("Window"),
+      s"WAU must not be a window (COUNT DISTINCT OVER RANGE doesn't exist):\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the <=7-day bounded explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"day support must stay an equi-join:\n$p")
+  }
+
+  test("wa_mad_outliers / agg_quantile_bins: rank stats broadcast back, no window, no sort") {
+    for (q <- Seq("wa_mad_outliers", "agg_quantile_bins")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: no global rank window allowed:\n$p")
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: vocabulary-sized stats must broadcast back:\n$p")
+      assert(!p.toLowerCase.contains("sortexec") && !p.contains("GlobalSort"),
+        s"$q: no corpus sort:\n$p")
+    }
+  }
+
+  test("ta_heavy_hitters: the MG sketch aggregates with a partial stage (O(k) per partition)") {
+    val p = plan("ta_heavy_hitters")
+    assert(p.contains("graft_mg_topk"), s"expected the MG aggregate:\n$p")
+    assert(p.contains("partial_graft_mg_topk") || p.contains("ObjectHashAggregate"),
+      s"expected partial aggregation of the sketch (merge-side O(k)):\n$p")
+  }
+
+  test("mm_audio_energy / mm_phash: pure per-partition scan stages, zero shuffle") {
+    for (q <- Seq("mm_audio_energy", "mm_phash")) {
+      val p = outerPlan(q).toString
+      assert(!p.contains("Exchange") && !p.contains("Window") && !p.contains("Join"),
+        s"$q: featurization must be shuffle-free:\n$p")
+    }
+  }
 }

@@ -35,6 +35,43 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("aj_asof_native: the custom SparkPlan is row-identical to the union+window form") {
+    val key = Seq("event_id", "user_id", "last_err_id", "gap_us")
+    def rows(q: QueryDef) = q.fn(spark, sf0001)
+      .collect().map(r => key.indices.map(i =>
+        if (r.isNullAt(i)) None else Some(r.getLong(i)))).sortBy(_.toString)
+    val native = rows(TemporalQueries.ajAsofNative)
+    val composed = rows(TemporalQueries.ajAsof)
+    assert(native.nonEmpty && native === composed)
+    // and the plan really is the custom operator, not a fallback
+    val p = TemporalQueries.ajAsofNative.fn(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), s"expected the custom exec:\n$p")
+  }
+
+  test("AsofJoin: randomized reference incl. ties, dup times, empty/stale keys, string keys") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // small key space forces every merge-sweep path: repeated probes per
+    // key, stale reference keys, keys with no references, ties on time
+    val probes = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(12)}", rnd.nextInt(40).toLong))
+    val refs = (1 to 200).map(i =>
+      (s"k${rnd.nextInt(15)}", rnd.nextInt(40).toLong, 1000L + i))
+    val pDf = probes.toDF("pid", "k", "t")
+    val rDf = refs.toDF("k", "t", "rid")
+      .select(col("k"), col("t"), col("rid"), col("t").as("rt"))
+    val got = graft.plans.AsofJoin(pDf, rDf, key = "k", time = "t", tie = "rid")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    val want = probes.map { case (pid, k, t) =>
+      val el = refs.filter(x => x._1 == k && x._2 <= t)
+      pid -> (if (el.isEmpty) -1L else el.maxBy(x => (x._2, x._3))._3)
+    }.toMap
+    assert(got === want)
+  }
+
   test("aj_range_join equals the brute-force theta join") {
     val raw = Tables.events(spark, sf0001)
     val ev = raw
