@@ -1221,6 +1221,51 @@ object TextAnalysis {
           .as("ppl_micro"))
   }
 
+  /** Collocation mining — the phrase-discovery companion to
+    * [[taBigramLm]]: bigrams that co-occur far above chance, scored by a
+    * log-free PMI ratio in integer ppm — observed/expected =
+    * c12·N·10^6 div (c1·c2) where c1/c2 are the marginal first/second-
+    * position counts and N the bigram total. (log PMI is monotone in the
+    * ratio, so ranking/thresholding semantics are identical and the
+    * engines stay on exact integers — the ta_rarity house rule; the
+    * numerator rides DECIMAL(38,0)/HUGEINT per the overflow ceiling.)
+    * The c12 >= 5 support gate is standard collocation practice (PMI of
+    * hapax pairs is noise) and keeps the output vocabulary-bounded.
+    *
+    * Scale shape: everything derives from the persisted bigram-type store
+    * ([[taBigramLm]]'s `#bigram_tf`, formed map-side in the scan) — the
+    * marginals and N are vocabulary-sized aggregates of it, broadcast
+    * back by AQE. No token-stream shuffle anywhere. */
+  val taCollocations: QueryDef = QueryDef("ta_collocations",
+    """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+      |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t) x),
+      |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      |m1 AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1),
+      |m2 AS (SELECT w2, SUM(c12) AS c2 FROM big GROUP BY 1),
+      |nn AS (SELECT SUM(c12) AS n FROM big)
+      |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+      |  CAST(CAST(c12 AS HUGEINT) * n * 1000000 // (c1 * c2) AS BIGINT) AS pmi_ppm
+      |FROM big JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nn
+      |WHERE c12 >= 5""".stripMargin) { (spark, d) =>
+    val docs = Tables.documents(spark, d)
+    val dbg = graft.Persisted.of(spark, s"$d#bigram_tf") {
+      docs.select(col("doc_id"), bigramPairs(col("text")).as("bg"))
+        .select(col("doc_id"), explode(col("bg")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    }
+    val big = dbg.groupBy("w1", "w2").agg(sum("tf").as("c12"))
+    val m1 = big.groupBy("w1").agg(sum("c12").as("c1"))
+    val m2 = big.groupBy("w2").agg(sum("c12").as("c2"))
+    val nn = broadcast(big.agg(sum("c12").cast("long").as("n")))
+    big.filter(col("c12") >= 5)
+      .join(m1, "w1").join(m2, "w2").crossJoin(nn)
+      .select(col("w1"), col("w2"), col("c12").cast("long").as("c12"),
+        expr("cast(c12 as decimal(38,0)) * n * 1000000 div (c1 * c2)")
+          .as("pmi_ppm"))
+  }
+
   /** Fixed-length SEQUENCE packing — the pretraining-batch shape
     * [[taShardPack]] stops short of: the tokenized corpus is one
     * concatenated stream in doc_id order, cut every 512 tokens, and
@@ -1420,5 +1465,5 @@ object TextAnalysis {
     taKeepFilter, taScrub, taDecontam, taRepetition, taShardPack,
     taStratifiedSample, taCorpusShuffle, taChunk, taBm25, taMixture, taRarity,
     taBpePairs, taBpeMerge2, taBpeTrain, taBpeEncode, taBigramLm, taSeqPack,
-    taWinnow, taHeavyHitters)
+    taWinnow, taHeavyHitters, taCollocations)
 }
