@@ -437,7 +437,37 @@ object EventAnalytics {
           .as("n_outliers"))
   }
 
+  /** Trending event types: per 5-minute tumbling window, the top 3 types
+    * by count (ties broken by type name — deterministic on both engines).
+    * The batch twin of the streaming trending stage: the SAME
+    * [[graft.streaming.StreamingEvents.windowedCounts]] aggregate the
+    * declared st_window_agg rides, plus
+    * [[graft.streaming.StreamingEvents.topkPerWindow]] — which a
+    * streaming deployment applies in the sink over watermark-final
+    * windows (StreamingEventsSpec replays exactly that). The rank window
+    * partitions by the 5-minute bucket and ranks the TYPE vocabulary —
+    * bounded per partition; the only corpus-sized stage is the windowed
+    * aggregate's one shuffle. */
+  val stTopkTrending = QueryDef("st_topk_trending",
+    """WITH c AS (SELECT CAST(epoch_us(ts) // 300000000 * 300000000 AS BIGINT) AS w_start_us,
+      |    event_type, COUNT(*) AS n
+      |  FROM events WHERE epoch_us(ts) >= 0 GROUP BY 1, 2)
+      |SELECT w_start_us, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY w_start_us
+      |        ORDER BY n DESC, event_type) AS rnk FROM c) t
+      |WHERE rnk <= 3""".stripMargin) { (spark, d) =>
+    val raw = Tables.events(spark, d)
+    val ev = raw
+      .select(expr(s"timestamp_micros(${Tables.tsUsSql(raw)})").as("ts"),
+        col("event_type"), col("value"))
+      .filter(col("ts") >= lit("1970-01-01 00:00:00").cast("timestamp"))
+    graft.streaming.StreamingEvents
+      .topkPerWindow(graft.streaming.StreamingEvents.windowedCounts(ev), 3)
+      .select(unix_micros(col("w_start")).as("w_start_us"), col("event_type"),
+        col("n"), col("rnk").cast("long").as("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(waFunnel, waRetention, stWindowAgg, waOutliers,
     stSessionNative, stStreamJoin, waAttribution, waRateLimit, waRollingActive,
-    waMadOutliers)
+    waMadOutliers, stTopkTrending)
 }

@@ -39,6 +39,20 @@ object StreamingEvents {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total"))
 
+  /** Per-window top-k over [[windowedCounts]] output: rank (n desc,
+    * event_type asc — deterministic under count ties) and keep the top
+    * `k` — the trending-types stage. In a streaming deployment this
+    * applies in the SINK (foreachBatch) over append-mode windows, where
+    * every emitted window is already final under the watermark, so the
+    * rank is well-defined without re-ranking on late data. The window is
+    * partitioned per 5-minute bucket whose cardinality is the TYPE
+    * vocabulary — bounded, never corpus-sized. */
+  def topkPerWindow(windowed: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w_start").orderBy(col("n").desc, col("event_type"))
+    windowed.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Arbitrary-state sessionization via flatMapGroupsWithState: a session
     * closes when the next event of the same user arrives more than `gapMs`
     * later; closed sessions are emitted, the open one rides in state. The

@@ -32,6 +32,36 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topkPerWindow over the streamed sink equals the batch trending query on closed windows") {
+    implicit val sc = spark.sqlContext
+    val raw = Tables.events(spark, sf0001)
+    val ordered = raw.selectExpr(
+        s"timestamp_micros(${Tables.tsUsSql(raw)}) as ts", "user_id",
+        "event_type", "value")
+      .orderBy("ts").collect()
+      .map(r => Event(r.getTimestamp(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val in = MemoryStream[Event]
+    val q = StreamingEvents.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("trend_replay")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = ordered.splitAt(ordered.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      // append mode: only windows the final watermark passed have emitted —
+      // the sink-side rank is exactly the deployment shape
+      val streamedTopk = StreamingEvents.topkPerWindow(spark.table("trend_replay"), 3)
+        .selectExpr("unix_micros(w_start) as w_start_us", "event_type", "n", "rnk")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      val closed = streamedTopk.map(_._1).toSet
+      assert(closed.nonEmpty, "replay must close at least one window")
+      val batch = graft.operators.EventAnalytics.stTopkTrending.fn(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3).toInt))
+        .filter(t => closed.contains(t._1))
+      assert(streamedTopk.toSet == batch.toSet)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running stats accumulate across micro-batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
