@@ -19,6 +19,20 @@ object Probe {
       "scan_count_docs" -> (() => Tables.documents(spark, d).select(count(lit(1)))),
       "scan_count_cust" -> (() => Tables.customer(spark, d).select(count(lit(1)))),
       "noop_local" -> (() => spark.range(1).select(count(lit(1)))),
+      // window-sort twin of w_topk_per_key (the declared query uses the
+      // bounded-state graft_top_k aggregate) — the A/B this operator
+      // exists to win
+      "w_topk_window" -> (() => {
+        val t = Tables.events(spark, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("cents").desc, col("event_id").desc)
+        t.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+          .select(col("user_id"), col("rnk").cast("long").as("rnk"),
+            col("cents"), col("event_id"))
+      }),
       "scan_sum_qty" -> (() => li.select(sum(col("l_quantity")))),
       "scan_sum_double" -> (() => li.select(sum(col("l_extendedprice")))),
       "scan_sum_decimal" -> (() => li.select(sum(col("l_extendedprice").cast("decimal(18,2)")))),

@@ -480,9 +480,36 @@ object ExtendedQueries {
           .otherwise(3L).as("bin"))
   }
 
+  /** Per-key top-k WITHOUT a window sort: the bounded-state
+    * [[graft.plans.TopKStructs]] aggregate holds <= 3 struct rows per
+    * user and partial-aggregates map-side, so each task ships at most 3
+    * rows per user — never the user's full purchase history. The window
+    * form (the oracle's statement) shuffles and sorts EVERY row of every
+    * key to keep 3; on a skewed 10^9-row key that is the difference
+    * between a sort and 3 rows of state. Rank fields ride in the struct
+    * (cents, event_id), DESC lexicographic, event_id unique — total
+    * order, both engines deterministic. */
+  val wTopkPerKey = QueryDef("w_topk_per_key",
+    """WITH t AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, cents, event_id, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY cents DESC, event_id DESC) AS rnk FROM t)
+      |SELECT user_id, CAST(rnk AS BIGINT) AS rnk, cents, event_id
+      |FROM r WHERE rnk <= 3""".stripMargin) { (spark, d) =>
+    Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+      .groupBy("user_id")
+      .agg(graft.plans.topK(struct(col("cents"), col("event_id")), 3).as("top"))
+      .select(col("user_id"), posexplode(col("top")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.cents").as("cents"), col("col.event_id").as("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     waLagDelta, waSession, rollupAgg, cubeAgg, o4FirstSuccess, x9WordCount,
     x17MapLookup, a7DistinctStats, a6BucketSort, pivotAgg, unpivotMetrics,
     approxStats, stRunningStats, stSession, stFirstSeen, stCdcUpsert,
-    aggHistogram, aggQuantileBins)
+    aggHistogram, aggQuantileBins, wTopkPerKey)
 }

@@ -53,6 +53,13 @@ package object plans {
     ColumnBridge.column(
       MisraGriesTopK(expr(item), expr(weight), k).toAggregateExpression())
 
+  /** Bounded-state per-group top-k: the greatest k struct values under
+    * DESC lexicographic field order, as a sorted array — partial-aggregates
+    * map-side with <= k rows of state per group (the window-sort
+    * alternative for skewed keys). */
+  def topK(s: Column, k: Int): Column =
+    ColumnBridge.column(TopKStructs(expr(s), k).toAggregateExpression())
+
   /** Codegen'd membership probe of a broadcast bloom filter over a bigint
     * column (the decontam dictionary tier past broadcast-join size). */
   def bloomContains(wid: Column,

@@ -427,4 +427,27 @@ class PlansSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(ec.isEmpty)
   }
+
+  test("graft_top_k equals the sort reference under any partitioning; groups smaller than k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // few keys, many ties on the rank field — the unique id must decide
+    val rows = (1 to 3000).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(20).toLong, i.toLong)) ++
+      Seq((99L, 5L, 9001L), (98L, 1L, 9002L), (98L, 2L, 9003L)) // tiny groups
+    val want = rows.groupBy(_._1).flatMap { case (key, g) =>
+      g.sortBy(t => (-t._2, -t._3)).take(4).zipWithIndex
+        .map { case ((_, v, id), i) => (key, i + 1, v, id) }
+    }.toSet
+    for (parts <- Seq(1, 5, 32)) {
+      val got = spark.sparkContext.parallelize(rows, parts).toDF("key", "v", "id")
+        .groupBy("key")
+        .agg(graft.plans.topK(struct(col("v"), col("id")), 4).as("top"))
+        .select(col("key"), posexplode(col("top")))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1) + 1,
+          r.getStruct(2).getLong(0), r.getStruct(2).getLong(1))).toSet
+      assert(got === want, s"parts=$parts")
+    }
+  }
 }
