@@ -57,7 +57,13 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names — a targeted dump for
+    // spot-checking a few queries at an expensive SF without re-running
+    // the whole suite (the driver always runs the unfiltered form)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, None)
+      case Array(s, o, names) => (s, o, Some(names.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,15 +72,20 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val failed = dump(spark, sfDir, outDir, SparkEntry.queries)
+    val queries = only match {
+      case None => SparkEntry.queries
+      case Some(sel) => SparkEntry.queries.filter(kv => sel.contains(kv._1))
+    }
+    val failed = dump(spark, sfDir, outDir, queries)
     val json = SparkEntry.oracleSql
+      .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (failed.nonEmpty)
       // rc stays 0: the driver's compare must still run so every failed
       // query surfaces as a RED entry (via the placeholder schema) — the
       // placeholder + status file are the gate, not the exit code.
-      System.err.println(s"[verify] INCOMPLETE: ${failed.size}/${SparkEntry.queries.size} queries failed: " +
+      System.err.println(s"[verify] INCOMPLETE: ${failed.size}/${queries.size} queries failed: " +
         failed.map(_._1).mkString(", "))
     spark.stop()
   }
