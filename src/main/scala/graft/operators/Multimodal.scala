@@ -212,8 +212,11 @@ object Multimodal {
     * Scale shape: pure per-partition scan work (decode + one raster pass
     * per row), no shuffle — the batch-stage shape of every real
     * featurizer; at 100 TB the cost is the payload scan itself. */
-  val mmAhash = QueryDef("mm_ahash",
-    """WITH m AS (SELECT doc_id, CAST(16 + doc_id % 32 AS BIGINT) AS w,
+  /** The mm_ahash oracle's raster/cell/threshold CTE chain — shared with
+    * [[mmImageNeardup]] so the two oracles cannot drift. Ends with
+    * `hh(doc_id, ahash)`. */
+  private val ahashCtes: String =
+    """m AS (SELECT doc_id, CAST(16 + doc_id % 32 AS BIGINT) AS w,
       |             CAST(16 + n_chars % 32 AS BIGINT) AS h,
       |             doc_id % 2 = 0 AS isbmp, doc_id AS seed FROM documents),
       |px AS (SELECT doc_id,
@@ -225,23 +228,91 @@ object Multimodal {
       |  JOIN generate_series(0, 46) y(y) ON y.y < h
       |  CROSS JOIN generate_series(0, 2) c(c)),
       |cell AS (SELECT doc_id, cj, ci, SUM(v) AS s, COUNT(*) AS a FROM px GROUP BY 1, 2, 3),
-      |tot AS (SELECT doc_id, SUM(s) AS ts, SUM(a) AS ta FROM cell GROUP BY doc_id)
-      |SELECT cell.doc_id,
-      |  CASE WHEN cell.doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+      |tot AS (SELECT doc_id, SUM(s) AS ts, SUM(a) AS ta FROM cell GROUP BY doc_id),
+      |hh AS (SELECT cell.doc_id,
       |  string_agg(CASE WHEN CAST(s AS BIGINT)*ta > CAST(ts AS BIGINT)*a THEN '1' ELSE '0' END,
       |             '' ORDER BY cj, ci) AS ahash
       |FROM cell JOIN tot ON tot.doc_id = cell.doc_id
-      |GROUP BY cell.doc_id""".stripMargin) { (spark, d) =>
-    val sp = spark
-    import sp.implicits._
-    Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
-      .as[(Long, Long)].mapPartitions { it =>
-        it.map { case (id, nc) =>
-          val bytes = mediaBytes(id, nc)
-          val fmt = MediaCodec.decode(bytes).map(_._1).getOrElse("raw")
-          (id, fmt, MediaCodec.aHashBits(bytes).getOrElse(""))
-        }
-      }.toDF("doc_id", "format", "ahash")
+      |GROUP BY cell.doc_id)""".stripMargin
+
+  /** (doc_id, format, ahash) via the REAL pixel-raster decode — session-
+    * persisted: the hash scan runs once and feeds both the declared
+    * mm_ahash query and the image near-dup banding. */
+  def ahashRelation(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#ahash") {
+      val sp = spark
+      import sp.implicits._
+      Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)].mapPartitions { it =>
+          it.map { case (id, nc) =>
+            val bytes = mediaBytes(id, nc)
+            val fmt = MediaCodec.decode(bytes).map(_._1).getOrElse("raw")
+            (id, fmt, MediaCodec.aHashBits(bytes).getOrElse(""))
+          }
+        }.toDF("doc_id", "format", "ahash")
+    }
+
+  val mmAhash = QueryDef("mm_ahash",
+    s"""WITH $ahashCtes
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+      |  ahash
+      |FROM hh""".stripMargin) { (spark, d) =>
+    ahashRelation(spark, d)
+  }
+
+  /** Image near-duplicates: pairs whose 64-bit perceptual aHashes differ
+    * in <= 3 bits, found by PIGEONHOLE banding — the 64 bits split into
+    * four 16-bit band values; <= 3 differing bits cannot touch all four
+    * bands, so every qualifying pair shares >= 1 exact band and the
+    * candidate join is an equi-join on (band, value), never all-pairs
+    * (the same machinery as dd_simhash_neardup, fed by image bits instead
+    * of shingle sketches — this is the query that closes the loop the
+    * mm_ahash doc promises). Exact hamming then verifies candidates via
+    * bit_count over the band values. The hash relation is the persisted
+    * [[ahashRelation]] scan shared with mm_ahash; both oracles share one
+    * CTE chain so they cannot drift.
+    *
+    * Scale: candidates ∝ genuinely-close images (band-value collisions),
+    * hamming verify is 4 xors per candidate, and the band space grows
+    * with a wider hash exactly like the SimHash tiers — the saturation
+    * analysis there transfers unchanged. */
+  val mmImageNeardup: QueryDef = QueryDef("mm_image_neardup",
+    s"""WITH $ahashCtes,
+      |bv AS (SELECT doc_id,
+      |  CAST(('0b' || substring(ahash, 1, 16))::BIGINT AS BIGINT) AS b0,
+      |  CAST(('0b' || substring(ahash, 17, 16))::BIGINT AS BIGINT) AS b1,
+      |  CAST(('0b' || substring(ahash, 33, 16))::BIGINT AS BIGINT) AS b2,
+      |  CAST(('0b' || substring(ahash, 49, 16))::BIGINT AS BIGINT) AS b3
+      |  FROM hh),
+      |band AS (SELECT doc_id, 0 AS b, b0 AS v FROM bv
+      |  UNION ALL SELECT doc_id, 1, b1 FROM bv
+      |  UNION ALL SELECT doc_id, 2, b2 FROM bv
+      |  UNION ALL SELECT doc_id, 3, b3 FROM bv),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM band x JOIN band y ON y.b = x.b AND y.v = x.v AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+      |  FROM cand JOIN bv a ON a.doc_id = doc_a JOIN bv b ON b.doc_id = doc_b) t
+      |WHERE hamming <= 3""".stripMargin) { (spark, d) =>
+    val hv = ahashRelation(spark, d).select(col("doc_id"), expr(
+      "transform(sequence(0, 3), b -> cast(conv(substring(ahash, b*16+1, 16), 2, 10) as bigint))")
+      .as("bv"))
+    val bands = hv.select(col("doc_id"), posexplode(col("bv")))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("pos"), col("col"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("pos"), col("col")),
+        Seq("pos", "col"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(hv.select(col("doc_id").as("doc_a"), col("bv").as("ba")), "doc_a")
+      .join(hv.select(col("doc_id").as("doc_b"), col("bv").as("bb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, x) -> acc + x)")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
   }
 
   /** Video near-dup via shared frame fingerprints: two media items are
@@ -308,33 +379,53 @@ object Multimodal {
       u <- 0 until 8; i <- 0 until 8
     } yield s"($u, $i, ${MediaCodec.DctT(u)(i)})").mkString(", ")
     QueryDef("mm_phash",
-      s"""WITH m AS (SELECT doc_id, CAST(16 + doc_id % 32 AS BIGINT) AS w,
-        |             CAST(16 + n_chars % 32 AS BIGINT) AS h,
-        |             doc_id % 2 = 0 AS isbmp, doc_id AS seed FROM documents),
-        |px AS (SELECT doc_id,
-        |    (8*x.x)//w AS ci, (8*y.y)//h AS cj,
-        |    CASE WHEN isbmp THEN ((seed + (h-1-y.y)*((3*w+3)//4*4) + 3*x.x + c.c)*31) % 256
-        |         ELSE ((seed + 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*(y.y*w+x.x)+c.c)*31) % 256 END AS v
-        |  FROM m
-        |  JOIN generate_series(0, 46) x(x) ON x.x < w
-        |  JOIN generate_series(0, 46) y(y) ON y.y < h
-        |  CROSS JOIN generate_series(0, 2) c(c)),
-        |cell AS (SELECT doc_id, cj, ci, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cv
-        |         FROM px GROUP BY 1, 2, 3),
-        |basis(u, i, bw) AS (VALUES $tRows),
-        |co AS (SELECT cell.doc_id, tu.u AS u, tv.u AS v2,
-        |         SUM(CAST(tu.bw AS BIGINT) * tv.bw * cell.cv) AS coef
-        |       FROM cell JOIN basis tu ON tu.i = cell.cj
-        |                 JOIN basis tv ON tv.i = cell.ci
-        |       GROUP BY 1, 2, 3),
-        |med AS (SELECT doc_id, coef AS mc FROM (
-        |         SELECT doc_id, coef,
-        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
-        |         FROM co WHERE NOT (u = 0 AND v2 = 0)) r WHERE rn = 32)
-        |SELECT co.doc_id,
-        |  string_agg(CASE WHEN coef > mc THEN '1' ELSE '0' END, '' ORDER BY u, v2) AS phash
-        |FROM co JOIN med ON med.doc_id = co.doc_id
-        |GROUP BY co.doc_id""".stripMargin) { (spark, d) =>
+      s"""WITH $phashCtes
+        |SELECT doc_id, phash FROM ph""".stripMargin) { (spark, d) =>
+      phashRelation(spark, d).select("doc_id", "phash")
+    }
+  }
+
+  /** The mm_phash oracle's DCT CTE chain (cell means, integer DCT against
+    * the embedded basis, AC-median bits), ending with `ph(doc_id, phash)`.
+    * Shares nothing with [[ahashCtes]] by name so the two chains compose
+    * in one WITH clause (mm_image_neardup128). */
+  private lazy val phashCtes: String = {
+    val tRows = (for {
+      u <- 0 until 8; i <- 0 until 8
+    } yield s"($u, $i, ${MediaCodec.DctT(u)(i)})").mkString(", ")
+    s"""m2 AS (SELECT doc_id, CAST(16 + doc_id % 32 AS BIGINT) AS w,
+      |             CAST(16 + n_chars % 32 AS BIGINT) AS h,
+      |             doc_id % 2 = 0 AS isbmp, doc_id AS seed FROM documents),
+      |px2 AS (SELECT doc_id,
+      |    (8*x.x)//w AS ci, (8*y.y)//h AS cj,
+      |    CASE WHEN isbmp THEN ((seed + (h-1-y.y)*((3*w+3)//4*4) + 3*x.x + c.c)*31) % 256
+      |         ELSE ((seed + 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*(y.y*w+x.x)+c.c)*31) % 256 END AS v
+      |  FROM m2
+      |  JOIN generate_series(0, 46) x(x) ON x.x < w
+      |  JOIN generate_series(0, 46) y(y) ON y.y < h
+      |  CROSS JOIN generate_series(0, 2) c(c)),
+      |cell2 AS (SELECT doc_id, cj, ci, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cv
+      |         FROM px2 GROUP BY 1, 2, 3),
+      |basis(u, i, bw) AS (VALUES $tRows),
+      |co AS (SELECT cell2.doc_id, tu.u AS u, tv.u AS v2,
+      |         SUM(CAST(tu.bw AS BIGINT) * tv.bw * cell2.cv) AS coef
+      |       FROM cell2 JOIN basis tu ON tu.i = cell2.cj
+      |                 JOIN basis tv ON tv.i = cell2.ci
+      |       GROUP BY 1, 2, 3),
+      |med AS (SELECT doc_id, coef AS mc FROM (
+      |         SELECT doc_id, coef,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+      |         FROM co WHERE NOT (u = 0 AND v2 = 0)) r WHERE rn = 32),
+      |ph AS (SELECT co.doc_id,
+      |  string_agg(CASE WHEN coef > mc THEN '1' ELSE '0' END, '' ORDER BY u, v2) AS phash
+      |FROM co JOIN med ON med.doc_id = co.doc_id
+      |GROUP BY co.doc_id)""".stripMargin
+  }
+
+  /** (doc_id, phash) — session-persisted for the same reason as
+    * [[ahashRelation]]. */
+  def phashRelation(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#phash") {
       val sp = spark
       import sp.implicits._
       Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
@@ -344,6 +435,59 @@ object Multimodal {
           }
         }.toDF("doc_id", "phash")
     }
+
+  /** The WIDE image near-dup tier: hamming <= 3 over the COMBINED 128-bit
+    * ahash||phash, banded as four 32-bit values. Same pigeonhole guarantee
+    * (<= 3 diffs spare >= 1 of 4 bands), 65536x the band value space —
+    * the remedy for the 16-bit tier's measured saturation (sf1 4 s; sf10
+    * wedged >25 min on hot band buckets: structured aHash bits
+    * concentrate the 64k-value space, the scale-lessons occupancy knee).
+    * Semantically the wide tier is the STRICTER operating point (both the
+    * luminance-mean hash and the spectral hash must nearly agree — fewer
+    * false positives from flat images), which is how image-dedup stacks
+    * actually compose the two. Mirrors the dd_simhash 32/64/128 tier
+    * family exactly. */
+  val mmImageNeardup128: QueryDef = QueryDef("mm_image_neardup128",
+    s"""WITH $ahashCtes,
+      |$phashCtes,
+      |ch AS (SELECT hh.doc_id, hh.ahash || ph.phash AS c
+      |       FROM hh JOIN ph ON ph.doc_id = hh.doc_id),
+      |bv AS (SELECT doc_id,
+      |  CAST(('0b' || substring(c, 1, 32))::BIGINT AS BIGINT) AS b0,
+      |  CAST(('0b' || substring(c, 33, 32))::BIGINT AS BIGINT) AS b1,
+      |  CAST(('0b' || substring(c, 65, 32))::BIGINT AS BIGINT) AS b2,
+      |  CAST(('0b' || substring(c, 97, 32))::BIGINT AS BIGINT) AS b3
+      |  FROM ch),
+      |band AS (SELECT doc_id, 0 AS b, b0 AS v FROM bv
+      |  UNION ALL SELECT doc_id, 1, b1 FROM bv
+      |  UNION ALL SELECT doc_id, 2, b2 FROM bv
+      |  UNION ALL SELECT doc_id, 3, b3 FROM bv),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM band x JOIN band y ON y.b = x.b AND y.v = x.v AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+      |  FROM cand JOIN bv a ON a.doc_id = doc_a JOIN bv b ON b.doc_id = doc_b) t
+      |WHERE hamming <= 3""".stripMargin) { (spark, d) =>
+    val hv = ahashRelation(spark, d)
+      .join(phashRelation(spark, d), "doc_id")
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 3), b -> cast(conv(substring(concat(ahash, phash), b*32+1, 32), 2, 10) as bigint))")
+        .as("bv"))
+    val bands = hv.select(col("doc_id"), posexplode(col("bv")))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("pos"), col("col"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("pos"), col("col")),
+        Seq("pos", "col"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(hv.select(col("doc_id").as("doc_a"), col("bv").as("ba")), "doc_a")
+      .join(hv.select(col("doc_id").as("doc_b"), col("bv").as("bb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, x) -> acc + x)")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
   }
 
   /** Deterministic audio synthesis: every doc gets a REAL 8-bit mono PCM
@@ -406,5 +550,5 @@ object Multimodal {
   }
 
   val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample, mmResize, mmAhash,
-    mmFrameOverlap, mmPhash, mmAudioEnergy)
+    mmFrameOverlap, mmPhash, mmAudioEnergy, mmImageNeardup, mmImageNeardup128)
 }

@@ -98,6 +98,31 @@ class OperatorsSpec extends SparkSpec {
     assert(MediaCodec.decode("P6\n4 99999999999999999999\n255\n".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("image near-dup tiers equal the brute-force all-pairs hamming (sound AND complete)") {
+    // independent of the DuckDB oracle (whose raster CTE OOMs past sf0.1 —
+    // an oracle-cost bound): collect both hash relations, compute every
+    // pairwise hamming in Scala, and compare the banded queries' outputs
+    // exactly. Soundness (reported hamming correct, <= 3) and pigeonhole
+    // completeness (no qualifying pair missed by banding) in one check.
+    val a = graft.operators.Multimodal.ahashRelation(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val p = graft.operators.Multimodal.phashRelation(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(x: String, y: String) = x.zip(y).count(t => t._1 != t._2).toLong
+    def brute(h: Map[Long, String]) = (for {
+      (i, hi) <- h.toSeq; (j, hj) <- h.toSeq if i < j
+      d = ham(hi, hj) if d <= 3
+    } yield (i, j, d)).toSet
+    val got64 = graft.operators.Multimodal.mmImageNeardup.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got64 === brute(a))
+    val combined = a.map { case (id, h) => id -> (h + p(id)) }
+    val got128 = graft.operators.Multimodal.mmImageNeardup128.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got128 === brute(combined))
+    assert(got64.nonEmpty && got128.nonEmpty)
+  }
+
   test("wav codec: RIFF chunk walk survives extra/odd chunks, rejects non-PCM and truncation") {
     import java.nio.{ByteBuffer, ByteOrder}
     val wav = MediaCodec.encodeWav(300, 8000, 5L)
