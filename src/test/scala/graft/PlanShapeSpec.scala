@@ -345,4 +345,30 @@ class PlanShapeSpec extends SparkSpec {
         s"$q: featurization must be shuffle-free:\n$p")
     }
   }
+
+  test("aj_asof_native: the custom exec plans one shuffle + one sort per side, no window") {
+    val p = plan("aj_asof_native")
+    assert(p.contains("AsofJoin"), s"expected the custom operator:\n$p")
+    assert(!p.contains("Window"), s"the sweep replaces the window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 2,
+      s"expected exactly one shuffle per side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join operator may appear:\n$p")
+  }
+
+  test("w_topk_per_key: bounded-state aggregate with a partial stage, no window sort") {
+    val p = plan("w_topk_per_key")
+    assert(p.contains("graft_top_k"), s"expected the top-k aggregate:\n$p")
+    assert(p.contains("partial_graft_top_k"),
+      s"map-side partial aggregation is the operator's point:\n$p")
+    assert(!p.contains("Window"), s"no window sort allowed:\n$p")
+  }
+
+  test("mm_image_neardup tiers: banded equi-join candidates, never all-pairs") {
+    for (q <- Seq("mm_image_neardup", "mm_image_neardup128")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidate generation must stay an equi-join:\n$p")
+    }
+  }
 }
