@@ -87,6 +87,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jsonld_nodes"),
       new ExpressionInfo(classOf[JsonLdNodes].getName, "graft_jsonld_nodes"),
       (children: Seq[Expression]) => JsonLdNodes(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowSelect(children.head,
+        graft.operators.Dedup.Coef.take(graft.operators.Dedup.WordHashWidth),
+        graft.operators.Dedup.K2, graft.operators.Dedup.K3,
+        graft.operators.Dedup.P, 1048576L)))
+    // aggregate builders return the raw AggregateFunction — the analyzer
+    // wraps it in an AggregateExpression, as with the built-in aggregates
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "graft_mg_topk"),
+      (children: Seq[Expression]) => MisraGriesTopK(children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKStructs].getName, "graft_top_k"),
+      (children: Seq[Expression]) => TopKStructs(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectQueryStagePrepRule(SessionBroadcastReuseRule)
   }

@@ -428,6 +428,27 @@ class PlansSpec extends SparkSpec {
     assert(ec.isEmpty)
   }
 
+  test("the round's natives are SQL-callable via the extensions") {
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text").createOrReplaceTempView("winnow_docs")
+    val sels = spark.sql(
+      "SELECT size(graft_winnow(text)) AS n FROM winnow_docs")
+      .collect().head.getInt(0)
+    assert(sels >= 1) // 7 words -> 5 grams -> 2 full windows
+    Seq((1L, 5L), (1L, 5L), (2L, 1L)).toDF("item", "wt")
+      .createOrReplaceTempView("mg_rows")
+    val cand = spark.sql("SELECT graft_mg_topk(item, wt, 4) AS c FROM mg_rows")
+      .collect().head.getSeq[Long](0)
+    assert(cand.contains(1L))
+    Seq((1L, 9L, 100L), (1L, 3L, 101L), (1L, 7L, 102L)).toDF("k", "v", "id")
+      .createOrReplaceTempView("tk_rows")
+    val top = spark.sql(
+      "SELECT graft_top_k(struct(v, id), 2) AS t FROM tk_rows GROUP BY k")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(_.getLong(0)) === Seq(9L, 7L))
+  }
+
   test("graft_top_k equals the sort reference under any partitioning; groups smaller than k") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
