@@ -12,7 +12,7 @@ object SparkEntry {
       Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
       ExtendedQueries.all ++ TemporalQueries.all ++ PipelineQueries.all ++
       SpecExtractors.all ++ EventAnalytics.all ++ Clustering.all ++
-      GraphQueries.all
+      GraphQueries.all ++ QualityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
