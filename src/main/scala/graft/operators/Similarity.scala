@@ -918,8 +918,51 @@ object Similarity {
     }
   }
 
+  /** Maximum-inner-product top-5 — the dual-encoder retrieval metric
+    * (query·document trained unnormalized), completing the metric family
+    * next to cosine (sim_cosine_topk), L2 (sim_pq_adc's encode), and the
+    * banded approximations. Entirely EXACT INTEGERS: quantized dots rank
+    * directly (no norms, no division, no round(6) guard needed — the only
+    * similarity query with zero doubles anywhere). Per-probe top-5 rides
+    * the bounded-state [[graft.plans.TopKStructs]] aggregate ((dot, -nid)
+    * DESC-lex encodes the nid-ascending tie-break) rather than a rank
+    * window — the operator built for exactly this shape.
+    *
+    * Scale path: MIPS reduces to cosine by the norm-augmentation
+    * transform ([x, sqrt(M^2 - |x|^2)] with 0 appended to probes), after
+    * which the hyperplane-banded machinery (sim_lsh_ann /
+    * sim_incremental_ann_ivf) applies unchanged; the declared query is
+    * the exact broadcast-probe baseline, the same contract as
+    * sim_cosine_topk. */
+  val simMipsTopK = QueryDef("sim_mips_topk",
+    s"""WITH a AS (${unnestSql(" WHERE vec_id < 20")}),
+      |b AS (${unnestSql("")}),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+      |  FROM a JOIN b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id)
+      |SELECT qid, nid, dot FROM (
+      |  SELECT qid, nid, dot,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rn
+      |  FROM dots) t
+      |WHERE rn <= 5""".stripMargin) { (spark, d) =>
+    val withNorm = qnormRelation(spark, d)
+    val p = withNorm.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("q").as("va"))
+    val c = withNorm.select(col("vec_id").as("nid"), col("q").as("vb"))
+    broadcast(p).crossJoin(c).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        dotQ(col("va"), col("vb")).cast("long").as("dot"))
+      .groupBy("qid")
+      .agg(graft.plans.topK(
+        struct(col("dot"), (-col("nid")).as("mnid")), 5).as("top"))
+      .select(col("qid"), explode(col("top")).as("s"))
+      .select(col("qid"), (-col("s.mnid")).cast("long").as("nid"),
+        col("s.dot").cast("long").as("dot"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
     simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf, simKnnGraph,
-    simKnnGraphWide, simRecallEval, simPqAdc)
+    simKnnGraphWide, simRecallEval, simPqAdc, simMipsTopK)
 }
