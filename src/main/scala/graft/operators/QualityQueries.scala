@@ -123,5 +123,103 @@ object QualityQueries {
         col("nb").cast("long").as("n_b"), col("tv_ppm"))
   }
 
-  val all: Seq[QueryDef] = Seq(qaSchemaProfile, qaTvDrift)
+  /** Pearson correlation between order quantity and extended price per
+    * return flag — stated WITHOUT doubles: the engines exchange exact
+    * integer moment sums (n, Σx, Σy, Σxy, Σx², Σy² over cents, DECIMAL
+    * accumulators) and emit r² in ppm = cov²·10^6 div (varx·vary) plus
+    * the covariance sign — monotone in |r|, so thresholding/ranking
+    * semantics survive. (A double `corr()` matches only to a round(6)
+    * guard; the moment form removes the guard — the ta_rarity rule
+    * applied to second moments.)
+    *
+    * Overflow discipline: cov² overflows even int128 at sf0.01 (cov can
+    * reach ~10^24 in cent units), so r² is computed as the SPLIT floor
+    * division (|cov|·10^6 div vx) · (|cov|·10^6 div vy) div 10^6 — each
+    * factor fits (Cauchy-Schwarz bounds the product by 10^12), both
+    * engines floor the same positive operands (|cov|, not cov: DuckDB //
+    * floors while Spark div truncates, which DIVERGES on negatives), and
+    * the deterministic downward truncation bias is part of the declared
+    * statistic. One partial-agg'd scan; nothing else. */
+  val aggCorr = QueryDef("agg_corr",
+    """WITH t AS (SELECT l_returnflag AS flag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM t GROUP BY flag),
+      |v AS (SELECT flag, n, n*sxy - sx*sy AS cov,
+      |    n*sxx - sx*sx AS vx, n*syy - sy*sy AS vy FROM m)
+      |SELECT flag, CAST(n AS BIGINT) AS n,
+      |  CAST((abs(cov) * 1000000 // vx) * (abs(cov) * 1000000 // vy)
+      |    // 1000000 AS BIGINT) AS r2_ppm,
+      |  CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+      |    AS BIGINT) AS sign
+      |FROM v WHERE vx > 0 AND vy > 0""".stripMargin) { (spark, d) =>
+    val t = Tables.lineitem(spark, d).select(col("l_returnflag").as("flag"),
+      round(col("l_quantity") * 100).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = t.groupBy("flag").agg(
+      count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    m.select(col("flag"), col("n").cast("long").as("n"),
+        (dec(col("n")) * col("sxy") - col("sx") * col("sy")).as("cov"),
+        (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("vx"),
+        (dec(col("n")) * col("syy") - col("sy") * col("sy")).as("vy"))
+      .filter(col("vx") > 0 && col("vy") > 0)
+      .select(col("flag"), col("n"),
+        expr("(abs(cov) * 1000000 div vx) * (abs(cov) * 1000000 div vy) div 1000000")
+          .cast("long").as("r2_ppm"),
+        when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L)
+          .as("sign"))
+  }
+
+  /** Vocabulary coverage curve: the share of all token occurrences (in
+    * ppm) covered by the top-10 / top-100 / top-1000 most frequent words
+    * — the statistic tokenizer and vocab-size decisions read off first.
+    * The rank-cumsum window runs over the VOCABULARY relation (Heap's-law
+    * sublinear), never the token stream; the only corpus-sized stage is
+    * the shared term store's one shuffle. Rank ties break by word so both
+    * engines cut the curve identically. */
+  val taVocabCoverage = QueryDef("ta_vocab_coverage",
+    """WITH w AS (SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+      |c AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+      |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rnk FROM c),
+      |tot AS (SELECT SUM(cnt) AS n FROM c),
+      |cum AS (SELECT rnk, SUM(cnt) OVER (ORDER BY rnk) AS cn FROM r)
+      |SELECT k, CAST(cv * CAST(1000000 AS BIGINT) // n AS BIGINT) AS cover_ppm
+      |FROM (SELECT k.k AS k, MAX(CASE WHEN rnk <= k.k THEN cn END) AS cv
+      |      FROM cum CROSS JOIN (VALUES (10), (100), (1000)) k(k) GROUP BY 1) x
+      |CROSS JOIN tot""".stripMargin) { (spark, d) =>
+    val tf = graft.Persisted.of(spark, s"$d#term_tf") {
+      Tables.documents(spark, d)
+        .select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
+    }
+    val c = tf.groupBy("w").agg(sum("tf").as("cnt"))
+    val tot = broadcast(c.agg(sum("cnt").as("n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("w"))
+    // vocabulary-sized single-partition window — bounded by Heap's law,
+    // the same contract as every other vocab-rank in the engine
+    val cum = c.withColumn("rnk", row_number().over(w))
+      .withColumn("cn", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.orderBy("rnk")))
+    val ks = spark.range(0, 3).select(
+      when(col("id") === 0, 10L).when(col("id") === 1, 100L).otherwise(1000L)
+        .as("k"))
+    cum.crossJoin(broadcast(ks))
+      .filter(col("rnk") <= col("k"))
+      .groupBy("k").agg(max("cn").as("cv"))
+      .crossJoin(tot)
+      .select(col("k"), expr("cv * 1000000L div n").cast("long").as("cover_ppm"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qaSchemaProfile, qaTvDrift, aggCorr,
+    taVocabCoverage)
 }
