@@ -371,4 +371,21 @@ class PlanShapeSpec extends SparkSpec {
         s"$q: candidate generation must stay an equi-join:\n$p")
     }
   }
+
+  test("qa_schema_profile: per-column aggregates, no distinct-rewrite Expand, pruned scans") {
+    val p = plan("qa_schema_profile")
+    // the approx_stats cliff guard: stacked countDistincts expand one row
+    // per (group, distinct-key); the per-column union must never plan one
+    assert(!p.contains("Expand"), s"profiler must not hit the distinct rewrite:\n$p")
+    assert("ReadSchema: struct<l_orderkey".r.findAllMatchIn(p).nonEmpty,
+      s"each branch must scan only its own column:\n$p")
+  }
+
+  test("agg_corr / qa_tv_drift: one corpus-sized aggregate each, no window, no cartesian") {
+    for (q <- Seq("agg_corr", "qa_tv_drift")) {
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+        s"$q: moments/buckets come from plain aggregation:\n$p")
+    }
+  }
 }
