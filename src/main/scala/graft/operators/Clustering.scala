@@ -241,5 +241,27 @@ object Clustering {
       .select(col("doc_id").as("vec_id"), col("cluster_id").as("keeper_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(simKmeansAssign, simKmeansUpdate, ddSemdedup)
+  /** Per-cluster inertia — the k-means quality/convergence metric (what
+    * an elbow plot or a convergence monitor reads): member count and the
+    * summed squared distance of members to their centroid, derived from
+    * the SAME assignment relation the assign step emits (one extra
+    * vocabulary-sized aggregate, no new scan). Exactness: per-vector
+    * dist is an exact long (1e8-quantized components); the cluster SUM
+    * can exceed int64 at corpus scale, so it accumulates in
+    * DECIMAL/HUGEINT and emits floored 10^6-units (`inertia_m`) — both
+    * engines floor the same positive value. */
+  val simKmeansInertia = QueryDef("sim_kmeans_inertia",
+    s"""WITH $oracleCte
+      |SELECT CAST(cid AS BIGINT) AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(dist AS HUGEINT)) // 1000000 AS BIGINT) AS inertia_m
+      |FROM a GROUP BY cid""".stripMargin) { (spark, d) =>
+    assigned(spark, d)
+      .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(cast(dist as decimal(38,0))) div 1000000").cast("long")
+          .as("inertia_m"))
+  }
+
+  val all: Seq[QueryDef] = Seq(simKmeansAssign, simKmeansUpdate, ddSemdedup,
+    simKmeansInertia)
 }
