@@ -129,7 +129,10 @@ object EventAnalytics {
     val ev = raw
       .select(expr(s"timestamp_micros(${Tables.tsUsSql(raw)})").as("ts"),
         col("event_type"), col("value"))
-      .filter(col("ts") >= lit("1970-01-01 00:00:00").cast("timestamp"))
+      // unix_micros is timezone-free like the oracle's epoch_us; a parsed
+      // timestamp LITERAL would shift the cutoff by the session zone
+      // offset on any non-UTC session (ADVICE r11)
+      .filter(unix_micros(col("ts")) >= 0L)
     graft.streaming.StreamingEvents.windowedCounts(ev)
       .select(unix_micros(col("w_start")).as("w_start_us"), col("event_type"),
         col("n"), col("total"))
@@ -460,7 +463,10 @@ object EventAnalytics {
     val ev = raw
       .select(expr(s"timestamp_micros(${Tables.tsUsSql(raw)})").as("ts"),
         col("event_type"), col("value"))
-      .filter(col("ts") >= lit("1970-01-01 00:00:00").cast("timestamp"))
+      // unix_micros is timezone-free like the oracle's epoch_us; a parsed
+      // timestamp LITERAL would shift the cutoff by the session zone
+      // offset on any non-UTC session (ADVICE r11)
+      .filter(unix_micros(col("ts")) >= 0L)
     graft.streaming.StreamingEvents
       .topkPerWindow(graft.streaming.StreamingEvents.windowedCounts(ev), 3)
       .select(unix_micros(col("w_start")).as("w_start_us"), col("event_type"),

@@ -281,11 +281,16 @@ object ExtendedQueries {
     val exactDistinct = base.filter(col("o_custkey").isNotNull)
       .select("o_orderpriority", "o_custkey").distinct()
       .groupBy("o_orderpriority").agg(count(lit(1)).as("exact_customers"))
-    sketches.join(exactDistinct, "o_orderpriority")
+    // LEFT join + coalesce(0): a group whose custkeys are ALL NULL has no
+    // row in exactDistinct, but the oracle's single aggregate still emits
+    // it with COUNT(DISTINCT)=0 — an inner join would drop it (ADVICE r11)
+    val exact0 = coalesce(col("exact_customers"), lit(0L))
+    sketches.join(exactDistinct, Seq("o_orderpriority"), "left")
       .select(
-        col("o_orderpriority"), col("n"), col("exact_customers"),
-        (abs(col("hll_customers") - col("exact_customers")) <=
-          col("exact_customers") * lit(0.02)).as("hll_within_2pct"),
+        col("o_orderpriority"), col("n"),
+        exact0.as("exact_customers"),
+        (abs(col("hll_customers") - exact0) <=
+          exact0 * lit(0.02)).as("hll_within_2pct"),
         (abs(col("kll_median") - col("exact_median")) <=
           col("exact_median") * lit(0.05)).as("p50_within_5pct"))
   }

@@ -230,6 +230,19 @@ object AsofJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"missing column $n"))
     val payload = rp.output.filterNot(a => a.name == key || a.name == time)
+    // The exec's own() deep-copies only UTF8String values read off the
+    // reused UnsafeRow; buffer-backed key types (struct/array/map) would
+    // leave the stored candidate key pointing at overwritten memory and
+    // produce wrong matches — reject them up front (ADVICE r11).
+    for (a <- Seq(attr(lp, key), attr(rp, key))) {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val buffered = a.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => true
+        case _ => false
+      }
+      require(!buffered,
+        s"as-of join key '$key' must be an atomic type, got ${a.dataType}")
+    }
     DatasetBridge.ofRows(spark,
       AsofJoinPlan(lp, rp, attr(lp, key), attr(rp, key),
         attr(lp, time), attr(rp, time), attr(rp, tie), payload))

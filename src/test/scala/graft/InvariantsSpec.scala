@@ -230,4 +230,32 @@ class InvariantsSpec extends SparkSpec {
       exactBest.get(q).foreach(b => assert(es.map(_._3).max <= b + 1e-5, s"node $q"))
     }
   }
+
+  test("sim_ivf_pq: routed to probe's cell, rerank cosines exact, never better than brute force") {
+    import graft.operators.Similarity
+    val res = Similarity.simIvfPq.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty)
+    assert(res.forall { case (q, n, c) => q != n && c >= -1.0001 && c <= 1.0001 })
+    val label = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // IVF contract: every returned neighbor shares the probe's coarse cell
+    res.foreach { case (q, n, _) =>
+      assert(label(q) == label(n), s"pair ($q,$n) crosses cells")
+    }
+    // rerank contract: the emitted cosine is the EXACT pair cosine (the
+    // ADC approximation only selects candidates, never scores the output)
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.cosineTopK(emb, emb, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    res.foreach { case (q, n, c) =>
+      exact.get((q, n)).foreach(e => assert(math.abs(c - e) <= 1e-5, s"pair ($q,$n)"))
+    }
+    // PQ can MISS a true neighbor but never invent a better-than-exact one
+    val bestExact = exact.groupBy(_._1._1).map { case (q, m) => q -> m.values.max }
+    res.groupBy(_._1).foreach { case (q, es) =>
+      bestExact.get(q).foreach(b => assert(es.map(_._3).max <= b + 1e-5, s"probe $q"))
+    }
+  }
 }

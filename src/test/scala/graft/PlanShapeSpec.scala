@@ -291,6 +291,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
   }
 
+  test("sim_ivf_pq: probe-cell filter on the persisted codes, broadcast ADC, no cartesian") {
+    // the routed contract: the code-store scan carries the probes' cell
+    // IN-filter (partition pruning at 100 TB), the ADC tables join as
+    // broadcasts, and nothing degenerates to a corpus x corpus product
+    val p = plan("sim_ivf_pq")
+    assert(p.contains("InMemoryTableScan"), s"expected the persisted code relation:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast ADC-table joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    assert("""cell#\d+ IN""".r.findFirstIn(p).isDefined,
+      s"expected the probe-cell IN filter on the code store:\n$p")
+  }
+
   test("gr_pagerank: iterations stay equi-joins over the cached adjacency") {
     val p = plan("gr_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

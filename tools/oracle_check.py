@@ -72,6 +72,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             raise
         finally:
             t.cancel()
+            # Interrupt race (ADVICE r11): the timer can fire AFTER
+            # fetchdf() returned but before cancel() — the pending
+            # interrupt then poisons the shared connection and the NEXT
+            # query raises a spurious FAIL. Drain it with a trivial query.
+            if fired.is_set():
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
 
     failures = 0
     for name, sql in sorted(oracle.items()):
