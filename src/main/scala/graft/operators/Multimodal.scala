@@ -315,23 +315,60 @@ object Multimodal {
       .filter(col("hamming") <= 3)
   }
 
+  /** Hot-frame document-frequency gate (VERDICT r11 #2): a frame digest
+    * shared by k documents emits k² candidate pairs in the self-join — a
+    * ubiquitous frame (black frame, studio logo, slate) is the exact
+    * hot-key quadratic the text family's [[Dedup.ddBoilerplate]] df gate
+    * guards against. Digests in more than this many documents carry no
+    * duplication signal and are dropped BEFORE the join. */
+  val FrameDfGate = 100
+
+  /** The frame-overlap core over an arbitrary (doc_id, frame_md5) frame
+    * relation — factored out so the skew spec can drive it with a
+    * hot-digest fixture. The hot-digest dictionary is broadcast-small BY
+    * CONSTRUCTION (at most |frames|/τ digests exceed df > τ), so the gate
+    * is one broadcast anti-join above the store scan; per-doc frame
+    * counts are over KEPT frames (shared ⊆ kept keeps overlap_ppm a true
+    * fraction, and a doc of only boilerplate frames simply pairs with
+    * nothing). */
+  def frameOverlap(fr: DataFrame, dfGate: Int = FrameDfGate): DataFrame = {
+    val hot = fr.groupBy("frame_md5").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfGate).select("frame_md5")
+    val kept = fr.join(broadcast(hot), Seq("frame_md5"), "left_anti")
+    val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("frame_md5"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("frame_md5"))
+    a.join(b, Seq("frame_md5")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("(n_shared * 1000000) div least(nfa, nfb)").as("overlap_ppm"))
+  }
+
   /** Video near-dup via shared frame fingerprints: two media items are
     * near-duplicates when their SAMPLED frame sets share >= 2 distinct
     * frame digests (re-encodes, trims, and re-containered copies keep most
     * frame content bit-identical; frame-level fingerprint joins are how
     * video dedup runs at scale — the equi-join on frame_md5 is the exact
     * analogue of the text family's band join: candidates ∝ genuine shared
-    * content, never all pairs). overlap_ppm = shared/min(|A|,|B|) in ppm
-    * via integer floor division — the same asymmetric-containment measure
-    * as dd_containment, so a short clip embedded in a longer cut still
-    * scores high. The frame relation is computed once per session
-    * (Persisted) and self-joined; at 100 TB the frame store is written
-    * once per ingest and the join is incremental per batch, like the
-    * MinHash signature store. */
+    * content, never all pairs — with [[FrameDfGate]] dropping the
+    * boilerplate digests whose collisions WOULD be quadratic). overlap_ppm
+    * = shared/min(|A|,|B|) in ppm via integer floor division — the same
+    * asymmetric-containment measure as dd_containment, so a short clip
+    * embedded in a longer cut still scores high. The frame relation is
+    * computed once per session (Persisted) and self-joined; at 100 TB the
+    * frame store is written once per ingest and the join is incremental
+    * per batch ([[mmFrameIncremental]]), like the MinHash signature
+    * store. */
   val mmFrameOverlap: QueryDef =
     QueryDef("mm_frame_overlap",
-      s"""WITH fr AS (SELECT DISTINCT doc_id, frame_md5 FROM (
+      s"""WITH fr0 AS (SELECT DISTINCT doc_id, frame_md5 FROM (
         |${mmFrameSample.oracle.get}) t),
+        |hot AS (SELECT frame_md5 FROM fr0 GROUP BY frame_md5 HAVING COUNT(*) > $FrameDfGate),
+        |fr AS (SELECT doc_id, frame_md5 FROM fr0
+        |       WHERE frame_md5 NOT IN (SELECT frame_md5 FROM hot)),
         |cnt AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -341,20 +378,156 @@ object Multimodal {
         |  n_shared * 1000000 // least(ca.nf, cb.nf) AS overlap_ppm
         |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
         |WHERE n_shared >= 2""".stripMargin) { (spark, d) =>
-      val fr = graft.Persisted.of(spark, s"$d#mm_frames") {
-        mmFrameSample.fn(spark, d).select("doc_id", "frame_md5").distinct()
-      }
-      val cnt = fr.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-      val a = fr.select(col("doc_id").as("doc_a"), col("frame_md5"))
-      val b = fr.select(col("doc_id").as("doc_b"), col("frame_md5"))
-      a.join(b, Seq("frame_md5")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
-        .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"), col("n_shared"),
-          expr("(n_shared * 1000000) div least(nfa, nfb)").as("overlap_ppm"))
+      frameOverlap(framesRelation(spark, d))
     }
+
+  /** Session frame-fingerprint store (doc_id, frame_md5 — distinct),
+    * shared by the declared overlap query and the incremental twin. */
+  def framesRelation(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#mm_frames") {
+      mmFrameSample.fn(spark, d).select("doc_id", "frame_md5").distinct()
+    }
+
+  /** Incremental frame-store overlap: pairs touching a NEW batch of media
+    * — (batch x store) plus (batch x batch) — without recomputing stored
+    * frame fingerprints (VERDICT r11 #3: the shape a continuously-
+    * ingesting media pipeline needs, mirroring [[Dedup
+    * .simhashNearDupIncrementalBands]]). Join work ∝ batch: only batch
+    * frames sit on the probe side; the df gate is ONE vocabulary-sized
+    * aggregate off the persisted store (incrementally maintainable at
+    * ingest — it's a counter per digest). Re-ingested doc ids are
+    * superseded store-side (left_anti), and the digest-level distinct
+    * collapses the double emission of batch-batch pairs. */
+  def frameOverlapIncremental(storeFr: DataFrame, batchFr: DataFrame,
+                              dfGate: Int = FrameDfGate): DataFrame = {
+    val live = storeFr.select("doc_id", "frame_md5")
+      .join(batchFr.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val corpus = live.unionByName(batchFr.select("doc_id", "frame_md5"))
+    val hot = corpus.groupBy("frame_md5").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfGate).select("frame_md5")
+    val kept = corpus.join(broadcast(hot), Seq("frame_md5"), "left_anti")
+    val keptBatch = batchFr.select("doc_id", "frame_md5")
+      .join(broadcast(hot), Seq("frame_md5"), "left_anti")
+    val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    kept.select(col("doc_id").as("ida"), col("frame_md5"))
+      .join(keptBatch.select(col("doc_id").as("idb"), col("frame_md5")),
+        Seq("frame_md5"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("frame_md5"), least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
+      .distinct()
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("(n_shared * 1000000) div least(nfa, nfb)").as("overlap_ppm"))
+  }
+
+  /** Oracle-checked incremental frame ingest: proportional mod-4 seeding
+    * (doc_id % 4 == 0 is the NEW batch, the rest the persisted store) so
+    * it holds at every SF. The oracle replays the full-corpus gated chain
+    * restricted to batch-touching pairs — equivalent because the mod-4
+    * split has no id overlap (supersede is spec-covered) and the df gate
+    * over store ∪ batch IS the full-corpus gate. */
+  val mmFrameIncremental: QueryDef =
+    QueryDef("mm_frame_incremental",
+      s"""WITH fr0 AS (SELECT DISTINCT doc_id, frame_md5 FROM (
+        |${mmFrameSample.oracle.get}) t),
+        |hot AS (SELECT frame_md5 FROM fr0 GROUP BY frame_md5 HAVING COUNT(*) > $FrameDfGate),
+        |fr AS (SELECT doc_id, frame_md5 FROM fr0
+        |       WHERE frame_md5 NOT IN (SELECT frame_md5 FROM hot)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM fr a JOIN fr b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared,
+        |  n_shared * 1000000 // least(ca.nf, cb.nf) AS overlap_ppm
+        |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+        |WHERE n_shared >= 2 AND (doc_a % 4 = 0 OR doc_b % 4 = 0)""".stripMargin) { (spark, d) =>
+      val fr = framesRelation(spark, d)
+      val store = graft.Persisted.of(spark, s"$d#mm_frames_store_mod4") {
+        fr.filter(col("doc_id") % 4 =!= 0)
+      }
+      frameOverlapIncremental(store, fr.filter(col("doc_id") % 4 === 0))
+    }
+
+  /** 4x16-bit pigeonhole bands over an ahash relation, carrying the band
+    * VALUE ARRAY for the hamming verify — the image twin of
+    * [[Dedup.simhash64Bands]]'s (doc_id, sig, band_id, band_val) shape. */
+  def ahashBandsOf(rel: DataFrame): DataFrame =
+    rel.select(col("doc_id"), expr(
+      "transform(sequence(0, 3), b -> cast(conv(substring(ahash, b*16+1, 16), 2, 10) as bigint))")
+      .as("bv"))
+      .select(col("doc_id"), col("bv"),
+        posexplode(col("bv")).as(Seq("band_id", "band_val")))
+
+  /** Incremental image-hash near-dup: Hamming <= 3 pairs touching a NEW
+    * image batch — (batch x store) plus (batch x batch) — off the written
+    * band store, without recomputing stored hashes. Work ∝ batch (batch
+    * bands on the probe side of the band equi-join); supersede semantics
+    * for re-ingested ids via left_anti, the [[Dedup
+    * .simhashNearDupIncrementalBands]] contract applied to image bands. */
+  def imageNearDupIncremental(storeBands: DataFrame, newBands: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
+    val live = storeBands.select("doc_id", "bv", "band_id", "band_val")
+      .join(newBands.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val allBands = live.unionByName(
+      newBands.select("doc_id", "bv", "band_id", "band_val"))
+    allBands.select(col("band_id"), col("band_val"),
+        col("doc_id").as("ida"), col("bv").as("ba"))
+      .join(newBands.select(col("band_id"), col("band_val"),
+        col("doc_id").as("idb"), col("bv").as("bb")),
+        Seq("band_id", "band_val"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        when(col("ida") < col("idb"), col("ba")).otherwise(col("bb")).as("ba"),
+        when(col("ida") < col("idb"), col("bb")).otherwise(col("ba")).as("bb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, x) -> acc + x)")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle-checked incremental image ingest (the dd_incremental_pairs
+    * seeding, VERDICT r11 #3): doc_id % 4 == 0 is the NEW batch, the rest
+    * the persisted band store. The oracle replays the full-corpus banded
+    * chain keeping exactly batch-touching pairs — equivalent by the
+    * pigeonhole guarantee (any pair at Hamming <= 3 shares >= 1 of the 4
+    * bands, so the (store ∪ batch) x batch band join finds precisely the
+    * full chain's batch-touching pairs) and the overlap-free mod-4
+    * split. */
+  val mmImageIncremental: QueryDef = QueryDef("mm_image_incremental",
+    s"""WITH $ahashCtes,
+      |bv AS (SELECT doc_id,
+      |  CAST(('0b' || substring(ahash, 1, 16))::BIGINT AS BIGINT) AS b0,
+      |  CAST(('0b' || substring(ahash, 17, 16))::BIGINT AS BIGINT) AS b1,
+      |  CAST(('0b' || substring(ahash, 33, 16))::BIGINT AS BIGINT) AS b2,
+      |  CAST(('0b' || substring(ahash, 49, 16))::BIGINT AS BIGINT) AS b3
+      |  FROM hh),
+      |band AS (SELECT doc_id, 0 AS b, b0 AS v FROM bv
+      |  UNION ALL SELECT doc_id, 1, b1 FROM bv
+      |  UNION ALL SELECT doc_id, 2, b2 FROM bv
+      |  UNION ALL SELECT doc_id, 3, b3 FROM bv),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM band x JOIN band y ON y.b = x.b AND y.v = x.v AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+      |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+      |  FROM cand JOIN bv a ON a.doc_id = doc_a JOIN bv b ON b.doc_id = doc_b) t
+      |WHERE hamming <= 3 AND (doc_a % 4 = 0 OR doc_b % 4 = 0)""".stripMargin) { (spark, d) =>
+    val store = graft.Persisted.of(spark, s"$d#ahash_bands_store_mod4") {
+      ahashBandsOf(ahashRelation(spark, d).filter(col("doc_id") % 4 =!= 0))
+    }
+    val batch = graft.Persisted.of(spark, s"$d#ahash_bands_batch_mod4") {
+      ahashBandsOf(ahashRelation(spark, d).filter(col("doc_id") % 4 === 0))
+    }
+    imageNearDupIncremental(store, batch)
+  }
 
   /** Perceptual DCT hash (pHash) over the same pixel raster as
     * [[mmAhash]]: 8x8 integer cell means (floor division — sub-integer
@@ -550,5 +723,6 @@ object Multimodal {
   }
 
   val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample, mmResize, mmAhash,
-    mmFrameOverlap, mmPhash, mmAudioEnergy, mmImageNeardup, mmImageNeardup128)
+    mmFrameOverlap, mmFrameIncremental, mmPhash, mmAudioEnergy,
+    mmImageNeardup, mmImageNeardup128, mmImageIncremental)
 }

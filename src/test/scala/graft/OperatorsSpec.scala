@@ -123,6 +123,63 @@ class OperatorsSpec extends SparkSpec {
     assert(got64.nonEmpty && got128.nonEmpty)
   }
 
+  test("frame overlap: hot-digest df gate drops boilerplate frames, keeps genuine overlap bounded") {
+    import spark.implicits._
+    // skewed fixture: ONE boilerplate digest in 1000 docs (the black-frame
+    // case — ungated it alone emits ~500k candidate pairs), plus two
+    // genuine near-dup pairs sharing 2 rare digests each
+    val hotRows = (1L to 1000L).map(id => (id, "HOT"))
+    val genuine = Seq(
+      (1L, "r1"), (1L, "r2"), (2L, "r1"), (2L, "r2"),             // pair (1,2)
+      (3L, "r3"), (3L, "r4"), (3L, "r5"), (4L, "r3"), (4L, "r4"), // pair (3,4)
+      (4L, "r6"))
+    val fr = (hotRows ++ genuine).toDF("doc_id", "frame_md5")
+    val got = graft.operators.Multimodal.frameOverlap(fr, dfGate = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the hot digest feeds NO pairs (ungated it alone would put ~500k
+    // rows through the self-join); kept-frame counts exclude it too
+    assert(got.toSet === Set(
+      (1L, 2L, 2L, 1000000L),          // 2 shared / min(2, 2) kept frames
+      (3L, 4L, 2L, 666666L)))          // 2 shared / min(3, 3) kept frames
+    // n_shared counts only INFORMATIVE digests: with the gate off, the
+    // hot digest inflates every genuine pair's count and ppm
+    val ungated = graft.operators.Multimodal.frameOverlap(fr, dfGate = 100000)
+      .filter($"doc_a" === 1 && $"doc_b" === 2).collect()
+    assert(ungated.head.getLong(2) === 3L)  // HOT leaked into n_shared
+  }
+
+  test("frame overlap incremental: batch-vs-store equals the full gated chain restricted to batch") {
+    import spark.implicits._
+    val fr = graft.operators.Multimodal.framesRelation(spark, sf0001)
+    val store = fr.filter($"doc_id" % 4 =!= 0)
+    val batch = fr.filter($"doc_id" % 4 === 0)
+    val inc = graft.operators.Multimodal.frameOverlapIncremental(store, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = graft.operators.Multimodal.frameOverlap(fr)
+      .filter($"doc_a" % 4 === 0 || $"doc_b" % 4 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inc === full)
+    // supersede: a re-ingested id pairs off its FRESH frames only
+    val store2 = store.unionByName(Seq((4L, "stale")).toDF("doc_id", "frame_md5"))
+    val inc2 = graft.operators.Multimodal.frameOverlapIncremental(store2, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inc2 === inc)
+  }
+
+  test("image incremental: batch-vs-store equals the full banded chain restricted to batch") {
+    import spark.implicits._
+    val hv = graft.operators.Multimodal.ahashBandsOf(
+      graft.operators.Multimodal.ahashRelation(spark, sf0001))
+    val inc = graft.operators.Multimodal.imageNearDupIncremental(
+        hv.filter($"doc_id" % 4 =!= 0), hv.filter($"doc_id" % 4 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.operators.Multimodal.mmImageNeardup.fn(spark, sf0001)
+      .filter($"doc_a" % 4 === 0 || $"doc_b" % 4 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("wav codec: RIFF chunk walk survives extra/odd chunks, rejects non-PCM and truncation") {
     import java.nio.{ByteBuffer, ByteOrder}
     val wav = MediaCodec.encodeWav(300, 8000, 5L)

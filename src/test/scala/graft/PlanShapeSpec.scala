@@ -303,6 +303,20 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the probe-cell IN filter on the code store:\n$p")
   }
 
+  test("mm_frame_overlap: df gate (broadcast anti-join) sits above the frame store, below the self-join") {
+    // the hot-frame gate: both self-join inputs must be the gated (LeftAnti
+    // against the broadcast hot-digest dictionary) frame relation — a
+    // gate-free input reintroduces the k² boilerplate-frame blowup
+    val root = outerPlan("mm_frame_overlap")
+    val anti = root.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => b }
+    assert(anti.size >= 2, s"expected the df gate on both self-join sides:\n$root")
+    assert(root.toString.contains("InMemoryTableScan"),
+      s"expected the persisted frame store:\n$root")
+    assert(!root.toString.contains("CartesianProduct"))
+  }
+
   test("gr_pagerank: iterations stay equi-joins over the cached adjacency") {
     val p = plan("gr_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
