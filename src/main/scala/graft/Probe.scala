@@ -33,6 +33,10 @@ object Probe {
           .select(col("user_id"), col("rnk").cast("long").as("rnk"),
             col("cents"), col("event_id"))
       }),
+      // double-moment production twin of agg_corr (spec-pinned within
+      // 5 ppm) — the A/B that prices the declared query's DECIMAL(38)
+      // exactness at scale
+      "agg_corr_double" -> (() => operators.QualityQueries.corrDouble(spark, d)),
       "scan_sum_qty" -> (() => li.select(sum(col("l_quantity")))),
       "scan_sum_double" -> (() => li.select(sum(col("l_extendedprice")))),
       "scan_sum_decimal" -> (() => li.select(sum(col("l_extendedprice").cast("decimal(18,2)")))),

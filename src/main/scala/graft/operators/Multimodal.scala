@@ -279,7 +279,7 @@ object Multimodal {
     * analysis there transfers unchanged. */
   val mmImageNeardup: QueryDef = QueryDef("mm_image_neardup",
     s"""WITH $ahashCtes,
-      |bv AS (SELECT doc_id,
+      |bv AS MATERIALIZED (SELECT doc_id,
       |  CAST(('0b' || substring(ahash, 1, 16))::BIGINT AS BIGINT) AS b0,
       |  CAST(('0b' || substring(ahash, 17, 16))::BIGINT AS BIGINT) AS b1,
       |  CAST(('0b' || substring(ahash, 33, 16))::BIGINT AS BIGINT) AS b2,
@@ -315,6 +315,24 @@ object Multimodal {
       .filter(col("hamming") <= 3)
   }
 
+  /** Gated frame relation: `fr` minus the hot digests — PERSISTED
+    * (semanticHash-keyed, one live entry per input like the simhash batch
+    * stores) because every consumer reads it at least three times (both
+    * self-join sides + the per-doc counts); an un-persisted gate re-runs
+    * the df aggregate and anti-join per consumer — measured 4x on the sf1
+    * incremental probe. */
+  private def keptFrames(fr: DataFrame, dfGate: Int): DataFrame = {
+    val spark = fr.sparkSession
+    val key = "mm_frames_kept#" +
+      fr.queryExecution.analyzed.semanticHash() + ":" + dfGate
+    graft.Persisted.clearExcept(spark, "mm_frames_kept#", key)
+    graft.Persisted.of(spark, key) {
+      val hot = fr.groupBy("frame_md5").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfGate).select("frame_md5")
+      fr.join(broadcast(hot), Seq("frame_md5"), "left_anti")
+    }
+  }
+
   /** Hot-frame document-frequency gate (VERDICT r11 #2): a frame digest
     * shared by k documents emits k² candidate pairs in the self-join — a
     * ubiquitous frame (black frame, studio logo, slate) is the exact
@@ -332,9 +350,7 @@ object Multimodal {
     * fraction, and a doc of only boilerplate frames simply pairs with
     * nothing). */
   def frameOverlap(fr: DataFrame, dfGate: Int = FrameDfGate): DataFrame = {
-    val hot = fr.groupBy("frame_md5").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfGate).select("frame_md5")
-    val kept = fr.join(broadcast(hot), Seq("frame_md5"), "left_anti")
+    val kept = keptFrames(fr, dfGate)
     val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     val a = kept.select(col("doc_id").as("doc_a"), col("frame_md5"))
     val b = kept.select(col("doc_id").as("doc_b"), col("frame_md5"))
@@ -403,11 +419,12 @@ object Multimodal {
     val live = storeFr.select("doc_id", "frame_md5")
       .join(batchFr.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     val corpus = live.unionByName(batchFr.select("doc_id", "frame_md5"))
-    val hot = corpus.groupBy("frame_md5").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfGate).select("frame_md5")
-    val kept = corpus.join(broadcast(hot), Seq("frame_md5"), "left_anti")
-    val keptBatch = batchFr.select("doc_id", "frame_md5")
-      .join(broadcast(hot), Seq("frame_md5"), "left_anti")
+    // one persisted gated relation serves the probe side, the corpus side,
+    // and the per-doc counts (the keptFrames compute-once contract); the
+    // batch slice is a semi-join against it, never a second gate pass
+    val kept = keptFrames(corpus, dfGate)
+    val keptBatch = kept
+      .join(batchFr.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
     val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     kept.select(col("doc_id").as("ida"), col("frame_md5"))
       .join(keptBatch.select(col("doc_id").as("idb"), col("frame_md5")),
@@ -502,7 +519,7 @@ object Multimodal {
     * split. */
   val mmImageIncremental: QueryDef = QueryDef("mm_image_incremental",
     s"""WITH $ahashCtes,
-      |bv AS (SELECT doc_id,
+      |bv AS MATERIALIZED (SELECT doc_id,
       |  CAST(('0b' || substring(ahash, 1, 16))::BIGINT AS BIGINT) AS b0,
       |  CAST(('0b' || substring(ahash, 17, 16))::BIGINT AS BIGINT) AS b1,
       |  CAST(('0b' || substring(ahash, 33, 16))::BIGINT AS BIGINT) AS b2,
@@ -562,10 +579,39 @@ object Multimodal {
     * the embedded basis, AC-median bits), ending with `ph(doc_id, phash)`.
     * Shares nothing with [[ahashCtes]] by name so the two chains compose
     * in one WITH clause (mm_image_neardup128). */
-  private lazy val phashCtes: String = {
-    val tRows = (for {
-      u <- 0 until 8; i <- 0 until 8
-    } yield s"($u, $i, ${MediaCodec.DctT(u)(i)})").mkString(", ")
+  private lazy val dctBasisListRows: String = (0 until 8).map { u =>
+    s"($u, [${(0 until 8).map(i => s"CAST(${MediaCodec.DctT(u)(i)} AS BIGINT)").mkString(", ")}])"
+  }.mkString(", ")
+
+  /** The DCT/median/bit chain of the pHash oracle from an EXISTING
+    * (doc_id, cj, ci, cv) cell-mean relation `cellRel` — shared by the
+    * standalone mm_phash oracle (cv off its own raster) and the 128-bit
+    * combined oracle (cv derived from the aHash chain's cell sums, so the
+    * combined query rasters ONCE — the sf1 OOM was two full px
+    * materializations in one query). The 2-D DCT is per-document fused
+    * list arithmetic over the 64 packed cell means (coef(u,v) =
+    * Σ_k T(u)[k div 8]·T(v)[k mod 8]·cv[k]) instead of a
+    * cell × basis × basis join — the join form materialized 4096
+    * rows/doc into a hash aggregate, the second memory hog behind the
+    * raster. Exact integers throughout. Ends with `ph(doc_id, phash)`. */
+  private def phashFromCell(cellRel: String): String =
+    s"""cl AS (SELECT doc_id, list(cv ORDER BY cj, ci) AS cvs
+      |       FROM $cellRel GROUP BY doc_id),
+      |basisv(u, bws) AS (VALUES $dctBasisListRows),
+      |co AS (SELECT cl.doc_id, bu.u AS u, bv2.u AS v2,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      k -> bu.bws[(k-1)//8 + 1] * bv2.bws[(k-1)%8 + 1] * cl.cvs[k])) AS coef
+      |  FROM cl CROSS JOIN basisv bu CROSS JOIN basisv bv2),
+      |med AS (SELECT doc_id, coef AS mc FROM (
+      |         SELECT doc_id, coef,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+      |         FROM co WHERE NOT (u = 0 AND v2 = 0)) r WHERE rn = 32),
+      |ph AS (SELECT co.doc_id,
+      |  string_agg(CASE WHEN coef > mc THEN '1' ELSE '0' END, '' ORDER BY u, v2) AS phash
+      |FROM co JOIN med ON med.doc_id = co.doc_id
+      |GROUP BY co.doc_id)""".stripMargin
+
+  private lazy val phashCtes: String =
     s"""m2 AS (SELECT doc_id, CAST(16 + doc_id % 32 AS BIGINT) AS w,
       |             CAST(16 + n_chars % 32 AS BIGINT) AS h,
       |             doc_id % 2 = 0 AS isbmp, doc_id AS seed FROM documents),
@@ -579,21 +625,7 @@ object Multimodal {
       |  CROSS JOIN generate_series(0, 2) c(c)),
       |cell2 AS (SELECT doc_id, cj, ci, CAST(SUM(v) AS BIGINT) // COUNT(*) AS cv
       |         FROM px2 GROUP BY 1, 2, 3),
-      |basis(u, i, bw) AS (VALUES $tRows),
-      |co AS (SELECT cell2.doc_id, tu.u AS u, tv.u AS v2,
-      |         SUM(CAST(tu.bw AS BIGINT) * tv.bw * cell2.cv) AS coef
-      |       FROM cell2 JOIN basis tu ON tu.i = cell2.cj
-      |                 JOIN basis tv ON tv.i = cell2.ci
-      |       GROUP BY 1, 2, 3),
-      |med AS (SELECT doc_id, coef AS mc FROM (
-      |         SELECT doc_id, coef,
-      |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
-      |         FROM co WHERE NOT (u = 0 AND v2 = 0)) r WHERE rn = 32),
-      |ph AS (SELECT co.doc_id,
-      |  string_agg(CASE WHEN coef > mc THEN '1' ELSE '0' END, '' ORDER BY u, v2) AS phash
-      |FROM co JOIN med ON med.doc_id = co.doc_id
-      |GROUP BY co.doc_id)""".stripMargin
-  }
+      |${phashFromCell("cell2")}""".stripMargin
 
   /** (doc_id, phash) — session-persisted for the same reason as
     * [[ahashRelation]]. */
@@ -622,10 +654,11 @@ object Multimodal {
     * family exactly. */
   val mmImageNeardup128: QueryDef = QueryDef("mm_image_neardup128",
     s"""WITH $ahashCtes,
-      |$phashCtes,
+      |cellv AS (SELECT doc_id, cj, ci, CAST(s AS BIGINT) // a AS cv FROM cell),
+      |${phashFromCell("cellv")},
       |ch AS (SELECT hh.doc_id, hh.ahash || ph.phash AS c
       |       FROM hh JOIN ph ON ph.doc_id = hh.doc_id),
-      |bv AS (SELECT doc_id,
+      |bv AS MATERIALIZED (SELECT doc_id,
       |  CAST(('0b' || substring(c, 1, 32))::BIGINT AS BIGINT) AS b0,
       |  CAST(('0b' || substring(c, 33, 32))::BIGINT AS BIGINT) AS b1,
       |  CAST(('0b' || substring(c, 65, 32))::BIGINT AS BIGINT) AS b2,

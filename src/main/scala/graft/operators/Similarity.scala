@@ -149,25 +149,41 @@ object Similarity {
     * candidate set, which is what feeds this verify stage at scale) scored
     * by exact quantized cosine, kept above threshold 0.3. */
   val ddEmbeddingNearDup = QueryDef("dd_embedding_neardup",
-    s"""WITH a AS (${unnestSql("")}),
-      |lbl AS (SELECT vec_id, label FROM embeddings),
-      |dots AS (SELECT la.vec_id AS vec_a, lb.vec_id AS vec_b,
-      |    CAST(CAST(SUM(x.v * y.v) AS BIGINT) AS DOUBLE) AS dot
-      |  FROM lbl la JOIN lbl lb ON la.label = lb.label AND la.vec_id < lb.vec_id
-      |    AND lb.vec_id - la.vec_id <= 200
-      |  JOIN a x ON x.vec_id = la.vec_id
-      |  JOIN a y ON y.vec_id = lb.vec_id AND y.i = x.i
-      |  GROUP BY la.vec_id, lb.vec_id),
-      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE)) AS norm FROM a GROUP BY vec_id)
-      |SELECT vec_a, vec_b, round(dot / (na.norm * nb.norm), 6) AS cosine
-      |FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
-      |WHERE round(dot / (na.norm * nb.norm), 6) >= 0.3""".stripMargin) { (spark, d) =>
+    // The oracle bands the id window INTO the join key exactly like the
+    // engine's dd_semdedup plan (a forward pair within 200 lands in the
+    // same or next id band, so the left side explodes into two band keys)
+    // and forms dots as per-pair list arithmetic instead of a 64x unnest
+    // join — the unbanded form hash-joined on the 10-value label alone,
+    // putting n²/20 pre-filter pairs through the window predicate, which
+    // is what blew the 600 s oracle budget at sf1 (VERDICT r11 #5; the
+    // result set is identical, the sf0.001..0.1 gates prove it).
+    s"""WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
+      |xa AS (SELECT vec_id, label, qv, vec_id // 200 AS band FROM q
+      |       UNION ALL SELECT vec_id, label, qv, vec_id // 200 + 1 FROM q),
+      |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.qv AS qa, b.qv AS qb
+      |  FROM xa a JOIN q b ON a.label = b.label AND a.band = b.vec_id // 200
+      |    AND a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 200),
+      |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q)
+      |SELECT vec_a, vec_b, cosine FROM (
+      |  SELECT vec_a, vec_b,
+      |    round(CAST(list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i]*qb[i])) AS DOUBLE)
+      |      / (na.norm * nb.norm), 6) AS cosine
+      |  FROM cand JOIN norms na ON na.vec_id = vec_a
+      |            JOIN norms nb ON nb.vec_id = vec_b) t
+      |WHERE cosine >= 0.3""".stripMargin) { (spark, d) =>
     val withNorm = qnormRelation(spark, d)
+    // the id window rides IN the join key as a band (the dd_semdedup
+    // construction, 28x at sf10): label-only equality makes the join
+    // materialize sum-of-squared-label-group intermediates with the
+    // window as a post-join filter — quadratic in the label group size
     val a = withNorm.select(col("vec_id").as("vec_a"), col("label"),
-      col("q").as("qa"), col("norm").as("na"))
+        col("q").as("qa"), col("norm").as("na"))
+      .withColumn("band",
+        explode(array(expr("vec_a div 200"), expr("vec_a div 200 + 1"))))
     val b = withNorm.select(col("vec_id").as("vec_b"), col("label"),
-      col("q").as("qb"), col("norm").as("nb"))
-    a.join(b, Seq("label"))
+        col("q").as("qb"), col("norm").as("nb"))
+      .withColumn("band", expr("vec_b div 200"))
+    a.join(b, Seq("label", "band"))
       .filter(col("vec_a") < col("vec_b") && col("vec_b") - col("vec_a") <= 200)
       .select(col("vec_a"), col("vec_b"),
         round(dotQ(col("qa"), col("qb")).cast("double") /

@@ -53,6 +53,31 @@ object StreamingEvents {
     windowed.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Per-window streaming heavy hitters via the mergeable Misra-Gries
+    * summary ([[graft.plans.MisraGriesTopK]] — the ta_heavy_hitters
+    * sketch wired into the streaming surface, VERDICT r11 #8): state per
+    * open window is O(k) sketch slots instead of the per-type exact
+    * counts `st_topk_trending` recomputes, which is the 100 TB shape when
+    * the key vocabulary is unbounded (URLs, query strings) — the state
+    * store holds k·16 bytes per window regardless of how many distinct
+    * keys the window saw. The sketch buffer is a TypedImperativeAggregate,
+    * so Spark's streaming aggregation merges the serialized summary
+    * across micro-batches; the MG mergeable-summaries bound (every item
+    * with weight > W/(k+1) holds a slot regardless of merge order) is the
+    * contract the replay spec pins — candidates below the guarantee are
+    * merge-order-dependent and a consumer must not read them as ranked.
+    * Items ride as xxhash64(key): a collision only ADDS weight, so the
+    * guarantee direction (heavy ⇒ present) survives hashing. Runs
+    * unchanged on a batch DataFrame. */
+  def heavyHittersPerWindow(events: DataFrame, k: Int): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(graft.plans.mgTopK(xxhash64(col("event_type")), lit(1L), k).as("cand"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("cand"), col("n"))
+
   /** Arbitrary-state sessionization via flatMapGroupsWithState: a session
     * closes when the next event of the same user arrives more than `gapMs`
     * later; closed sessions are emitted, the open one rides in state. The

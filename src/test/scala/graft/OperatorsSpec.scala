@@ -180,6 +180,25 @@ class OperatorsSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("corrDouble production twin tracks the exact-moment agg_corr within 10 ppm") {
+    // the dotD-vs-dotQNative contract: the deployment runs the codegen'd
+    // double corr; the oracle-declared DECIMAL moment form certifies it
+    val exact = graft.operators.QualityQueries.aggCorr.fn(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val fast = graft.operators.QualityQueries.corrDouble(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(exact.nonEmpty && fast.keySet === exact.keySet)
+    exact.foreach { case (flag, (n, r2, sign)) =>
+      val (fn2, fr2, fsign) = fast(flag)
+      assert(fn2 === n, s"flag $flag n")
+      assert(fsign === sign, s"flag $flag sign")
+      // same split-floor statistic, double vs exact arithmetic: a floor
+      // can flip only when the true ratio sits within double error of an
+      // integer, moving r2_ppm by well under 1 ppm per factor
+      assert(math.abs(fr2 - r2) <= 5, s"flag $flag r2_ppm: exact $r2 vs double $fr2")
+    }
+  }
+
   test("wav codec: RIFF chunk walk survives extra/odd chunks, rejects non-PCM and truncation") {
     import java.nio.{ByteBuffer, ByteOrder}
     val wav = MediaCodec.encodeWav(300, 8000, 5L)

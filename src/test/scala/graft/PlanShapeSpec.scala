@@ -304,17 +304,21 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("mm_frame_overlap: df gate (broadcast anti-join) sits above the frame store, below the self-join") {
-    // the hot-frame gate: both self-join inputs must be the gated (LeftAnti
-    // against the broadcast hot-digest dictionary) frame relation — a
-    // gate-free input reintroduces the k² boilerplate-frame blowup
+    // the hot-frame gate: both self-join inputs read the PERSISTED gated
+    // relation (whose build plan carries the LeftAnti against the
+    // broadcast hot-digest dictionary) — a gate-free input reintroduces
+    // the k² boilerplate-frame blowup, an un-persisted gate re-runs the
+    // df aggregate per consumer
+    val p = plan("mm_frame_overlap")
+    assert(p.contains("LeftAnti"), s"expected the df-gate anti-join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the persisted gated frame relation:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // and the self-join sides are the cached gated relation, not raw frames
     val root = outerPlan("mm_frame_overlap")
-    val anti = root.collect {
-      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-        if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => b }
-    assert(anti.size >= 2, s"expected the df gate on both self-join sides:\n$root")
-    assert(root.toString.contains("InMemoryTableScan"),
-      s"expected the persisted frame store:\n$root")
-    assert(!root.toString.contains("CartesianProduct"))
+    val rawScans = root.collect {
+      case s if s.nodeName.contains("InMemoryTableScan") => s }
+    assert(rawScans.size >= 2, s"self-join must read the cached gate:\n$root")
   }
 
   test("gr_pagerank: iterations stay equi-joins over the cached adjacency") {

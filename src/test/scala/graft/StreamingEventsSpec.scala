@@ -233,6 +233,49 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: MG guarantee holds on closed windows across micro-batch merges") {
+    implicit val sc = spark.sqlContext
+    val K = 2 // guarantee: weight > W/(K+1) = W/3 holds a slot
+    // window 10:00 — click 6/9 (guaranteed), scroll 2, error 1;
+    // window 10:05 — error 5/6 (guaranteed), click 1; rows split across
+    // micro-batches so the serialized sketch state MERGES across batches
+    def ev(m: Int, t: String, n: Int) = Seq.fill(n)(Event(ts(m), 1L, t, 1.0))
+    val batch1 = ev(0, "click", 4) ++ ev(1, "scroll", 2) ++ ev(5, "error", 2)
+    val batch2 = ev(2, "click", 2) ++ ev(3, "error", 1) ++
+      ev(6, "error", 3) ++ ev(7, "click", 1)
+    val in = MemoryStream[Event]
+    val q = StreamingEvents.heavyHittersPerWindow(in.toDF(), K)
+      .writeStream.format("memory").queryName("hh_replay")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      in.addData(Event(ts(40), 3L, "click", 1.0)); q.processAllAvailable()
+      val got = spark.table("hh_replay").collect()
+        .map(r => (r.getTimestamp(0).toString,
+          (r.getSeq[Long](2).toSet, r.getLong(3)))).toMap
+      val hash = spark.sql(
+        "SELECT xxhash64('click'), xxhash64('error'), xxhash64('scroll')")
+        .collect()(0)
+      val (hClick, hError) = (hash.getLong(0), hash.getLong(1))
+      // both windows closed; O(k) state: never more than K candidates
+      assert(got.keySet === Set("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+      assert(got.values.forall(_._1.size <= K))
+      // the mergeable-summaries guarantee, merge order notwithstanding
+      val w0 = got("2024-01-01 10:00:00.0")
+      assert(w0._2 === 9L && w0._1.contains(hClick), "click 6/9 > W/3 must hold a slot")
+      val w1 = got("2024-01-01 10:05:00.0")
+      assert(w1._2 === 6L && w1._1.contains(hError), "error 5/6 > W/3 must hold a slot")
+      // batch twin: the same operator over the same rows as a plain
+      // DataFrame satisfies the same guarantee (one definition, two modes)
+      val batchRun = StreamingEvents.heavyHittersPerWindow(
+          (batch1 ++ batch2).toDF(), K).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getSeq[Long](2).toSet).toMap
+      assert(batchRun("2024-01-01 10:00:00.0").contains(hClick))
+      assert(batchRun("2024-01-01 10:05:00.0").contains(hError))
+    } finally q.stop()
+  }
+
   test("streaming rate limiter matches the RANGE-window reference across micro-batches") {
     import StreamingEvents.{IdEvent, RateDecision}
     implicit val sc = spark.sqlContext

@@ -27,6 +27,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # an in-memory connection has no temp dir, so blocking operators can't
+    # spill and a big sf1 oracle OOMs instead of going out-of-core
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         # driver testdata = one parquet FILE per table; Inflate scale dirs
         # (sf1/sf10) = a Spark-written DIRECTORY of part files
