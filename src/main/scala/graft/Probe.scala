@@ -33,6 +33,40 @@ object Probe {
           .select(col("user_id"), col("rnk").cast("long").as("rnk"),
             col("cents"), col("event_id"))
       }),
+      // auto-tier knn graph (the knee router) for the sf100 occupancy
+      // validation — the declared queries pin fixed tiers
+      "knn_auto" -> (() => operators.Similarity.knnGraphAuto(spark, d)),
+      // band-occupancy census across tier widths (run with PROBE_SHOW=1):
+      // per tier, bucket count, candidate-pair volume Σ n(n−1)/2, the max
+      // bucket, and avg bucket-mates per vector — the raw quantities the
+      // KnnBandKnee occupancy rule predicts. wide32 is the NEXT rung
+      // (2 bands x 32 bits off the same 64-lane sketch), built here to
+      // measure where its buckets are still empty.
+      "knn_band_occupancy" -> (() => {
+        val r = operators.Similarity.qnormRelation(spark, d).select("vec_id", "q")
+        def stats(bands: DataFrame, tier: String) =
+          bands.groupBy("band_id", "band_val").agg(count(lit(1)).as("n"))
+            .agg(lit(tier).as("tier"), count(lit(1)).as("n_buckets"),
+              sum(col("n") * (col("n") - 1) / 2).cast("long").as("cand_pairs"),
+              max("n").as("max_bucket"),
+              round(sum(col("n") * col("n")) / sum(col("n")), 2).as("avg_mates"))
+        def laneW(j: Int): Seq[Long] = (1 to operators.Similarity.Dim).map(i =>
+          ((operators.Similarity.HAWide(j) * i + operators.Similarity.HBWide(j)) % 101) - 50)
+        def bandW(q: org.apache.spark.sql.Column, b: Int,
+                  width: Int): org.apache.spark.sql.Column =
+          (0 until width).map { t =>
+            when(plans.dotQNative(q, typedlit(laneW(width * b + t))) >= 0,
+              lit(1L << t)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        val wide32 = r.select(col("vec_id") +: (0 until 2).map(b =>
+            bandW(col("q"), b, 32).as(s"b$b")): _*)
+          .select(col("vec_id"), explode(array((0 until 2).map(b =>
+            struct(lit(b).as("band_id"), col(s"b$b").as("band_val"))): _*)).as("band"))
+          .select(col("vec_id"), col("band.band_id"), col("band.band_val"))
+        stats(operators.Similarity.hyperBandsOfQNorm(r), "narrow8")
+          .unionByName(stats(operators.Similarity.hyperBandsWideOfQNorm(r), "wide16"))
+          .unionByName(stats(wide32, "wide32"))
+      }),
       // double-moment production twin of agg_corr (spec-pinned within
       // 5 ppm) — the A/B that prices the declared query's DECIMAL(38)
       // exactness at scale
@@ -266,6 +300,9 @@ object Probe {
         case None => System.err.println(s"[probe] unknown: $n")
         case Some(f) =>
           if (sys.env.get("PROBE_EXPLAIN").contains("1")) f().explain("formatted")
+          // PROBE_SHOW=1: print the variant's rows (for stats variants
+          // like knn_band_occupancy whose VALUES are the measurement)
+          if (sys.env.get("PROBE_SHOW").contains("1")) f().show(100, false)
           f().count() // warm
           val iters = sys.env.getOrElse("PROBE_ITERS", "5").toInt
           val useRdd = sys.env.get("PROBE_RDD").contains("1")

@@ -473,7 +473,49 @@ object EventAnalytics {
         col("n"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Streaming heavy hitters, oracle-adjudicated (the ta_heavy_hitters
+    * contract per WINDOW): exact per-window counts gate the emitted rows —
+    * types with cnt·(K+1) > W, i.e. above the Misra-Gries guarantee
+    * threshold — and `in_sketch` probes each against the K-slot mergeable
+    * MG summary that [[graft.streaming.StreamingEvents
+    * .heavyHittersPerWindow]] maintains as streaming state (O(K) bytes
+    * per open window however many distinct keys the window saw — the
+    * shape st_topk_trending's exact counts can't take to unbounded key
+    * vocabularies). The MG bound makes `in_sketch` deterministically TRUE
+    * for every emitted row regardless of Spark's partial-merge order,
+    * which is exactly what the oracle states; sub-guarantee candidates
+    * are merge-order-dependent and never emitted. K=4 against the 5-type
+    * vocabulary keeps genuine slot pressure. The replay spec drives the
+    * SAME operator through MemoryStream micro-batches. */
+  val stHeavyHitters: QueryDef = {
+    val k = 4
+    QueryDef("st_heavy_hitters",
+      s"""WITH c AS (SELECT CAST(epoch_us(ts) // 300000000 * 300000000 AS BIGINT) AS w_start_us,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE epoch_us(ts) >= 0 GROUP BY 1, 2),
+        |w AS (SELECT w_start_us, SUM(cnt) AS wt FROM c GROUP BY 1)
+        |SELECT c.w_start_us, c.event_type, c.cnt, TRUE AS in_sketch
+        |FROM c JOIN w ON w.w_start_us = c.w_start_us
+        |WHERE c.cnt * ${k + 1} > w.wt""".stripMargin) { (spark, d) =>
+      val raw = Tables.events(spark, d)
+      val ev = raw
+        .select(expr(s"timestamp_micros(${Tables.tsUsSql(raw)})").as("ts"),
+          col("event_type"), col("value"))
+        .filter(unix_micros(col("ts")) >= 0L)
+      val sk = graft.streaming.StreamingEvents.heavyHittersPerWindow(ev, k)
+        .select(unix_micros(col("w_start")).as("w_start_us"),
+          col("cand"), col("n").as("wt"))
+      graft.streaming.StreamingEvents.windowedCounts(ev)
+        .select(unix_micros(col("w_start")).as("w_start_us"),
+          col("event_type"), col("n").as("cnt"))
+        .join(sk, "w_start_us")
+        .filter(col("cnt") * (k + 1) > col("wt"))
+        .select(col("w_start_us"), col("event_type"), col("cnt"),
+          array_contains(col("cand"), xxhash64(col("event_type"))).as("in_sketch"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(waFunnel, waRetention, stWindowAgg, waOutliers,
     stSessionNative, stStreamJoin, waAttribution, waRateLimit, waRollingActive,
-    waMadOutliers, stTopkTrending)
+    waMadOutliers, stTopkTrending, stHeavyHitters)
 }
