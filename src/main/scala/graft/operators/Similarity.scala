@@ -1122,6 +1122,33 @@ object Similarity {
     }
   }
 
+  /** Recall@3 of the trained IVF-PQ stack against the GLOBAL brute-force
+    * top-3 — the end-to-end acceptance number a routed+quantized index
+    * quotes (it folds BOTH loss sources: cell routing can exclude a true
+    * neighbor from another cell, PQ quantization can misrank candidates
+    * within the cell). The [[simRecallEval]] harness applied to
+    * [[simIvfPq]]: exact side O(probes × corpus) — affordable because the
+    * probe set is a sample — approx side reads the same persisted
+    * codes/codebooks the production query uses, so it measures the
+    * deployed index. Integer end-to-end (hits, ppm floor division). */
+  val simIvfPqRecall: QueryDef =
+    QueryDef("sim_pq_recall",
+      s"""SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+        |  CAST(count(a.nid) AS BIGINT) * 1000000 // 3 AS recall_ppm
+        |FROM (${topkOracle(" WHERE vec_id < 50", "", 3)}) e
+        |LEFT JOIN (
+        |${simIvfPq.oracle.get}) a ON a.qid = e.qid AND a.nid = e.nid
+        |GROUP BY e.qid""".stripMargin) { (spark, d) =>
+      val exact = sparkTopKDec(spark, d, 50, sameCell = false, k = 3)
+        .select("qid", "nid")
+      val approx = simIvfPq.fn(spark, d)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy("qid").agg(count(col("hit")).as("hits"))
+        .select(col("qid"), col("hits"),
+          expr("(hits * 1000000) div 3").as("recall_ppm"))
+    }
+
   /** Maximum-inner-product top-5 — the dual-encoder retrieval metric
     * (query·document trained unnormalized), completing the metric family
     * next to cosine (sim_cosine_topk), L2 (sim_pq_adc's encode), and the
@@ -1168,5 +1195,6 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
     simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf, simKnnGraph,
-    simKnnGraphWide, simRecallEval, simPqAdc, simIvfPq, simMipsTopK)
+    simKnnGraphWide, simRecallEval, simPqAdc, simIvfPq, simIvfPqRecall,
+    simMipsTopK)
 }

@@ -180,6 +180,24 @@ class OperatorsSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("approx_stats: a group whose distinct key is all NULL survives with exact_customers = 0") {
+    // ADVICE r11: the split's inner join dropped all-NULL groups the
+    // oracle's single aggregate emits; pin the left-join + coalesce fix
+    // on a fixture the testdata can't produce (it has no NULL custkeys)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nullgrp").toString
+    Seq[(String, Option[Long], Double)](
+      ("1-URGENT", Some(10L), 100.0), ("1-URGENT", Some(11L), 50.0),
+      ("5-LOW", None, 70.0), ("5-LOW", None, 30.0))
+      .toDF("o_orderpriority", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.ExtendedQueries.approxStats.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet === Set("1-URGENT", "5-LOW"))
+    assert(got("1-URGENT")._1 === 2L)
+    assert(got("5-LOW") === ((0L, true)), "all-NULL group must survive with 0 exact and true bound")
+  }
+
   test("corrDouble production twin tracks the exact-moment agg_corr within 10 ppm") {
     // the dotD-vs-dotQNative contract: the deployment runs the codegen'd
     // double corr; the oracle-declared DECIMAL moment form certifies it
