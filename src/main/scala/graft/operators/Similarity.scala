@@ -988,15 +988,26 @@ object Similarity {
     * codes persisted 2 bytes/vector; ADC tables = probes × k broadcast
     * rows; the routed join's candidate volume is probes × corpus/cells —
     * the structure simPqAdc lacks (linear 12.1 s at sf10). */
-  val simIvfPq: QueryDef = {
-    val (dh, kcw, probes, cand, k) = (32, 8, 50, 10, 3)
+  /** Shared builder for the trained-IVF-PQ family: `trainCondSql` /
+    * `trainPred` restrict the TRAINING set (seed draw + assignment), so
+    * the incremental variant trains on the store only and the batch
+    * encodes against FROZEN codebooks; `probeCondSql` / `probePred`
+    * select the probe rows; `tag` keys the per-variant persisted
+    * codes/codebook caches. One definition, two declared queries, and
+    * the generated oracle replays whichever chain the parameters
+    * select. */
+  private def ivfPqDef(name: String, seedCondSql: String, trainCondSql: String,
+                       probeCondSql: String,
+                       trainPred: Column => Column, probePred: Column => Column,
+                       tag: String): QueryDef = {
+    val (dh, kcw, cand, k) = (32, 8, 10, 3)
     val Off = 1000000000L
     // oracle training chain, per subspace: seed -> assign -> integer-mean
     def trainCte(s: Int) =
-      s"""cb${s}0 AS (SELECT vec_id AS cw, q$s AS cv FROM s WHERE vec_id < $kcw),
+      s"""cb${s}0 AS (SELECT vec_id AS cw, q$s AS cv FROM s WHERE vec_id < $kcw$seedCondSql),
         |d${s}0 AS (SELECT v.vec_id, c.cw,
         |    CAST(list_sum(list_transform(generate_series(1, $dh), i -> (v.q$s[i] - c.cv[i]) * (v.q$s[i] - c.cv[i]))) AS BIGINT) AS d2
-        |  FROM s v CROSS JOIN cb${s}0 c),
+        |  FROM s v CROSS JOIN cb${s}0 c$trainCondSql),
         |a${s}0 AS (SELECT vec_id, cw FROM (
         |    SELECT vec_id, cw, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cw) AS rn FROM d${s}0) t
         |  WHERE rn = 1),
@@ -1016,8 +1027,8 @@ object Similarity {
     def adcCte(s: Int) =
       s"""t$s AS (SELECT p.vec_id AS qid, p.label AS plabel, c.cw,
         |    CAST(list_sum(list_transform(generate_series(1, $dh), i -> p.q$s[i] * c.cv[i])) AS BIGINT) AS t
-        |  FROM s p CROSS JOIN cb$s c WHERE p.vec_id < $probes)""".stripMargin
-    QueryDef("sim_ivf_pq",
+        |  FROM s p CROSS JOIN cb$s c WHERE $probeCondSql)""".stripMargin
+    QueryDef(name,
       s"""WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
         |s AS (SELECT vec_id, label, qv[1:$dh] AS q1, qv[${dh + 1}:${2 * dh}] AS q2 FROM q),
         |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q),
@@ -1056,11 +1067,13 @@ object Similarity {
           slice(col("q"), 1, dh).as("q1"), slice(col("q"), dh + 1, dh).as("q2"),
           col("norm"))
       }
-      // one Lloyd update round per subspace; memoized — the driver holds
-      // (and round-trips) only kcw x dh longs, never anything data-sized
+      // one Lloyd update round per subspace over the TRAINING rows;
+      // memoized — the driver holds (and round-trips) only kcw x dh
+      // longs, never anything data-sized
       def train(s: Int): Seq[(Int, Array[Long])] =
-        pqCbMemo.of(spark, s"$d#ivfpq_cb$s") {
-          val v = sub.select(col("vec_id"), col(s"q$s").as("v"))
+        pqCbMemo.of(spark, s"$d#ivfpq_cb$s$tag") {
+          val v = sub.filter(trainPred(col("vec_id")))
+            .select(col("vec_id"), col(s"q$s").as("v"))
           val seeds = v.filter(col("vec_id") < kcw).orderBy("vec_id").collect()
             .map(rr => (rr.getLong(0).toInt, rr.getSeq[Long](1).toArray)).toSeq
           val sums = argminCw(v, seeds)
@@ -1076,7 +1089,7 @@ object Similarity {
           }.sortBy(_._1)
         }
       val (cb1, cb2) = (train(1), train(2))
-      val codes = graft.Persisted.of(spark, s"$d#ivfpq_codes") {
+      val codes = graft.Persisted.of(spark, s"$d#ivfpq_codes$tag") {
         val e1 = argminCw(sub.select(col("vec_id"), col("q1").as("v")), cb1)
           .select(col("vec_id"), col("cw").as("c1"))
         val e2 = argminCw(sub.select(col("vec_id"), col("q2").as("v")), cb2)
@@ -1086,7 +1099,7 @@ object Similarity {
       }
       // ADC tables: probes x trained codewords, tiny and broadcast
       def cbDf(cb: Seq[(Int, Array[Long])]) = cb.toDF("cw", "cv")
-      val probeSide = sub.filter(col("vec_id") < probes)
+      val probeSide = sub.filter(probePred(col("vec_id")))
       def adc(s: Int, cb: Seq[(Int, Array[Long])]) = broadcast(
         probeSide
           .select(col("vec_id").as("qid"), col("cell").as("pcell"),
@@ -1121,6 +1134,28 @@ object Similarity {
         .select("qid", "nid", "cosine")
     }
   }
+
+  val simIvfPq: QueryDef =
+    ivfPqDef("sim_ivf_pq", seedCondSql = "", trainCondSql = "",
+      probeCondSql = "p.vec_id < 50",
+      trainPred = _ => lit(true), probePred = _ < 50, tag = "")
+
+  /** FROZEN-codebook incremental ingest — the continuous-ingest shape of
+    * the IVF-PQ stack: codebooks train on the STORE only (vec_id % 20
+    * != 0; retraining is an offline event, never a per-batch one), the
+    * NEW batch (vec_id % 20 == 0, the proportional-seeding convention of
+    * sim_incremental_ann) encodes against those frozen codebooks and
+    * probes the cell-routed code store. Encode work ∝ batch (a
+    * zero-shuffle literal-argmin projection over batch rows); the code
+    * store itself is append-only at ingest. The oracle replays the
+    * frozen-training chain: seeds and assignment restricted to store
+    * rows, encode over store ∪ batch, ADC probes = the batch. */
+  val simIvfPqIncremental: QueryDef =
+    ivfPqDef("sim_ivf_pq_incremental",
+      seedCondSql = " AND vec_id % 20 <> 0",
+      trainCondSql = " WHERE v.vec_id % 20 <> 0",
+      probeCondSql = "p.vec_id % 20 = 0",
+      trainPred = _ % 20 =!= 0, probePred = _ % 20 === 0, tag = "_inc")
 
   /** Recall@3 of the trained IVF-PQ stack against the GLOBAL brute-force
     * top-3 — the end-to-end acceptance number a routed+quantized index
@@ -1195,6 +1230,6 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
     simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf, simKnnGraph,
-    simKnnGraphWide, simRecallEval, simPqAdc, simIvfPq, simIvfPqRecall,
-    simMipsTopK)
+    simKnnGraphWide, simRecallEval, simPqAdc, simIvfPq, simIvfPqIncremental,
+    simIvfPqRecall, simMipsTopK)
 }
