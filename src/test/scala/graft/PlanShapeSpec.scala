@@ -321,6 +321,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(rawScans.size >= 2, s"self-join must read the cached gate:\n$root")
   }
 
+  test("st_heavy_hitters: two window-keyed aggregates joined, no cartesian, no per-key window sort") {
+    // the sketch agg and the exact-count agg each shuffle once on the
+    // window key and join window-count-sized relations; nothing explodes
+    // per event and nothing sorts per window
+    val p = plan("st_heavy_hitters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"window join must stay an equi-join:\n$p")
+    assert(p.contains("graft_mg_topk"), s"expected the MG sketch aggregate:\n$p")
+    assert(!p.contains("Window"), s"no rank window in the heavy-hitter path:\n$p")
+  }
+
   test("gr_pagerank: iterations stay equi-joins over the cached adjacency") {
     val p = plan("gr_pagerank")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
