@@ -49,13 +49,14 @@ object Probe {
             .agg(lit(tier).as("tier"), count(lit(1)).as("n_buckets"),
               sum(col("n") * (col("n") - 1) / 2).cast("long").as("cand_pairs"),
               max("n").as("max_bucket"),
-              round(sum(col("n") * col("n")) / sum(col("n")), 2).as("avg_mates"))
-        def laneW(j: Int): Seq[Long] = (1 to operators.Similarity.Dim).map(i =>
-          ((operators.Similarity.HAWide(j) * i + operators.Similarity.HBWide(j)) % 101) - 50)
+              // n·(n−1), not n²: a vector is not its own bucket-mate — in
+              // an empty tier this must read ~0, not 1 (code-review r12)
+              round(sum(col("n") * (col("n") - 1)) / sum(col("n")), 2).as("avg_mates"))
         def bandW(q: org.apache.spark.sql.Column, b: Int,
                   width: Int): org.apache.spark.sql.Column =
           (0 until width).map { t =>
-            when(plans.dotQNative(q, typedlit(laneW(width * b + t))) >= 0,
+            when(plans.dotQNative(q,
+              typedlit(operators.Similarity.hyperplaneW(width * b + t))) >= 0,
               lit(1L << t)).otherwise(lit(0L))
           }.reduce(_ + _)
         val wide32 = r.select(col("vec_id") +: (0 until 2).map(b =>

@@ -775,9 +775,18 @@ object Multimodal {
     * pigeonhole guarantee, as the declared wide full-corpus tier.
     * [[imageNearDupIncremental]] is generic over the band relation, so
     * ONE definition serves both tiers. */
-  val mmImageIncremental128: QueryDef = QueryDef("mm_image_incremental128",
-    mmImageNeardup128.oracle.get.replace("WHERE hamming <= 3",
-      "WHERE hamming <= 3 AND (doc_a % 4 = 0 OR doc_b % 4 = 0)")) { (spark, d) =>
+  val mmImageIncremental128: QueryDef = QueryDef("mm_image_incremental128", {
+    // derive the oracle from the full-corpus oracle by appending the
+    // batch-touch predicate to its FINAL filter; assert the marker is
+    // unique first — String.replace hits every occurrence, so a second
+    // hamming filter appearing in the base oracle would silently inject
+    // the predicate into the wrong scope (code-review r12)
+    val marker = "WHERE hamming <= 3"
+    val base = mmImageNeardup128.oracle.get
+    require(base.indexOf(marker) == base.lastIndexOf(marker) && base.contains(marker),
+      "mm_image_neardup128 oracle no longer has a unique final hamming filter")
+    base.replace(marker, s"$marker AND (doc_a % 4 = 0 OR doc_b % 4 = 0)")
+  }) { (spark, d) =>
     def hashes(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       combinedBandsOf(
         ahashRelation(spark, d).join(phashRelation(spark, d), "doc_id")

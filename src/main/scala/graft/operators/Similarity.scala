@@ -263,7 +263,10 @@ object Similarity {
   val HAWide: Seq[Long] = primesFrom(300000L, 64)
   val HBWide: Seq[Long] = primesFrom(300L, 64)
 
-  private def hyperplaneW(j: Int): Seq[Long] =
+  /** Package-visible so the occupancy census (graft.Probe) measures the
+    * SAME lanes the production bands use — a re-derived copy would
+    * silently desynchronize if the formula or seeds changed. */
+  private[graft] def hyperplaneW(j: Int): Seq[Long] =
     (1 to Dim).map(i => ((HAWide(j) * i + HBWide(j)) % 101) - 50)
 
   /** 16-bit band value b (0..3) of the 64-lane sign sketch: bit t set iff
@@ -999,7 +1002,7 @@ object Similarity {
   private def ivfPqDef(name: String, seedCondSql: String, trainCondSql: String,
                        probeCondSql: String,
                        trainPred: Column => Column, probePred: Column => Column,
-                       tag: String): QueryDef = {
+                       tag: String, split: Boolean = false): QueryDef = {
     val (dh, kcw, cand, k) = (32, 8, 10, 3)
     val Off = 1000000000L
     // oracle training chain, per subspace: seed -> assign -> integer-mean
@@ -1089,14 +1092,32 @@ object Similarity {
           }.sortBy(_._1)
         }
       val (cb1, cb2) = (train(1), train(2))
-      val codes = graft.Persisted.of(spark, s"$d#ivfpq_codes$tag") {
-        val e1 = argminCw(sub.select(col("vec_id"), col("q1").as("v")), cb1)
+      def encode(rows: DataFrame) = {
+        val e1 = argminCw(rows.select(col("vec_id"), col("q1").as("v")), cb1)
           .select(col("vec_id"), col("cw").as("c1"))
-        val e2 = argminCw(sub.select(col("vec_id"), col("q2").as("v")), cb2)
+        val e2 = argminCw(rows.select(col("vec_id"), col("q2").as("v")), cb2)
           .select(col("vec_id"), col("cw").as("c2"))
-        sub.select(col("vec_id"), col("cell"), col("norm").as("nb"))
+        rows.select(col("vec_id"), col("cell"), col("norm").as("nb"))
           .join(e1, "vec_id").join(e2, "vec_id")
       }
+      // The code store: one relation for the whole-corpus queries; for
+      // the incremental variant the STORE codes and the BATCH codes are
+      // separate persisted relations unioned at read (the band-store
+      // split of mmImageIncremental) — per-batch encode work is the
+      // batch's rows only, the store encodes once and is append-only at
+      // ingest (code-review r12: a single full-corpus encode would
+      // contradict the declared work-∝-batch contract). The mod-20 split
+      // has no id overlap, so no supersede anti-join is needed here.
+      val codes =
+        if (!split) graft.Persisted.of(spark, s"$d#ivfpq_codes") {
+          encode(sub)
+        } else {
+          graft.Persisted.of(spark, s"$d#ivfpq_codes_store$tag") {
+            encode(sub.filter(trainPred(col("vec_id"))))
+          }.unionByName(graft.Persisted.of(spark, s"$d#ivfpq_codes_batch$tag") {
+            encode(sub.filter(probePred(col("vec_id"))))
+          })
+        }
       // ADC tables: probes x trained codewords, tiny and broadcast
       def cbDf(cb: Seq[(Int, Array[Long])]) = cb.toDF("cw", "cv")
       val probeSide = sub.filter(probePred(col("vec_id")))
@@ -1155,7 +1176,8 @@ object Similarity {
       seedCondSql = " AND vec_id % 20 <> 0",
       trainCondSql = " WHERE v.vec_id % 20 <> 0",
       probeCondSql = "p.vec_id % 20 = 0",
-      trainPred = _ % 20 =!= 0, probePred = _ % 20 === 0, tag = "_inc")
+      trainPred = _ % 20 =!= 0, probePred = _ % 20 === 0, tag = "_inc",
+      split = true)
 
   /** Recall@3 of the trained IVF-PQ stack against the GLOBAL brute-force
     * top-3 — the end-to-end acceptance number a routed+quantized index

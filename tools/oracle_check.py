@@ -78,7 +78,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             # Interrupt race (ADVICE r11): the timer can fire AFTER
             # fetchdf() returned but before cancel() — the pending
             # interrupt then poisons the shared connection and the NEXT
-            # query raises a spurious FAIL. Drain it with a trivial query.
+            # query raises a spurious FAIL. join() first: cancel() does
+            # not stop a callback that already started, so without the
+            # join the drain itself can race con.interrupt() (code-review
+            # r12) — after join() the callback has either fully run or
+            # never will.
+            t.join()
             if fired.is_set():
                 try:
                     con.execute("SELECT 1").fetchall()
