@@ -800,8 +800,31 @@ object Multimodal {
     imageNearDupIncremental(store, batch)
   }
 
+  /** Image dedup with keeper assignment — the [[Dedup.ddFuzzyKeep]]
+    * composition applied to the image family: pigeonhole-banded aHash
+    * near-dup pairs → connected components (the size-gated driver
+    * union-find with the distributed min-label fallback) → cluster-min
+    * keeper. Output rows = images that BELONG to a near-dup group,
+    * tagged with the doc a curation pipeline keeps. The full-chain
+    * recursive oracle composes the verified near-dup oracle as a
+    * subquery, so the two cannot drift. */
+  val mmImageDedupKeep: QueryDef = QueryDef("mm_image_dedup_keep",
+    s"""WITH RECURSIVE ver AS (SELECT doc_a, doc_b FROM (
+      |${mmImageNeardup.oracle.get}) t),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+      |          UNION SELECT doc_b, doc_a FROM ver),
+      |reach AS (
+      |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS keeper_id
+      |FROM reach GROUP BY src""".stripMargin) { (spark, d) =>
+    Dedup.labelPropagation(mmImageNeardup.fn(spark, d).select("doc_a", "doc_b"))
+      .select(col("doc_id"), col("cluster_id").as("keeper_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(mmMeta, mmFrameSample, mmResize, mmAhash,
     mmFrameOverlap, mmFrameIncremental, mmPhash, mmAudioEnergy,
     mmImageNeardup, mmImageNeardup128, mmImageIncremental,
-    mmImageIncremental128)
+    mmImageIncremental128, mmImageDedupKeep)
 }
