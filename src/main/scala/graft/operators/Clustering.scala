@@ -214,13 +214,7 @@ object Clustering {
       |sed AS (SELECT va, vb FROM dots JOIN norms na ON na.vec_id = va
       |        JOIN norms nb ON nb.vec_id = vb
       |        WHERE round(dot / (na.norm * nb.norm), 6) >= 0.3),
-      |edges AS (SELECT va AS src, vb AS dst FROM sed UNION SELECT vb, va FROM sed),
-      |reach AS (
-      |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
-      |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-      |SELECT src AS vec_id, CAST(MIN(dst) AS BIGINT) AS keeper_id
-      |FROM reach GROUP BY src""".stripMargin) { (spark, d) =>
+      |${Dedup.keeperClosureSql("sed", "va", "vb", "vec_id", "keeper_id")}""".stripMargin) { (spark, d) =>
     val aRel = graft.Persisted.of(spark, s"$d#kmeans_assign") {
       assigned(spark, d).select("vec_id", "q", "norm", "cluster_id")
     }

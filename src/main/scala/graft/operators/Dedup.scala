@@ -810,6 +810,25 @@ object Dedup {
     * explicitly, the single `count()` on the (cached, reused) edge set
     * decides, so the engine degrades to the O(diameter)-round distributed
     * algorithm exactly when the driver shortcut stops being safe. */
+  /** The transitive-closure / component-min tail every cluster oracle
+    * shares: undirected edges off a pair relation, recursive reach,
+    * min-label per vertex — ONE definition so the closure semantics the
+    * [[labelPropagation]] engine operator must match cannot drift across
+    * its four oracles (code-review r12: three verbatim copies had grown,
+    * with a fourth landing). `pairsFrom` is the FROM clause of the pair
+    * relation (a CTE name, optionally with a WHERE), `aCol`/`bCol` its
+    * endpoint columns, `idAlias`/`labelAlias` the output column names. */
+  def keeperClosureSql(pairsFrom: String, aCol: String, bCol: String,
+                       idAlias: String, labelAlias: String): String =
+    s"""edges AS (SELECT $aCol AS src, $bCol AS dst FROM $pairsFrom
+      |          UNION SELECT $bCol, $aCol FROM $pairsFrom),
+      |reach AS (
+      |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS $idAlias, CAST(MIN(dst) AS BIGINT) AS $labelAlias
+      |FROM reach GROUP BY src""".stripMargin
+
   def labelPropagation(edges: DataFrame, driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     val cached = edges.cache()
@@ -888,16 +907,8 @@ object Dedup {
   val ddDupClusters: QueryDef =
     QueryDef("dd_dup_clusters",
       s"""WITH RECURSIVE $neardup64Ctes,
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          WHERE bit_count(xor(ha, hb)) <= 3
-        |          UNION SELECT doc_b, doc_a FROM pairs
-        |          WHERE bit_count(xor(ha, hb)) <= 3),
-        |reach AS (
-        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY src""".stripMargin) { (spark, d) =>
+        |${keeperClosureSql("pairs WHERE bit_count(xor(ha, hb)) <= 3",
+            "doc_a", "doc_b", "doc_id", "cluster_id")}""".stripMargin) { (spark, d) =>
       val pairs = simhashNearDupPairs(simhash64BandsRelation(spark, d))
         .select("doc_a", "doc_b")
       labelPropagation(pairs)
@@ -948,14 +959,7 @@ object Dedup {
         |  FROM cand c JOIN widl wa ON wa.doc_id = c.doc_a
         |              JOIN widl wb ON wb.doc_id = c.doc_b) t
         |  WHERE uni > 0 AND inter * 5 >= uni * 4),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
-        |          UNION SELECT doc_b, doc_a FROM ver),
-        |reach AS (
-        |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS keeper_id
-        |FROM reach GROUP BY src""".stripMargin) { (spark, d) =>
+        |${keeperClosureSql("ver", "doc_a", "doc_b", "doc_id", "keeper_id")}""".stripMargin) { (spark, d) =>
       val cand = lshCandidatePairs(minhashSigRelation(spark, d))
       val wid = widArrayRelation(spark, d)
       val inter = size(array_intersect(col("wa"), col("wb")))

@@ -811,14 +811,7 @@ object Multimodal {
   val mmImageDedupKeep: QueryDef = QueryDef("mm_image_dedup_keep",
     s"""WITH RECURSIVE ver AS (SELECT doc_a, doc_b FROM (
       |${mmImageNeardup.oracle.get}) t),
-      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
-      |          UNION SELECT doc_b, doc_a FROM ver),
-      |reach AS (
-      |  SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) t
-      |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-      |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS keeper_id
-      |FROM reach GROUP BY src""".stripMargin) { (spark, d) =>
+      |${Dedup.keeperClosureSql("ver", "doc_a", "doc_b", "doc_id", "keeper_id")}""".stripMargin) { (spark, d) =>
     Dedup.labelPropagation(mmImageNeardup.fn(spark, d).select("doc_a", "doc_b"))
       .select(col("doc_id"), col("cluster_id").as("keeper_id"))
   }
