@@ -998,7 +998,18 @@ object Similarity {
     * select the probe rows; `tag` keys the per-variant persisted
     * codes/codebook caches. One definition, two declared queries, and
     * the generated oracle replays whichever chain the parameters
-    * select. */
+    * select.
+    *
+    * Parameter scale note: m = 2 subspaces × k = 8 codewords × one Lloyd
+    * update round are FIXTURE-SCALE settings chosen so the oracle's
+    * replayed training CTEs stay tractable on DuckDB at every gate SF —
+    * a production index uses m = 8–16, k = 256, and iterates the update
+    * to convergence. Every scale property is parameter-invariant: the
+    * driver round-trip stays k·dim longs per round, assignment stays a
+    * zero-shuffle literal projection (k·m dot products per row), the
+    * update stays one (cw, dim) partial-agg shuffle, and the code store
+    * stays m small ints per vector. Growing m/k/rounds changes constants,
+    * not shapes. */
   private def ivfPqDef(name: String, seedCondSql: String, trainCondSql: String,
                        probeCondSql: String,
                        trainPred: Column => Column, probePred: Column => Column,
