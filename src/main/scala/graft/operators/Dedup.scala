@@ -791,25 +791,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Connected components over a (doc_a, doc_b) edge list — the union-find
-    * a dedup pipeline runs between candidate generation and canonical-doc
-    * selection. Size-adaptive, like Spark's own broadcast threshold: an
-    * edge set small enough to collect is solved with driver union-find
-    * (one job instead of one per propagation round); above the threshold
-    * it iterates distributed min-label propagation. Both paths produce
-    * identical labels (spec-checked).
-    *
-    * Driver-memory ceiling: the collect path materializes `driverMaxEdges`
-    * (id, id) pairs plus a parent map over their vertices — at the default
-    * 1M edges that is ~16 MB of longs plus ~100 MB of boxed map overhead,
-    * safely inside a normal driver heap; raising `driverMaxEdges` scales
-    * that cost linearly (~120 bytes/edge worst case), so keep it well under
-    * driver memory / 120. At 100 TB the candidate edge set after LSH
-    * banding exceeds any driver heap and this gate MUST route to
-    * [[labelPropagationDistributed]] — callers never choose a path
-    * explicitly, the single `count()` on the (cached, reused) edge set
-    * decides, so the engine degrades to the O(diameter)-round distributed
-    * algorithm exactly when the driver shortcut stops being safe. */
   /** The transitive-closure / component-min tail every cluster oracle
     * shares: undirected edges off a pair relation, recursive reach,
     * min-label per vertex — ONE definition so the closure semantics the
@@ -829,6 +810,25 @@ object Dedup {
       |SELECT src AS $idAlias, CAST(MIN(dst) AS BIGINT) AS $labelAlias
       |FROM reach GROUP BY src""".stripMargin
 
+  /** Connected components over a (doc_a, doc_b) edge list — the union-find
+    * a dedup pipeline runs between candidate generation and canonical-doc
+    * selection. Size-adaptive, like Spark's own broadcast threshold: an
+    * edge set small enough to collect is solved with driver union-find
+    * (one job instead of one per propagation round); above the threshold
+    * it iterates distributed min-label propagation. Both paths produce
+    * identical labels (spec-checked).
+    *
+    * Driver-memory ceiling: the collect path materializes `driverMaxEdges`
+    * (id, id) pairs plus a parent map over their vertices — at the default
+    * 1M edges that is ~16 MB of longs plus ~100 MB of boxed map overhead,
+    * safely inside a normal driver heap; raising `driverMaxEdges` scales
+    * that cost linearly (~120 bytes/edge worst case), so keep it well under
+    * driver memory / 120. At 100 TB the candidate edge set after LSH
+    * banding exceeds any driver heap and this gate MUST route to
+    * [[labelPropagationDistributed]] — callers never choose a path
+    * explicitly, the single `count()` on the (cached, reused) edge set
+    * decides, so the engine degrades to the O(diameter)-round distributed
+    * algorithm exactly when the driver shortcut stops being safe. */
   def labelPropagation(edges: DataFrame, driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     val cached = edges.cache()

@@ -321,11 +321,16 @@ object Multimodal {
     * self-join sides + the per-doc counts); an un-persisted gate re-runs
     * the df aggregate and anti-join per consumer — measured 4x on the sf1
     * incremental probe. */
-  private def keptFrames(fr: DataFrame, dfGate: Int): DataFrame = {
+  private def keptFrames(fr: DataFrame, dfGate: Int, tag: String): DataFrame = {
     val spark = fr.sparkSession
-    val key = "mm_frames_kept#" +
-      fr.queryExecution.analyzed.semanticHash() + ":" + dfGate
-    graft.Persisted.clearExcept(spark, "mm_frames_kept#", key)
+    // Eviction is scoped per CONSUMER (`tag`): the full-overlap and
+    // incremental queries gate different input plans, and a shared prefix
+    // made each evict the other's persisted gated relation whenever the
+    // two alternated in one session — re-paying the df aggregate +
+    // anti-join the persist exists to amortize (ADVICE r12).
+    val prefix = s"mm_frames_kept_$tag#"
+    val key = prefix + fr.queryExecution.analyzed.semanticHash() + ":" + dfGate
+    graft.Persisted.clearExcept(spark, prefix, key)
     graft.Persisted.of(spark, key) {
       val hot = fr.groupBy("frame_md5").agg(count(lit(1)).as("df"))
         .filter(col("df") > dfGate).select("frame_md5")
@@ -350,7 +355,7 @@ object Multimodal {
     * fraction, and a doc of only boilerplate frames simply pairs with
     * nothing). */
   def frameOverlap(fr: DataFrame, dfGate: Int = FrameDfGate): DataFrame = {
-    val kept = keptFrames(fr, dfGate)
+    val kept = keptFrames(fr, dfGate, "full")
     val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
     val a = kept.select(col("doc_id").as("doc_a"), col("frame_md5"))
     val b = kept.select(col("doc_id").as("doc_b"), col("frame_md5"))
@@ -422,7 +427,7 @@ object Multimodal {
     // one persisted gated relation serves the probe side, the corpus side,
     // and the per-doc counts (the keptFrames compute-once contract); the
     // batch slice is a semi-join against it, never a second gate pass
-    val kept = keptFrames(corpus, dfGate)
+    val kept = keptFrames(corpus, dfGate, "inc")
     val keptBatch = kept
       .join(batchFr.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
     val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))

@@ -822,7 +822,11 @@ object Similarity {
           expr("(hits * 1000000) div 3").as("recall_ppm"))
     }
 
-  /** Product quantization + asymmetric-distance top-k — the remaining
+  /** Product quantization + asymmetric-distance top-k — the UNROUTED
+    * seed-codebook A/B BASELINE for the production path [[simIvfPq]]
+    * (trained codebooks + cell-routed ADC, 10.9x at sf10): this query is
+    * kept as the anchor that prices what training + routing buy, not as a
+    * deployment shape. It is the remaining
     * member of the compressed-ANN family ([[simSq8Rerank]] compresses per
     * VECTOR with a scalar scale; PQ compresses per SUBSPACE against a
     * codebook, the FAISS/IVFPQ layout). m = 2 subspaces of 32 dims, k = 8
