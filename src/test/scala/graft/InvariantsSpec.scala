@@ -237,13 +237,19 @@ class InvariantsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(res.nonEmpty)
     assert(res.forall { case (q, n, c) => q != n && c >= -1.0001 && c <= 1.0001 })
-    val label = Tables.embeddings(spark, sf0001)
-      .select("vec_id", "label").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // IVF contract: every returned neighbor shares the probe's coarse cell
+    val (cellsDf, pcellsDf) = Similarity.ivfPqRouting(spark, sf0001)
+    val cell = cellsDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = pcellsDf.collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getInt(1)).toSet }
+    // IVF contract: every returned neighbor sits in one of its probe's
+    // nprobe probed TRAINED cells (round 13: cells are Lloyd-trained, not
+    // the fixture label column, and probing is multi-cell)
     res.foreach { case (q, n, _) =>
-      assert(label(q) == label(n), s"pair ($q,$n) crosses cells")
+      assert(probed(q).contains(cell(n)), s"pair ($q,$n) outside probed cells")
     }
+    // and each probe probes at most nprobe distinct existing cells
+    probed.values.foreach(s =>
+      assert(s.nonEmpty && s.size <= Similarity.IvfPqNprobe))
     // rerank contract: the emitted cosine is the EXACT pair cosine (the
     // ADC approximation only selects candidates, never scores the output)
     val emb = Tables.embeddings(spark, sf0001)
