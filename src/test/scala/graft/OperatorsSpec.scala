@@ -253,7 +253,10 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("multimodal frame sampling: batch path agrees with the expression path") {
-    val viaBatch = Multimodal.frameSampleBatch(Tables.documents(spark, sf0001))
+    // the batch stage is generic over its (doc_id, text) input; the
+    // declared query feeds it the re-upload-resolved source docs
+    val viaBatch = Multimodal.frameSampleBatch(
+      Multimodal.frameSourceDocs(Tables.documents(spark, sf0001)))
     val viaExpr = Multimodal.mmFrameSample.fn(spark, sf0001)
     assert(viaExpr.count() > 0)
     assert(viaBatch.exceptAll(viaExpr).count() == 0)
