@@ -36,6 +36,9 @@ object Probe {
       // auto-tier knn graph (the knee router) for the sf100 occupancy
       // validation — the declared queries pin fixed tiers
       "knn_auto" -> (() => operators.Similarity.knnGraphAuto(spark, d)),
+      // auto-tier incremental image ingest (the knee router) for the
+      // sf10 decade points — the declared queries pin fixed tiers
+      "mm_image_inc_auto" -> (() => operators.Multimodal.mmImageIncrementalAuto(spark, d)),
       // band-occupancy census across tier widths (run with PROBE_SHOW=1):
       // per tier, bucket count, candidate-pair volume Σ n(n−1)/2, the max
       // bucket, and avg bucket-mates per vector — the raw quantities the

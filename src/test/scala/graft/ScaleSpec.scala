@@ -155,6 +155,28 @@ class ScaleSpec extends SparkSpec {
     assert(wide === edges(Similarity.simKnnGraphWide.fn(spark, sf0001)))
   }
 
+  test("auto-tier incremental image ingest flips 16 -> 32 bit bands at the occupancy knee") {
+    import graft.operators.Multimodal
+    assert(Multimodal.ImageBandKnee === 131072L)
+    assert(Multimodal.imageTier(Multimodal.ImageBandKnee - 1) === 16)
+    assert(Multimodal.imageTier(Multimodal.ImageBandKnee) === 32)
+    assert(Multimodal.imageTier(60000) === 16)   // sf1
+    assert(Multimodal.imageTier(600000) === 32)  // the sf10 decade point
+    // end-to-end with an overridden knee so both tiers run on the small
+    // SF: the auto path must equal the declared tier queries' pairs
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val narrow = pairs(Multimodal.mmImageIncrementalAuto(spark, sf0001,
+      knee = Long.MaxValue))
+    val wide = pairs(Multimodal.mmImageIncrementalAuto(spark, sf0001, knee = 1L))
+    assert(narrow === pairs(Multimodal.mmImageIncremental.fn(spark, sf0001)))
+    assert(wide === pairs(Multimodal.mmImageIncremental128.fn(spark, sf0001)))
+    // the combined 128-bit tier is the stricter operating point: its
+    // hamming <= 3 pairs have ahash-half hamming <= 3, so its pair ids
+    // are a subset of the narrow tier's
+    assert(wide.map(t => (t._1, t._2)).subsetOf(narrow.map(t => (t._1, t._2))))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
