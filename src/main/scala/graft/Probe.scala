@@ -39,6 +39,10 @@ object Probe {
       // auto-tier incremental image ingest (the knee router) for the
       // sf10 decade points — the declared queries pin fixed tiers
       "mm_image_inc_auto" -> (() => operators.Multimodal.mmImageIncrementalAuto(spark, d)),
+      // wide∧cell knn graph — the post-knee routed point, A/B'd at sf10
+      // against the unrouted wide tier (the declared routed query pins
+      // the narrow tier for gate-SF-visible rows)
+      "knn_routed_wide" -> (() => operators.Similarity.knnGraphRoutedWide(spark, d)),
       // band-occupancy census across tier widths (run with PROBE_SHOW=1):
       // per tier, bucket count, candidate-pair volume Σ n(n−1)/2, the max
       // bucket, and avg bucket-mates per vector — the raw quantities the

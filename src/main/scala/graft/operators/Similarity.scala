@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Coarse-cell count of the IVF-PQ family (fixture-scale; a production
+    * index uses thousands of cells — sqrt(n) is the usual rule).
+    * Declared FIRST: `val` initialization order is declaration order, and
+    * the narrow/wide graph oracles bake this into SQL at object init. */
+  val IvfPqCells = 8
+
+  /** Cells probed per query. nprobe > 1 is the IVF recall lever: measured
+    * on the batch variant's recall gate (sim_pq_recall, sf1), nprobe
+    * 1 → 3 on the trained cells lifts recall@3 from the boundary-loss
+    * floor toward the PQ-funnel ceiling while candidate volume stays
+    * probes × nprobe·corpus/cells. */
+  val IvfPqNprobe = 3
+
   /** Sequential-fold double dot product (production path). */
   def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -629,41 +642,63 @@ object Similarity {
     * relation). Hot buckets (clustered corpora collapse to few sketch
     * values) are AQE skew-split; recall is the band-collision probability,
     * raised by adding bands, never by widening buckets. */
+  /** Shared oracle for the narrow-band graph tier, with the trained-cell
+    * equality optionally composed into the candidate join (`cellEq`). */
+  private def narrowKnnOracleSql(cellEq: Boolean, k: Int): String = {
+    val coarse = if (cellEq) coarseCellCtesSql("", "") + ",\n" else ""
+    val cellJoin = if (cellEq)
+      """
+        |    JOIN cells ca ON ca.vec_id = a.vec_id
+        |    JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell""".stripMargin
+    else ""
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
+      |${coarse}sig AS (SELECT vec_id, qv, ${lshSigSql("qv")} AS sg FROM q),
+      |bands AS (SELECT vec_id, band_id, (sg >> (band_id*8)) & 255 AS band_val
+      |          FROM sig CROSS JOIN (VALUES (0),(1)) b(band_id)),
+      |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      |    AND a.vec_id <> b.vec_id$cellJoin),
+      |dots AS (SELECT c.qid, c.nid,
+      |    CAST(list_sum(list_transform(generate_series(1, len(x.qv)), i -> x.qv[i] * y.qv[i])) AS DOUBLE) AS dot
+      |  FROM cand c JOIN q x ON x.vec_id = c.qid JOIN q y ON y.vec_id = c.nid),
+      |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q)
+      |SELECT qid, nid, cosine FROM (
+      |  SELECT qid, nid, round(dot / (na.norm * nb.norm), 6) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
+      |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
+      |WHERE rn <= $k""".stripMargin
+  }
+
   val simKnnGraph: QueryDef = {
     val k = 3
-    QueryDef("sim_knn_graph",
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
-        |sig AS (SELECT vec_id, qv, ${lshSigSql("qv")} AS sg FROM q),
-        |bands AS (SELECT vec_id, band_id, (sg >> (band_id*8)) & 255 AS band_val
-        |          FROM sig CROSS JOIN (VALUES (0),(1)) b(band_id)),
-        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
-        |    AND a.vec_id <> b.vec_id),
-        |dots AS (SELECT c.qid, c.nid,
-        |    CAST(list_sum(list_transform(generate_series(1, len(x.qv)), i -> x.qv[i] * y.qv[i])) AS DOUBLE) AS dot
-        |  FROM cand c JOIN q x ON x.vec_id = c.qid JOIN q y ON y.vec_id = c.nid),
-        |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q)
-        |SELECT qid, nid, cosine FROM (
-        |  SELECT qid, nid, round(dot / (na.norm * nb.norm), 6) AS cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
-        |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
-        |WHERE rn <= $k""".stripMargin) { (spark, d) =>
+    QueryDef("sim_knn_graph", narrowKnnOracleSql(cellEq = false, k)) { (spark, d) =>
       knnGraphFromBands(narrowBandsRelation(spark, d), k)
     }
   }
 
   /** Session-persisted narrow (2 x 8-bit) band store over the corpus —
-    * shared by sim_lsh_ann, sim_knn_graph, and the auto tier router. */
+    * shared by sim_lsh_ann, sim_knn_graph, and the auto tier router.
+    * Carries the TRAINED IVF cell as routing metadata (see
+    * [[wideBandsRelation]]): unrouted consumers project it away, the
+    * routed graph joins on it — one sketch pass either way. */
   def narrowBandsRelation(spark: SparkSession, d: String): DataFrame =
     graft.Persisted.of(spark, s"$d#hyperlsh_bands") {
-      hyperBandsOfQNorm(qnormRelation(spark, d).select("vec_id", "q", "norm"))
+      hyperBandsOfQNorm(
+        withCell(qnormRelation(spark, d), ivfPqCoarseBook(spark, d))
+          .select("vec_id", "cell", "q", "norm"))
     }
 
   /** Session-persisted wide (4 x 16-bit) band store — the tier past the
-    * narrow bands' saturation knee. */
+    * narrow bands' saturation knee. Carries the TRAINED IVF cell
+    * ([[ivfPqCoarseBook]] assignment, round 13) as routing metadata: the
+    * unrouted consumers project it away, the cell∧band graph joins on it,
+    * and ONE materialized sketch pass serves both (at 100 TB this is the
+    * cell-partitioned vector index itself). */
   def wideBandsRelation(spark: SparkSession, d: String): DataFrame =
     graft.Persisted.of(spark, s"$d#hyperlsh_bands_wide") {
-      hyperBandsWideOfQNorm(qnormRelation(spark, d).select("vec_id", "q", "norm"))
+      hyperBandsWideOfQNorm(
+        withCell(qnormRelation(spark, d), ivfPqCoarseBook(spark, d))
+          .select("vec_id", "cell", "q", "norm"))
     }
 
   /** Shared graph tail for both band tiers. Score DURING the band join,
@@ -679,12 +714,14 @@ object Similarity {
     * pushes 14M candidate pairs through a ~0.5 KB/row gather exchange).
     * Pair volume only ever rides narrow rows here — the shape that
     * survives a duplicate-skewed 100 TB corpus. */
-  private def knnGraphFromBands(bands: DataFrame, k: Int): DataFrame = {
-    val a = bands.select(col("band_id"), col("band_val"),
-      col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na"))
-    val b = bands.select(col("band_id"), col("band_val"),
-      col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb"))
-    val scored = a.join(b, Seq("band_id", "band_val"))
+  private def knnGraphFromBands(bands: DataFrame, k: Int,
+                                routeCols: Seq[String] = Nil): DataFrame = {
+    val key = Seq("band_id", "band_val") ++ routeCols
+    val a = bands.select(key.map(col) ++ Seq(
+      col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na")): _*)
+    val b = bands.select(key.map(col) ++ Seq(
+      col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb")): _*)
+    val scored = a.join(b, key)
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
@@ -708,30 +745,78 @@ object Similarity {
     * noise the narrow tier drowns in past the knee.
     * Same banded shape end-to-end: equi-join on (band_id, band_val), exact
     * rescoring of candidates only, per-node top-k window. */
+  /** Shared oracle for the wide-band graph tier, with the trained-cell
+    * equality optionally composed into the candidate join (`cellEq`). */
+  private def wideKnnOracleSql(cellEq: Boolean, k: Int): String = {
+    val bv = (0 until 4).map(b => wideBandValSql("qv", b))
+    val coarse = if (cellEq) coarseCellCtesSql("", "") + ",\n" else ""
+    val cellJoin = if (cellEq)
+      """
+        |    JOIN cells ca ON ca.vec_id = a.vec_id
+        |    JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell""".stripMargin
+    else ""
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
+      |${coarse}sig AS (SELECT vec_id, qv, ${bv(0)} AS bv0, ${bv(1)} AS bv1, ${bv(2)} AS bv2, ${bv(3)} AS bv3 FROM q),
+      |bands AS (SELECT vec_id, band_id,
+      |    CASE band_id WHEN 0 THEN bv0 WHEN 1 THEN bv1 WHEN 2 THEN bv2 ELSE bv3 END AS band_val
+      |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
+      |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+      |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      |    AND a.vec_id <> b.vec_id$cellJoin),
+      |dots AS (SELECT c.qid, c.nid,
+      |    CAST(list_sum(list_transform(generate_series(1, len(x.qv)), i -> x.qv[i] * y.qv[i])) AS DOUBLE) AS dot
+      |  FROM cand c JOIN q x ON x.vec_id = c.qid JOIN q y ON y.vec_id = c.nid),
+      |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q)
+      |SELECT qid, nid, cosine FROM (
+      |  SELECT qid, nid, round(dot / (na.norm * nb.norm), 6) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
+      |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
+      |WHERE rn <= $k""".stripMargin
+  }
+
   val simKnnGraphWide: QueryDef = {
     val k = 3
-    val bv = (0 until 4).map(b => wideBandValSql("qv", b))
-    QueryDef("sim_knn_graph_wide",
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
-        |sig AS (SELECT vec_id, qv, ${bv(0)} AS bv0, ${bv(1)} AS bv1, ${bv(2)} AS bv2, ${bv(3)} AS bv3 FROM q),
-        |bands AS (SELECT vec_id, band_id,
-        |    CASE band_id WHEN 0 THEN bv0 WHEN 1 THEN bv1 WHEN 2 THEN bv2 ELSE bv3 END AS band_val
-        |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
-        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-        |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
-        |    AND a.vec_id <> b.vec_id),
-        |dots AS (SELECT c.qid, c.nid,
-        |    CAST(list_sum(list_transform(generate_series(1, len(x.qv)), i -> x.qv[i] * y.qv[i])) AS DOUBLE) AS dot
-        |  FROM cand c JOIN q x ON x.vec_id = c.qid JOIN q y ON y.vec_id = c.nid),
-        |norms AS (SELECT vec_id, sqrt(CAST(list_sum(list_transform(qv, v -> v*v)) AS DOUBLE)) AS norm FROM q)
-        |SELECT qid, nid, cosine FROM (
-        |  SELECT qid, nid, round(dot / (na.norm * nb.norm), 6) AS cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(dot / (na.norm * nb.norm), 6) DESC, nid) AS rn
-        |  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid) t
-        |WHERE rn <= $k""".stripMargin) { (spark, d) =>
+    QueryDef("sim_knn_graph_wide", wideKnnOracleSql(cellEq = false, k)) { (spark, d) =>
       knnGraphFromBands(wideBandsRelation(spark, d), k)
     }
   }
+
+  /** IVF∧band-routed knn graph (VERDICT r12 #3): the wide-band self-join
+    * with the TRAINED coarse-cell equality composed into the join key —
+    * candidates must share a band value AND the probe's cell. The sf100
+    * occupancy census's conclusion made this the next candidate lever:
+    * past 16-bit bands the surviving collisions are genuine
+    * near-neighbors on clustered data, so widening bands cannot cut
+    * candidates below the true similarity density — but cell equality
+    * can, because it removes the CROSS-cluster band coincidences (two
+    * clusters coinciding on one band value contribute |A|×|B| pairs; the
+    * same construction measured 9× in sim_incremental_ann_ivf). The cell
+    * rides the persisted band stores as metadata, so routing costs no
+    * extra scan, and at 100 TB the (cell, band) join key IS the partition
+    * layout of a cell-partitioned vector index — the graph build never
+    * forms cross-partition pairs. Semantics: the SAME-CELL knn graph (the
+    * per-cluster graph SemDeDup-style pipelines build); edges to
+    * neighbors assigned to a different cell are out of contract — recall
+    * vs the unrouted tier is corpus-dependent and measured at the decade
+    * points in ARCHITECTURE.md.
+    *
+    * The DECLARED query routes the NARROW tier, which has gate-SF-visible
+    * edges at every scale the oracle runs (the wide∧cell composition at
+    * 500 vectors produces zero candidates — an empty-output oracle
+    * certifies nothing, the r12 frame-family lesson); the wide∧cell point
+    * the census recommends past the knee is [[knnGraphRoutedWide]],
+    * A/B-measured at sf10 via the probe harness. */
+  val simKnnGraphRouted: QueryDef = {
+    val k = 3
+    QueryDef("sim_knn_graph_routed", narrowKnnOracleSql(cellEq = true, k)) { (spark, d) =>
+      knnGraphFromBands(narrowBandsRelation(spark, d), k, routeCols = Seq("cell"))
+    }
+  }
+
+  /** The wide∧cell graph — the operating point a post-knee corpus runs
+    * (same contract as [[simKnnGraphRouted]] over the wide store). */
+  def knnGraphRoutedWide(spark: SparkSession, d: String, k: Int = 3): DataFrame =
+    knnGraphFromBands(wideBandsRelation(spark, d), k, routeCols = Seq("cell"))
 
   /** Session-persisted knn-graph edge set (qid, nid, cosine) — the
     * materialized graph every graph-analytics consumer derives from
@@ -1034,6 +1119,47 @@ object Similarity {
       .select(col("qid"), explode(col("pcs.cell")).as("pcell"))
   }
 
+  /** The coarse-quantizer oracle chain — one Lloyd update (seed → assign
+    * → integer mean) over the full-dim vectors, then full-corpus
+    * assignment to the trained centroids — ending with
+    * `cells(vec_id, cell)` (the distance relation `kd(vec_id, cell, d2)`
+    * stays addressable for nprobe ranking). Assumes a CTE
+    * `q(vec_id, qv)`. ONE definition shared by the IVF-PQ family and the
+    * cell-routed knn graph, so the trained-cell semantics cannot drift
+    * between consumers. */
+  private def coarseCellCtesSql(seedCondSql: String, trainCondSql: String,
+                                kc: Int = IvfPqCells): String = {
+    val Off = 1000000000L
+    s"""kc0 AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < $kc$seedCondSql),
+      |kd0 AS (SELECT v.vec_id, c.cell,
+      |    CAST(list_sum(list_transform(generate_series(1, $Dim), i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT) AS d2
+      |  FROM q v CROSS JOIN kc0 c$trainCondSql),
+      |ka0 AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kd0) t
+      |  WHERE rn = 1),
+      |kcb AS (SELECT cell, list(cq ORDER BY i) AS cv FROM (
+      |    SELECT a.cell, g.i,
+      |      CAST((SUM(v.qv[g.i]) + COUNT(*) * $Off) // COUNT(*) - $Off AS BIGINT) AS cq
+      |    FROM ka0 a JOIN q v ON v.vec_id = a.vec_id
+      |    CROSS JOIN generate_series(1, $Dim) g(i)
+      |    GROUP BY a.cell, g.i) t GROUP BY cell),
+      |kd AS (SELECT v.vec_id, c.cell,
+      |    CAST(list_sum(list_transform(generate_series(1, $Dim), i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT) AS d2
+      |  FROM q v CROSS JOIN kcb c),
+      |cells AS (SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kd) t
+      |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** The batch-variant trained coarse book (full-corpus training, memo key
+    * shared with [[simIvfPq]] — trained once per session), the cell
+    * assignment every routed consumer shares. */
+  def ivfPqCoarseBook(spark: SparkSession, d: String): Seq[(Int, Array[Long])] =
+    pqCbMemo.of(spark, s"$d#ivfpq_kcb") {
+      lloydBook(qnormRelation(spark, d).select(col("vec_id"), col("q").as("v")),
+        IvfPqCells, 1000000000L)
+    }
+
   /** IVF-PQ — the production 100 TB ANN stack, replacing [[simPqAdc]]'s
     * honesty gaps (VERDICT r11 #1, r12 #1): the PQ codebooks are TRAINED
     * (one exact-integer Lloyd update round per subspace), the coarse
@@ -1124,29 +1250,10 @@ object Similarity {
       s"""t$s AS (SELECT p.vec_id AS qid, c.cw,
         |    CAST(list_sum(list_transform(generate_series(1, $dh), i -> p.q$s[i] * c.cv[i])) AS BIGINT) AS t
         |  FROM s p CROSS JOIN cb$s c WHERE $probeCondSql)""".stripMargin
-    // coarse-quantizer oracle chain: the SAME Lloyd update over the
-    // full-dim vectors, then full-corpus assignment and the probes'
-    // nprobe nearest cells (ROW_NUMBER <= nprobe over (d2, cell))
+    // coarse-quantizer oracle chain + the probes' nprobe nearest cells
+    // (ROW_NUMBER <= nprobe over (d2, cell))
     val coarseCtes =
-      s"""kc0 AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < $kc$seedCondSql),
-        |kd0 AS (SELECT v.vec_id, c.cell,
-        |    CAST(list_sum(list_transform(generate_series(1, $Dim), i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT) AS d2
-        |  FROM q v CROSS JOIN kc0 c$trainCondSql),
-        |ka0 AS (SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kd0) t
-        |  WHERE rn = 1),
-        |kcb AS (SELECT cell, list(cq ORDER BY i) AS cv FROM (
-        |    SELECT a.cell, g.i,
-        |      CAST((SUM(v.qv[g.i]) + COUNT(*) * $Off) // COUNT(*) - $Off AS BIGINT) AS cq
-        |    FROM ka0 a JOIN q v ON v.vec_id = a.vec_id
-        |    CROSS JOIN generate_series(1, $Dim) g(i)
-        |    GROUP BY a.cell, g.i) t GROUP BY cell),
-        |kd AS (SELECT v.vec_id, c.cell,
-        |    CAST(list_sum(list_transform(generate_series(1, $Dim), i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS BIGINT) AS d2
-        |  FROM q v CROSS JOIN kcb c),
-        |cells AS (SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM kd) t
-        |  WHERE rn = 1),
+      s"""${coarseCellCtesSql(seedCondSql, trainCondSql, kc)},
         |pcells AS (SELECT vec_id AS qid, cell FROM (
         |    SELECT p.vec_id, p.cell, ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY p.d2, p.cell) AS rn
         |    FROM kd p WHERE $probeCondSql) t
@@ -1288,27 +1395,13 @@ object Similarity {
     }
   }
 
-  /** Coarse-cell count of the IVF-PQ family (fixture-scale; a production
-    * index uses thousands of cells — sqrt(n) is the usual rule). */
-  val IvfPqCells = 8
-
-  /** Cells probed per query. nprobe > 1 is the IVF recall lever: measured
-    * on the batch variant's recall gate (sim_pq_recall, sf1), nprobe
-    * 1 → 3 on the trained cells lifts recall@3 from the boundary-loss
-    * floor toward the PQ-funnel ceiling while candidate volume stays
-    * probes × nprobe·corpus/cells. */
-  val IvfPqNprobe = 3
-
   /** The batch variant's routing relations, re-derived for specs: the
     * trained (vec_id, cell) assignment and the probes' (qid, pcell)
     * probed cells — same memoized coarse book (tag ""), same constants,
     * so the spec checks the contract the declared query actually runs. */
   def ivfPqRouting(spark: SparkSession, d: String): (DataFrame, DataFrame) = {
     val r = qnormRelation(spark, d)
-    val coarse = pqCbMemo.of(spark, s"$d#ivfpq_kcb") {
-      lloydBook(r.select(col("vec_id"), col("q").as("v")), IvfPqCells,
-        1000000000L)
-    }
+    val coarse = ivfPqCoarseBook(spark, d)
     (withCell(r, coarse).select("vec_id", "cell"),
       probeCellsOf(r.filter(col("vec_id") < 50).select("vec_id", "q"),
         coarse, IvfPqNprobe))
@@ -1421,6 +1514,6 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
     simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf, simKnnGraph,
-    simKnnGraphWide, simRecallEval, simPqAdc, simIvfPq, simIvfPqIncremental,
-    simIvfPqRecall, simMipsTopK)
+    simKnnGraphWide, simKnnGraphRouted, simRecallEval, simPqAdc, simIvfPq,
+    simIvfPqIncremental, simIvfPqRecall, simMipsTopK)
 }

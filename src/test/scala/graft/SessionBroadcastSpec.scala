@@ -92,7 +92,13 @@ class SessionBroadcastSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // a persisted dim cached OUTSIDE Persisted (hand-managed .persist()):
     // its broadcast entry must be swept once the relation is unpersisted
-    // externally, without Persisted.clear ever being involved
+    // externally, without Persisted.clear ever being involved.
+    // Start from an empty cache: suites share one SparkContext, and once
+    // earlier suites fill all maxEntries slots this test's dim would
+    // never be cached at all (round 13: the wider ADC-table fan plus the
+    // routed band stores pushed the suite past 64 entries) — the test
+    // pins SWEEP semantics, not cross-suite slot accounting.
+    SessionBroadcastCache.clear(spark.sparkContext)
     val dim = spark.range(7).select(col("id"), (col("id") * 2).as("y")).persist()
     dim.count() // materialize the IMR
     def q() = spark.range(7).toDF("id2")
