@@ -43,6 +43,16 @@ object Probe {
       // against the unrouted wide tier (the declared routed query pins
       // the narrow tier for gate-SF-visible rows)
       "knn_routed_wide" -> (() => operators.Similarity.knnGraphRoutedWide(spark, d)),
+      // constant-1000-probe incremental IVF-PQ batch — the rate-fixed
+      // ingest decade point next to the declared probes-∝-corpus variant
+      "ivfpq_inc_fixed" -> (() =>
+        operators.Similarity.simIvfPqIncrementalFixed.fn(spark, d)),
+      // cell∧band composition census: distinct candidate pairs with and
+      // without the cell key, plus edge retention of the routed graph vs
+      // its unrouted tier — the numbers the routed-graph A/B records.
+      // Run once per tier with PROBE_ITERS=1; the counts print to stderr.
+      "knn_routed_census_wide" -> (() => knnRoutedCensus(spark, d, wide = true)),
+      "knn_routed_census_narrow" -> (() => knnRoutedCensus(spark, d, wide = false)),
       // band-occupancy census across tier widths (run with PROBE_SHOW=1):
       // per tier, bucket count, candidate-pair volume Σ n(n−1)/2, the max
       // bucket, and avg bucket-mates per vector — the raw quantities the
@@ -220,6 +230,36 @@ object Probe {
             round(sum(col("o_totalprice")), 2).as("revenue"))
       })
     )
+  }
+
+  private def knnRoutedCensus(spark: SparkSession, d: String,
+                              wide: Boolean): DataFrame = {
+    val bands =
+      if (wide) operators.Similarity.wideBandsRelation(spark, d)
+      else operators.Similarity.narrowBandsRelation(spark, d)
+    def cand(routed: Boolean): Long = {
+      val key = Seq("band_id", "band_val") ++ (if (routed) Seq("cell") else Nil)
+      val a = bands.select(key.map(col) :+ col("vec_id").as("qid"): _*)
+      val b = bands.select(key.map(col) :+ col("vec_id").as("nid"): _*)
+      a.join(b, key).filter(col("qid") =!= col("nid"))
+        .select("qid", "nid").distinct().count()
+    }
+    def edges(routed: Boolean) = {
+      val df =
+        if (wide && routed) operators.Similarity.knnGraphRoutedWide(spark, d)
+        else if (wide) operators.Similarity.simKnnGraphWide.fn(spark, d)
+        else if (routed) operators.Similarity.simKnnGraphRouted.fn(spark, d)
+        else operators.Similarity.simKnnGraph.fn(spark, d)
+      df.select("qid", "nid")
+    }
+    val (cu, cr) = (cand(routed = false), cand(routed = true))
+    val eu = edges(routed = false).cache()
+    val total = eu.count()
+    val retained = edges(routed = true).intersect(eu).count()
+    eu.unpersist()
+    val tier = if (wide) "wide" else "narrow"
+    System.err.println(s"[probe] knn_routed_census_$tier cand_unrouted=$cu cand_routed=$cr edges_unrouted=$total routed_retained=$retained")
+    spark.range(1).toDF("id")
   }
 
   def main(args: Array[String]): Unit = {

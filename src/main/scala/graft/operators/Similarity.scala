@@ -1422,14 +1422,42 @@ object Similarity {
     * projections over batch rows); the code store itself is append-only
     * at ingest. The oracle replays the frozen-training chain: seeds and
     * assignment restricted to store rows, cell/code assignment over
-    * store ∪ batch, ADC probes = the batch. */
+    * store ∪ batch, ADC probes = the batch.
+    *
+    * nprobe = 1 — the INGEST operating point, deliberately different
+    * from the batch variant's retrieval point (nprobe = 3): ingest
+    * near-dup probing hunts re-uploads and near-copies, which land in
+    * their original's cell by construction (the cell is a deterministic
+    * function of the vector), so multi-cell probing buys boundary-case
+    * recall the ingest gate rarely needs at 3× the candidate volume —
+    * measured 245 s (nprobe 3) vs 55.7 s (nprobe 1) at sf10 under the
+    * probes-∝-corpus seeding.
+    * Cross-cell recall is priced by sim_pq_recall on the batch variant;
+    * a deployment needing it at ingest raises nprobe, not the funnel. */
   val simIvfPqIncremental: QueryDef =
     ivfPqDef("sim_ivf_pq_incremental",
       seedCondSql = " AND vec_id % 20 <> 0",
       trainCondSql = " WHERE v.vec_id % 20 <> 0",
       probeCondSql = "p.vec_id % 20 = 0",
       trainPred = _ % 20 =!= 0, probePred = _ % 20 === 0, tag = "_inc",
-      split = true)
+      split = true, nprobe = 1)
+
+  /** Fixed-size-batch twin of [[simIvfPqIncremental]] (probe/A-B surface,
+    * not declared): a CONSTANT 1000-probe batch (vec_id % 20 == 0 AND
+    * vec_id < 20000) against the same frozen store-trained books. The
+    * declared variant's proportional mod-20 seeding grows probes ∝ corpus
+    * — right for the oracle gate, but it makes the decade points conflate
+    * batch growth with per-probe cost; a production ingest batch is
+    * rate-fixed, and this twin prices exactly that: per-batch cost ∝
+    * probes × nprobe·corpus/cells with the corpus term isolated. */
+  lazy val simIvfPqIncrementalFixed: QueryDef =
+    ivfPqDef("sim_ivf_pq_inc_fixed",
+      seedCondSql = " AND vec_id % 20 <> 0",
+      trainCondSql = " WHERE v.vec_id % 20 <> 0",
+      probeCondSql = "p.vec_id % 20 = 0 AND p.vec_id < 20000",
+      trainPred = _ % 20 =!= 0,
+      probePred = c => c % 20 === 0 && c < 20000,
+      tag = "_incf", split = true)
 
   /** Recall@3 of the trained IVF-PQ stack against the GLOBAL brute-force
     * top-3 — the end-to-end acceptance number a routed+quantized index
