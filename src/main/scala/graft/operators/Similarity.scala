@@ -818,6 +818,20 @@ object Similarity {
   def knnGraphRoutedWide(spark: SparkSession, d: String, k: Int = 3): DataFrame =
     knnGraphFromBands(wideBandsRelation(spark, d), k, routeCols = Seq("cell"))
 
+  /** AUTO-TIER routed graph: [[knnGraphAuto]]'s knee rule with the cell
+    * composed into the join key at BOTH tiers — the entry a consumer that
+    * accepts the same-cell contract rides at any corpus size (below the
+    * knee the narrow∧cell point is where routing pays most: 6.1×
+    * candidate cut at sf1; above it wide∧cell trims the residual
+    * cross-cell noise off the saturation-safe tier). Same band stores,
+    * same spec-checkable tier rule. */
+  def knnGraphRoutedAuto(spark: SparkSession, d: String, k: Int = 3,
+                         knee: Long = KnnBandKnee): DataFrame =
+    if (knnGraphTier(vecCount(spark, d), knee) == 8)
+      knnGraphFromBands(narrowBandsRelation(spark, d), k, routeCols = Seq("cell"))
+    else
+      knnGraphFromBands(wideBandsRelation(spark, d), k, routeCols = Seq("cell"))
+
   /** Session-persisted knn-graph edge set (qid, nid, cosine) — the
     * materialized graph every graph-analytics consumer derives from
     * (gr_pagerank's degree-attached adjacency, gr_triangles' undirected

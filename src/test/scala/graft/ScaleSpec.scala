@@ -153,6 +153,13 @@ class ScaleSpec extends SparkSpec {
     val wide = edges(Similarity.knnGraphAuto(spark, sf0001, knee = 1L))
     assert(narrow === edges(Similarity.simKnnGraph.fn(spark, sf0001)))
     assert(wide === edges(Similarity.simKnnGraphWide.fn(spark, sf0001)))
+    // the ROUTED auto entry must equal the routed tier queries the same way
+    val routedNarrow =
+      edges(Similarity.knnGraphRoutedAuto(spark, sf0001, knee = Long.MaxValue))
+    val routedWide = edges(Similarity.knnGraphRoutedAuto(spark, sf0001, knee = 1L))
+    assert(routedNarrow === edges(Similarity.simKnnGraphRouted.fn(spark, sf0001)))
+    assert(routedWide === edges(Similarity.knnGraphRoutedWide(spark, sf0001)))
+    assert(routedNarrow.nonEmpty, "routed narrow graph must have edges at gate SF")
   }
 
   test("auto-tier incremental image ingest flips 16 -> 32 bit bands at the occupancy knee") {
