@@ -303,6 +303,27 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the probe-cell IN filter on the code store:\n$p")
   }
 
+  test("sim_knn_graph_routed: cell rides the band self-join KEY, one persisted store, no cartesian") {
+    // the cell∧band composition must be ONE composite equi-join key (the
+    // candidate cut happens inside the join, never as a post-join filter),
+    // over the persisted band store on both sides
+    val root = outerPlan("sim_knn_graph_routed")
+    val joins = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.map(_.toString).mkString(",")
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.map(_.toString).mkString(",")
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.map(_.toString).mkString(",") // AQE broadcasts at gate SF
+    }
+    assert(joins.exists(k => k.contains("band_val") && k.contains("cell")),
+      s"expected cell inside the band join key, got keys $joins in:\n$root")
+    assert(!root.toString.contains("CartesianProduct") &&
+      !root.toString.contains("BroadcastNestedLoopJoin"))
+    assert(root.toString.contains("InMemoryTableScan"),
+      s"expected the persisted band store:\n$root")
+  }
+
   test("mm_frame_overlap: df gate (broadcast anti-join) sits above the frame store, below the self-join") {
     // the hot-frame gate: both self-join inputs read the PERSISTED gated
     // relation (whose build plan carries the LeftAnti against the
