@@ -1260,10 +1260,19 @@ object Similarity {
         |e$s AS (SELECT vec_id, cw AS c$s FROM (
         |    SELECT vec_id, cw, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cw) AS rn FROM d$s) t
         |  WHERE rn = 1)""".stripMargin
+    // ADC oracle tables are ONE ROW PER PROBE (codeword-ordered value +
+    // id lists), so every t-join is 1:1 on qid: with per-(qid, cw) rows
+    // and m = 4, DuckDB's optimizer could join the four t-tables together
+    // on qid FIRST — probes × 16⁴ = 163M rows at sf1, which is what blew
+    // the incremental oracle's 600 s budget (the Spark plan is unaffected:
+    // its ADC joins are broadcast hash joins keyed (qid, c_s)). The house
+    // rule again: a generated oracle is a query too — audit its join
+    // orders like any declared plan.
     def adcCte(s: Int) =
-      s"""t$s AS (SELECT p.vec_id AS qid, c.cw,
-        |    CAST(list_sum(list_transform(generate_series(1, $dh), i -> p.q$s[i] * c.cv[i])) AS BIGINT) AS t
-        |  FROM s p CROSS JOIN cb$s c WHERE $probeCondSql)""".stripMargin
+      s"""t$s AS (SELECT qid, list(t ORDER BY cw) AS ts, list(cw ORDER BY cw) AS cws FROM (
+        |    SELECT p.vec_id AS qid, c.cw,
+        |      CAST(list_sum(list_transform(generate_series(1, $dh), i -> p.q$s[i] * c.cv[i])) AS BIGINT) AS t
+        |    FROM s p CROSS JOIN cb$s c WHERE $probeCondSql) GROUP BY qid)""".stripMargin
     // coarse-quantizer oracle chain + the probes' nprobe nearest cells
     // (ROW_NUMBER <= nprobe over (d2, cell))
     val coarseCtes =
@@ -1279,9 +1288,10 @@ object Similarity {
     val codesJoin = (2 to m).map(s => s"JOIN e$s ON e$s.vec_id = e1.vec_id")
       .mkString(" ")
     val codeCols = (1 to m).map(s => s"e$s.c$s").mkString(", ")
-    val tSum = (1 to m).map(s => s"t$s.t").mkString(" + ")
+    val tSum = (1 to m)
+      .map(s => s"t$s.ts[list_position(t$s.cws, c.c$s)]").mkString(" + ")
     val tJoins = (1 to m)
-      .map(s => s"JOIN t$s ON t$s.qid = pc.qid AND t$s.cw = c.c$s")
+      .map(s => s"JOIN t$s ON t$s.qid = pc.qid")
       .mkString("\n  ")
     QueryDef(name,
       s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
