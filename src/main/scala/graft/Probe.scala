@@ -53,6 +53,28 @@ object Probe {
       // Run once per tier with PROBE_ITERS=1; the counts print to stderr.
       "knn_routed_census_wide" -> (() => knnRoutedCensus(spark, d, wide = true)),
       "knn_routed_census_narrow" -> (() => knnRoutedCensus(spark, d, wide = false)),
+      // routed occupancy census (run with PROBE_SHOW=1): raw candidate
+      // pair volume Σ n(n−1)/2 per tier, bucketed by (band, value) vs
+      // (band, value, cell) — bucket-count arithmetic only, no pair join
+      // materialized, so it runs on the 2M-distinct-vector sf100e fixture
+      // where the r12 occupancy census measured the band ladder's end.
+      // This is the composition's honest (perturbed, non-replica) A/B.
+      "knn_routed_occupancy" -> (() => {
+        def stats(bands: DataFrame, tier: String, routed: Boolean) = {
+          val key = Seq("band_id", "band_val") ++ (if (routed) Seq("cell") else Nil)
+          bands.groupBy(key.map(col): _*).agg(count(lit(1)).as("n"))
+            .agg(lit(tier).as("tier"), lit(if (routed) "cell" else "-").as("routed"),
+              count(lit(1)).as("n_buckets"),
+              sum(col("n") * (col("n") - 1) / 2).cast("long").as("cand_pairs"),
+              max("n").as("max_bucket"))
+        }
+        val narrow = operators.Similarity.narrowBandsRelation(spark, d)
+        val wide = operators.Similarity.wideBandsRelation(spark, d)
+        Seq(false, true).map { routed =>
+          stats(narrow, "narrow8", routed)
+            .unionByName(stats(wide, "wide16", routed))
+        }.reduce(_ unionByName _)
+      }),
       // band-occupancy census across tier widths (run with PROBE_SHOW=1):
       // per tier, bucket count, candidate-pair volume Σ n(n−1)/2, the max
       // bucket, and avg bucket-mates per vector — the raw quantities the
