@@ -75,6 +75,20 @@ object Probe {
             .unionByName(stats(wide, "wide16", routed))
         }.reduce(_ unionByName _)
       }),
+      // the CELL-COUNT lever: same wide-tier bucket census with a
+      // kc-parameterized trained coarse book (PROBE_KC, default 64) —
+      // validates that raising kc (production: ~sqrt(n)) cuts the
+      // cross-base collision mass the 8 fixture cells cannot
+      "knn_routed_occupancy_kc" -> (() => {
+        val kc = sys.env.getOrElse("PROBE_KC", "64").toInt
+        val cells = operators.Similarity.coarseCellsScaled(spark, d, kc)
+          .select("vec_id", "cell", "q", "norm")
+        val bands = operators.Similarity.hyperBandsWideOfQNorm(cells)
+        bands.groupBy("band_id", "band_val", "cell").agg(count(lit(1)).as("n"))
+          .agg(lit(s"wide16xkc$kc").as("tier"), count(lit(1)).as("n_buckets"),
+            sum(col("n") * (col("n") - 1) / 2).cast("long").as("cand_pairs"),
+            max("n").as("max_bucket"))
+      }),
       // band-occupancy census across tier widths (run with PROBE_SHOW=1):
       // per tier, bucket count, candidate-pair volume Σ n(n−1)/2, the max
       // bucket, and avg bucket-mates per vector — the raw quantities the

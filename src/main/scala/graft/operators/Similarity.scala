@@ -1174,6 +1174,19 @@ object Similarity {
         IvfPqCells, 1000000000L)
     }
 
+  /** kc-PARAMETERIZED coarse training + assignment — the occupancy-probe
+    * surface for measuring the cell-count lever (production kc ~ sqrt(n);
+    * the declared queries pin kc = [[IvfPqCells]] for oracle determinism).
+    * Returns the qnorm relation with a `cell` column under a kc-cell
+    * trained book. Seeds = first kc vectors, one Lloyd update — the same
+    * contract as the fixture-scale book, just wider. */
+  def coarseCellsScaled(spark: SparkSession, d: String, kc: Int): DataFrame =
+    withCell(qnormRelation(spark, d),
+      pqCbMemo.of(spark, s"$d#ivfpq_kcb_k$kc") {
+        lloydBook(qnormRelation(spark, d)
+          .select(col("vec_id"), col("q").as("v")), kc, 1000000000L)
+      })
+
   /** IVF-PQ — the production 100 TB ANN stack, replacing [[simPqAdc]]'s
     * honesty gaps (VERDICT r11 #1, r12 #1): the PQ codebooks are TRAINED
     * (one exact-integer Lloyd update round per subspace), the coarse
