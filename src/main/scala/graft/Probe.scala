@@ -47,6 +47,9 @@ object Probe {
       // ingest decade point next to the declared probes-∝-corpus variant
       "ivfpq_inc_fixed" -> (() =>
         operators.Similarity.simIvfPqIncrementalFixed.fn(spark, d)),
+      // knee-routed dedup-then-index (the declared query pins narrow)
+      "dedup_index_auto" -> (() =>
+        operators.Similarity.dedupThenIndexAuto(spark, d)),
       // cell∧band composition census: distinct candidate pairs with and
       // without the cell key, plus edge retention of the routed graph vs
       // its unrouted tier — the numbers the routed-graph A/B records.

@@ -643,15 +643,18 @@ object Similarity {
     * values) are AQE skew-split; recall is the band-collision probability,
     * raised by adding bands, never by widening buckets. */
   /** Shared oracle for the narrow-band graph tier, with the trained-cell
-    * equality optionally composed into the candidate join (`cellEq`). */
-  private def narrowKnnOracleSql(cellEq: Boolean, k: Int): String = {
+    * equality optionally composed into the candidate join (`cellEq`) and
+    * an optional source restriction (`srcCond`, appended to the q CTE —
+    * the dedup-then-index composition filters to SemDeDup survivors). */
+  private def narrowKnnOracleSql(cellEq: Boolean, k: Int,
+                                 srcCond: String = ""): String = {
     val coarse = if (cellEq) coarseCellCtesSql("", "") + ",\n" else ""
     val cellJoin = if (cellEq)
       """
         |    JOIN cells ca ON ca.vec_id = a.vec_id
         |    JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell""".stripMargin
     else ""
-    s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings$srcCond),
       |${coarse}sig AS (SELECT vec_id, qv, ${lshSigSql("qv")} AS sg FROM q),
       |bands AS (SELECT vec_id, band_id, (sg >> (band_id*8)) & 255 AS band_val
       |          FROM sig CROSS JOIN (VALUES (0),(1)) b(band_id)),
@@ -817,6 +820,39 @@ object Similarity {
     * (same contract as [[simKnnGraphRouted]] over the wide store). */
   def knnGraphRoutedWide(spark: SparkSession, d: String, k: Int = 3): DataFrame =
     knnGraphFromBands(wideBandsRelation(spark, d), k, routeCols = Seq("cell"))
+
+  /** Recall@3 of the ROUTED graph against the global brute-force top-3 on
+    * a 20-node sample — the acceptance gate for the same-cell contract
+    * ([[simKnnGraphRouted]]'s doc): it prices BOTH loss sources (a true
+    * neighbor in another cell is out of contract; a true neighbor whose
+    * bands never collide is band loss) exactly as sim_pq_recall does for
+    * the IVF-PQ stack. Expect corpus-dependent numbers: high on
+    * replica-inflated scale dirs (replicas share cells), routing-capped
+    * on spread corpora — the honest number a same-cell graph quotes.
+    * Measured (round 13): 100% at sf1 (replica neighbors share cells),
+    * 6.7% at sf0.1 — on near-unclustered fixture vectors the narrow
+    * 2-band sketch rarely collides true (but not duplicate) neighbors
+    * AND the same-cell contract excludes cross-cell ones; a deployment
+    * that needs spread-corpus graph recall adds bands (recall is the
+    * collision probability, raised by band count) before it widens
+    * anything else. */
+  val simGraphRecall: QueryDef =
+    QueryDef("sim_graph_recall",
+      s"""SELECT e.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+        |  CAST(count(a.nid) AS BIGINT) * 1000000 // 3 AS recall_ppm
+        |FROM (${topkOracle(" WHERE vec_id < 20", "", 3)}) e
+        |LEFT JOIN (
+        |${narrowKnnOracleSql(cellEq = true, 3)}) a ON a.qid = e.qid AND a.nid = e.nid
+        |GROUP BY e.qid""".stripMargin) { (spark, d) =>
+      val exact = sparkTopKDec(spark, d, 20, sameCell = false, k = 3)
+        .select("qid", "nid")
+      val approx = simKnnGraphRouted.fn(spark, d)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      exact.join(approx, Seq("qid", "nid"), "left")
+        .groupBy("qid").agg(count(col("hit")).as("hits"))
+        .select(col("qid"), col("hits"),
+          expr("(hits * 1000000) div 3").as("recall_ppm"))
+    }
 
   /** AUTO-TIER routed graph: [[knnGraphAuto]]'s knee rule with the cell
     * composed into the join key at BOTH tiers — the entry a consumer that
@@ -1533,6 +1569,66 @@ object Similarity {
           expr("(hits * 1000000) div 3").as("recall_ppm"))
     }
 
+  /** DEDUP-THEN-INDEX — the pipeline composition the 2M-vector censuses
+    * concluded with: no candidate-generation lever (band width, cell
+    * count, or both composed) can cut below the corpus's TRUE
+    * near-duplicate density, so a production vector pipeline removes the
+    * duplication first and builds retrieval structures on the survivors.
+    * This query IS that composition, oracle-checked end to end: SemDeDup
+    * ([[Clustering.ddSemdedup]] — k-means cells, in-cell banded exact
+    * cosine, connected components, cluster-min keeper) prunes non-keeper
+    * members, then the narrow-band knn graph builds over the SURVIVORS
+    * only (their band relation persisted — the self-join must not replay
+    * the dedup chain per side). On a duplicate-heavy corpus the graph's
+    * input collisions drop by the clique mass the censuses measured; on
+    * the gate fixtures the survivor set is nearly the corpus and the
+    * query degenerates gracefully to the plain graph. The oracle nests
+    * the full recursive SemDeDup chain as the survivor filter of the
+    * knn chain, so the two stages cannot drift. */
+  lazy val simDedupIndex: QueryDef = {
+    val k = 3
+    QueryDef("sim_dedup_index",
+      s"""WITH sd AS (SELECT * FROM (
+        |${Clustering.ddSemdedup.oracle.get}
+        |) sdt),
+        |removed AS (SELECT vec_id FROM sd WHERE vec_id <> keeper_id),
+        |${narrowKnnOracleSql(cellEq = false, k,
+             srcCond = " WHERE vec_id NOT IN (SELECT vec_id FROM removed)")
+             .stripPrefix("WITH ")}""".stripMargin) { (spark, d) =>
+      val removed = Clustering.ddSemdedup.fn(spark, d)
+        .filter(col("vec_id") =!= col("keeper_id")).select("vec_id")
+      val bands = graft.Persisted.of(spark, s"$d#dedup_index_bands") {
+        hyperBandsOfQNorm(
+          qnormRelation(spark, d).join(removed, Seq("vec_id"), "left_anti")
+            .select("vec_id", "q", "norm"))
+      }
+      knnGraphFromBands(bands, k)
+    }
+  }
+
+  /** Production form of the dedup-then-index composition: the survivor
+    * graph rides the KNEE-ROUTED band tier ([[knnGraphTier]] on the
+    * survivor count) — the declared [[simDedupIndex]] pins the narrow
+    * tier for oracle determinism, which saturates past the band knee
+    * like every narrow-pinned graph (measured 314 s at sf10, where the
+    * gate fixture's id-window dedup convention cannot see Inflate's
+    * far-id replicas and survivors ≈ corpus). Survivor bands persist
+    * per tier; one count() gates the choice. */
+  def dedupThenIndexAuto(spark: SparkSession, d: String, k: Int = 3,
+                         knee: Long = KnnBandKnee): DataFrame = {
+    val removed = Clustering.ddSemdedup.fn(spark, d)
+      .filter(col("vec_id") =!= col("keeper_id")).select("vec_id")
+    val survivors = qnormRelation(spark, d)
+      .join(removed, Seq("vec_id"), "left_anti")
+      .select("vec_id", "q", "norm")
+    val tier = knnGraphTier(survivors.count(), knee)
+    val bands = graft.Persisted.of(spark, s"$d#dedup_index_bands_auto$tier") {
+      if (tier == 8) hyperBandsOfQNorm(survivors)
+      else hyperBandsWideOfQNorm(survivors)
+    }
+    knnGraphFromBands(bands, k)
+  }
+
   /** Maximum-inner-product top-5 — the dual-encoder retrieval metric
     * (query·document trained unnormalized), completing the metric family
     * next to cosine (sim_cosine_topk), L2 (sim_pq_adc's encode), and the
@@ -1579,6 +1675,7 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
     simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf, simKnnGraph,
-    simKnnGraphWide, simKnnGraphRouted, simRecallEval, simPqAdc, simIvfPq,
-    simIvfPqIncremental, simIvfPqRecall, simMipsTopK)
+    simKnnGraphWide, simKnnGraphRouted, simGraphRecall, simRecallEval,
+    simPqAdc, simIvfPq, simIvfPqIncremental, simIvfPqRecall, simDedupIndex,
+    simMipsTopK)
 }

@@ -162,6 +162,28 @@ class ScaleSpec extends SparkSpec {
     assert(routedNarrow.nonEmpty, "routed narrow graph must have edges at gate SF")
   }
 
+  test("dedup-then-index auto entry equals the declared narrow composition below the knee") {
+    import graft.operators.Similarity
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val narrow =
+      edges(Similarity.dedupThenIndexAuto(spark, sf0001, knee = Long.MaxValue))
+    assert(narrow === edges(Similarity.simDedupIndex.fn(spark, sf0001)))
+    assert(narrow.nonEmpty)
+    // past the (overridden) knee the survivor graph rides the wide bands —
+    // still a valid graph over the same survivor set (ids ⊆ narrow's ids
+    // need not hold for edges, but every endpoint must be a survivor)
+    val wide = edges(Similarity.dedupThenIndexAuto(spark, sf0001, knee = 1L))
+    val survivors = narrow.flatMap(e => Seq(e._1, e._2))
+    val removedIds = graft.operators.Clustering.ddSemdedup.fn(spark, sf0001)
+      .collect().filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    wide.foreach { e =>
+      assert(!removedIds.contains(e._1) && !removedIds.contains(e._2),
+        s"wide survivor graph leaked a removed id: $e")
+    }
+    assert(survivors.nonEmpty)
+  }
+
   test("auto-tier incremental image ingest flips 16 -> 32 bit bands at the occupancy knee") {
     import graft.operators.Multimodal
     assert(Multimodal.ImageBandKnee === 131072L)
