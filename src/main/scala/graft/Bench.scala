@@ -337,7 +337,12 @@ object Bench {
     // post-clear pass while everything else keeps its aged-session sweep
     // time — this field is what the sweep itself measured for the six.
     val presweepByName = finalResults.toMap
-    val presweepHeadline = validSum(headline.flatMap(presweepByName.get))
+    // null (not a partial sum) when any headline member carries the -1.0
+    // failure sentinel — validSum would silently drop it and the audit
+    // field would deflate, the exact hazard headlineTotal guards against
+    val presweepHeadline =
+      if (headline.exists(k => presweepByName.get(k).exists(_ < 0))) None
+      else Some(validSum(headline.flatMap(presweepByName.get)))
 
     val byName = headlinePass.toMap
     // totals from the SAME numbers the queries map reports — total_all
@@ -405,7 +410,7 @@ object Bench {
     // Self-describing artifact (VERDICT r10 #3): steal + failed ride inside
     // the JSON object so the judged line needs no log-tail scraping.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all":${j3(allTotal)},"headline_presweep":${j3(presweepHeadline)},"steal_pct":${j3(stealPct)},"probe_steal_pct":${j3(probeSteal)},"failed":$failedJson,"sf":"${new java.io.File(sfDir).getName}"}""")
+    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all":${j3(allTotal)},"headline_presweep":${presweepHeadline.map(j3).getOrElse("null")},"steal_pct":${j3(stealPct)},"probe_steal_pct":${j3(probeSteal)},"failed":$failedJson,"sf":"${new java.io.File(sfDir).getName}"}""")
     if (headlineBroken) {
       // exit nonzero so the run records as invalid, not flattering
       spark.stop(); sys.exit(3)

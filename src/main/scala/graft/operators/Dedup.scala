@@ -613,12 +613,17 @@ object Dedup {
         sigCols = Seq("sig_lo", "sig_hi"))
   }
 
-  /** Memoized per-(session, dir) document count for the auto gate — the
+  /** Memoized per-(session, dir) document count for the auto gates — the
     * value is constant per session (Tables are frozen), so later calls pay
-    * no job. */
+    * no job. Shared across every documents-table knee router (simhash here,
+    * the image tiers in [[Multimodal.mmImageIncrementalAuto]]) so one
+    * session never runs the same full-corpus count twice
+    * (code-review r13). */
   private val autoCount = new graft.SessionMemo[java.lang.Long]
-  private def docCount(spark: org.apache.spark.sql.SparkSession, d: String): Long =
+  def corpusDocCount(spark: org.apache.spark.sql.SparkSession, d: String): Long =
     autoCount.of(spark, d)(Long.box(Tables.documents(spark, d).count()))
+  private def docCount(spark: org.apache.spark.sql.SparkSession, d: String): Long =
+    corpusDocCount(spark, d)
 
   /** [[simhashNearDupAuto]] over the documents table of `d`, routed through
     * the SESSION band stores (`simhash64BandsRelation` /

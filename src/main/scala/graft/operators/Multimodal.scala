@@ -855,8 +855,6 @@ object Multimodal {
   def imageTier(nDocs: Long, knee: Long = ImageBandKnee): Int =
     if (nDocs < knee) 16 else 32
 
-  private val imgDocCount = new graft.SessionMemo[java.lang.Long]
-
   /** AUTO-TIER incremental image ingest (VERDICT r12 #2, closing its one
     * `weak`): route between the declared 16-bit aHash tier
     * ([[mmImageIncremental]]) and the 128-bit combined ahash||phash tier
@@ -874,8 +872,7 @@ object Multimodal {
     * deterministic at every SF. One memoized count() gates the choice. */
   def mmImageIncrementalAuto(spark: org.apache.spark.sql.SparkSession,
                              d: String, knee: Long = ImageBandKnee): DataFrame = {
-    val n: Long = imgDocCount.of(spark, d)(
-      Long.box(Tables.documents(spark, d).count()))
+    val n: Long = Dedup.corpusDocCount(spark, d) // shared memoized gate count
     if (imageTier(n, knee) == 16) mmImageIncremental.fn(spark, d)
     else mmImageIncremental128.fn(spark, d)
   }

@@ -684,12 +684,18 @@ object Similarity {
     * Carries the TRAINED IVF cell as routing metadata (see
     * [[wideBandsRelation]]): unrouted consumers project it away, the
     * routed graph joins on it — one sketch pass either way. */
-  def narrowBandsRelation(spark: SparkSession, d: String): DataFrame =
+  def narrowBandsRelation(spark: SparkSession, d: String): DataFrame = {
+    // train OUTSIDE the Persisted.of closure: lloydBook runs Spark actions
+    // (two collects), and the build closure executes under the global
+    // Persisted monitor — holding it through training would block every
+    // other session's Persisted.of (the documented lock-scope rule)
+    val coarse = ivfPqCoarseBook(spark, d)
     graft.Persisted.of(spark, s"$d#hyperlsh_bands") {
       hyperBandsOfQNorm(
-        withCell(qnormRelation(spark, d), ivfPqCoarseBook(spark, d))
+        withCell(qnormRelation(spark, d), coarse)
           .select("vec_id", "cell", "q", "norm"))
     }
+  }
 
   /** Session-persisted wide (4 x 16-bit) band store — the tier past the
     * narrow bands' saturation knee. Carries the TRAINED IVF cell
@@ -697,12 +703,14 @@ object Similarity {
     * unrouted consumers project it away, the cell∧band graph joins on it,
     * and ONE materialized sketch pass serves both (at 100 TB this is the
     * cell-partitioned vector index itself). */
-  def wideBandsRelation(spark: SparkSession, d: String): DataFrame =
+  def wideBandsRelation(spark: SparkSession, d: String): DataFrame = {
+    val coarse = ivfPqCoarseBook(spark, d) // actions outside the monitor
     graft.Persisted.of(spark, s"$d#hyperlsh_bands_wide") {
       hyperBandsWideOfQNorm(
-        withCell(qnormRelation(spark, d), ivfPqCoarseBook(spark, d))
+        withCell(qnormRelation(spark, d), coarse)
           .select("vec_id", "cell", "q", "norm"))
     }
+  }
 
   /** Shared graph tail for both band tiers. Score DURING the band join,
     * dedup AFTER: the ~1 KB quantized vectors shuffle exactly once, by
@@ -1091,11 +1099,21 @@ object Similarity {
     * native dots), argmin ties to the lowest codeword id
     * (array_position finds the FIRST minimum; `cents` sorted by id).
     * The [[Clustering]] assignedTo shape, reused for subvectors. */
-  private def argminCw(v: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
-    val dists: Seq[Column] = cents.map { case (_, cv) =>
+  /** Exact-long squared L2 distances of vector column `v` (with `vv` =
+    * v·v) to each literal centroid: |v|² + |c|² − 2v·c via a fused native
+    * dot per centroid. ONE definition of the arithmetic that the PQ
+    * encode ([[argminCw]]), the cell-tagging projection ([[withCell]]),
+    * and the nprobe ranking ([[probeCellsOf]]) must keep bit-identical to
+    * the shared oracle CTEs (code-review r13: three copies had grown). */
+  private def centDists(v: Column, vv: Column,
+                        cents: Seq[(Int, Array[Long])]): Seq[Column] =
+    cents.map { case (_, cv) =>
       val bb = cv.map(x => x * x).sum
-      col("vv") + lit(bb) - lit(2L) * graft.plans.dotQNative(col("v"), lit(cv))
+      vv + lit(bb) - lit(2L) * graft.plans.dotQNative(v, lit(cv))
     }
+
+  private def argminCw(v: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val dists = centDists(col("v"), col("vv"), cents)
     val ids = cents.map(_._1).toArray
     v.withColumn("vv", graft.plans.dotQNative(col("v"), col("v")))
       .withColumn("darr", array(dists: _*))
@@ -1135,10 +1153,7 @@ object Similarity {
     * literal centroids; ties to the lowest cell id via array_position's
     * first minimum, matching the oracle's ORDER BY d2, cell). */
   private def withCell(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
-    val dists: Seq[Column] = cents.map { case (_, cv) =>
-      val bb = cv.map(x => x * x).sum
-      col("_vv") + lit(bb) - lit(2L) * graft.plans.dotQNative(col("q"), lit(cv))
-    }
+    val dists = centDists(col("q"), col("_vv"), cents)
     val ids = cents.map(_._1).toArray
     df.withColumn("_vv", graft.plans.dotQNative(col("q"), col("q")))
       .withColumn("_darr", array(dists: _*))
@@ -1157,12 +1172,10 @@ object Similarity {
     * for retrieving exactly those. */
   private def probeCellsOf(probes: DataFrame, cents: Seq[(Int, Array[Long])],
                            nprobe: Int): DataFrame = {
-    val structs: Seq[Column] = cents.map { case (id, cv) =>
-      val bb = cv.map(x => x * x).sum
-      struct((col("_vv") + lit(bb) -
-        lit(2L) * graft.plans.dotQNative(col("q"), lit(cv))).as("d2"),
-        lit(id).as("cell"))
-    }
+    val structs: Seq[Column] =
+      centDists(col("q"), col("_vv"), cents).zip(cents.map(_._1)).map {
+        case (d2, id) => struct(d2.as("d2"), lit(id).as("cell"))
+      }
     probes.withColumn("_vv", graft.plans.dotQNative(col("q"), col("q")))
       .select(col("vec_id").as("qid"),
         slice(array_sort(array(structs: _*)), 1, nprobe).as("pcs"))
@@ -1614,6 +1627,8 @@ object Similarity {
     * gate fixture's id-window dedup convention cannot see Inflate's
     * far-id replicas and survivors ≈ corpus). Survivor bands persist
     * per tier; one count() gates the choice. */
+  private val survivorCountMemo = new graft.SessionMemo[java.lang.Long]
+
   def dedupThenIndexAuto(spark: SparkSession, d: String, k: Int = 3,
                          knee: Long = KnnBandKnee): DataFrame = {
     val removed = Clustering.ddSemdedup.fn(spark, d)
@@ -1621,12 +1636,20 @@ object Similarity {
     val survivors = qnormRelation(spark, d)
       .join(removed, Seq("vec_id"), "left_anti")
       .select("vec_id", "q", "norm")
-    val tier = knnGraphTier(survivors.count(), knee)
-    val bands = graft.Persisted.of(spark, s"$d#dedup_index_bands_auto$tier") {
-      if (tier == 8) hyperBandsOfQNorm(survivors)
-      else hyperBandsWideOfQNorm(survivors)
-    }
-    knnGraphFromBands(bands, k)
+    // gate count memoized per (session, dir): recomputing it would replay
+    // the whole SemDeDup chain on every invocation (code-review r13)
+    val n: Long = survivorCountMemo.of(spark, s"$d#dedup_survivors")(
+      Long.box(survivors.count()))
+    if (knnGraphTier(n, knee) == 8)
+      // the declared composition's store — one survivor band relation
+      // per session, never a tier-8 twin under a second key
+      knnGraphFromBands(graft.Persisted.of(spark, s"$d#dedup_index_bands") {
+        hyperBandsOfQNorm(survivors)
+      }, k)
+    else
+      knnGraphFromBands(graft.Persisted.of(spark, s"$d#dedup_index_bands_auto32") {
+        hyperBandsWideOfQNorm(survivors)
+      }, k)
   }
 
   /** Maximum-inner-product top-5 — the dual-encoder retrieval metric
