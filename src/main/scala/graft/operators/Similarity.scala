@@ -1652,6 +1652,115 @@ object Similarity {
       }, k)
   }
 
+  // ---- frozen-book IVF-PQ as STREAMING-ingest building blocks ----
+
+  /** Train frozen IVF-PQ books offline from a static (vec_id, embedding)
+    * corpus — the deployment step a rolling ingest ships with (retraining
+    * is an offline event; the stream never moves the books). Returns
+    * (coarse book, per-subspace PQ books). */
+  def ivfPqTrain(vecs: DataFrame, kc: Int = IvfPqCells, kcw: Int = 16,
+                 m: Int = 4): (Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]]) = {
+    val dh = Dim / m
+    val r = vecs.select(col("vec_id"), qvec(col("embedding")).as("q"))
+    val coarse = lloydBook(r.select(col("vec_id"), col("q").as("v")), kc,
+      1000000000L)
+    val books = (1 to m).map(s => lloydBook(
+      r.select(col("vec_id"), slice(col("q"), (s - 1) * dh + 1, dh).as("v")),
+      kcw, 1000000000L))
+    (coarse, books)
+  }
+
+  /** One zero-join encode projection appending code column c`s` for
+    * subspace `s` against a frozen book — the same [[centDists]]
+    * arithmetic and first-minimum tie-break as every other assignment. */
+  private def withCode(df: DataFrame, s: Int, dh: Int,
+                       book: Seq[(Int, Array[Long])]): DataFrame = {
+    val ids = book.map(_._1).toArray
+    df.withColumn("_v", slice(col("q"), (s - 1) * dh + 1, dh))
+      .withColumn("_vv", graft.plans.dotQNative(col("_v"), col("_v")))
+      .withColumn("_darr", array(centDists(col("_v"), col("_vv"), book): _*))
+      .withColumn(s"c$s", element_at(lit(ids),
+        array_position(col("_darr"), array_min(col("_darr"))).cast("int")))
+      .drop("_v", "_vv", "_darr")
+  }
+
+  /** Encode a (vec_id, embedding) batch against FROZEN books into the
+    * code-store row shape (vec_id, cell, c1..cm, q, norm) — one
+    * zero-shuffle projection chain (quantize, norm, cell argmin, m code
+    * argmins); the streaming ingest writes exactly these rows,
+    * cell-partitioned. The exact vector rides along for the rerank phase,
+    * the same layout choice as the hyperplane band store. */
+  def ivfPqEncode(vecs: DataFrame, coarse: Seq[(Int, Array[Long])],
+                  books: Seq[Seq[(Int, Array[Long])]]): DataFrame = {
+    val dh = Dim / books.size
+    val base = withCell(
+      vecs.select(col("vec_id"), qvec(col("embedding")).as("q"))
+        .withColumn("norm",
+          sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double"))),
+      coarse)
+    books.indices.foldLeft(base)((acc, i) => withCode(acc, i + 1, dh, books(i)))
+      .select(Seq(col("vec_id"), col("cell")) ++
+        books.indices.map(i => col(s"c${i + 1}")) ++
+        Seq(col("q"), col("norm")): _*)
+  }
+
+  /** Batch-vs-store routed-ADC probe over ENCODED code relations — the
+    * IVF-PQ twin of [[lshAnnIncrementalBands]], and the probe the rolling
+    * ingest runs per micro-batch: supersede the store against the batch's
+    * ids, route each probe to its nprobe nearest frozen cells, ADC-score
+    * the routed codes (broadcast per-probe tables), rerank the top
+    * `rerank` candidates exactly. Work ∝ batch on the probe side; the
+    * store side is the routed scan (cell partition pruning at rest). */
+  def ivfPqIncrementalCodes(store: DataFrame, batch: DataFrame,
+                            coarse: Seq[(Int, Array[Long])],
+                            books: Seq[Seq[(Int, Array[Long])]],
+                            k: Int = 3, nprobe: Int = 1,
+                            rerank: Int = 50): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val m = books.size
+    val dh = Dim / m
+    val codeCols = (1 to m).map(s => s"c$s")
+    val live = store
+      .join(batch.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+    val all = live.select(store.columns.map(col): _*)
+      .unionByName(batch.select(store.columns.map(col): _*))
+    val pCells = broadcast(probeCellsOf(batch.select("vec_id", "q"), coarse, nprobe))
+    val cells = pCells.select("pcell").distinct().collect().map(_.getInt(0)).toSeq
+    def adc(s: Int, keepNorm: Boolean) = broadcast(
+      batch.select(col("vec_id").as("qid"),
+          slice(col("q"), (s - 1) * dh + 1, dh).as("pv"), col("norm").as("na"))
+        .crossJoin(books(s - 1).toDF("cw", "cv"))
+        .select(Seq(col("qid"), col("cw").as(s"c$s"),
+          graft.plans.dotQNative(col("pv"), col("cv")).as(s"t$s")) ++
+          (if (keepNorm) Seq(col("na")) else Nil): _*))
+    val withTs = (1 to m).foldLeft(
+      all.select((Seq("vec_id", "cell") ++ codeCols).map(col) :+
+          col("norm").as("nb"): _*)
+        .filter(col("cell").isin(cells: _*))
+        .join(pCells, col("pcell") === col("cell"))
+        .filter(col("qid") =!= col("vec_id"))) { (acc, s) =>
+      acc.join(adc(s, keepNorm = s == 1), Seq("qid", s"c$s"))
+    }
+    val approx = withTs.select(col("qid"), col("vec_id").as("nid"),
+      round((1 to m).map(s => col(s"t$s")).reduce(_ + _).cast("double") /
+        (col("na") * col("nb")), 6).as("acos"))
+    val wApprox = Window.partitionBy("qid").orderBy(col("acos").desc, col("nid"))
+    val cands = approx.withColumn("rn", row_number().over(wApprox))
+      .filter(col("rn") <= rerank).select("qid", "nid")
+    val exact = cands
+      .join(batch.select(col("vec_id").as("qid"), col("q").as("qa"),
+        col("norm").as("qna")), "qid")
+      .join(all.select(col("vec_id").as("nid"), col("q").as("qb"),
+        col("norm").as("qnb")), "nid")
+      .select(col("qid"), col("nid"),
+        round(graft.plans.dotQNative(col("qa"), col("qb")).cast("double") /
+          (col("qna") * col("qnb")), 6).as("cosine"))
+    val wExact = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    exact.withColumn("rn", row_number().over(wExact)).filter(col("rn") <= k)
+      .select("qid", "nid", "cosine")
+  }
+
   /** Maximum-inner-product top-5 — the dual-encoder retrieval metric
     * (query·document trained unnormalized), completing the metric family
     * next to cosine (sim_cosine_topk), L2 (sim_pq_adc's encode), and the

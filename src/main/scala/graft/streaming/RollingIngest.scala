@@ -270,6 +270,33 @@ object RollingIngest {
       (store, bands) => Similarity.lshAnnIncrementalBands(store, bands, k, routeCols),
       routeCols, compactEvery, configure)(sink)
 
+  /** Rolling IVF-PQ ingest over a streaming relation of
+    * (vec_id, embedding) against FROZEN pre-trained books
+    * ([[Similarity.ivfPqTrain]] — retraining is an offline event, never a
+    * per-batch one): each micro-batch encodes against the frozen coarse +
+    * PQ books (one zero-shuffle projection), probes the routed code store
+    * ([[Similarity.ivfPqIncrementalCodes]] — supersede, nprobe routing,
+    * broadcast ADC, exact rerank), hands `sink` its (qid, nid, cosine)
+    * rows, and appends its code rows as a CELL-PARTITIONED delta — the
+    * IVF partition layout at rest, so the probe's store read prunes to
+    * the batch's cells. nprobe is pinned to 1 here BY the partition
+    * pruning: the generic route filter scans exactly the batch rows' own
+    * cells, which equals the probed cells only at nprobe = 1 (the ingest
+    * operating point — see simIvfPqIncremental's doc); a multi-cell
+    * probing deployment derives the filter from probed cells instead.
+    * Same store/delta/compaction contract as [[annIngest]]. */
+  def ivfPqIngest(vecs: DataFrame, storeDir: String,
+                  coarse: Seq[(Int, Array[Long])],
+                  books: Seq[Seq[(Int, Array[Long])]],
+                  k: Int = 3, compactEvery: Int = 8,
+                  configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
+                 (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    ingest(vecs, storeDir, "vec_id",
+      b => Similarity.ivfPqEncode(b, coarse, books),
+      (store, codes) => Similarity.ivfPqIncrementalCodes(
+        store, codes, coarse, books, k, nprobe = 1),
+      partitionCols = Seq("cell"), compactEvery, configure)(sink)
+
   /** Rolling simhash near-dup ingest over a streaming relation of
     * (doc_id, text): each micro-batch emits its (doc_a, doc_b, hamming)
     * pairs touching the batch, then its 64-bit bands join the store.

@@ -131,6 +131,64 @@ class RollingIngestSpec extends SparkSpec {
     assert(eff.select("vec_id").distinct().count() == 9)
   }
 
+  test("rolling IVF-PQ ingest: frozen-book encode, routed probe, cell-partitioned store, replay equivalence") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_ri_pq").toString + "/store"
+    // frozen books train OFFLINE on a seed corpus (the deployment step);
+    // the stream itself never retrains
+    val seedCorpus = (0L until 40L).map(i => (i, vec(i.toInt)))
+    val (coarse, books) = Similarity.ivfPqTrain(
+      seedCorpus.toDF("vec_id", "embedding"))
+    val b0 = (0L until 16L).map(i => (i, vec(i.toInt)))
+    val b1 = (16L until 28L).map(i => (i, vec(i.toInt)))
+    val b2 = (28L until 36L).map(i => (i, vec(i.toInt))) :+
+      (3L, vec(903)) // re-ingest id 3 with a new payload (supersede)
+    val steps = Seq(b0, b1, b2)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = RollingIngest.ivfPqIngest(in.toDF().toDF("vec_id", "embedding"),
+      dir, coarse, books) { (nbrs, id) =>
+      seen += id
+      got ++= nbrs.collect().map(r =>
+        (id, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try steps.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val rank = seen.distinct.sorted.zipWithIndex.toMap
+    // the store is cell-partitioned at rest (the IVF layout)
+    val dDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("d"))
+    assert(dDirs.nonEmpty && dDirs.forall(
+      _.listFiles().exists(_.getName.startsWith("cell="))),
+      "every delta must be written partitionBy(cell)")
+    // effective store == frozen-book encode of the supersede-resolved corpus
+    val schema = Similarity.ivfPqEncode(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), coarse, books).schema
+    val eff = RollingIngest.storeView(spark, dir, schema, "vec_id").get
+    val corpus = steps.zipWithIndex.flatMap { case (b, i) =>
+      b.filterNot { case (id, _) =>
+        steps.drop(i + 1).exists(_.exists(_._1 == id)) }
+    }
+    val want = Similarity.ivfPqEncode(
+      corpus.toDF("vec_id", "embedding"), coarse, books)
+    assert(eff.collect().toSet == want.collect().toSet)
+    // sink rows equal the static per-step replay of the same probe
+    val expected = steps.indices.flatMap { i =>
+      val batch = steps(i)
+      val prior = steps.take(i).flatten
+        .filterNot { case (id, _) => batch.exists(_._1 == id) }
+      Similarity.ivfPqIncrementalCodes(
+        Similarity.ivfPqEncode(prior.toDF("vec_id", "embedding"), coarse, books),
+        Similarity.ivfPqEncode(batch.toDF("vec_id", "embedding"), coarse, books),
+        coarse, books, nprobe = 1)
+        .collect().map(r => (i, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(got.toSet.map((t: (Long, Long, Long, Double)) =>
+      (rank(t._1), t._2, t._3, t._4)) == expected)
+    assert(got.nonEmpty)
+  }
+
   test("intra-batch duplicate ids pick the same row regardless of arrival order") {
     // one batch carries id 7 twice with DIFFERENT payloads; a replayed
     // (here: re-ordered) run must rebuild the identical delta, or replay
