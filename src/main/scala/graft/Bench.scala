@@ -340,8 +340,11 @@ object Bench {
     // null (not a partial sum) when any headline member carries the -1.0
     // failure sentinel — validSum would silently drop it and the audit
     // field would deflate, the exact hazard headlineTotal guards against
+    // ...and ALSO null when a headline key is simply absent from the sweep
+    // results: flatMap would drop it and the sum would silently deflate —
+    // the same partial-sum hazard in a second shape (ADVICE r13)
     val presweepHeadline =
-      if (headline.exists(k => presweepByName.get(k).exists(_ < 0))) None
+      if (headline.exists(k => presweepByName.get(k).forall(_ < 0))) None
       else Some(validSum(headline.flatMap(presweepByName.get)))
 
     val byName = headlinePass.toMap

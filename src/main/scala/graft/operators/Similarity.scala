@@ -1231,7 +1231,11 @@ object Similarity {
     * contract as the fixture-scale book, just wider. */
   def coarseCellsScaled(spark: SparkSession, d: String, kc: Int): DataFrame =
     withCell(qnormRelation(spark, d),
-      pqCbMemo.of(spark, s"$d#ivfpq_kcb_k$kc") {
+      // kc == IvfPqCells is the SAME training run ivfPqCoarseBook holds
+      // (same corpus, seeds, cell count) — share its memo instead of
+      // retraining a duplicate full-corpus book in the session (ADVICE r13)
+      if (kc == IvfPqCells) ivfPqCoarseBook(spark, d)
+      else pqCbMemo.of(spark, s"$d#ivfpq_kcb_k$kc") {
         lloydBook(qnormRelation(spark, d)
           .select(col("vec_id"), col("q").as("v")), kc, 1000000000L)
       })

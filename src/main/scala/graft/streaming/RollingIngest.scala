@@ -144,19 +144,29 @@ object RollingIngest {
     val baseVer = baseOpt.map(_._1).getOrElse(-1L)
     val live = dirs(spark, storeDir, "d")
       .filter { case (v, _) => v > baseVer && v < upTo }
+    // Deltas are read UNFILTERED: supersede winners and the base anti-join
+    // id set must see EVERY delta row. Route columns can be pure functions
+    // of the payload (the IVF cell is), so re-ingesting an id with a
+    // changed payload moves it across route values — a route-pruned delta
+    // read would drop the superseding row while the stale one survives
+    // (resurrection). Deltas are batch-sized, so the unpruned read stays
+    // ∝ batch; the route filter is applied to resolved row CONTENT below.
+    // The corpus-sized base keeps the pruned read (partition pruning at
+    // rest): any stale base row is removed by the unfiltered-id anti-join
+    // regardless of which partitions were scanned.
     val deltaAll = live
-      .map { case (v, p) => filt(readBands(spark, p, schema)).withColumn("__b", lit(v)) }
+      .map { case (v, p) => readBands(spark, p, schema).withColumn("__b", lit(v)) }
       .reduceOption(_ unionByName _)
     (baseOpt.map(b => filt(readBands(spark, b._2, schema))), deltaAll) match {
       case (None, None)       => None
       case (Some(base), None) => Some(base)
-      case (None, Some(d))    => Some(resolveDeltas(d, idCol, schema))
+      case (None, Some(d))    => Some(filt(resolveDeltas(d, idCol, schema)))
       case (Some(base), Some(d)) =>
         // delta ids are batch-sized: the corpus-sized base anti-joins a
         // broadcast id set and never shuffles
         val ids = d.select(idCol).distinct()
         Some(base.join(broadcast(ids), Seq(idCol), "left_anti")
-          .unionByName(resolveDeltas(d, idCol, schema)))
+          .unionByName(filt(resolveDeltas(d, idCol, schema))))
     }
   }
 

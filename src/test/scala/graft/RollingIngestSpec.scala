@@ -189,6 +189,43 @@ class RollingIngestSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("re-ingest across route values cannot resurrect the superseded row") {
+    // ADVICE r13 (high): route columns can be pure functions of the payload
+    // (the IVF cell is), so re-ingesting an id with a changed payload moves
+    // it to a NEW cell. A later batch probing only the OLD cell must not see
+    // the stale row: if the route filter is applied to delta reads BEFORE
+    // supersede resolution, the superseding row (new cell) is pruned away,
+    // the stale row wins, and the probe emits pairs scored against the
+    // superseded payload.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_ri_res").toString + "/store"
+    val b0 = (0L until 5L).map(i => (i, "c0", vec(i.toInt))) :+
+      (9L, "c0", vec(100))           // id 9 first lands in cell c0
+    val b1 = Seq((9L, "c1", vec(901)), // re-ingest id 9: payload change moves it to c1
+      (20L, "c1", vec(20)))
+    val b2 = Seq((30L, "c0", vec(100))) // probes ONLY c0; vec identical to 9's OLD payload
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = RollingIngest.annIngest(in.toDF().toDF("vec_id", "cell", "embedding"),
+      dir, routeCols = Seq("cell")) { (nbrs, id) =>
+      got ++= nbrs.collect().map(r => (id, r.getLong(0), r.getLong(1)))
+    }
+    try Seq(b0, b1, b2).foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // the stale c0 row of id 9 must not win the supersede under a c0-only
+    // route filter: id 9's live row is in c1, so the c0 view excludes it
+    val schema = Similarity.hyperBands(
+      Seq.empty[(Long, String, Seq[Float])].toDF("vec_id", "cell", "embedding")).schema
+    val c0View = RollingIngest.storeView(spark, dir, schema, "vec_id",
+      routeFilter = Some(col("cell") === "c0")).get
+    assert(c0View.filter($"vec_id" === 9L).isEmpty,
+      "superseded c0 row of id 9 resurrected under the route-filtered view")
+    // and batch 2's probe (identical vector, same old cell) saw no ghost pair
+    assert(!got.exists { case (b, _, nid) => b == 2L && nid == 9L },
+      s"batch 2 probe emitted a pair against id 9's superseded payload: $got")
+  }
+
   test("intra-batch duplicate ids pick the same row regardless of arrival order") {
     // one batch carries id 7 twice with DIFFERENT payloads; a replayed
     // (here: re-ordered) run must rebuild the identical delta, or replay
