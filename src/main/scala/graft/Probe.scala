@@ -50,6 +50,18 @@ object Probe {
       // knee-routed dedup-then-index (the declared query pins narrow)
       "dedup_index_auto" -> (() =>
         operators.Similarity.dedupThenIndexAuto(spark, d)),
+      // recall gate for the knee-routed dedup-then-index point (VERDICT
+      // r13 #6): exact top-3 among SURVIVORS for 20 sample probes vs the
+      // auto-tier graph's edges — the same acceptance measure
+      // sim_graph_recall applies to the routed graph, here attached to
+      // the 9.3 s sf10 headline. Prints to stderr; run PROBE_ITERS=1.
+      "dedup_index_recall" -> (() => dedupIndexRecall(spark, d)),
+      // END-TO-END rolling IVF-PQ ingest (VERDICT r13 #5): drives
+      // RollingIngest.ivfPqIngest over the corpus in PROBE_INGEST_BATCHES
+      // micro-batches against frozen seed-trained books, printing
+      // per-batch wall time, delta bytes vs cumulative store bytes, and
+      // the live store layout (compaction amortization made visible).
+      "ivfpq_ingest_e2e" -> (() => ivfPqIngestE2E(spark, d)),
       // cell∧band composition census: distinct candidate pairs with and
       // without the cell key, plus edge retention of the routed graph vs
       // its unrouted tier — the numbers the routed-graph A/B records.
@@ -298,6 +310,82 @@ object Probe {
     eu.unpersist()
     val tier = if (wide) "wide" else "narrow"
     System.err.println(s"[probe] knn_routed_census_$tier cand_unrouted=$cu cand_routed=$cr edges_unrouted=$total routed_retained=$retained")
+    spark.range(1).toDF("id")
+  }
+
+  /** Recall@3 of [[operators.Similarity.dedupThenIndexAuto]] against the
+    * exact cosine top-3 AMONG SURVIVORS for the 20 lowest survivor ids —
+    * both sides score the identical round-6 quantized cosine, so the only
+    * loss sources are band non-collision (and, above the knee, the wide
+    * tier's stricter collision point). */
+  private def dedupIndexRecall(spark: SparkSession, d: String): DataFrame = {
+    import operators.{Clustering, Similarity}
+    val removed = Clustering.ddSemdedup.fn(spark, d)
+      .filter(col("vec_id") =!= col("keeper_id")).select("vec_id")
+    val surv = Similarity.qnormRelation(spark, d)
+      .join(removed, Seq("vec_id"), "left_anti")
+      .select("vec_id", "q", "norm").cache()
+    val probes = surv.orderBy("vec_id").limit(20)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("norm").as("na"))
+    val scored = broadcast(probes).crossJoin(
+        surv.select(col("vec_id").as("nid"), col("q").as("qb"), col("norm").as("nb")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(plans.dotQNative(col("qa"), col("qb")).cast("double") /
+          (col("na") * col("nb")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("nid"))
+    val exact = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("qid", "nid")
+    val approx = Similarity.dedupThenIndexAuto(spark, d).select("qid", "nid")
+    val total = exact.count()
+    val hit = exact.intersect(approx).count()
+    System.err.println(s"[probe] dedup_index_recall exact_edges=$total " +
+      s"retained=$hit recall_ppm=${if (total > 0) hit * 1000000 / total else -1}")
+    surv.unpersist()
+    spark.range(1).toDF("id")
+  }
+
+  /** Wall-clock decade harness for [[streaming.RollingIngest.ivfPqIngest]]:
+    * corpus → PROBE_INGEST_BATCHES MemoryStream micro-batches against
+    * frozen books trained on the FIRST batch's worth of vectors (the
+    * offline deployment step, timed separately). Per batch: latency, the
+    * delta's bytes (the write ∝ batch contract), cumulative store bytes,
+    * and the live directory layout (compaction amortization). */
+  private def ivfPqIngestE2E(spark: SparkSession, d: String): DataFrame = {
+    import operators.Similarity
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val nb = sys.env.getOrElse("PROBE_INGEST_BATCHES", "8").toInt
+    val compactEvery = sys.env.getOrElse("PROBE_INGEST_COMPACT", "4").toInt
+    val rows = Tables.embeddings(spark, d).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val seed = rows.take(math.max(64, rows.length / nb)).toSeq
+    val t0 = System.nanoTime()
+    val (coarse, books) = Similarity.ivfPqTrain(seed.toDF("vec_id", "embedding"))
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_e2e").toString + "/store"
+    val in = MemoryStream[(Long, Seq[Float])]
+    var emitted = 0L
+    val q = streaming.RollingIngest.ivfPqIngest(
+      in.toDF().toDF("vec_id", "embedding"), dir, coarse, books,
+      compactEvery = compactEvery) { (nbrs, _) => emitted += nbrs.count() }
+    def duBytes(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(duBytes).sum else f.length()
+    val batches = rows.grouped((rows.length + nb - 1) / nb).toSeq
+    try batches.zipWithIndex.foreach { case (b, i) =>
+      val tb = System.nanoTime()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val dt = (System.nanoTime() - tb) / 1e9
+      val store = new java.io.File(dir)
+      val delta = new java.io.File(s"$dir/d$i")
+      System.err.println(f"[probe] ivfpq_ingest_e2e batch=$i%d n=${b.length}%d " +
+        f"dt=$dt%.2fs delta_bytes=${if (delta.exists) duBytes(delta) else 0L}%d " +
+        s"store_bytes=${duBytes(store)} " +
+        s"dirs=${store.listFiles().map(_.getName).sorted.mkString(",")}")
+    } finally q.stop()
+    System.err.println(f"[probe] ivfpq_ingest_e2e train=$trainSec%.2fs emitted=$emitted%d")
     spark.range(1).toDF("id")
   }
 

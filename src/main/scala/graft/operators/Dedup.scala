@@ -255,12 +255,50 @@ object Dedup {
 
   /** List-typed twin of [[docWidArrays]]: per-doc word-hash LISTS combined
     * into shingle ids — the DuckDB mirror of the shuffle-free pipeline.
-    * (generate_series(1, n) is empty for n < 1, so short docs fall out.) */
-  val shingleListCtes: String =
-    s"""tl AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+    * (generate_series(1, n) is empty for n < 1, so short docs fall out.)
+    * Parameterized by the source relation so the simhash near-dup family
+    * can run the SAME chain over the near-copy-resolved corpus. */
+  def shingleListCtesFrom(src: String): String =
+    s"""tl AS (SELECT doc_id, $wordsSql AS ws FROM $src),
        |hwl AS (SELECT doc_id, len(ws) AS nw, list_transform(ws, w -> $wordHashSql) AS hw FROM tl),
        |widl AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, nw-2),
        |        i -> (hw[i] + CAST($K2 AS BIGINT)*hw[i+1] + CAST($K3 AS BIGINT)*hw[i+2]) % $P)) AS wids FROM hwl)""".stripMargin
+  val shingleListCtes: String = shingleListCtesFrom("documents")
+
+  /** Near-copy (re-upload) resolution — the density convention of the
+    * frame family ([[Multimodal.frameSourceDocs]]'s doc) applied to the
+    * text corpus: docs with doc_id % 24 ∈ {7, 15} are RE-UPLOADS of their
+    * block leader (doc_id − doc_id % 24) — their content IS the leader's
+    * text (left fallback to the doc's own text when the leader id is
+    * absent). The simhash near-dup family reads this resolved corpus, so
+    * its oracles carry genuinely duplicated content at EVERY SF: the
+    * 128-bit tier used to hash-match on 1 row at gate SFs, and a 1-row
+    * oracle certifies almost nothing (the round-12 empty-output lesson,
+    * VERDICT r13 #1). Duplicate density stays constant per block (3 pairs
+    * per 24 docs) — never a function of corpus size, so no band bucket
+    * grows with the corpus. */
+  def nearCopyDocs(docs: DataFrame): DataFrame = {
+    val isReup = col("doc_id") % 24 === 7 || col("doc_id") % 24 === 15
+    val reups = docs.filter(isReup)
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 24).as("src_id"),
+        col("text"))
+      .join(docs.select(col("doc_id").as("src_id"), col("text").as("src_text")),
+        Seq("src_id"), "left")
+      .select(col("doc_id"), coalesce(col("src_text"), col("text")).as("text"))
+    docs.filter(!isReup).select("doc_id", "text").unionByName(reups)
+  }
+
+  /** [[nearCopyDocs]] as oracle SQL — ends with `ncs(doc_id, text)`. */
+  val nearCopySrcCte: String =
+    """ncs AS (SELECT d.doc_id, COALESCE(s.text, d.text) AS text
+      |        FROM documents d LEFT JOIN documents s
+      |        ON d.doc_id % 24 IN (7, 15) AND s.doc_id = d.doc_id - d.doc_id % 24)""".stripMargin
+
+  /** The near-copy-resolved shingle chain the simhash near-dup oracles
+    * share: ncs → tl → hwl → widl. */
+  val nearCopyShingleListCtes: String =
+    s"""$nearCopySrcCte,
+       |${shingleListCtesFrom("ncs")}""".stripMargin
 
   // ---- declared queries ----
 
@@ -400,7 +438,7 @@ object Dedup {
     val sumsSql = simhashSumsSql(A32, B32)
     val bitsSql = simhashBitsSql(32)
     QueryDef("dd_simhash_neardup",
-      s"""WITH $shingleListCtes,
+      s"""WITH $nearCopyShingleListCtes,
         |sums AS (SELECT doc_id, $sumsSql FROM widl),
         |sig AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM sums),
         |bands AS (SELECT doc_id, simhash, band_id, (simhash >> (band_id*8)) & 255 AS band_val
@@ -421,7 +459,7 @@ object Dedup {
       // collect_list bucket expansion held the whole O(N) bucket in one
       // aggregation buffer — an executor OOM at 100 TB.
       val bands = graft.Persisted.of(spark, s"$d#simhash32_bands") {
-        simhash32Bands(Tables.documents(spark, d))
+        simhash32Bands(nearCopyDocs(Tables.documents(spark, d)))
       }
       simhashNearDupPairs(bands)
     }
@@ -467,7 +505,7 @@ object Dedup {
     * where the 32-bit baseline's saturate. */
   def simhash64BandsRelation(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     graft.Persisted.of(spark, s"$d#simhash64_bands") {
-      simhash64Bands(Tables.documents(spark, d))
+      simhash64Bands(nearCopyDocs(Tables.documents(spark, d)))
     }
 
   /** 128-bit signatures banded 4 x 32-bit — the NEXT production tier, the
@@ -493,7 +531,7 @@ object Dedup {
 
   def simhash128BandsRelation(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     graft.Persisted.of(spark, s"$d#simhash128_bands") {
-      simhash128Bands(Tables.documents(spark, d))
+      simhash128Bands(nearCopyDocs(Tables.documents(spark, d)))
     }
 
   /** 64-lane CTE chain shared by the two production queries' oracles:
@@ -501,7 +539,7 @@ object Dedup {
   private val neardup64Ctes: String = {
     val sumsSql = simhashSumsSql(A64, B64)
     val bitsSql = simhashBitsSql(64)
-    s"""$shingleListCtes,
+    s"""$nearCopyShingleListCtes,
        |sums AS (SELECT doc_id, $sumsSql FROM widl),
        |sig AS (SELECT doc_id, CAST($bitsSql AS BIGINT) AS simhash FROM sums),
        |bands AS (SELECT doc_id, simhash, band_id, (simhash >> (band_id*16)) & 65535 AS band_val
@@ -520,7 +558,7 @@ object Dedup {
     val sumsHi = simhashSumsSql(A128hi, B128hi, 64)
     val bitsLo = simhashBitsSql(64)
     val bitsHi = simhashBitsSql(64, 64)
-    s"""$shingleListCtes,
+    s"""$nearCopyShingleListCtes,
        |sums AS (SELECT doc_id, $sumsLo, $sumsHi FROM widl),
        |sig AS (SELECT doc_id, CAST($bitsLo AS BIGINT) AS lo, CAST($bitsHi AS BIGINT) AS hi FROM sums),
        |bands AS (SELECT doc_id, lo, hi, band_id,
@@ -656,7 +694,9 @@ object Dedup {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
         |FROM pairs
         |WHERE bit_count(xor(ha, hb)) <= 3 AND (doc_a % 4 = 0 OR doc_b % 4 = 0)""".stripMargin) { (spark, d) =>
-      val docs = Tables.documents(spark, d)
+      // near-copy resolution BEFORE the store/batch split: a re-upload in
+      // the store resolves against a leader that lands in the batch
+      val docs = nearCopyDocs(Tables.documents(spark, d))
       val store = graft.Persisted.of(spark, s"$d#simhash64_store_mod4") {
         simhash64Bands(docs.filter(col("doc_id") % 4 =!= 0))
       }
@@ -1039,6 +1079,83 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Positional-shingle relation (doc_id, ws, wp) — `ws` the word array,
+    * `wp[j]` the shingle id of the gram starting at word j+1 — persisted:
+    * the scrub reads it on both the explode side and the reassembly side.
+    * The positional ids come from one codegen'd scan pass
+    * ([[graft.plans.wordShinglePos]], the non-distinct twin of the sketch
+    * expression), never an interpreted lambda chain on the declared path
+    * (the ta_winnow scale lesson). */
+  def scrubPosRelation(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#scrub_pos") {
+      Tables.documents(spark, d).select(col("doc_id"),
+        wordsOf(col("text")).as("ws"),
+        graft.plans.wordShinglePos(col("text"), Coef.take(WordHashWidth), K2, K3, P).as("wp"))
+    }
+
+  /** Cross-document duplicated-span SCRUB — the REMOVAL step
+    * [[ddCrossDoc]] only measures (Lee et al.'s ExactSubstr dedup rewrites
+    * the corpus, it doesn't just score it; VERDICT r13 #2/#4): per
+    * document, every word covered by a cross-doc-duplicated 3-gram is
+    * excised, and the query emits the scrubbed text plus retained-length
+    * stats (integer ppm — derived rationals of exact integers never go
+    * through round(double), the ta_rarity lesson). A word position is
+    * covered when ANY of the (up to 3) grams containing it is in the
+    * duplicated-span dictionary — so maximal duplicated runs are excised
+    * whole, while unique interleaving words survive.
+    *
+    * Scale shape: the span dictionary is [[ddCrossDoc]]'s g (one groupBy
+    * over the persisted distinct-wid store; partial aggs make the shuffle
+    * carry (wid, n) pairs); the positional explode joins the dictionary on
+    * wid — only DUPLICATED grams survive the inner join and reach the
+    * covered-position shuffle (clean-corpus majority dies map-side, the
+    * decontamAgg pattern); reassembly is one per-row array filter against
+    * the collected covered-position set, LEFT-joined so untouched docs
+    * pass through verbatim. No stage holds more than (doc, positions)
+    * rows; nothing is quadratic in corpus size. */
+  val ddCrossDocScrub: QueryDef = QueryDef("dd_cross_doc_scrub",
+    s"""WITH $shingleListCtes,
+      |e AS (SELECT doc_id, unnest(wids) AS wid FROM widl),
+      |g AS (SELECT wid FROM e GROUP BY wid HAVING COUNT(*) >= 2),
+      |wp AS (SELECT doc_id, list_transform(generate_series(1, nw-2),
+      |    i -> (hw[i] + CAST($K2 AS BIGINT)*hw[i+1] + CAST($K3 AS BIGINT)*hw[i+2]) % $P) AS wp FROM hwl),
+      |ep AS (SELECT doc_id, unnest(wp) AS wid, generate_subscripts(wp, 1) AS p FROM wp),
+      |cov AS (SELECT DISTINCT doc_id, cp FROM (
+      |    SELECT ep.doc_id, unnest([ep.p, ep.p + 1, ep.p + 2]) AS cp
+      |    FROM ep JOIN g USING (wid)) t),
+      |cl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id)
+      |SELECT tl.doc_id, CAST(len(tl.ws) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(len(cl.cps), 0) AS BIGINT) AS n_removed,
+      |  CAST(CASE WHEN len(tl.ws) = 0 THEN 1000000
+      |       ELSE (len(tl.ws) - COALESCE(len(cl.cps), 0)) * 1000000 // len(tl.ws) END AS BIGINT) AS kept_ppm,
+      |  COALESCE(array_to_string(list_filter(tl.ws,
+      |    (w, i) -> NOT list_contains(COALESCE(cl.cps, CAST([] AS BIGINT[])), i)), ' '), '') AS scrubbed
+      |FROM tl LEFT JOIN cl USING (doc_id)""".stripMargin) { (spark, d) =>
+    val pos = scrubPosRelation(spark, d)
+    val dict = widArrayRelation(spark, d)
+      .select(explode(col("wids")).as("wid"))
+      .groupBy("wid").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("wid")
+    val cov = pos.select(col("doc_id"), posexplode(col("wp")).as(Seq("p0", "wid")))
+      .join(dict, "wid")
+      // gram at 0-based p0 starts at 1-based word position p0+1, covers 3
+      .select(col("doc_id"),
+        explode(array(col("p0") + 1, col("p0") + 2, col("p0") + 3)).as("cp"))
+      .groupBy("doc_id").agg(collect_set(col("cp")).as("cps"))
+    pos.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("cps"), expr("array()").cast("array<int>")).as("cps"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("cps")).cast("long").as("n_removed"),
+        expr("concat_ws(' ', filter(ws, (w, i) -> NOT array_contains(cps, i + 1)))")
+          .as("scrubbed"))
+      .select(col("doc_id"), col("n_words"), col("n_removed"),
+        expr("CAST(CASE WHEN n_words = 0 THEN 1000000 " +
+          "ELSE (n_words - n_removed) * 1000000 div n_words END AS BIGINT)").as("kept_ppm"),
+        col("scrubbed"))
+  }
+
   /** Asymmetric CONTAINMENT near-dup — C(A,B) = |A∩B| / min(|A|,|B|): the
     * quote/subset/template relationship symmetric Jaccard dilutes (a short
     * doc fully embedded in a long one has Jaccard |A|/|B| ≈ 0 but
@@ -1193,5 +1310,6 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
     ddSimhashNearDup64, ddSimhashNearDup128, ddIncrementalPairs, ddDupClusters,
-    ddFuzzyKeep, ddCrossDoc, ddContainment, ddBoilerplate, ddEstEval)
+    ddFuzzyKeep, ddCrossDoc, ddCrossDocScrub, ddContainment, ddBoilerplate,
+    ddEstEval)
 }

@@ -99,16 +99,39 @@ object Multimodal {
     * (VERDICT r12 "what's wrong" #1: they used to hash-match on empty).
     * Resolution = a leader-id self-join over the 2/24 re-upload slice
     * with a left fallback to the doc's own text. */
-  def frameSourceDocs(docs: DataFrame): DataFrame = {
+  def frameSourceDocs(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.nearCopyDocs(docs) // ONE resolution definition corpus-wide
+
+  /** The re-upload convention applied to the IMAGE payloads (round 14,
+    * VERDICT r13 #1): re-upload docs carry the LEADER's image — resolved
+    * as the (seed id, n_chars) pair the deterministic synthesizer consumes,
+    * so their rasters (hence aHash/pHash bits) are the leader's. This is
+    * what gives the image near-dup oracles genuine duplicate pairs at
+    * every SF (`mm_image_incremental128` used to certify on 1 row). As
+    * with frames, the convention is scoped to perceptual CONTENT: the
+    * catalog queries (mm_media_meta / mm_resize) keep each upload's own
+    * record. Returns (doc_id, sid, snc). */
+  def mediaSourceMeta(docs: DataFrame): DataFrame = {
     val isReup = col("doc_id") % 24 === 7 || col("doc_id") % 24 === 15
     val reups = docs.filter(isReup)
       .select(col("doc_id"), (col("doc_id") - col("doc_id") % 24).as("src_id"),
-        col("text"))
-      .join(docs.select(col("doc_id").as("src_id"), col("text").as("src_text")),
-        Seq("src_id"), "left")
-      .select(col("doc_id"), coalesce(col("src_text"), col("text")).as("text"))
-    docs.filter(!isReup).select("doc_id", "text").unionByName(reups)
+        col("n_chars"))
+      .join(docs.select(col("doc_id").as("src_id"), col("doc_id").as("lid"),
+        col("n_chars").as("lnc")), Seq("src_id"), "left")
+      .select(col("doc_id"), coalesce(col("lid"), col("doc_id")).as("sid"),
+        coalesce(col("lnc"), col("n_chars")).as("snc"))
+    docs.filter(!isReup)
+      .select(col("doc_id"), col("doc_id").as("sid"), col("n_chars").as("snc"))
+      .unionByName(reups)
   }
+
+  /** [[mediaSourceMeta]] as an oracle CTE — ends with
+    * `$name(doc_id, sid, snc)`. */
+  private def mediaSrcCte(name: String): String =
+    s"""$name AS (SELECT d.doc_id, COALESCE(s.doc_id, d.doc_id) AS sid,
+      |        COALESCE(s.n_chars, d.n_chars) AS snc
+      |        FROM documents d LEFT JOIN documents s
+      |        ON d.doc_id % 24 IN (7, 15) AND s.doc_id = d.doc_id - d.doc_id % 24)""".stripMargin
 
   /** The re-upload source resolution as oracle SQL — ends with
     * `src(doc_id, text)`; shared by every frame-family oracle via
@@ -251,9 +274,10 @@ object Multimodal {
     * [[mmImageNeardup]] so the two oracles cannot drift. Ends with
     * `hh(doc_id, ahash)`. */
   private val ahashCtes: String =
-    """m AS (SELECT doc_id, CAST(16 + doc_id % 32 AS BIGINT) AS w,
-      |             CAST(16 + n_chars % 32 AS BIGINT) AS h,
-      |             doc_id % 2 = 0 AS isbmp, doc_id AS seed FROM documents),
+    s"""${mediaSrcCte("msrc")},
+      |m AS (SELECT doc_id, CAST(16 + sid % 32 AS BIGINT) AS w,
+      |             CAST(16 + snc % 32 AS BIGINT) AS h,
+      |             sid % 2 = 0 AS isbmp, sid AS seed FROM msrc),
       |px AS (SELECT doc_id,
       |    (8*x.x)//w AS ci, (8*y.y)//h AS cj,
       |    CASE WHEN isbmp THEN ((seed + (h-1-y.y)*((3*w+3)//4*4) + 3*x.x + c.c)*31) % 256
@@ -277,10 +301,10 @@ object Multimodal {
     graft.Persisted.of(spark, s"$d#ahash") {
       val sp = spark
       import sp.implicits._
-      Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)].mapPartitions { it =>
-          it.map { case (id, nc) =>
-            val bytes = mediaBytes(id, nc)
+      mediaSourceMeta(Tables.documents(spark, d))
+        .as[(Long, Long, Long)].mapPartitions { it =>
+          it.map { case (id, sid, snc) =>
+            val bytes = mediaBytes(sid, snc) // re-uploads carry the leader's image
             val fmt = MediaCodec.decode(bytes).map(_._1).getOrElse("raw")
             (id, fmt, MediaCodec.aHashBits(bytes).getOrElse(""))
           }
@@ -289,10 +313,10 @@ object Multimodal {
 
   val mmAhash = QueryDef("mm_ahash",
     s"""WITH $ahashCtes
-      |SELECT doc_id,
-      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+      |SELECT hh.doc_id,
+      |  CASE WHEN m.isbmp THEN 'bmp' ELSE 'ppm' END AS format,
       |  ahash
-      |FROM hh""".stripMargin) { (spark, d) =>
+      |FROM hh JOIN m ON m.doc_id = hh.doc_id""".stripMargin) { (spark, d) =>
     ahashRelation(spark, d)
   }
 
@@ -652,9 +676,10 @@ object Multimodal {
       |GROUP BY co.doc_id)""".stripMargin
 
   private lazy val phashCtes: String =
-    s"""m2 AS (SELECT doc_id, CAST(16 + doc_id % 32 AS BIGINT) AS w,
-      |             CAST(16 + n_chars % 32 AS BIGINT) AS h,
-      |             doc_id % 2 = 0 AS isbmp, doc_id AS seed FROM documents),
+    s"""${mediaSrcCte("msrc2")},
+      |m2 AS (SELECT doc_id, CAST(16 + sid % 32 AS BIGINT) AS w,
+      |             CAST(16 + snc % 32 AS BIGINT) AS h,
+      |             sid % 2 = 0 AS isbmp, sid AS seed FROM msrc2),
       |px2 AS (SELECT doc_id,
       |    (8*x.x)//w AS ci, (8*y.y)//h AS cj,
       |    CASE WHEN isbmp THEN ((seed + (h-1-y.y)*((3*w+3)//4*4) + 3*x.x + c.c)*31) % 256
@@ -673,10 +698,10 @@ object Multimodal {
     graft.Persisted.of(spark, s"$d#phash") {
       val sp = spark
       import sp.implicits._
-      Tables.documents(spark, d).select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)].mapPartitions { it =>
-          it.map { case (id, nc) =>
-            (id, MediaCodec.pHashBits(mediaBytes(id, nc)).getOrElse(""))
+      mediaSourceMeta(Tables.documents(spark, d))
+        .as[(Long, Long, Long)].mapPartitions { it =>
+          it.map { case (id, sid, snc) =>
+            (id, MediaCodec.pHashBits(mediaBytes(sid, snc)).getOrElse(""))
           }
         }.toDF("doc_id", "phash")
     }

@@ -756,9 +756,24 @@ object Similarity {
     * noise the narrow tier drowns in past the knee.
     * Same banded shape end-to-end: equi-join on (band_id, band_val), exact
     * rescoring of candidates only, per-node top-k window. */
+  /** The default quantized-source CTE of the graph oracles. */
+  private val rawQCte: String =
+    "q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings)"
+
+  /** Re-upload-resolved quantized source (the vector twin of
+    * [[graft.operators.Dedup.nearCopyDocs]]): vec_id % 24 ∈ {7, 15} carry
+    * their block leader's embedding. */
+  private val reupQCte: String =
+    """q AS (SELECT e.vec_id, list_transform(COALESCE(s.embedding, e.embedding), x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv
+      |      FROM embeddings e LEFT JOIN embeddings s
+      |      ON e.vec_id % 24 IN (7, 15) AND s.vec_id = e.vec_id - e.vec_id % 24)""".stripMargin
+
   /** Shared oracle for the wide-band graph tier, with the trained-cell
-    * equality optionally composed into the candidate join (`cellEq`). */
-  private def wideKnnOracleSql(cellEq: Boolean, k: Int): String = {
+    * equality optionally composed into the candidate join (`cellEq`) and a
+    * pluggable quantized-source CTE (`qCte` — the routed-wide declared
+    * query passes the re-upload-resolved corpus). */
+  private def wideKnnOracleSql(cellEq: Boolean, k: Int,
+                               qCte: String = rawQCte): String = {
     val bv = (0 until 4).map(b => wideBandValSql("qv", b))
     val coarse = if (cellEq) coarseCellCtesSql("", "") + ",\n" else ""
     val cellJoin = if (cellEq)
@@ -766,7 +781,7 @@ object Similarity {
         |    JOIN cells ca ON ca.vec_id = a.vec_id
         |    JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell""".stripMargin
     else ""
-    s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings),
+    s"""WITH $qCte,
       |${coarse}sig AS (SELECT vec_id, qv, ${bv(0)} AS bv0, ${bv(1)} AS bv1, ${bv(2)} AS bv2, ${bv(3)} AS bv3 FROM q),
       |bands AS (SELECT vec_id, band_id,
       |    CASE band_id WHEN 0 THEN bv0 WHEN 1 THEN bv1 WHEN 2 THEN bv2 ELSE bv3 END AS band_val
@@ -828,6 +843,69 @@ object Similarity {
     * (same contract as [[simKnnGraphRouted]] over the wide store). */
   def knnGraphRoutedWide(spark: SparkSession, d: String, k: Int = 3): DataFrame =
     knnGraphFromBands(wideBandsRelation(spark, d), k, routeCols = Seq("cell"))
+
+  /** Re-upload-resolved embeddings — the certification corpus of the
+    * routed WIDE graph (VERDICT r13 #1): vec_id % 24 ∈ {7, 15} carry their
+    * block leader's embedding (left fallback to their own when the leader
+    * id is absent), the vector twin of [[Dedup.nearCopyDocs]] /
+    * [[Multimodal.frameSourceDocs]]. Identical vectors share every band
+    * value AND the trained cell, so the wide∧cell composition — which has
+    * ZERO candidates on the raw 500-vector gate corpus (an empty-output
+    * oracle certifies nothing, the r12 lesson) — emits a constant 3-node
+    * clique per 24 ids at every SF. */
+  def reupEmbeddings(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    val isReup = col("vec_id") % 24 === 7 || col("vec_id") % 24 === 15
+    val reups = e.filter(isReup)
+      .select(col("vec_id"), (col("vec_id") - col("vec_id") % 24).as("src_id"),
+        col("embedding"))
+      .join(e.select(col("vec_id").as("src_id"), col("embedding").as("src_emb")),
+        Seq("src_id"), "left")
+      .select(col("vec_id"), coalesce(col("src_emb"), col("embedding")).as("embedding"))
+    e.filter(!isReup).select("vec_id", "embedding").unionByName(reups)
+  }
+
+  /** Session-persisted quantized-norm relation over the re-upload-resolved
+    * corpus (the [[qnormRelation]] shape minus the label column). */
+  private def reupQnormRelation(spark: SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#emb_qnorm_reup") {
+      reupEmbeddings(spark, d)
+        .select(col("vec_id"), qvec(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q"),
+          sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm"))
+    }
+
+  /** Wide band store over the re-upload-resolved corpus, cell-assigned
+    * under a coarse book TRAINED on that corpus (same Lloyd contract as
+    * [[ivfPqCoarseBook]]; its own memo key — the raw and resolved corpora
+    * train different books). */
+  def reupWideBandsRelation(spark: SparkSession, d: String): DataFrame = {
+    val coarse = pqCbMemo.of(spark, s"$d#ivfpq_kcb_reup") {
+      lloydBook(reupQnormRelation(spark, d)
+        .select(col("vec_id"), col("q").as("v")), IvfPqCells, 1000000000L)
+    }
+    graft.Persisted.of(spark, s"$d#hyperlsh_bands_wide_reup") {
+      hyperBandsWideOfQNorm(
+        withCell(reupQnormRelation(spark, d), coarse)
+          .select("vec_id", "cell", "q", "norm"))
+    }
+  }
+
+  /** DECLARED wide∧cell routed graph — [[knnGraphRoutedWide]]'s exact plan
+    * shape (wide 4×16-bit bands, trained-cell equality composed into the
+    * join key, same-cell contract) run over the re-upload-resolved
+    * certification corpus, so the oracle carries rows at every SF
+    * (VERDICT r13 #1: the production wide tier was probe-only because the
+    * raw gate corpus has zero wide∧cell candidates — this declares it).
+    * The raw-corpus operating point stays A/B-measured at the sf10 decade
+    * via the `knn_routed_wide` probe variant. */
+  val simKnnGraphRoutedWide: QueryDef = {
+    val k = 3
+    QueryDef("sim_knn_graph_routed_wide",
+      wideKnnOracleSql(cellEq = true, k, qCte = reupQCte)) { (spark, d) =>
+      knnGraphFromBands(reupWideBandsRelation(spark, d), k, routeCols = Seq("cell"))
+    }
+  }
 
   /** Recall@3 of the ROUTED graph against the global brute-force top-3 on
     * a 20-node sample — the acceptance gate for the same-cell contract
@@ -1811,7 +1889,8 @@ object Similarity {
   val all: Seq[QueryDef] = Seq(
     simCosineTopK, simIvfBucketed, simLshHyperplane, ddEmbeddingNearDup,
     simSq8Rerank, simIncrementalAnn, simIncrementalAnnIvf, simKnnGraph,
-    simKnnGraphWide, simKnnGraphRouted, simGraphRecall, simRecallEval,
+    simKnnGraphWide, simKnnGraphRouted, simKnnGraphRoutedWide, simGraphRecall,
+    simRecallEval,
     simPqAdc, simIvfPq, simIvfPqIncremental, simIvfPqRecall, simDedupIndex,
     simMipsTopK)
 }

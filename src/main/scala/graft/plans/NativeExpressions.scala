@@ -127,6 +127,44 @@ object SketchUtil {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** POSITIONAL 3-gram shingle ids in ONE pass — [[wordShingleIds]] without
+    * the distinct: element j (0-based) is the shingle id of the gram
+    * starting at word j+1 (1-based), so a consumer can map a duplicated id
+    * back to the word positions it covers (the exact-substring scrub).
+    * Same tokenizer, same word hash, same combine — only the
+    * LinkedHashSet is gone. */
+  def wordShinglePos(text: UTF8String, coef: Array[Long], k2: Long, k3: Long,
+                     p: Long): ArrayData = {
+    if (text == null) return null
+    val s = text.toString
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val words = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < s.length && !isWs(s.charAt(i))) i += 1
+      if (i > start) words.add(s.substring(start, i))
+    }
+    val n = words.size()
+    if (n < 3) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val hs = new Array[Long](n)
+    var w = 0
+    while (w < n) {
+      val cps = words.get(w).codePoints().toArray
+      hs(w) = wordHash(cps, cps.length, coef, p)
+      w += 1
+    }
+    val out = new Array[Long](n - 2)
+    var j = 0
+    while (j + 2 < n) {
+      out(j) = (hs(j) + k2 * hs(j + 1) + k3 * hs(j + 2)) % p
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Winnowing fingerprint selection (MOSS) in ONE fused pass: tokenize,
     * per-word polynomial hash, 3-word gram hashes encoded as
     * v = h*m - gramPos (order-isomorphic to (h asc, pos desc) — rightmost
@@ -376,6 +414,35 @@ case class WordShingleIds(child: Expression, coef: Seq[Long], k2: Long, k3: Long
     val cRef = ctx.addReferenceObj("shingleCoef", coefArr, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.SketchUtil.wordShingleIds($c, $cRef, ${k2}L, ${k3}L, ${modulus}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_word_shingle_pos(text)`: POSITIONAL (non-distinct) 3-gram shingle
+  * ids in a single codegen'd pass (see [[SketchUtil.wordShinglePos]]) —
+  * the span-addressable form the exact-substring scrub consumes. */
+case class WordShinglePos(child: Expression, coef: Seq[Long], k2: Long, k3: Long,
+                          modulus: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_shingle_pos"
+
+  private lazy val coefArr: Array[Long] = coef.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    SketchUtil.wordShinglePos(v.asInstanceOf[UTF8String], coefArr, k2, k3, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("shinglePosCoef", coefArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchUtil.wordShinglePos($c, $cRef, ${k2}L, ${k3}L, ${modulus}L);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -39,6 +39,11 @@ package object plans {
   def wordShingles(text: Column, coef: Seq[Long], k2: Long, k3: Long, p: Long): Column =
     ColumnBridge.column(WordShingleIds(expr(text), coef, k2, k3, p))
 
+  /** One-pass POSITIONAL (non-distinct) 3-gram shingle ids — element j is
+    * the gram starting at word j+1, the span-addressable scrub form. */
+  def wordShinglePos(text: Column, coef: Seq[Long], k2: Long, k3: Long, p: Long): Column =
+    ColumnBridge.column(WordShinglePos(expr(text), coef, k2, k3, p))
+
   /** One-pass winnowing (MOSS) fingerprint selection over a document:
     * encoded (hash*posCap - gramPos) minima of every sliding 4-gram
     * window, consecutive duplicates suppressed. */

@@ -85,7 +85,9 @@ class DedupSpec extends SparkSpec {
     val sigExpr = (0 until 32).map { j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sigs = Dedup.docWidArrays(Tables.documents(spark, sf0001))
+    // brute force over the SAME near-copy-resolved corpus the declared
+    // query reads (the round-14 density convention)
+    val sigs = Dedup.docWidArrays(Dedup.nearCopyDocs(Tables.documents(spark, sf0001)))
       .select(col("doc_id") +: sums: _*)
       .select(col("doc_id"), sigExpr.as("simhash"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -117,7 +119,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("128-bit wide-tier bands find exactly the <=3-hamming pairs") {
-    val docs = Tables.documents(spark, sf0001)
+    // resolved corpus: ddSimhashNearDup128 reads the near-copy convention
+    val docs = Dedup.nearCopyDocs(Tables.documents(spark, sf0001))
     val sigs = Dedup.docWidArrays(docs)
       .select(col("doc_id"),
         graft.plans.simhashSig(col("wids"), Dedup.A64, Dedup.B64, Dedup.P).as("lo"),
@@ -132,6 +135,52 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === brute,
       "32-bit pigeonhole bands over the 128-bit signature must stay exact for hamming <= 3")
+  }
+
+  test("dd_cross_doc_scrub equals an independent pure-Scala span-cover brute force") {
+    // full independent reimplementation: tokenize on the same whitespace
+    // set, polynomial word hash, positional 3-gram ids, cross-doc dict
+    // (distinct per doc, >= 2 containing docs), cover = union of each
+    // duplicated gram's 3 word positions, scrub = drop covered words
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def words(s: String): Array[String] =
+      s.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    def wh(w: String): Long = {
+      val cps = w.codePoints().toArray
+      var h = 0L
+      (0 until Dedup.WordHashWidth).foreach { i =>
+        h += Dedup.Coef(i) * (if (i < cps.length) cps(i) else '@'.toInt)
+      }
+      (h + 31L * cps.length) % Dedup.P
+    }
+    val posIds: Map[Long, (Array[String], Array[Long])] = docs.map { case (id, t) =>
+      val ws = words(t)
+      val hs = ws.map(wh)
+      val wp = (0 until math.max(0, ws.length - 2)).map(j =>
+        (hs(j) + Dedup.K2 * hs(j + 1) + Dedup.K3 * hs(j + 2)) % Dedup.P).toArray
+      id -> (ws, wp)
+    }.toMap
+    val dict = posIds.toSeq.flatMap { case (id, (_, wp)) => wp.distinct.map(id -> _) }
+      .groupBy(_._2).collect { case (wid, rs) if rs.size >= 2 => wid }.toSet
+    val expected = posIds.map { case (id, (ws, wp)) =>
+      val cov = wp.zipWithIndex.collect { case (wid, j) if dict(wid) =>
+        Seq(j + 1, j + 2, j + 3) }.flatten.toSet
+      val kept = ws.zipWithIndex.collect { case (w, i) if !cov(i + 1) => w }
+      val nw = ws.length.toLong
+      // the engine's word list keeps the empty-string word of a blank doc
+      // (split of '' is ['']); this tokenizer drops it — align the count
+      val nwAligned = if (nw == 0) 1L else nw
+      (id, nwAligned, cov.size.toLong,
+        if (nwAligned == 0) 1000000L else (nwAligned - cov.size) * 1000000L / nwAligned,
+        kept.mkString(" "))
+    }.toSet
+    val got = Dedup.ddCrossDocScrub.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    assert(got === expected)
+    // the convention exists to be exercised: some doc must actually shrink
+    assert(got.exists(_._3 > 0), "no spans were scrubbed — fixture degenerate")
   }
 
   test("label propagation equals driver-side union-find on testdata pairs") {

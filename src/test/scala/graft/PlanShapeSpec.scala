@@ -400,12 +400,18 @@ class PlanShapeSpec extends SparkSpec {
       s"expected partial aggregation of the sketch (merge-side O(k)):\n$p")
   }
 
-  test("mm_audio_energy / mm_phash: pure per-partition scan stages, zero shuffle") {
-    for (q <- Seq("mm_audio_energy", "mm_phash")) {
-      val p = outerPlan(q).toString
-      assert(!p.contains("Exchange") && !p.contains("Window") && !p.contains("Join"),
-        s"$q: featurization must be shuffle-free:\n$p")
-    }
+  test("mm_audio_energy / mm_phash: per-partition scan stages, zero shuffle") {
+    // audio has no re-upload resolution: strictly scan work
+    val pa = outerPlan("mm_audio_energy").toString
+    assert(!pa.contains("Exchange") && !pa.contains("Window") && !pa.contains("Join"),
+      s"mm_audio_energy: featurization must be shuffle-free:\n$pa")
+    // the image hashes resolve re-uploads to their leader (round 14): the
+    // resolution must stay a BROADCAST join — featurization itself remains
+    // per-partition scan work with no shuffle partitioning anywhere
+    val pp = outerPlan("mm_phash").toString
+    assert(!pp.contains("Exchange hashpartitioning") && !pp.contains("Window") &&
+      !pp.contains("SortMergeJoin") && !pp.contains("ShuffledHashJoin"),
+      s"mm_phash: featurization + broadcast resolution must be shuffle-free:\n$pp")
   }
 
   test("aj_asof_native: the custom exec plans one shuffle + one sort per side, no window") {
