@@ -62,6 +62,20 @@ object Probe {
       // per-batch wall time, delta bytes vs cumulative store bytes, and
       // the live store layout (compaction amortization made visible).
       "ivfpq_ingest_e2e" -> (() => ivfPqIngestE2E(spark, d)),
+      // gr_common_neighbors drill-down: the persisted undirected edge
+      // store alone, then the wedge join alone — attribution of the
+      // 2.2 s bench time (cache-read vs wedge vs degree-join assembly)
+      "gr_edges_only" -> (() => operators.GraphQueries.undirectedKnnStore(spark, d)),
+      "gr_wedge_only" -> (() => {
+        val e = operators.GraphQueries.undirectedKnnStore(spark, d)
+        val adj = e.select(col("u").as("n"), col("v").as("nbr"))
+          .union(e.select(col("v").as("n"), col("u").as("nbr")))
+        adj.select(col("n"), col("nbr").as("x"))
+          .join(adj.select(col("n"), col("nbr").as("y")), "n")
+          .filter(col("x") < col("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("inter_n"))
+          .filter(col("inter_n") >= 2)
+      }),
       // cell∧band composition census: distinct candidate pairs with and
       // without the cell key, plus edge retention of the routed graph vs
       // its unrouted tier — the numbers the routed-graph A/B records.
