@@ -66,6 +66,10 @@ object Probe {
       // store alone, then the wedge join alone — attribution of the
       // 2.2 s bench time (cache-read vs wedge vs degree-join assembly)
       "gr_edges_only" -> (() => operators.GraphQueries.undirectedKnnStore(spark, d)),
+      // frame-family drill-down: the persisted frame store alone, then the
+      // df-gated relation alone — attribution of mm_frame_overlap's cost
+      "mm_fr_only" -> (() => operators.Multimodal.framesRelation(spark, d)),
+      "mm_kept_only" -> (() => operators.Multimodal.keptFramesStore(spark, d)),
       "gr_wedge_only" -> (() => {
         val e = operators.GraphQueries.undirectedKnnStore(spark, d)
         val adj = e.select(col("u").as("n"), col("v").as("nbr"))

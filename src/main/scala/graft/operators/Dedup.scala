@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.Exprs._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
@@ -1093,6 +1094,73 @@ object Dedup {
         graft.plans.wordShinglePos(col("text"), Coef.take(WordHashWidth), K2, K3, P).as("wp"))
     }
 
+  /** Covered word positions (doc_id, cp — 1-based, distinct), persisted:
+    * the positions touched by any cross-doc-duplicated 3-gram, shared by
+    * the scrub ([[ddCrossDocScrub]]) and the span-run detector
+    * ([[ddSpanRuns]]). Only duplicated grams survive the dictionary inner
+    * join — the clean-corpus majority dies map-side. */
+  def coveredPositions(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#scrub_cov") {
+      val dict = widArrayRelation(spark, d)
+        .select(explode(col("wids")).as("wid"))
+        .groupBy("wid").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("wid")
+      scrubPosRelation(spark, d)
+        .select(col("doc_id"), posexplode(col("wp")).as(Seq("p0", "wid")))
+        .join(dict, "wid")
+        // gram at 0-based p0 starts at 1-based word position p0+1, covers 3
+        .select(col("doc_id"),
+          explode(array(col("p0") + 1, col("p0") + 2, col("p0") + 3)).as("cp"))
+        .distinct()
+    }
+
+  /** Minimum span length (words) for [[ddSpanRuns]] — the Lee-et-al
+    * operating point is a LENGTH THRESHOLD (their ExactSubstr uses ~50
+    * tokens): excising every duplicated 3-gram over-scrubs natural
+    * collocations, so the production step detects MAXIMAL duplicated runs
+    * and removes only the long ones. 8 keeps fixture-visible rows at every
+    * SF (a re-upload's whole body is one run) while filtering the 3-5-word
+    * coincidental overlaps. */
+  val SpanRunMinLen = 8
+
+  /** MAXIMAL duplicated span runs per document — gaps-and-islands over the
+    * covered positions: consecutive covered word positions collapse to one
+    * (span_start, span_len) row, kept when span_len >= [[SpanRunMinLen]].
+    * This is the span inventory a thresholded exact-substring dedup
+    * excises (the scrub's 3-gram-granularity removal is the L = 1 point of
+    * the same machinery).
+    *
+    * Scale shape: the island key (cp − row_number) needs one per-doc
+    * window — partitioned by doc_id, bounded by document length, never a
+    * global sort — over the persisted covered-position relation the scrub
+    * already built; the aggregate is per (doc, island). */
+  val ddSpanRuns: QueryDef = QueryDef("dd_span_runs",
+    s"""WITH $shingleListCtes,
+      |e AS (SELECT doc_id, unnest(wids) AS wid FROM widl),
+      |g AS (SELECT wid FROM e GROUP BY wid HAVING COUNT(*) >= 2),
+      |wp AS (SELECT doc_id, list_transform(generate_series(1, nw-2),
+      |    i -> (hw[i] + CAST($K2 AS BIGINT)*hw[i+1] + CAST($K3 AS BIGINT)*hw[i+2]) % $P) AS wp FROM hwl),
+      |ep AS (SELECT doc_id, unnest(wp) AS wid, generate_subscripts(wp, 1) AS p FROM wp),
+      |cov AS (SELECT DISTINCT doc_id, cp FROM (
+      |    SELECT ep.doc_id, unnest([ep.p, ep.p + 1, ep.p + 2]) AS cp
+      |    FROM ep JOIN g USING (wid)) t),
+      |isl AS (SELECT doc_id, cp,
+      |    cp - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
+      |  FROM cov)
+      |SELECT doc_id, CAST(MIN(cp) AS BIGINT) AS span_start,
+      |  CAST(COUNT(*) AS BIGINT) AS span_len
+      |FROM isl GROUP BY doc_id, grp
+      |HAVING COUNT(*) >= $SpanRunMinLen""".stripMargin) { (spark, d) =>
+    val w = Window.partitionBy("doc_id").orderBy("cp")
+    coveredPositions(spark, d)
+      .withColumn("grp", col("cp") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("cp").cast("long").as("span_start"),
+        count(lit(1)).as("span_len"))
+      .filter(col("span_len") >= SpanRunMinLen)
+      .select("doc_id", "span_start", "span_len")
+  }
+
   /** Cross-document duplicated-span SCRUB — the REMOVAL step
     * [[ddCrossDoc]] only measures (Lee et al.'s ExactSubstr dedup rewrites
     * the corpus, it doesn't just score it; VERDICT r13 #2/#4): per
@@ -1132,15 +1200,7 @@ object Dedup {
       |    (w, i) -> NOT list_contains(COALESCE(cl.cps, CAST([] AS BIGINT[])), i)), ' '), '') AS scrubbed
       |FROM tl LEFT JOIN cl USING (doc_id)""".stripMargin) { (spark, d) =>
     val pos = scrubPosRelation(spark, d)
-    val dict = widArrayRelation(spark, d)
-      .select(explode(col("wids")).as("wid"))
-      .groupBy("wid").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("wid")
-    val cov = pos.select(col("doc_id"), posexplode(col("wp")).as(Seq("p0", "wid")))
-      .join(dict, "wid")
-      // gram at 0-based p0 starts at 1-based word position p0+1, covers 3
-      .select(col("doc_id"),
-        explode(array(col("p0") + 1, col("p0") + 2, col("p0") + 3)).as("cp"))
+    val cov = coveredPositions(spark, d)
       .groupBy("doc_id").agg(collect_set(col("cp")).as("cps"))
     pos.join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("ws"),
@@ -1310,6 +1370,6 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
     ddSimhashNearDup64, ddSimhashNearDup128, ddIncrementalPairs, ddDupClusters,
-    ddFuzzyKeep, ddCrossDoc, ddCrossDocScrub, ddContainment, ddBoilerplate,
-    ddEstEval)
+    ddFuzzyKeep, ddCrossDoc, ddCrossDocScrub, ddSpanRuns, ddContainment,
+    ddBoilerplate, ddEstEval)
 }

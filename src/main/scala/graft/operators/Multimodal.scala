@@ -380,6 +380,10 @@ object Multimodal {
     * self-join sides + the per-doc counts); an un-persisted gate re-runs
     * the df aggregate and anti-join per consumer — measured 4x on the sf1
     * incremental probe. */
+  private[graft] def keptFramesStore(spark: org.apache.spark.sql.SparkSession,
+                                     d: String): DataFrame =
+    keptFrames(framesRelation(spark, d), FrameDfGate, "full")
+
   private def keptFrames(fr: DataFrame, dfGate: Int, tag: String): DataFrame = {
     val spark = fr.sparkSession
     // Eviction is scoped per CONSUMER (`tag`): the full-overlap and
@@ -393,7 +397,16 @@ object Multimodal {
     graft.Persisted.of(spark, key) {
       val hot = fr.groupBy("frame_md5").agg(count(lit(1)).as("df"))
         .filter(col("df") > dfGate).select("frame_md5")
-      fr.join(broadcast(hot), Seq("frame_md5"), "left_anti")
+      val gated = fr.join(broadcast(hot), Seq("frame_md5"), "left_anti")
+      // count-annotate at store build (the degree-annotated adjacency
+      // pattern from the knn graph, round 14): every overlap consumer
+      // needs each doc's KEPT-frame count on both pair sides — carrying
+      // `nf` on the store rows trades one join at build for two
+      // corpus-sized joins per query (mm_frame_overlap 1.09 → ~0.5 s at
+      // sf0.1; at 100 TB the post-aggregation pair relation never joins
+      // back to a per-doc relation at all)
+      val cnt = gated.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      gated.join(cnt, "doc_id").select("doc_id", "frame_md5", "nf")
     }
   }
 
@@ -415,14 +428,16 @@ object Multimodal {
     * nothing). */
   def frameOverlap(fr: DataFrame, dfGate: Int = FrameDfGate): DataFrame = {
     val kept = keptFrames(fr, dfGate, "full")
-    val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-    val a = kept.select(col("doc_id").as("doc_a"), col("frame_md5"))
-    val b = kept.select(col("doc_id").as("doc_b"), col("frame_md5"))
+    // per-doc kept counts ride the store rows (count-annotated at build),
+    // so the pair aggregate needs no post-join — (nfa, nfb) are
+    // functionally dependent on (doc_a, doc_b), free as group keys
+    val a = kept.select(col("doc_id").as("doc_a"), col("frame_md5"),
+      col("nf").as("nfa"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("frame_md5"),
+      col("nf").as("nfb"))
     a.join(b, Seq("frame_md5")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .groupBy("doc_a", "doc_b", "nfa", "nfb").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
-      .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         expr("(n_shared * 1000000) div least(nfa, nfb)").as("overlap_ppm"))
   }
@@ -489,18 +504,20 @@ object Multimodal {
     val kept = keptFrames(corpus, dfGate, "inc")
     val keptBatch = kept
       .join(batchFr.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-    val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-    kept.select(col("doc_id").as("ida"), col("frame_md5"))
-      .join(keptBatch.select(col("doc_id").as("idb"), col("frame_md5")),
-        Seq("frame_md5"))
+    // kept counts ride the store rows; the (doc_a, doc_b) canonicalization
+    // swaps them in lockstep, and they group for free (functional
+    // dependence) — no post-aggregation join
+    kept.select(col("doc_id").as("ida"), col("frame_md5"), col("nf").as("nia"))
+      .join(keptBatch.select(col("doc_id").as("idb"), col("frame_md5"),
+        col("nf").as("nib")), Seq("frame_md5"))
       .filter(col("ida") =!= col("idb"))
       .select(col("frame_md5"), least(col("ida"), col("idb")).as("doc_a"),
-        greatest(col("ida"), col("idb")).as("doc_b"))
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        when(col("ida") < col("idb"), col("nia")).otherwise(col("nib")).as("nfa"),
+        when(col("ida") < col("idb"), col("nib")).otherwise(col("nia")).as("nfb"))
       .distinct()
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .groupBy("doc_a", "doc_b", "nfa", "nfb").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
-      .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("nfa")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nfb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         expr("(n_shared * 1000000) div least(nfa, nfb)").as("overlap_ppm"))
   }

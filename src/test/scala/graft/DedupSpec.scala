@@ -181,6 +181,26 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
     // the convention exists to be exercised: some doc must actually shrink
     assert(got.exists(_._3 > 0), "no spans were scrubbed — fixture degenerate")
+
+    // dd_span_runs: maximal islands of the SAME brute-force cover
+    val expectedRuns = posIds.toSeq.flatMap { case (id, (_, wp)) =>
+      val cov = wp.zipWithIndex.collect { case (wid, j) if dict(wid) =>
+        Seq(j + 1, j + 2, j + 3) }.flatten.distinct.sorted
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var i = 0
+      while (i < cov.length) {
+        var j = i
+        while (j + 1 < cov.length && cov(j + 1) == cov(j) + 1) j += 1
+        if (j - i + 1 >= Dedup.SpanRunMinLen)
+          runs += ((id, cov(i).toLong, (j - i + 1).toLong))
+        i = j + 1
+      }
+      runs
+    }.toSet
+    val gotRuns = Dedup.ddSpanRuns.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotRuns === expectedRuns)
+    assert(gotRuns.nonEmpty, "no long duplicated runs — fixture degenerate")
   }
 
   test("label propagation equals driver-side union-find on testdata pairs") {
