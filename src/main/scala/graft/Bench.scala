@@ -355,8 +355,12 @@ object Bench {
         }
       }
     val (hp1t, hp1s) = procStat()
-    val headlineStealPct =
-      if (hp1t > hp0t) 100.0 * (hp1s - hp0s) / (hp1t - hp0t) else 0.0
+    // None (null in the artifact) when the pass did not run — an
+    // attribution-mode artifact must not carry a perfect-quiet annotation
+    // for a pass that never executed (code-review r14)
+    val headlineStealPct: Option[Double] =
+      if (attributionMode) None
+      else Some(if (hp1t > hp0t) 100.0 * (hp1s - hp0s) / (hp1t - hp0t) else 0.0)
 
     // Pre-clear headline total, kept alongside the adopted numbers so the
     // cleared-cache adoption is auditable in the artifact itself (ADVICE
@@ -414,7 +418,7 @@ object Bench {
     //      it), with the six headline analogues in "queries".
     val diag = Seq(
       s"steal:${t2(stealPct)}",
-      s"hsteal:${t2(headlineStealPct)}",
+      s"hsteal:${headlineStealPct.map(t2).getOrElse("na")}",
       s"probe_steal:${t2(probeSteal)}",
       s"quiet_wait:${t2(quietWaitSec)}",
       s"cust_geo_build:${t2(custGeoBuildSec)}",
@@ -441,7 +445,7 @@ object Bench {
     // Self-describing artifact (VERDICT r10 #3): steal + failed ride inside
     // the JSON object so the judged line needs no log-tail scraping.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all":${j3(allTotal)},"headline_presweep":${presweepHeadline.map(j3).getOrElse("null")},"steal_pct":${j3(stealPct)},"headline_steal_pct":${j3(headlineStealPct)},"probe_steal_pct":${j3(probeSteal)},"failed":$failedJson,"sf":"${new java.io.File(sfDir).getName}"}""")
+    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all":${j3(allTotal)},"headline_presweep":${presweepHeadline.map(j3).getOrElse("null")},"steal_pct":${j3(stealPct)},"headline_steal_pct":${headlineStealPct.map(j3).getOrElse("null")},"probe_steal_pct":${j3(probeSteal)},"failed":$failedJson,"sf":"${new java.io.File(sfDir).getName}"}""")
     if (headlineBroken) {
       // exit nonzero so the run records as invalid, not flattering
       spark.stop(); sys.exit(3)

@@ -377,11 +377,19 @@ object Probe {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val nb = sys.env.getOrElse("PROBE_INGEST_BATCHES", "8").toInt
     val compactEvery = sys.env.getOrElse("PROBE_INGEST_COMPACT", "4").toInt
-    val rows = Tables.embeddings(spark, d).select("vec_id", "embedding")
-      .as[(Long, Seq[Float])].collect()
-    val seed = rows.take(math.max(64, rows.length / nb)).toSeq
+    val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+    // id-interval batching: the driver never holds more than one batch
+    // (a whole-corpus collect would make the harness itself the sf100
+    // bottleneck), and the FIRST interval — the lowest vec_ids — is the
+    // training slice, passed as a DataFrame so lloydBook's vec_id < kcw
+    // seed rule always has its seeds regardless of scan order
+    // (code-review r14: an unordered collect could omit them).
+    val Seq(minId, maxId) = emb.agg(min("vec_id"), max("vec_id"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]): @unchecked
+    val step = (maxId - minId) / nb + 1
     val t0 = System.nanoTime()
-    val (coarse, books) = Similarity.ivfPqTrain(seed.toDF("vec_id", "embedding"))
+    val (coarse, books) = Similarity.ivfPqTrain(
+      emb.filter(col("vec_id") < minId + step))
     val trainSec = (System.nanoTime() - t0) / 1e9
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_e2e").toString + "/store"
     val in = MemoryStream[(Long, Seq[Float])]
@@ -391,17 +399,21 @@ object Probe {
       compactEvery = compactEvery) { (nbrs, _) => emitted += nbrs.count() }
     def duBytes(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(duBytes).sum else f.length()
-    val batches = rows.grouped((rows.length + nb - 1) / nb).toSeq
-    try batches.zipWithIndex.foreach { case (b, i) =>
-      val tb = System.nanoTime()
-      in.addData(b.toSeq); q.processAllAvailable()
-      val dt = (System.nanoTime() - tb) / 1e9
-      val store = new java.io.File(dir)
-      val delta = new java.io.File(s"$dir/d$i")
-      System.err.println(f"[probe] ivfpq_ingest_e2e batch=$i%d n=${b.length}%d " +
-        f"dt=$dt%.2fs delta_bytes=${if (delta.exists) duBytes(delta) else 0L}%d " +
-        s"store_bytes=${duBytes(store)} " +
-        s"dirs=${store.listFiles().map(_.getName).sorted.mkString(",")}")
+    try (0 until nb).foreach { i =>
+      val lo = minId + i * step
+      val b = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + step)
+        .as[(Long, Seq[Float])].collect() // driver memory ∝ batch
+      if (b.nonEmpty) {
+        val tb = System.nanoTime()
+        in.addData(b.toSeq); q.processAllAvailable()
+        val dt = (System.nanoTime() - tb) / 1e9
+        val store = new java.io.File(dir)
+        val delta = new java.io.File(s"$dir/d$i")
+        System.err.println(f"[probe] ivfpq_ingest_e2e batch=$i%d n=${b.length}%d " +
+          f"dt=$dt%.2fs delta_bytes=${if (delta.exists) duBytes(delta) else 0L}%d " +
+          s"store_bytes=${duBytes(store)} " +
+          s"dirs=${store.listFiles().map(_.getName).sorted.mkString(",")}")
+      }
     } finally q.stop()
     System.err.println(f"[probe] ivfpq_ingest_e2e train=$trainSec%.2fs emitted=$emitted%d")
     spark.range(1).toDF("id")

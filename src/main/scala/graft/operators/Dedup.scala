@@ -278,22 +278,12 @@ object Dedup {
     * VERDICT r13 #1). Duplicate density stays constant per block (3 pairs
     * per 24 docs) — never a function of corpus size, so no band bucket
     * grows with the corpus. */
-  def nearCopyDocs(docs: DataFrame): DataFrame = {
-    val isReup = col("doc_id") % 24 === 7 || col("doc_id") % 24 === 15
-    val reups = docs.filter(isReup)
-      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 24).as("src_id"),
-        col("text"))
-      .join(docs.select(col("doc_id").as("src_id"), col("text").as("src_text")),
-        Seq("src_id"), "left")
-      .select(col("doc_id"), coalesce(col("src_text"), col("text")).as("text"))
-    docs.filter(!isReup).select("doc_id", "text").unionByName(reups)
-  }
+  def nearCopyDocs(docs: DataFrame): DataFrame =
+    Reup.resolve(docs, "doc_id", Seq("text" -> "text"))
 
   /** [[nearCopyDocs]] as oracle SQL — ends with `ncs(doc_id, text)`. */
   val nearCopySrcCte: String =
-    """ncs AS (SELECT d.doc_id, COALESCE(s.text, d.text) AS text
-      |        FROM documents d LEFT JOIN documents s
-      |        ON d.doc_id % 24 IN (7, 15) AND s.doc_id = d.doc_id - d.doc_id % 24)""".stripMargin
+    Reup.srcSql("ncs", "documents", "doc_id", Seq("text" -> "text"))
 
   /** The near-copy-resolved shingle chain the simhash near-dup oracles
     * share: ncs → tl → hwl → widl. */

@@ -111,35 +111,21 @@ object Multimodal {
     * with frames, the convention is scoped to perceptual CONTENT: the
     * catalog queries (mm_media_meta / mm_resize) keep each upload's own
     * record. Returns (doc_id, sid, snc). */
-  def mediaSourceMeta(docs: DataFrame): DataFrame = {
-    val isReup = col("doc_id") % 24 === 7 || col("doc_id") % 24 === 15
-    val reups = docs.filter(isReup)
-      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 24).as("src_id"),
-        col("n_chars"))
-      .join(docs.select(col("doc_id").as("src_id"), col("doc_id").as("lid"),
-        col("n_chars").as("lnc")), Seq("src_id"), "left")
-      .select(col("doc_id"), coalesce(col("lid"), col("doc_id")).as("sid"),
-        coalesce(col("lnc"), col("n_chars")).as("snc"))
-    docs.filter(!isReup)
-      .select(col("doc_id"), col("doc_id").as("sid"), col("n_chars").as("snc"))
-      .unionByName(reups)
-  }
+  def mediaSourceMeta(docs: DataFrame): DataFrame =
+    graft.operators.Reup.resolve(docs, "doc_id",
+      Seq("doc_id" -> "sid", "n_chars" -> "snc"))
 
   /** [[mediaSourceMeta]] as an oracle CTE — ends with
     * `$name(doc_id, sid, snc)`. */
   private def mediaSrcCte(name: String): String =
-    s"""$name AS (SELECT d.doc_id, COALESCE(s.doc_id, d.doc_id) AS sid,
-      |        COALESCE(s.n_chars, d.n_chars) AS snc
-      |        FROM documents d LEFT JOIN documents s
-      |        ON d.doc_id % 24 IN (7, 15) AND s.doc_id = d.doc_id - d.doc_id % 24)""".stripMargin
+    graft.operators.Reup.srcSql(name, "documents", "doc_id",
+      Seq("doc_id" -> "sid", "n_chars" -> "snc"))
 
   /** The re-upload source resolution as oracle SQL — ends with
     * `src(doc_id, text)`; shared by every frame-family oracle via
     * [[mmFrameSample]]'s composed chain. */
   private val frameSrcCte: String =
-    """src AS (SELECT d.doc_id, COALESCE(s.text, d.text) AS text
-      |        FROM documents d LEFT JOIN documents s
-      |        ON d.doc_id % 24 IN (7, 15) AND s.doc_id = d.doc_id - d.doc_id % 24)""".stripMargin
+    graft.operators.Reup.srcSql("src", "documents", "doc_id", Seq("text" -> "text"))
 
   /** Frame sampling over the media column: slice each payload into the
     * stub-decoded n_frames equal chunks, keep every 2nd frame, digest each.

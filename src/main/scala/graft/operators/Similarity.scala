@@ -760,13 +760,13 @@ object Similarity {
   private val rawQCte: String =
     "q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM embeddings)"
 
-  /** Re-upload-resolved quantized source (the vector twin of
-    * [[graft.operators.Dedup.nearCopyDocs]]): vec_id % 24 ∈ {7, 15} carry
-    * their block leader's embedding. */
+  /** Re-upload-resolved quantized source (the vector instance of the
+    * [[Reup]] convention): vec_id % 24 ∈ {7, 15} carry their block
+    * leader's embedding; the quantize rides a second CTE so the
+    * resolution itself stays the shared generated form. */
   private val reupQCte: String =
-    """q AS (SELECT e.vec_id, list_transform(COALESCE(s.embedding, e.embedding), x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv
-      |      FROM embeddings e LEFT JOIN embeddings s
-      |      ON e.vec_id % 24 IN (7, 15) AND s.vec_id = e.vec_id - e.vec_id % 24)""".stripMargin
+    s"""${Reup.srcSql("esrc", "embeddings", "vec_id", Seq("embedding" -> "embedding"))},
+      |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*100000000.0) AS BIGINT)) AS qv FROM esrc)""".stripMargin
 
   /** Shared oracle for the wide-band graph tier, with the trained-cell
     * equality optionally composed into the candidate join (`cellEq`) and a
@@ -853,17 +853,9 @@ object Similarity {
     * ZERO candidates on the raw 500-vector gate corpus (an empty-output
     * oracle certifies nothing, the r12 lesson) — emits a constant 3-node
     * clique per 24 ids at every SF. */
-  def reupEmbeddings(spark: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(spark, d)
-    val isReup = col("vec_id") % 24 === 7 || col("vec_id") % 24 === 15
-    val reups = e.filter(isReup)
-      .select(col("vec_id"), (col("vec_id") - col("vec_id") % 24).as("src_id"),
-        col("embedding"))
-      .join(e.select(col("vec_id").as("src_id"), col("embedding").as("src_emb")),
-        Seq("src_id"), "left")
-      .select(col("vec_id"), coalesce(col("src_emb"), col("embedding")).as("embedding"))
-    e.filter(!isReup).select("vec_id", "embedding").unionByName(reups)
-  }
+  def reupEmbeddings(spark: SparkSession, d: String): DataFrame =
+    Reup.resolve(Tables.embeddings(spark, d), "vec_id",
+      Seq("embedding" -> "embedding"))
 
   /** Session-persisted quantized-norm relation over the re-upload-resolved
     * corpus (the [[qnormRelation]] shape minus the label column). */

@@ -1181,6 +1181,32 @@ object TextAnalysis {
       (a, b) => struct(a.as("w1"), b.as("w2")))
   }
 
+  /** Per-doc bigram-type store (doc_id, w1, w2, tf) — the Heap's-law-
+    * sublinear relation the bigram family rides, formed map-side. */
+  def bigramTfRelation(spark: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.Persisted.of(spark, s"$d#bigram_tf") {
+      Tables.documents(spark, d)
+        .select(col("doc_id"), bigramPairs(col("text")).as("bg"))
+        .select(col("doc_id"), explode(col("bg")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    }
+
+  /** Corpus bigram counts MARGINAL-ANNOTATED at store build
+    * (w1, w2, c12, c1, c2) — the count-annotated-store pattern (round 14,
+    * same as the knn adjacency and kept-frames stores): the two marginal
+    * aggregates + joins run once per session instead of once per consumer
+    * action, and the collocation query becomes a pure filter+projection of
+    * this relation. Vocabulary²-sized, exactly like `big` was. */
+  def bigramCorpusRelation(spark: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.Persisted.of(spark, s"$d#bigram_corpus") {
+      val big = bigramTfRelation(spark, d)
+        .groupBy("w1", "w2").agg(sum("tf").as("c12"))
+      val m1 = big.groupBy("w1").agg(sum("c12").as("c1"))
+      val m2 = big.groupBy("w2").agg(sum("c12").as("c2"))
+      big.join(m1, "w1").join(m2, "w2").select("w1", "w2", "c12", "c1", "c2")
+    }
+
   val taBigramLm: QueryDef = QueryDef("ta_bigram_lm",
     """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws FROM documents),
       |w AS (SELECT doc_id, unnest(ws) AS w FROM t),
@@ -1196,14 +1222,10 @@ object TextAnalysis {
       |FROM dbg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vv
       |GROUP BY doc_id""".stripMargin) { (spark, d) =>
     val docs = Tables.documents(spark, d)
-    val dbg = graft.Persisted.of(spark, s"$d#bigram_tf") {
-      docs.select(col("doc_id"), bigramPairs(col("text")).as("bg"))
-        .select(col("doc_id"), explode(col("bg")).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-    }
-    val big = dbg.groupBy("w1", "w2").agg(sum("tf").as("c12"))
-    val uni = big.groupBy("w1").agg(sum("c12").as("c1"))
+    val dbg = bigramTfRelation(spark, d)
+    // corpus counts + first-position marginal ride the annotated store —
+    // ONE join (on the bigram key) per action instead of three
+    val big = bigramCorpusRelation(spark, d).select("w1", "w2", "c12", "c1")
     val tf = graft.Persisted.of(spark, s"$d#term_tf") {
       docs.select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
     }
@@ -1213,7 +1235,7 @@ object TextAnalysis {
     // all positive so DuckDB floor `//` == Spark truncating `div`
     val surpriseMicro =
       expr("cast(c1 + v as decimal(38,0)) * 1000000 div (c12 + 1)")
-    dbg.join(big, Seq("w1", "w2")).join(uni, Seq("w1")).crossJoin(vv)
+    dbg.join(big, Seq("w1", "w2")).crossJoin(vv)
       .select(col("doc_id"), col("tf"), surpriseMicro.as("surprise_micro"))
       .groupBy("doc_id")
       .agg(sum("tf").cast("long").as("n_bigrams"),
@@ -1248,19 +1270,11 @@ object TextAnalysis {
       |  CAST(CAST(c12 AS HUGEINT) * n * 1000000 // (c1 * c2) AS BIGINT) AS pmi_ppm
       |FROM big JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nn
       |WHERE c12 >= 5""".stripMargin) { (spark, d) =>
-    val docs = Tables.documents(spark, d)
-    val dbg = graft.Persisted.of(spark, s"$d#bigram_tf") {
-      docs.select(col("doc_id"), bigramPairs(col("text")).as("bg"))
-        .select(col("doc_id"), explode(col("bg")).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-    }
-    val big = dbg.groupBy("w1", "w2").agg(sum("tf").as("c12"))
-    val m1 = big.groupBy("w1").agg(sum("c12").as("c1"))
-    val m2 = big.groupBy("w2").agg(sum("c12").as("c2"))
+    // pure filter + projection of the marginal-annotated corpus store:
+    // no per-action aggregate or join survives except the scalar N
+    val big = bigramCorpusRelation(spark, d)
     val nn = broadcast(big.agg(sum("c12").cast("long").as("n")))
-    big.filter(col("c12") >= 5)
-      .join(m1, "w1").join(m2, "w2").crossJoin(nn)
+    big.filter(col("c12") >= 5).crossJoin(nn)
       .select(col("w1"), col("w2"), col("c12").cast("long").as("c12"),
         expr("cast(c12 as decimal(38,0)) * n * 1000000 div (c1 * c2)")
           .as("pmi_ppm"))

@@ -146,7 +146,7 @@ class DedupSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     def words(s: String): Array[String] =
-      s.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      s.split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty)
     def wh(w: String): Long = {
       val cps = w.codePoints().toArray
       var h = 0L

@@ -406,12 +406,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pa.contains("Exchange") && !pa.contains("Window") && !pa.contains("Join"),
       s"mm_audio_energy: featurization must be shuffle-free:\n$pa")
     // the image hashes resolve re-uploads to their leader (round 14): the
-    // resolution must stay a BROADCAST join — featurization itself remains
-    // per-partition scan work with no shuffle partitioning anywhere
-    val pp = outerPlan("mm_phash").toString
-    assert(!pp.contains("Exchange hashpartitioning") && !pp.contains("Window") &&
-      !pp.contains("SortMergeJoin") && !pp.contains("ShuffledHashJoin"),
+    // resolution must stay a BROADCAST HASH join — featurization itself
+    // remains per-partition scan work with no shuffle partitioning and no
+    // other join kind (a BroadcastNestedLoopJoin here would evaluate the
+    // mod-24 predicate per row pair — O(corpus × reups))
+    val ppPlan = SparkEntry.queries("mm_phash")(spark, sf0001)
+      .queryExecution.executedPlan
+    val ppJoins = ppPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(ppJoins.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"mm_phash: every resolution join must be a broadcast hash join:\n$ppPlan")
+    val pp = ppPlan.toString
+    assert(!pp.contains("Exchange hashpartitioning") &&
+      !pp.contains("Exchange rangepartitioning") && !pp.contains("Window"),
       s"mm_phash: featurization + broadcast resolution must be shuffle-free:\n$pp")
+  }
+
+  test("count-annotated stores: no post-aggregation join survives (r14 wins)") {
+    // gr_common_neighbors / mm_frame_overlap / ta_collocations each moved
+    // their per-doc/marginal counts INTO the session store (the
+    // degree-annotated adjacency pattern) — a join appearing ABOVE the
+    // pair/corpus aggregate in the outer plan means the win regressed.
+    // gr_common_neighbors: exactly ONE outer join (the wedge self-join)
+    val gr = outerPlan("gr_common_neighbors")
+    val grJoins = gr.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(grJoins.size == 1,
+      s"expected only the wedge self-join, got ${grJoins.size}:\n$gr")
+    // mm_frame_overlap: exactly ONE outer join (the frame self-join)
+    val fo = outerPlan("mm_frame_overlap")
+    val foJoins = fo.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(foJoins.size == 1,
+      s"expected only the frame self-join, got ${foJoins.size}:\n$fo")
+    // ta_collocations: a filter+projection of the annotated store — the
+    // only join is the broadcast of the scalar N, the only aggregate is N
+    val tc = outerPlan("ta_collocations")
+    val tcAggs = tc.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+    assert(tcAggs.size <= 2, // partial + final of the scalar N
+      s"expected only the scalar-N aggregate, got ${tcAggs.size}:\n$tc")
+    val tcSmj = tc.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(tcSmj.isEmpty, s"no shuffle join may appear:\n$tc")
   }
 
   test("aj_asof_native: the custom exec plans one shuffle + one sort per side, no window") {
