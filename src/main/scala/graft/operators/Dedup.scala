@@ -489,9 +489,11 @@ object Dedup {
         }: _*)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.*"))
 
-  /** In-session persisted 64-bit banded signatures over the documents table
-    * of `d` — the PRODUCTION candidate source: every near-dup consumer
-    * (pair query, cluster query, incremental batches) reads one
+  /** In-session persisted 64-bit banded signatures over the NEAR-COPY-
+    * RESOLVED documents table of `d` ([[nearCopyDocs]] — the round-14
+    * certification convention, applied at the relation so every tier and
+    * every consumer reads one consistent corpus): the PRODUCTION candidate
+    * source — pair query, cluster query, incremental batches all read one
     * materialized sketch pass, and the 16-bit bands keep buckets sparse
     * where the 32-bit baseline's saturate. */
   def simhash64BandsRelation(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
