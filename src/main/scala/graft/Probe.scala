@@ -408,9 +408,16 @@ object Probe {
         in.addData(b.toSeq); q.processAllAvailable()
         val dt = (System.nanoTime() - tb) / 1e9
         val store = new java.io.File(dir)
-        val delta = new java.io.File(s"$dir/d$i")
+        // the batch's delta is the NEWEST d* dir (compaction only folds
+        // deltas strictly older than this batch) — streaming batch ids only
+        // equal the interval index when every interval is non-empty, so a
+        // loop-index path would silently read 0 bytes on sparse id ranges
+        // (ADVICE r14)
+        val delta = store.listFiles()
+          .filter(f => f.isDirectory && f.getName.matches("d\\d+"))
+          .sortBy(_.getName.drop(1).toLong).lastOption
         System.err.println(f"[probe] ivfpq_ingest_e2e batch=$i%d n=${b.length}%d " +
-          f"dt=$dt%.2fs delta_bytes=${if (delta.exists) duBytes(delta) else 0L}%d " +
+          f"dt=$dt%.2fs delta_bytes=${delta.map(duBytes).getOrElse(0L)}%d " +
           s"store_bytes=${duBytes(store)} " +
           s"dirs=${store.listFiles().map(_.getName).sorted.mkString(",")}")
       }

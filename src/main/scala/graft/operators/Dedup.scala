@@ -278,6 +278,19 @@ object Dedup {
     * VERDICT r13 #1). Duplicate density stays constant per block (3 pairs
     * per 24 docs) — never a function of corpus size, so no band bucket
     * grows with the corpus. */
+  /** Corpus-convention boundary, stated explicitly (ADVICE r14): the
+    * SIMHASH near-dup families (32/64/128-bit tiers, their cluster/
+    * incremental/auto forms) certify on THIS near-copy-RESOLVED corpus —
+    * they exist to find re-uploads, so their fixtures must contain some.
+    * The MinHash/Jaccard/fuzzy families and the exact-substring
+    * scrub/span machinery ([[widArrayRelation]] and everything built on
+    * it) certify on the RAW documents table: their signal is partial
+    * n-gram overlap, which the raw fixture already carries, and resolving
+    * re-uploads there would double-count whole-body duplication both
+    * families already report through their own tiers. Consequence: a
+    * cross-family comparison (e.g. dd_fuzzy_keep vs dd_simhash_neardup)
+    * sees different document CONTENT for the ≡7,15 (mod 24) ids — by
+    * design, not drift; see ARCHITECTURE "Corpus conventions". */
   def nearCopyDocs(docs: DataFrame): DataFrame =
     Reup.resolve(docs, "doc_id", Seq("text" -> "text"))
 

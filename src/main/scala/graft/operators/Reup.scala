@@ -20,8 +20,13 @@ object Reup {
 
   /** Resolve `cols` (source column → output alias) through the convention:
     * re-upload rows take the leader's values, everything else passes
-    * through. Returns (idCol, aliases…). The resolution join is
-    * broadcast-sized on the re-upload slice (2/24 of the input). */
+    * through. Returns (idCol, aliases…). Leaders are exactly the ids
+    * ≡ 0 (mod 24), so the lookup (build) side is PRE-FILTERED to that
+    * 1/24 slice — Spark can only broadcast the build side of this
+    * left-outer join, and an unfiltered build side would make the
+    * broadcast/shuffle corpus-sized on the production relations that ride
+    * this resolver (ADVICE r14). The filter is a no-op on results: every
+    * join key `id − id % 24` is ≡ 0 (mod 24) by construction. */
   def resolve(df: DataFrame, idCol: String,
               cols: Seq[(String, String)]): DataFrame = {
     val id = col(idCol)
@@ -29,7 +34,7 @@ object Reup {
     val srcCols = cols.map(_._1).distinct.filterNot(_ == idCol)
     val reups = df.filter(isReup)
       .select(col(idCol) +: (id - id % 24).as("__src") +: srcCols.map(col): _*)
-      .join(df.select(col(idCol).as("__src") +:
+      .join(df.filter(id % 24 === 0).select(col(idCol).as("__src") +:
         cols.map(_._1).distinct.map(c => col(c).as(s"__s_$c")): _*),
         Seq("__src"), "left")
       .select(col(idCol) +: cols.map { case (c, a) =>
@@ -46,8 +51,9 @@ object Reup {
              cols: Seq[(String, String)]): String = {
     val sel = cols.map { case (c, a) => s"COALESCE(s.$c, d.$c) AS $a" }
       .mkString(", ")
+    // mirror of resolve()'s leader pre-filter: join only the ≡0 (mod 24) slice
     s"""$cteName AS (SELECT d.$idCol, $sel
-       |        FROM $table d LEFT JOIN $table s
+       |        FROM $table d LEFT JOIN (SELECT * FROM $table WHERE $idCol % 24 = 0) s
        |        ON d.$idCol % 24 IN (7, 15) AND s.$idCol = d.$idCol - d.$idCol % 24)""".stripMargin
   }
 }
