@@ -1139,9 +1139,12 @@ object Dedup {
     * window — partitioned by doc_id, bounded by document length, never a
     * global sort — over the persisted covered-position relation the scrub
     * already built; the aggregate is per (doc, island). */
-  val ddSpanRuns: QueryDef = QueryDef("dd_span_runs",
-    s"""WITH $shingleListCtes,
-      |e AS (SELECT doc_id, unnest(wids) AS wid FROM widl),
+  /** Covered-position + island CTE chain shared by the span-run detector
+    * and the thresholded scrub — the SQL twin of [[coveredPositions]]
+    * (+ the gaps-and-islands `isl`). One definition so the oracles can
+    * never drift from each other on the cover semantics. */
+  private val coveredIslandCtes: String =
+    s"""e AS (SELECT doc_id, unnest(wids) AS wid FROM widl),
       |g AS (SELECT wid FROM e GROUP BY wid HAVING COUNT(*) >= 2),
       |wp AS (SELECT doc_id, list_transform(generate_series(1, nw-2),
       |    i -> (hw[i] + CAST($K2 AS BIGINT)*hw[i+1] + CAST($K3 AS BIGINT)*hw[i+2]) % $P) AS wp FROM hwl),
@@ -1151,7 +1154,23 @@ object Dedup {
       |    FROM ep JOIN g USING (wid)) t),
       |isl AS (SELECT doc_id, cp,
       |    cp - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
-      |  FROM cov)
+      |  FROM cov)""".stripMargin
+
+  /** Final scrub projection shared by [[ddCrossDocScrub]] and
+    * [[ddSpanScrub]] — reads a `cl(doc_id, cps)` covered-position-list CTE
+    * against the full word-list CTE `tl`. */
+  private val scrubTailSql: String =
+    s"""SELECT tl.doc_id, CAST(len(tl.ws) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(len(cl.cps), 0) AS BIGINT) AS n_removed,
+      |  CAST(CASE WHEN len(tl.ws) = 0 THEN 1000000
+      |       ELSE (len(tl.ws) - COALESCE(len(cl.cps), 0)) * 1000000 // len(tl.ws) END AS BIGINT) AS kept_ppm,
+      |  COALESCE(array_to_string(list_filter(tl.ws,
+      |    (w, i) -> NOT list_contains(COALESCE(cl.cps, CAST([] AS BIGINT[])), i)), ' '), '') AS scrubbed
+      |FROM tl LEFT JOIN cl USING (doc_id)""".stripMargin
+
+  val ddSpanRuns: QueryDef = QueryDef("dd_span_runs",
+    s"""WITH $shingleListCtes,
+      |$coveredIslandCtes
       |SELECT doc_id, CAST(MIN(cp) AS BIGINT) AS span_start,
       |  CAST(COUNT(*) AS BIGINT) AS span_len
       |FROM isl GROUP BY doc_id, grp
@@ -1188,26 +1207,22 @@ object Dedup {
     * rows; nothing is quadratic in corpus size. */
   val ddCrossDocScrub: QueryDef = QueryDef("dd_cross_doc_scrub",
     s"""WITH $shingleListCtes,
-      |e AS (SELECT doc_id, unnest(wids) AS wid FROM widl),
-      |g AS (SELECT wid FROM e GROUP BY wid HAVING COUNT(*) >= 2),
-      |wp AS (SELECT doc_id, list_transform(generate_series(1, nw-2),
-      |    i -> (hw[i] + CAST($K2 AS BIGINT)*hw[i+1] + CAST($K3 AS BIGINT)*hw[i+2]) % $P) AS wp FROM hwl),
-      |ep AS (SELECT doc_id, unnest(wp) AS wid, generate_subscripts(wp, 1) AS p FROM wp),
-      |cov AS (SELECT DISTINCT doc_id, cp FROM (
-      |    SELECT ep.doc_id, unnest([ep.p, ep.p + 1, ep.p + 2]) AS cp
-      |    FROM ep JOIN g USING (wid)) t),
+      |$coveredIslandCtes,
       |cl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id)
-      |SELECT tl.doc_id, CAST(len(tl.ws) AS BIGINT) AS n_words,
-      |  CAST(COALESCE(len(cl.cps), 0) AS BIGINT) AS n_removed,
-      |  CAST(CASE WHEN len(tl.ws) = 0 THEN 1000000
-      |       ELSE (len(tl.ws) - COALESCE(len(cl.cps), 0)) * 1000000 // len(tl.ws) END AS BIGINT) AS kept_ppm,
-      |  COALESCE(array_to_string(list_filter(tl.ws,
-      |    (w, i) -> NOT list_contains(COALESCE(cl.cps, CAST([] AS BIGINT[])), i)), ' '), '') AS scrubbed
-      |FROM tl LEFT JOIN cl USING (doc_id)""".stripMargin) { (spark, d) =>
-    val pos = scrubPosRelation(spark, d)
-    val cov = coveredPositions(spark, d)
-      .groupBy("doc_id").agg(collect_set(col("cp")).as("cps"))
-    pos.join(cov, Seq("doc_id"), "left")
+      |$scrubTailSql""".stripMargin) { (spark, d) =>
+    scrubAssembly(scrubPosRelation(spark, d), coveredPositions(spark, d))
+  }
+
+  /** Scrub reassembly shared by [[ddCrossDocScrub]] (L = 1, every covered
+    * position) and [[ddSpanScrub]] (positions inside runs ≥
+    * [[SpanRunMinLen]] only): one per-row array filter of the persisted
+    * positional word lists against the collected covered-position set,
+    * LEFT-joined so untouched docs pass through verbatim. Stats in integer
+    * ppm — derived rationals of exact integers never go through
+    * round(double) (the ta_rarity lesson). */
+  private def scrubAssembly(pos: DataFrame, cov: DataFrame): DataFrame = {
+    val cl = cov.groupBy("doc_id").agg(collect_set(col("cp")).as("cps"))
+    pos.join(cl, Seq("doc_id"), "left")
       .select(col("doc_id"), col("ws"),
         coalesce(col("cps"), expr("array()").cast("array<int>")).as("cps"))
       .select(col("doc_id"),
@@ -1219,6 +1234,51 @@ object Dedup {
         expr("CAST(CASE WHEN n_words = 0 THEN 1000000 " +
           "ELSE (n_words - n_removed) * 1000000 div n_words END AS BIGINT)").as("kept_ppm"),
         col("scrubbed"))
+  }
+
+  /** Covered positions RESTRICTED to maximal runs ≥ [[SpanRunMinLen]] —
+    * the position set the thresholded scrub excises. Persisted: built from
+    * the shared covered-position store with one per-doc window pair
+    * (island key, then island length over (doc, island)) — both partitioned
+    * by doc_id, bounded by document length, never a global sort. */
+  def thresholdedPositions(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Persisted.of(spark, s"$d#scrub_cov_thr") {
+      val w = Window.partitionBy("doc_id").orderBy("cp")
+      val wg = Window.partitionBy("doc_id", "grp")
+      coveredPositions(spark, d)
+        .withColumn("grp", col("cp") - row_number().over(w))
+        .withColumn("run_len", count(lit(1)).over(wg))
+        .filter(col("run_len") >= SpanRunMinLen)
+        .select("doc_id", "cp")
+    }
+
+  /** THRESHOLDED cross-document span scrub — the Lee-et-al production
+    * operating point ([[ddCrossDocScrub]]'s over-scrub fixed; VERDICT r14
+    * #1): remove only the maximal duplicated runs of length ≥
+    * [[SpanRunMinLen]] (a re-upload's verbatim body goes whole), keep the
+    * short coincidental overlaps ([[ddCrossDocScrub]]'s L = 1 point
+    * excises natural 3-5-word collocations too — see the
+    * [[SpanRunMinLen]] doc). Composes the two halves that already
+    * certify separately: [[ddSpanRuns]]' gaps-and-islands run detection
+    * restricted to runs ≥ L ([[thresholdedPositions]]), then the same
+    * reassembly as the unthresholded scrub.
+    *
+    * Scale shape: everything up to the covered positions is the persisted
+    * store both siblings share; the threshold adds two per-doc windows
+    * (island key + island length — both doc_id-partitioned, bounded by
+    * document length); reassembly is unchanged (per-row array filter,
+    * LEFT join, untouched docs verbatim). Nothing is quadratic in corpus
+    * size, and the covered-position relation is computed once per session
+    * for detector, L = 1 scrub, and thresholded scrub alike. */
+  val ddSpanScrub: QueryDef = QueryDef("dd_span_scrub",
+    s"""WITH $shingleListCtes,
+      |$coveredIslandCtes,
+      |runs AS (SELECT doc_id, grp FROM isl GROUP BY doc_id, grp
+      |  HAVING COUNT(*) >= $SpanRunMinLen),
+      |thr AS (SELECT isl.doc_id, isl.cp FROM isl JOIN runs USING (doc_id, grp)),
+      |cl AS (SELECT doc_id, list(cp) AS cps FROM thr GROUP BY doc_id)
+      |$scrubTailSql""".stripMargin) { (spark, d) =>
+    scrubAssembly(scrubPosRelation(spark, d), thresholdedPositions(spark, d))
   }
 
   /** Asymmetric CONTAINMENT near-dup — C(A,B) = |A∩B| / min(|A|,|B|): the
@@ -1375,6 +1435,6 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     ddExact, ddJaccard, ddMinhash, ddLshBuckets, ddSimhash, ddSimhashNearDup,
     ddSimhashNearDup64, ddSimhashNearDup128, ddIncrementalPairs, ddDupClusters,
-    ddFuzzyKeep, ddCrossDoc, ddCrossDocScrub, ddSpanRuns, ddContainment,
-    ddBoilerplate, ddEstEval)
+    ddFuzzyKeep, ddCrossDoc, ddCrossDocScrub, ddSpanRuns, ddSpanScrub,
+    ddContainment, ddBoilerplate, ddEstEval)
 }

@@ -201,6 +201,36 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotRuns === expectedRuns)
     assert(gotRuns.nonEmpty, "no long duplicated runs — fixture degenerate")
+
+    // dd_span_scrub: the THRESHOLDED removal — excise exactly the
+    // positions inside brute-force runs >= SpanRunMinLen, keep the rest
+    val expectedThr = posIds.map { case (id, (ws, wp)) =>
+      val cov = wp.zipWithIndex.collect { case (wid, j) if dict(wid) =>
+        Seq(j + 1, j + 2, j + 3) }.flatten.distinct.sorted
+      val thr = scala.collection.mutable.Set.empty[Int]
+      var i = 0
+      while (i < cov.length) {
+        var j = i
+        while (j + 1 < cov.length && cov(j + 1) == cov(j) + 1) j += 1
+        if (j - i + 1 >= Dedup.SpanRunMinLen) (i to j).foreach(k => thr += cov(k))
+        i = j + 1
+      }
+      val kept = ws.zipWithIndex.collect { case (w, x) if !thr(x + 1) => w }
+      val nw = ws.length.toLong
+      val nwAligned = if (nw == 0) 1L else nw
+      (id, nwAligned, thr.size.toLong,
+        if (nwAligned == 0) 1000000L else (nwAligned - thr.size) * 1000000L / nwAligned,
+        kept.mkString(" "))
+    }.toSet
+    val gotThr = Dedup.ddSpanScrub.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    assert(gotThr === expectedThr)
+    // the operating point must differ from L = 1 somewhere: at least one
+    // doc has a short covered overlap that survives the threshold
+    val l1Removed = got.map(r => r._1 -> r._3).toMap
+    assert(expectedThr.exists { case (id, _, nrem, _, _) => nrem < l1Removed(id) },
+      "thresholded scrub removed the same positions as L = 1 everywhere — threshold not exercised")
+    assert(expectedThr.exists(_._3 > 0), "thresholded scrub removed nothing — fixture degenerate")
   }
 
   test("label propagation equals driver-side union-find on testdata pairs") {
