@@ -224,5 +224,64 @@ object GraphQueries {
         (col("dx") + col("dy") - col("inter_n")).cast("long").as("union_n"),
         expr("inter_n * 1000000 div (dx + dy - inter_n)").as("jac_ppm"))
 
-  val all: Seq[QueryDef] = Seq(grPagerank, grTriangles, grCommonNeighbors)
+  /** Per-vertex triangle count + local clustering coefficient — the
+    * per-document graph-quality signal an index audit joins against
+    * ([[grTriangles]] certifies the same wedge machinery on one global
+    * row; this emits the many-row per-vertex form, VERDICT r14 #6): for
+    * each vertex, the number of closed wedges centered on it (= triangles
+    * through it) and lcc = 2·tri / (deg·(deg−1)) in integer ppm. A
+    * low-lcc high-degree vertex is a hub whose neighbor lists are
+    * mutually inconsistent — the local symptom of over-quantization the
+    * global triangle count can only average away.
+    *
+    * Distributed shape: ONE wedge self-join of the SAME degree-annotated
+    * persisted adjacency [[grCommonNeighbors]] reads (work = Σ deg²,
+    * bounded by the knn degree cap), closed by one semi-join against the
+    * oriented edge store, then one partial-agg'd per-center count. Each
+    * triangle x<y<z contributes exactly one closed wedge per CENTER (the
+    * x<y orientation of the wings), so per-vertex counts need no /3
+    * correction. Zero-triangle vertices surface via a LEFT join onto the
+    * vocabulary-sized degree relation (deg ≥ 2 — lcc is undefined below). */
+  val grLocalClustering: QueryDef = {
+    val knnSql = Similarity.simKnnGraph.oracle.get
+    QueryDef("gr_local_clustering",
+      s"""WITH g AS (SELECT qid, nid FROM ($knnSql) kg),
+        |e AS (SELECT DISTINCT least(qid, nid) AS u, greatest(qid, nid) AS v FROM g),
+        |adj AS (SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY n),
+        |wed AS (SELECT a.n, a.nbr AS x, b.nbr AS y
+        |  FROM adj a JOIN adj b ON a.n = b.n AND a.nbr < b.nbr),
+        |tri AS (SELECT w.n, COUNT(*) AS tri_n FROM wed w
+        |  JOIN e ON e.u = w.x AND e.v = w.y GROUP BY w.n)
+        |SELECT deg.n AS vec_id, CAST(deg.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(tri.tri_n, 0) AS BIGINT) AS tri_n,
+        |  CAST(COALESCE(tri.tri_n, 0) * CAST(2000000 AS BIGINT)
+        |    // (deg.deg * (deg.deg - 1)) AS BIGINT) AS lcc_ppm
+        |FROM deg LEFT JOIN tri ON tri.n = deg.n
+        |WHERE deg.deg >= 2""".stripMargin) { (spark, d) =>
+      localClustering(adjKnn(spark, d), undirectedKnn(spark, d))
+    }
+  }
+
+  /** The per-vertex closed-wedge core over a symmetric adjacency
+    * (n, nbr, …) and its oriented edge list (u < v). Exposed for the
+    * randomized reference spec. */
+  def localClustering(adj: org.apache.spark.sql.DataFrame,
+                      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+    val wed = adj.select(col("n"), col("nbr").as("x"))
+      .join(adj.select(col("n"), col("nbr").as("y")), "n")
+      .filter(col("x") < col("y"))
+    val tri = wed.join(e, wed("x") === e("u") && wed("y") === e("v"), "left_semi")
+      .groupBy("n").agg(count(lit(1)).as("tri_n"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("n"), "left")
+      .select(col("n").as("vec_id"), col("deg").cast("long").as("deg"),
+        coalesce(col("tri_n"), lit(0L)).cast("long").as("tri_n"),
+        expr("coalesce(tri_n, 0L) * 2000000L div (deg * (deg - 1))")
+          .cast("long").as("lcc_ppm"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(grPagerank, grTriangles, grCommonNeighbors, grLocalClustering)
 }

@@ -452,6 +452,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(tcSmj.isEmpty, s"no shuffle join may appear:\n$tc")
   }
 
+  test("gr_local_clustering: one wedge self-join + closure semi-join + partial-agg, no cartesian") {
+    val p = outerPlan("gr_local_clustering")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    // wedge self-join (inner), triangle-closure (left_semi), and the
+    // vocabulary-sized deg LEFT join — nothing else, nothing cartesian
+    assert(joins.size == 3, s"expected wedge + closure + deg joins, got ${joins.size}:\n$p")
+    assert(joins.count(_.joinType.sql == "LEFT SEMI") == 1,
+      s"expected exactly one semi-join closure:\n$p")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"no cartesian/BNLJ may appear:\n$s")
+    // the per-center triangle count must keep its map-side partial stage
+    assert(s.contains("partial_count") || s.contains("Partial"),
+      s"expected a partial aggregate stage:\n$s")
+  }
+
   test("aj_asof_native: the custom exec plans one shuffle + one sort per side, no window") {
     val p = plan("aj_asof_native")
     assert(p.contains("AsofJoin"), s"expected the custom operator:\n$p")

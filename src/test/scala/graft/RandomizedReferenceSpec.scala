@@ -151,4 +151,32 @@ class RandomizedReferenceSpec extends SparkSpec {
     } yield (a, b) -> ((inter, union, inter * 1000000L / union))).toMap
     assert(got === want)
   }
+
+  test("localClustering equals the brute-force per-vertex triangle reference") {
+    val rnd = new Random(31)
+    val n = 50
+    val edges = (for {
+      _ <- 1 to 220
+      u = rnd.nextInt(n).toLong; v = rnd.nextInt(n).toLong if u != v
+    } yield (math.min(u, v), math.max(u, v))).distinct
+    val e = edges.toDF("u", "v")
+    val adj = e.select(col("u").as("n"), col("v").as("nbr"))
+      .union(e.select(col("v").as("n"), col("u").as("nbr")))
+    val got = GraphQueries.localClustering(adj, e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (a, es) => a -> es.map(_._2).toSet }
+    val eset = edges.toSet
+    val want = (for {
+      (v, nv) <- nbrs if nv.size >= 2
+      deg = nv.size.toLong
+      tri = (for {
+        x <- nv.toSeq; y <- nv.toSeq if x < y
+        if eset((x, y))
+      } yield 1).size.toLong
+    } yield v -> ((deg, tri, tri * 2000000L / (deg * (deg - 1))))).toMap
+    assert(got === want)
+    assert(want.values.exists(_._2 > 0), "no triangles in the random graph — fixture degenerate")
+    assert(want.values.exists(_._2 == 0), "every vertex closed — threshold not exercised")
+  }
 }
