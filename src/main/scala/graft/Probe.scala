@@ -62,6 +62,11 @@ object Probe {
       // per-batch wall time, delta bytes vs cumulative store bytes, and
       // the live store layout (compaction amortization made visible).
       "ivfpq_ingest_e2e" -> (() => ivfPqIngestE2E(spark, d)),
+      // kc-ROUTED batch IVF-PQ (VERDICT r14 #2): the √n-cell twin of the
+      // declared sim_ivf_pq; PROBE_KC forces a fixed kc for the A/B
+      // against the fixture constant.
+      "ivfpq_auto" -> (() => operators.Similarity.ivfPqAuto(spark, d,
+        kcOverride = sys.env.get("PROBE_KC").map(_.toInt))),
       // gr_common_neighbors drill-down: the persisted undirected edge
       // store alone, then the wedge join alone — attribution of the
       // 2.2 s bench time (cache-read vs wedge vs degree-join assembly)
@@ -388,9 +393,18 @@ object Probe {
       .collect()(0).toSeq.map(_.asInstanceOf[Long]): @unchecked
     val step = (maxId - minId) / nb + 1
     val t0 = System.nanoTime()
-    val (coarse, books) = Similarity.ivfPqTrain(
-      emb.filter(col("vec_id") < minId + step))
+    // kc comes from the ROUTED trainer by default (the √n operating point,
+    // VERDICT r14 #2); PROBE_KC forces a fixed cell count for A/Bs against
+    // the old hand-set fixture constant.
+    val trainSlice = emb.filter(col("vec_id") < minId + step)
+    val (kcUsed, coarse, books) = sys.env.get("PROBE_KC") match {
+      case Some(kc) =>
+        val (c, bk) = Similarity.ivfPqTrain(trainSlice, kc.toInt)
+        (kc.toInt, c, bk)
+      case None => Similarity.ivfPqTrainRouted(trainSlice)
+    }
     val trainSec = (System.nanoTime() - t0) / 1e9
+    System.err.println(s"[probe] ivfpq_ingest_e2e kc=$kcUsed (routed=${sys.env.get("PROBE_KC").isEmpty})")
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_e2e").toString + "/store"
     val in = MemoryStream[(Long, Seq[Float])]
     var emitted = 0L

@@ -1726,12 +1726,82 @@ object Similarity {
       }, k)
   }
 
+  // ---- kc auto-router (VERDICT r14 #2) ----
+
+  /** Routed IVF cell count — kc ~ √n on the power-of-2 grid, the remedy
+    * ARCHITECTURE's ingest decade points name for the fixture's hand-set
+    * kc = [[IvfPqCells]]: per-probe candidate volume is nprobe·n/kc, so a
+    * FIXED kc degrades probe cost linearly with corpus growth while
+    * kc = √n keeps both the probe side (n/kc = √n) and the assignment
+    * side (kc distance evaluations per row) sublinear — the standard IVF
+    * balance point. Floor = the fixture constant (a book can't have more
+    * cells than seed vectors, and the declared oracles pin kc = 8); cap =
+    * 4096 (beyond it the assignment projection's literal centroid table
+    * stops being a sensible single-stage expression — a 100 TB deployment
+    * shards the coarse book before it gets there). Same knee-router
+    * pattern as [[knnGraphTier]] / [[Dedup.simhashNearDupAuto]]:
+    * declared queries pin the fixture constant for oracle determinism,
+    * the auto entry points route, and a spec pins routed ≡ declared at
+    * the forced fixture kc. */
+  def ivfPqKcRouted(n: Long): Int = {
+    val exp = math.round(
+      math.log(math.sqrt(math.max(1L, n).toDouble)) / math.log(2.0)).toInt
+    // clamp the exponent BEFORE shifting: 1 << 31 wraps negative and a
+    // huge corpus would silently route to the floor instead of the cap
+    math.max(IvfPqCells, 1 << math.min(12, math.max(0, exp)))
+  }
+
+  private val pqPairMemo =
+    new graft.SessionMemo[(Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]])]
+
+  /** Frozen books trained at an explicit kc, memoized per (session, d, kc)
+    * — the training step of [[ivfPqAuto]] and the kc-routed ingest. */
+  def ivfPqBooksAt(spark: SparkSession, d: String,
+                   kc: Int): (Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]]) =
+    pqPairMemo.of(spark, s"$d#ivfpq_auto_books_k$kc") {
+      ivfPqTrain(Tables.embeddings(spark, d).select("vec_id", "embedding"), kc)
+    }
+
+  /** kc-ROUTED trained IVF-PQ batch retrieval — the production twin of the
+    * declared [[simIvfPq]] (which pins kc = [[IvfPqCells]] for oracle
+    * determinism): the coarse cell count comes from the corpus census via
+    * [[ivfPqKcRouted]], everything else — trained books, persisted
+    * cell-tagged code store, nprobe routing with the probed-cell IN-filter
+    * pushed onto the store, broadcast ADC tables, cand-50 exact-rerank
+    * funnel — is the same chain. `kcOverride` exists for the equality
+    * spec (forced fixture kc must reproduce the declared rows) and for
+    * probe A/Bs. */
+  def ivfPqAuto(spark: SparkSession, d: String, probeMax: Int = 50,
+                k: Int = 3, nprobe: Int = IvfPqNprobe,
+                kcOverride: Option[Int] = None): DataFrame = {
+    val kc = kcOverride.getOrElse(ivfPqKcRouted(vecCount(spark, d)))
+    val (coarse, books) = ivfPqBooksAt(spark, d, kc)
+    val codes = graft.Persisted.of(spark, s"$d#ivfpq_codes_auto_k$kc") {
+      ivfPqEncode(Tables.embeddings(spark, d).select("vec_id", "embedding"),
+        coarse, books)
+    }
+    val probes = codes.filter(col("vec_id") < probeMax)
+    ivfPqIncrementalCodes(codes, probes, coarse, books, k, nprobe)
+  }
+
   // ---- frozen-book IVF-PQ as STREAMING-ingest building blocks ----
 
   /** Train frozen IVF-PQ books offline from a static (vec_id, embedding)
     * corpus — the deployment step a rolling ingest ships with (retraining
     * is an offline event; the stream never moves the books). Returns
     * (coarse book, per-subspace PQ books). */
+  /** [[ivfPqTrain]] with the cell count ROUTED from the training corpus's
+    * own census ([[ivfPqKcRouted]]) — the entry a kc-routed deployment
+    * (and [[graft.streaming.RollingIngest.ivfPqIngest]] callers) trains
+    * with. Returns the routed kc alongside the books so the caller can
+    * record/report the operating point. */
+  def ivfPqTrainRouted(vecs: DataFrame, kcw: Int = 16, m: Int = 4)
+      : (Int, Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]]) = {
+    val kc = ivfPqKcRouted(vecs.count())
+    val (coarse, books) = ivfPqTrain(vecs, kc, kcw, m)
+    (kc, coarse, books)
+  }
+
   def ivfPqTrain(vecs: DataFrame, kc: Int = IvfPqCells, kcw: Int = 16,
                  m: Int = 4): (Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]]) = {
     val dh = Dim / m

@@ -184,6 +184,32 @@ class ScaleSpec extends SparkSpec {
     assert(survivors.nonEmpty)
   }
 
+  test("kc-routed IVF-PQ at the forced fixture kc equals the declared sim_ivf_pq") {
+    import graft.operators.Similarity
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // routing equality at a fixed kc (VERDICT r14 #2): the auto entry with
+    // kc forced to the fixture constant must reproduce the declared rows
+    val forced = edges(Similarity.ivfPqAuto(spark, sf0001,
+      kcOverride = Some(Similarity.IvfPqCells)))
+    assert(forced === edges(Similarity.simIvfPq.fn(spark, sf0001)))
+    assert(forced.nonEmpty, "forced-kc IVF-PQ returned no neighbors at gate SF")
+    // the routed point itself must still emit k neighbors per probe (cells
+    // differ, results may legitimately differ — recall is priced by the
+    // sim_pq_recall harness, not this equality spec)
+    val routed = Similarity.ivfPqAuto(spark, sf0001)
+    assert(routed.groupBy("qid").count().collect().forall(_.getLong(1) <= 3))
+    assert(routed.count() > 0)
+    // the router's law: √n on the power-of-2 grid, floored at the fixture
+    // constant, capped at 4096
+    assert(Similarity.ivfPqKcRouted(1) === Similarity.IvfPqCells)
+    assert(Similarity.ivfPqKcRouted(500) === 16)
+    assert(Similarity.ivfPqKcRouted(5000) === 64)
+    assert(Similarity.ivfPqKcRouted(50000) === 256)
+    assert(Similarity.ivfPqKcRouted(500000) === 512)
+    assert(Similarity.ivfPqKcRouted(Long.MaxValue) === 4096)
+  }
+
   test("auto-tier incremental image ingest flips 16 -> 32 bit bands at the occupancy knee") {
     import graft.operators.Multimodal
     assert(Multimodal.ImageBandKnee === 131072L)
