@@ -67,6 +67,48 @@ object Probe {
       // against the fixture constant.
       "ivfpq_auto" -> (() => operators.Similarity.ivfPqAuto(spark, d,
         kcOverride = sys.env.get("PROBE_KC").map(_.toInt))),
+      // FORCED-distributed connected components (VERDICT r14 #3): the only
+      // components path that exists at 100 TB, timed on the production
+      // 64-bit near-dup edge set vs the driver union-find shortcut every
+      // gate-SF edge set normally routes to. Prints edge count, both wall
+      // clocks, and rounds-to-converge. Run PROBE_ITERS=1.
+      "components_forced_dist" -> (() => {
+        val edges = operators.Dedup.simhashNearDupPairs(
+          operators.Dedup.simhash64BandsRelation(spark, d))
+          .select("doc_a", "doc_b").cache()
+        val n = edges.count()
+        val t0 = System.nanoTime()
+        val nDrv = operators.Dedup.labelPropagation(edges).count()
+        val tDrv = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nDist = operators.Dedup.labelPropagation(edges, driverMaxEdges = 0L).count()
+        val tDist = (System.nanoTime() - t1) / 1e9
+        edges.unpersist()
+        System.err.println(f"[probe] components_forced_dist edges=$n%d " +
+          f"driver_s=$tDrv%.2f driver_labels=$nDrv%d dist_s=$tDist%.2f " +
+          f"dist_labels=$nDist%d rounds=${operators.Dedup.lastDistributedRounds.get()}%d")
+        spark.range(1).toDF("id")
+      }),
+      // BPE merge-budget stress (VERDICT r14 #5): run the memoized training
+      // loop at PROBE_BPE_MERGES rounds (default 64) and print the
+      // per-round cost law — the driver-loop shape (one vocab-sized
+      // shuffle per round) is only proven linear-per-round by measuring
+      // past the declared 5-merge budget. Run PROBE_ITERS=1 (the memo
+      // returns instantly on re-run, with no round timings).
+      "bpe_merge_stress" -> (() => {
+        val n = sys.env.getOrElse("PROBE_BPE_MERGES", "64").toInt
+        val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+        operators.TextAnalysis.bpeMerges(spark, d, n,
+          (k, s) => rounds += ((k, s)))
+        if (rounds.nonEmpty) {
+          val buckets = rounds.grouped(8).map(g =>
+            f"${g.head._1}%d-${g.last._1}%d:${g.map(_._2).sum / g.size}%.3f").mkString(" ")
+          System.err.println(f"[probe] bpe_merge_stress n=$n%d " +
+            f"total_s=${rounds.map(_._2).sum}%.2f per_round_avg_s=[$buckets]")
+        } else System.err.println(
+          "[probe] bpe_merge_stress: memoized run returned no round timings")
+        spark.range(1).toDF("id")
+      }),
       // gr_common_neighbors drill-down: the persisted undirected edge
       // store alone, then the wedge join alone — attribution of the
       // 2.2 s bench time (cache-read vs wedge vs degree-join assembly)

@@ -912,6 +912,11 @@ object Dedup {
     } else labelPropagationDistributed(cached)
   }
 
+  /** Rounds the most recent [[labelPropagationDistributed]] call took to
+    * converge (including the final no-change round) — a diagnostic the
+    * decade-point probe reads; the O(diameter) claim as a number. */
+  val lastDistributedRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Distributed path: each vertex repeatedly takes the minimum label among
     * itself and its neighbors until a fixpoint — O(component diameter)
     * shuffle rounds; lineage truncated by caching each round's labels. */
@@ -929,7 +934,9 @@ object Dedup {
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val neighborMin = sym
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("cluster_id", "n_label"), "dst")
@@ -944,6 +951,7 @@ object Dedup {
       labels.unpersist()
       labels = next
     }
+    lastDistributedRounds.set(rounds)
     sym.unpersist()
     labels
   }

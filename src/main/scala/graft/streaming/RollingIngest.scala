@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, Row}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, col, lit, max, row_number, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, max, min, row_number, xxhash64}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
@@ -181,6 +181,71 @@ object RollingIngest {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Refuse every shape where this batch did not produce the store's
+    * history: elements NEWER than the batch (restart mid-history), or
+    * a populated store with nothing OLDER than the batch (fresh
+    * stream, ids from 0, against an existing store — including the
+    * d0-only store a one-batch run leaves behind). The one legitimate
+    * case this rejects is a crash between writing the very FIRST
+    * delta and its checkpoint commit; the message names the recovery
+    * (delete that delta — the replayed batch rebuilds it
+    * deterministically), which is strictly safer than the silent
+    * empty-store probe + overwrite a fresh-stream mixup would get. */
+  private def guardHistory(spark: SparkSession, storeDir: String, id: Long): Unit = {
+    val els = (dirs(spark, storeDir, "base") ++ dirs(spark, storeDir, "d"))
+      .map(_._1).sorted
+    require(els.isEmpty || (els.head < id && !els.exists(_ > id)),
+      s"$storeDir holds versions [${els.mkString(",")}] not " +
+        s"strictly older than batch $id — this stream did not build " +
+        "that store (fresh checkpoint against a populated storeDir?). " +
+        "Point the query at its original checkpoint, use an empty " +
+        s"storeDir, or — after a crash before the first commit — " +
+        s"delete $storeDir/d$id and restart")
+  }
+
+  /** Write batch `bands` as delta `d<id>` under `storeDir`, then run the
+    * housekeeping + compaction contract (see the object doc): sweep stale
+    * leftovers, fold deltas strictly older than this batch into a new base
+    * once `compactEvery` have accumulated. Every step is idempotent and
+    * replay-safe — a replayed batch (which reads only elements < id)
+    * rebuilds the identical delta and sees the identical effective store. */
+  private def commitDelta(spark: SparkSession, storeDir: String,
+                          bands: DataFrame, schema: StructType, idCol: String,
+                          partitionCols: Seq[String], compactEvery: Int,
+                          id: Long): Unit = {
+    def emptyBands: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    // the delta write is the ONLY per-batch store write: bytes ∝ batch
+    val w = bands.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$storeDir/d$id")
+    // housekeeping — every step idempotent and replay-safe:
+    // (1) sweep stale leftovers of a mid-compaction crash (the read
+    //     path already ignores them)
+    val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
+    dirs(spark, storeDir, "base").dropRight(1)
+      .foreach { case (_, p) => delete(spark, p) }
+    dirs(spark, storeDir, "d").filter(_._1 <= baseVer)
+      .foreach { case (_, p) => delete(spark, p) }
+    // (2) compact deltas STRICTLY OLDER than this batch once K have
+    //     accumulated: fold them + the base into base<newest folded
+    //     delta>, amortizing the corpus-sized write to corpus/K per
+    //     batch. This batch's own delta is never folded, so a replay
+    //     (which reads only elements < id) sees the same store.
+    val pending = dirs(spark, storeDir, "d")
+      .filter { case (v, _) => v > baseVer && v < id }
+    if (pending.size >= compactEvery) {
+      val compactTo = pending.map(_._1).max
+      val compacted = storeView(spark, storeDir, schema, idCol, upTo = id, None)
+        .getOrElse(emptyBands)
+      val cw = compacted.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) cw.partitionBy(partitionCols: _*) else cw)
+        .parquet(s"$storeDir/base$compactTo")
+      pending.foreach { case (_, p) => delete(spark, p) }
+      if (baseVer >= 0) delete(spark, s"$storeDir/base$baseVer")
+    }
+  }
+
   /** The shared micro-batch loop; `bandsOf` sketches a deduplicated
     * batch, `probe(store, batchBands)` computes the batch's result rows. */
   private def ingest(src: DataFrame, storeDir: String, idCol: String,
@@ -193,25 +258,7 @@ object RollingIngest {
     configure(src.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
       if (!b.isEmpty) {
         val spark = b.sparkSession
-        val els = (dirs(spark, storeDir, "base") ++ dirs(spark, storeDir, "d"))
-          .map(_._1).sorted
-        // Refuse every shape where this batch did not produce the store's
-        // history: elements NEWER than the batch (restart mid-history), or
-        // a populated store with nothing OLDER than the batch (fresh
-        // stream, ids from 0, against an existing store — including the
-        // d0-only store a one-batch run leaves behind). The one legitimate
-        // case this rejects is a crash between writing the very FIRST
-        // delta and its checkpoint commit; the message names the recovery
-        // (delete that delta — the replayed batch rebuilds it
-        // deterministically), which is strictly safer than the silent
-        // empty-store probe + overwrite a fresh-stream mixup would get.
-        require(els.isEmpty || (els.head < id && !els.exists(_ > id)),
-          s"$storeDir holds versions [${els.mkString(",")}] not " +
-            s"strictly older than batch $id — this stream did not build " +
-            "that store (fresh checkpoint against a populated storeDir?). " +
-            "Point the query at its original checkpoint, use an empty " +
-            s"storeDir, or — after a crash before the first commit — " +
-            s"delete $storeDir/d$id and restart")
+        guardHistory(spark, storeDir, id)
         val schema = bandsOf(b.limit(0)).schema
         val bands = bandsOf(dedupDeterministic(b, idCol)).persist()
         try {
@@ -230,35 +277,8 @@ object RollingIngest {
           val store = storeView(spark, storeDir, schema, idCol, upTo = id, routeFilter)
             .getOrElse(bandsOf(b.limit(0)))
           sink(probe(store, bands), id)
-          // the delta write is the ONLY per-batch store write: bytes ∝ batch
-          val w = bands.write.mode("overwrite")
-          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-            .parquet(s"$storeDir/d$id")
-          // housekeeping — every step idempotent and replay-safe:
-          // (1) sweep stale leftovers of a mid-compaction crash (the read
-          //     path already ignores them)
-          val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
-          dirs(spark, storeDir, "base").dropRight(1)
-            .foreach { case (_, p) => delete(spark, p) }
-          dirs(spark, storeDir, "d").filter(_._1 <= baseVer)
-            .foreach { case (_, p) => delete(spark, p) }
-          // (2) compact deltas STRICTLY OLDER than this batch once K have
-          //     accumulated: fold them + the base into base<newest folded
-          //     delta>, amortizing the corpus-sized write to corpus/K per
-          //     batch. This batch's own delta is never folded, so a replay
-          //     (which reads only elements < id) sees the same store.
-          val pending = dirs(spark, storeDir, "d")
-            .filter { case (v, _) => v > baseVer && v < id }
-          if (pending.size >= compactEvery) {
-            val compactTo = pending.map(_._1).max
-            val compacted = storeView(spark, storeDir, schema, idCol, upTo = id, None)
-              .getOrElse(bandsOf(b.limit(0)))
-            val cw = compacted.write.mode("overwrite")
-            (if (partitionCols.nonEmpty) cw.partitionBy(partitionCols: _*) else cw)
-              .parquet(s"$storeDir/base$compactTo")
-            pending.foreach { case (_, p) => delete(spark, p) }
-            if (baseVer >= 0) delete(spark, s"$storeDir/base$baseVer")
-          }
+          commitDelta(spark, storeDir, bands, schema, idCol,
+            partitionCols, compactEvery, id)
         } finally bands.unpersist()
       }
     }).start()
@@ -318,4 +338,127 @@ object RollingIngest {
     ingest(docs, storeDir, "doc_id", Dedup.simhash64Bands,
       (store, bands) => Dedup.simhashNearDupIncrementalBands(store, bands, maxHamming),
       Nil, compactEvery, configure)(sink)
+
+  /** COMPOSED rolling dedup-then-index — the streaming twin of the batch
+    * composition ([[graft.operators.Similarity.simDedupIndex]] /
+    * `dedupThenIndexAuto`), and the shape a continuously crawled 100 TB
+    * corpus actually runs: the dedup store's keeper decision GATES what
+    * the ANN store ingests, so retrieval structures only ever index the
+    * canonical (near-dup-free) corpus. Input is a streaming relation of
+    * (doc_id, text, embedding[, routeCols…]). Each micro-batch:
+    *
+    *   1. sketches 64-bit simhash bands ONCE (probe + dedup-store append);
+    *   2. probes the KEEPER dedup store for near-dup pairs at Hamming <=
+    *      `maxHamming` ([[Dedup.simhashNearDupIncrementalBands]] — work ∝
+    *      batch, store never reshuffles);
+    *   3. decides keepers: connected components over the batch-touching
+    *      pairs (edge set ∝ batch — every pair has a batch end — so
+    *      [[Dedup.labelPropagation]]'s driver gate always takes the
+    *      union-find shortcut here), FIRST-SEEN WINS: any component
+    *      holding a store doc drops all its batch members (the store is
+    *      published history — an arriving near-dup never unpublishes it),
+    *      batch-only components keep their min doc_id. `dedupSink`
+    *      receives the decisions as (doc_id, keeper_id, kept);
+    *   4. encodes the KEEPERS' embeddings into hyperplane bands, probes
+    *      the ANN store ([[Similarity.lshAnnIncrementalBands]]) and hands
+    *      `sink` the batch's (qid, nid, cosine) neighbor rows;
+    *   5. appends the keepers' simhash bands and vector bands as deltas
+    *      to the two stores (same delta/compaction/replay contract as
+    *      [[annIngest]] — both stores hold exactly the canonical corpus,
+    *      under the same ids).
+    *
+    * Keeper-only stores mean BOTH stores stay ∝ unique content — the
+    * scale property the composition exists for. Two documented semantic
+    * consequences: (a) a future doc near-dupping only a DROPPED duplicate
+    * (Hamming <= 3 to it but > 3 to its keeper) is not re-detected —
+    * the standard recall trade of representative-based dedup (SemDeDup
+    * keeps one representative per cluster for the same reason); (b) a
+    * re-ingested id whose new payload dedups away keeps its PREVIOUS
+    * canonical rows in both stores — the update is rejected, not merged.
+    *
+    * Replay idempotence: the keeper decision is a deterministic function
+    * of (effective store before the batch, deduplicated batch), and both
+    * deltas are derived from it — a checkpoint replay rebuilds
+    * byte-identical deltas, same as the single-store loops. */
+  def dedupIndexIngest(docs: DataFrame, dedupStoreDir: String,
+                       annStoreDir: String, maxHamming: Int = 3, k: Int = 3,
+                       routeCols: Seq[String] = Nil, compactEvery: Int = 8,
+                       configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity,
+                       dedupSink: (DataFrame, Long) => Unit = (_, _) => ())
+                      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    configure(docs.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      if (!b.isEmpty) {
+        val spark = b.sparkSession
+        guardHistory(spark, dedupStoreDir, id)
+        guardHistory(spark, annStoreDir, id)
+        def docCols(df: DataFrame) = df.select("doc_id", "text")
+        def vecCols(df: DataFrame) = df.select(
+          (col("doc_id").as("vec_id") +: routeCols.map(col)) :+ col("embedding"): _*)
+        val dedupSchema = Dedup.simhash64Bands(docCols(b.limit(0))).schema
+        val annSchema = Similarity.hyperBands(vecCols(b.limit(0))).schema
+        val batch = dedupDeterministic(b, "doc_id").persist()
+        val docBands = Dedup.simhash64Bands(docCols(batch)).persist()
+        try {
+          val dedupStore = storeView(spark, dedupStoreDir, dedupSchema, "doc_id",
+            upTo = id).getOrElse(Dedup.simhash64Bands(docCols(b.limit(0))))
+          val pairs = Dedup.simhashNearDupIncrementalBands(
+            dedupStore, docBands, maxHamming)
+          // Components over the batch-touching pairs; labels is at most
+          // edge-set-sized (∝ batch), so every derived relation below
+          // broadcasts. Store members need NO store scan: every pair
+          // endpoint is either a batch doc or a LIVE store doc (the probe
+          // already anti-joined superseded store rows), so the labeled
+          // vertices that are not batch ids ARE the store members — the
+          // keeper decision never touches the corpus-sized store again.
+          val labels = Dedup.labelPropagation(pairs.select("doc_a", "doc_b"))
+          val batchIds = batch.select("doc_id")
+          val storeMin = labels.join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+            .groupBy("cluster_id").agg(min("doc_id").as("store_keeper"))
+          val batchMin = labels.join(broadcast(batchIds), "doc_id")
+            .groupBy("cluster_id").agg(min("doc_id").as("batch_keeper"))
+          // first-seen wins: a store member's min id is the keeper when
+          // present; otherwise the component's min batch id
+          val decisions = batchIds
+            .join(broadcast(labels), Seq("doc_id"), "left")
+            .join(broadcast(storeMin), Seq("cluster_id"), "left")
+            .join(broadcast(batchMin), Seq("cluster_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("store_keeper"), col("batch_keeper"),
+                col("doc_id")).as("keeper_id"))
+            .select(col("doc_id"), col("keeper_id"),
+              (col("keeper_id") === col("doc_id")).as("kept"))
+            .persist()
+          val keptIds = decisions.filter(col("kept")).select("doc_id")
+          val keeperBands = docBands.join(broadcast(keptIds), Seq("doc_id"))
+          val vecBands = Similarity.hyperBands(
+            vecCols(batch.join(broadcast(keptIds), Seq("doc_id")))).persist()
+          try {
+            dedupSink(decisions, id)
+            val routeFilter = if (routeCols.isEmpty) None else {
+              val vals = vecBands.select(routeCols.map(col): _*).distinct().collect()
+              Some(routeCols.zipWithIndex.map { case (c, i) =>
+                col(c).isin(vals.map(_.get(i)).distinct.toSeq: _*)
+              }.reduce(_ && _))
+            }
+            val annStore = storeView(spark, annStoreDir, annSchema, "vec_id",
+              upTo = id, routeFilter)
+              .getOrElse(Similarity.hyperBands(vecCols(b.limit(0))))
+            sink(Similarity.lshAnnIncrementalBands(annStore, vecBands, k,
+              routeCols), id)
+            // A batch may dedup away ENTIRELY; an empty partitioned write
+            // leaves a schema-less directory readBands cannot open, so a
+            // keeper-less batch writes no deltas at all — storeView and
+            // guardHistory tolerate version gaps by construction.
+            if (!keptIds.isEmpty) {
+              commitDelta(spark, dedupStoreDir, keeperBands, dedupSchema,
+                "doc_id", Nil, compactEvery, id)
+              commitDelta(spark, annStoreDir, vecBands, annSchema,
+                "vec_id", routeCols, compactEvery, id)
+            }
+          } finally { vecBands.unpersist(); decisions.unpersist() }
+        } finally { docBands.unpersist(); batch.unpersist() }
+      }
+    }).start()
+  }
 }

@@ -273,6 +273,146 @@ class RollingIngestSpec extends SparkSpec {
     assert(r1.count(_.getLong(0) == 7L) == 2, "id 7 keeps exactly one vector (2 bands)")
   }
 
+  // ---- composed dedup-then-index ingest (VERDICT r14 #4) ----
+
+  /** Drive (doc_id, text, embedding) batches through dedupIndexIngest over
+    * fresh store dirs; returns (dedupDir, annDir, neighbor rows as
+    * (batchRank, qid, nid), decisions as (batchRank, doc_id, keeper_id,
+    * kept)). */
+  private def runDedupIndex(batches: Seq[Seq[(Long, String, Seq[Float])]],
+                            compactEvery: Int = 8)
+      : (String, String, Seq[(Int, Long, Long)], Seq[(Int, Long, Long, Boolean)]) = {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_ddi").toString
+    val (dd, ann) = (root + "/dedup", root + "/ann")
+    val nbrs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val decs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = RollingIngest.dedupIndexIngest(
+      in.toDF().toDF("doc_id", "text", "embedding"), dd, ann,
+      compactEvery = compactEvery,
+      dedupSink = (d, id) => decs ++= d.collect().map(r =>
+        (id, r.getLong(0), r.getLong(1), r.getBoolean(2)))) { (n, id) =>
+      seen += id
+      nbrs ++= n.collect().map(r => (id, r.getLong(0), r.getLong(1)))
+    }
+    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val rank = seen.distinct.sorted.zipWithIndex.toMap
+    (dd, ann,
+      nbrs.toSeq.map { case (id, a, b) => (rank(id), a, b) },
+      decs.toSeq.map { case (id, d, kp, k) => (rank(id), d, kp, k) })
+  }
+
+  test("dedupIndexIngest: keeper decision gates the ANN store (first-seen wins)") {
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "completely different words about streaming ingestion and stores"
+    val tC = "third unrelated document mentioning graphs vectors and bands"
+    val b0 = Seq((10L, tA, vec(1)), (11L, tB, vec(2)))
+    // 20 duplicates stored doc 10's text exactly -> dropped, keeper 10;
+    // 21 and 22 duplicate EACH OTHER (batch-only component, min wins);
+    // 23 is fresh -> kept
+    // 23's embedding REUSES doc 11's vector: identical sign sketch, so a
+    // band collision (hence a neighbor row) is guaranteed for the keeper
+    val b1 = Seq((20L, tA, vec(3)), (21L, tC, vec(4)), (22L, tC, vec(5)),
+      (23L, "totally novel prose regarding quantum flux capacitors", vec(2)))
+    val (dd, ann, nbrs, decs) = runDedupIndex(Seq(b0, b1))
+    val d1 = decs.filter(_._1 == 1).map(t => (t._2, t._3, t._4)).toSet
+    assert(d1 == Set((20L, 10L, false), (21L, 21L, true), (22L, 21L, false),
+      (23L, 23L, true)), s"batch-1 decisions were $d1")
+    // both stores hold exactly the keepers, under the same ids
+    val ddSchema = graft.operators.Dedup.simhash64Bands(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).schema
+    val keepers = Set(10L, 11L, 21L, 23L)
+    val ddIds = RollingIngest.storeView(spark, dd, ddSchema, "doc_id").get
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val annIds = RollingIngest.storeView(spark, ann, annSchema, "vec_id").get
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(ddIds == keepers, s"dedup store held $ddIds")
+    assert(annIds == keepers, s"ann store held $annIds")
+    // dropped docs never probed the ANN store: no neighbor row has a
+    // dropped doc on the query side
+    assert(nbrs.forall { case (_, qid, _) => keepers.contains(qid) },
+      s"dropped docs leaked into the ANN probe: $nbrs")
+    // and keepers DID get neighbor rows in their own batch
+    assert(nbrs.exists { case (b, qid, _) => b == 1 && qid == 23L })
+  }
+
+  test("dedupIndexIngest: sink rows equal the batch-composition replay") {
+    // random-ish unrelated texts (no near-dups except the planted ones) so
+    // the replay below predicts exactly which docs survive each batch
+    def text(i: Long) = s"document $i speaks of topic${i % 7} and idea${i % 5} " +
+      s"plus unique token u$i and filler f${i * 31 % 13}"
+    val b0 = (0L until 10L).map(i => (i, text(i), vec(i.toInt)))
+    val b1 = (10L until 18L).map(i => (i, text(i), vec(i.toInt))) :+
+      (18L, text(3), vec(18)) // dup of stored doc 3 -> dropped
+    val b2 = (19L until 25L).map(i => (i, text(i), vec(i.toInt)))
+    val steps = Seq(b0, b1, b2)
+    val (_, ann, nbrs, decs) = runDedupIndex(steps)
+    // replay: keepers accumulate; each step's expected neighbors come from
+    // the SAME probe primitive over the accumulated keeper bands
+    var keeperCorpus = Seq.empty[(Long, Seq[Float])]
+    val expected = scala.collection.mutable.Set.empty[(Int, Long, Long)]
+    steps.zipWithIndex.foreach { case (b, i) =>
+      val dropped = decs.filter(d => d._1 == i && !d._4).map(_._2).toSet
+      val kept = b.filterNot(t => dropped.contains(t._1)).map(t => (t._1, t._3))
+      expected ++= Similarity.lshAnnIncrementalBands(
+        Similarity.hyperBands(keeperCorpus.toDF("vec_id", "embedding")),
+        Similarity.hyperBands(kept.toDF("vec_id", "embedding")))
+        .collect().map(r => (i, r.getLong(0), r.getLong(1)))
+      keeperCorpus ++= kept
+    }
+    assert(nbrs.toSet == expected,
+      s"streaming neighbors diverged from the batch replay")
+    // the planted dup was dropped, everything else kept
+    assert(decs.filter(!_._4).map(_._2) == Seq(18L))
+    // final ANN store equals the bands of the accumulated keeper corpus
+    val eff = RollingIngest.storeView(spark, ann, annSchema, "vec_id").get
+    val want = Similarity.hyperBands(keeperCorpus.toDF("vec_id", "embedding"))
+    assert(eff.collect().toSet == want.collect().toSet)
+  }
+
+  test("dedupIndexIngest: delta bytes ∝ batch across >= 2 compactions on both stores") {
+    def text(i: Long) = s"doc $i of topic${i % 11} with unique token q$i " +
+      s"and marker m${i * 17 % 19} plus padding words here"
+    // 7 equal 40-doc batches at compactEvery=2: both stores must fold a
+    // base at least twice, keep a bounded directory layout after every
+    // batch, and write equal-sized deltas for equal batches
+    val batches = (0 until 7).map(b =>
+      (b * 40L until (b + 1) * 40L).map(i => (i, text(i), vec(i.toInt))))
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_ddi_c").toString
+    val (dd, ann) = (root + "/dedup", root + "/ann")
+    val layouts = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[String])]
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = RollingIngest.dedupIndexIngest(
+      in.toDF().toDF("doc_id", "text", "embedding"), dd, ann,
+      compactEvery = 2) { (n, _) => n.collect(): Unit }
+    try batches.foreach { b =>
+      in.addData(b); q.processAllAvailable()
+      layouts += ((new java.io.File(dd).listFiles().map(_.getName).sorted.toSeq,
+        new java.io.File(ann).listFiles().map(_.getName).sorted.toSeq))
+    } finally q.stop()
+    layouts.foreach { case (l1, l2) =>
+      assert(l1.size <= 4 && l2.size <= 4,
+        s"store layout outgrew the compaction bound: $l1 / $l2")
+    }
+    Seq(dd, ann).foreach { dir =>
+      val bases = layouts.flatMap(l =>
+        (if (dir == dd) l._1 else l._2).filter(_.startsWith("base"))).distinct
+      assert(bases.size >= 2, s"$dir: expected >= 2 base folds, saw $bases")
+    }
+    // equal batches -> comparable delta sizes on the ANN store (no
+    // corpus-sized rewrite hiding in the per-batch path)
+    val dDirs = layouts.last._2.filter(_.startsWith("d"))
+    val sizes = dDirs.map(n => storeFiles(ann, n).map(_.length).sum.toDouble)
+    assert(sizes.nonEmpty && sizes.max / sizes.min < 1.5,
+      s"equal batches must write equal-sized deltas, got ${sizes.mkString(",")}")
+  }
+
   test("routed probe prunes the store scan to the batch's cells") {
     // store over cells {0,1,2}; a probe restricted to cell 0 must touch
     // only cell=0 partition directories (VERDICT r8 #7: the 100 TB
