@@ -62,6 +62,12 @@ object Probe {
       // per-batch wall time, delta bytes vs cumulative store bytes, and
       // the live store layout (compaction amortization made visible).
       "ivfpq_ingest_e2e" -> (() => ivfPqIngestE2E(spark, d)),
+      // END-TO-END composed dedup-then-index ingest (VERDICT r14 #4):
+      // drives RollingIngest.dedupIndexIngest over the (doc ⋈ embedding)
+      // corpus in PROBE_INGEST_BATCHES micro-batches, printing per-batch
+      // wall time, keeper counts, and both stores' delta bytes — the
+      // write ∝ batch contract for the two-store composition.
+      "dedup_index_ingest_e2e" -> (() => dedupIndexIngestE2E(spark, d)),
       // kc-ROUTED batch IVF-PQ (VERDICT r14 #2): the √n-cell twin of the
       // declared sim_ivf_pq; PROBE_KC forces a fixed kc for the A/B
       // against the fixture constant.
@@ -479,6 +485,62 @@ object Probe {
       }
     } finally q.stop()
     System.err.println(f"[probe] ivfpq_ingest_e2e train=$trainSec%.2fs emitted=$emitted%d")
+    spark.range(1).toDF("id")
+  }
+
+  /** Wall-clock harness for [[streaming.RollingIngest.dedupIndexIngest]]:
+    * (documents ⋈ embeddings on id) → PROBE_INGEST_BATCHES MemoryStream
+    * micro-batches through the composed keeper-gated pipeline. Per batch:
+    * latency, kept/total docs, emitted neighbor rows, and each store's
+    * newest delta bytes (write ∝ batch on BOTH stores). Same id-interval
+    * batching discipline as [[ivfPqIngestE2E]] — the driver never holds
+    * more than one batch. */
+  private def dedupIndexIngestE2E(spark: SparkSession, d: String): DataFrame = {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val nb = sys.env.getOrElse("PROBE_INGEST_BATCHES", "8").toInt
+    val compactEvery = sys.env.getOrElse("PROBE_INGEST_COMPACT", "4").toInt
+    val src = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(spark, d)
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    val Seq(minId, maxId) = src.agg(min("doc_id"), max("doc_id"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]): @unchecked
+    val step = (maxId - minId) / nb + 1
+    val root = java.nio.file.Files.createTempDirectory("graft_ddi_e2e").toString
+    val (dd, ann) = (root + "/dedup", root + "/ann")
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    var emitted = 0L
+    var dropped = 0L
+    val q = streaming.RollingIngest.dedupIndexIngest(
+      in.toDF().toDF("doc_id", "text", "embedding"), dd, ann,
+      compactEvery = compactEvery,
+      dedupSink = (dec, _) =>
+        dropped += dec.filter(!col("kept")).count()) { (nbrs, _) =>
+      emitted += nbrs.count()
+    }
+    def duBytes(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(duBytes).sum else f.length()
+    def newestDelta(dir: String): Long =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("d\\d+"))
+        .sortBy(_.getName.drop(1).toLong).lastOption.map(duBytes).getOrElse(0L)
+    try (0 until nb).foreach { i =>
+      val lo = minId + i * step
+      val b = src.filter(col("doc_id") >= lo && col("doc_id") < lo + step)
+        .as[(Long, String, Seq[Float])].collect() // driver memory ∝ batch
+      if (b.nonEmpty) {
+        val tb = System.nanoTime()
+        in.addData(b.toSeq); q.processAllAvailable()
+        val dt = (System.nanoTime() - tb) / 1e9
+        System.err.println(f"[probe] dedup_index_ingest_e2e batch=$i%d " +
+          f"n=${b.length}%d dt=$dt%.2fs dd_delta=${newestDelta(dd)}%d " +
+          f"ann_delta=${newestDelta(ann)}%d " +
+          s"dd_dirs=${new java.io.File(dd).listFiles().map(_.getName).sorted.mkString(",")} " +
+          s"ann_dirs=${new java.io.File(ann).listFiles().map(_.getName).sorted.mkString(",")}")
+      }
+    } finally q.stop()
+    System.err.println(s"[probe] dedup_index_ingest_e2e dropped=$dropped emitted=$emitted")
     spark.range(1).toDF("id")
   }
 

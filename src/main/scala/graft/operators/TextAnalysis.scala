@@ -1035,14 +1035,25 @@ object TextAnalysis {
   /** `onRound(k, sec)` fires after each training round's argmax action —
     * the per-round cost-law hook the merge-budget stress probe reads
     * (VERDICT r14 #5); the default is a no-op and the declared queries
-    * never pass it. Rounds past ~60 also localCheckpoint the vocab: each
-    * round's plan otherwise NESTS the previous round's (persisted data is
-    * reused, but analysis/optimization walks the whole chain), and the
-    * O(k) plan walk is the one per-round cost that grows with the merge
-    * budget rather than the corpus. Checkpointing every round would pay
-    * an eager materialization where the persist already suffices, so the
-    * truncation runs at the cadence where the plan-size term starts to
-    * show (measured: flat per-round cost through 64 merges without it). */
+    * never pass it.
+    *
+    * Loop shape — CONSTANT plan depth, the merge-budget lesson: the first
+    * implementation persisted each round's merged vocab and built round
+    * k's relation ON round k−1's DataFrame. Data-wise that was fine (each
+    * round reads the previous round's cache), but each persisted plan
+    * NESTS the previous round's executed AQE plan, and Spark stringifies
+    * the full physical-plan description per action for its SQL-execution
+    * events — a cost that is superlinear in nesting depth. At a 64-merge
+    * budget the driver spent 20+ minutes single-threaded inside
+    * generateTreeString with a ~25 GB heap of plan strings before any
+    * round past ~30 completed. So the vocabulary is now what
+    * [[taBpeEncode]] always did: ONE projection over the once-persisted
+    * base vocab whose merge chain is a k-deep nested-replace EXPRESSION
+    * (sequential semantics preserved — replace k applies to the output of
+    * replace k−1). Plan depth never grows; the chain re-evaluates per
+    * round (O(k) string work per vocab row, O(n²·vocab) cumulative),
+    * which is linear-per-round in practice and measured flat
+    * (ARCHITECTURE round-15 merge-budget table). */
   def bpeMerges(spark: org.apache.spark.sql.SparkSession, d: String,
                 n: Int = bpeTrainRounds,
                 onRound: (Int, Double) => Unit = (_, _) => ()): Seq[(Int, String, Long)] =
@@ -1051,30 +1062,22 @@ object TextAnalysis {
         Tables.documents(spark, d)
           .select(col("doc_id"), inline(graft.plans.wordCounts(col("text"))))
       }
-      var vocab = tf.groupBy("w").agg(sum("tf").as("wn"))
-      var prevRound: DataFrame = null
+      val base = graft.Persisted.of(spark, s"$d#bpe_vocab0") {
+        tf.groupBy("w").agg(sum("tf").as("wn"))
+      }
+      // call_function keeps the merge pair a bound literal — markers are
+      // control chars, so splicing them into SQL text would be fragile
+      var wExpr = col("w")
       val merges = Seq.newBuilder[(Int, String, Long)]
       for (k <- 1 to n) {
         val t0 = System.nanoTime()
-        val cur0 = vocab.persist()
-        // plan-lineage truncation for LONG trainings (see scaladoc): the
-        // declared 5-merge queries never reach this, so their plans —
-        // and oracles — are untouched
-        val cur = if (k % 32 == 0) cur0.localCheckpoint() else cur0
-        val top = bpePairCounts(cur, "w")
+        val top = bpePairCounts(base.select(wExpr.as("w"), col("wn")), "w")
           .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
         merges += ((k, top.getString(0), top.getLong(1)))
-        if (prevRound != null) prevRound.unpersist()
-        prevRound = cur0
-        // call_function keeps the merge pair a bound literal — markers are
-        // control chars, so splicing them into SQL text would be fragile
-        vocab = cur.select(
-          call_function("replace", col("w"), lit(top.getString(0)),
-            lit(k.toChar.toString)).as("w"),
-          col("wn"))
+        wExpr = call_function("replace", wExpr, lit(top.getString(0)),
+          lit(k.toChar.toString))
         onRound(k, (System.nanoTime() - t0) / 1e9)
       }
-      if (prevRound != null) prevRound.unpersist()
       merges.result()
     }
 
