@@ -512,9 +512,13 @@ object Probe {
     val in = MemoryStream[(Long, String, Seq[Float])]
     var emitted = 0L
     var dropped = 0L
+    // PROBE_INGEST_WIDE=1 bootstraps the store on the wide band tier —
+    // the deployment choice for a post-knee census (the sf10 decade A/B)
+    val wide = sys.env.get("PROBE_INGEST_WIDE").contains("1")
+    System.err.println(s"[probe] dedup_index_ingest_e2e wide_bands=$wide")
     val q = streaming.RollingIngest.dedupIndexIngest(
       in.toDF().toDF("doc_id", "text", "embedding"), dd, ann,
-      compactEvery = compactEvery,
+      compactEvery = compactEvery, wideBands = wide,
       dedupSink = (dec, _) =>
         dropped += dec.filter(!col("kept")).count()) { (nbrs, _) =>
       emitted += nbrs.count()

@@ -249,12 +249,26 @@ object Similarity {
   /** Same, from raw (vec_id, …, embedding) vectors: quantize + norm + bands
     * in one pass (the store-build / batch-sketch entry). Non-embedding
     * columns pass through. */
-  def hyperBands(vecs: DataFrame): DataFrame = {
+  def hyperBands(vecs: DataFrame): DataFrame =
+    hyperBandsOfQNorm(qnormOfVecs(vecs))
+
+  /** Wide-tier twin of [[hyperBands]] (4 × 16-bit bands off the 64-lane
+    * sketch): the rolling-ingest entry for stores past the band knee —
+    * tier choice is a BOOTSTRAP parameter of a rolling store (its bands
+    * are at rest; re-tiering is an offline re-encode, like IVF
+    * retraining), so the streaming loops take it as a flag where the
+    * batch side routes per-call ([[knnGraphAuto]]). Same relation shape
+    * as the narrow tier — every consumer takes either. */
+  def hyperBandsWide(vecs: DataFrame): DataFrame =
+    hyperBandsWideOfQNorm(qnormOfVecs(vecs))
+
+  /** (passthrough…, q, norm) off raw (…, embedding) vectors — the shared
+    * quantize+norm pass of both band-tier sketchers. */
+  private def qnormOfVecs(vecs: DataFrame): DataFrame = {
     val passthrough = vecs.columns.toSeq.filterNot(_ == "embedding").map(col)
-    hyperBandsOfQNorm(
-      vecs.select(passthrough :+ qvec(col("embedding")).as("q"): _*)
-        .select(passthrough ++ Seq(col("q"),
-          sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm")): _*))
+    vecs.select(passthrough :+ qvec(col("embedding")).as("q"): _*)
+      .select(passthrough ++ Seq(col("q"),
+        sqrt(graft.plans.dotQNative(col("q"), col("q")).cast("double")).as("norm")): _*)
   }
 
   // ---- WIDE hyperplane family (the band-saturation tier) ----

@@ -291,12 +291,18 @@ object RollingIngest {
     * for a durable query (the replay idempotency assumes the query HAS a
     * checkpoint), plus trigger/queryName as needed. `compactEvery` bounds
     * how many per-batch deltas accumulate before they fold into the
-    * compacted base. */
+    * compacted base. `wideBands` picks the 64-lane wide band tier at
+    * BOOTSTRAP — a rolling store's bands are at rest, so the tier is a
+    * deployment parameter chosen from the expected store census (the
+    * same knee the batch side routes per-call), and changing it later is
+    * an offline re-encode, like IVF retraining. */
   def annIngest(vecs: DataFrame, storeDir: String, k: Int = 3,
                 routeCols: Seq[String] = Nil, compactEvery: Int = 8,
+                wideBands: Boolean = false,
                 configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
                (sink: (DataFrame, Long) => Unit): StreamingQuery =
-    ingest(vecs, storeDir, "vec_id", Similarity.hyperBands,
+    ingest(vecs, storeDir, "vec_id",
+      if (wideBands) Similarity.hyperBandsWide else Similarity.hyperBands,
       (store, bands) => Similarity.lshAnnIncrementalBands(store, bands, k, routeCols),
       routeCols, compactEvery, configure)(sink)
 
@@ -383,10 +389,13 @@ object RollingIngest {
   def dedupIndexIngest(docs: DataFrame, dedupStoreDir: String,
                        annStoreDir: String, maxHamming: Int = 3, k: Int = 3,
                        routeCols: Seq[String] = Nil, compactEvery: Int = 8,
+                       wideBands: Boolean = false,
                        configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity,
                        dedupSink: (DataFrame, Long) => Unit = (_, _) => ())
                       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
+    val vecBandsOf: DataFrame => DataFrame =
+      if (wideBands) Similarity.hyperBandsWide else Similarity.hyperBands
     configure(docs.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
       if (!b.isEmpty) {
         val spark = b.sparkSession
@@ -396,7 +405,7 @@ object RollingIngest {
         def vecCols(df: DataFrame) = df.select(
           (col("doc_id").as("vec_id") +: routeCols.map(col)) :+ col("embedding"): _*)
         val dedupSchema = Dedup.simhash64Bands(docCols(b.limit(0))).schema
-        val annSchema = Similarity.hyperBands(vecCols(b.limit(0))).schema
+        val annSchema = vecBandsOf(vecCols(b.limit(0))).schema
         val batch = dedupDeterministic(b, "doc_id").persist()
         val docBands = Dedup.simhash64Bands(docCols(batch)).persist()
         try {
@@ -431,7 +440,7 @@ object RollingIngest {
             .persist()
           val keptIds = decisions.filter(col("kept")).select("doc_id")
           val keeperBands = docBands.join(broadcast(keptIds), Seq("doc_id"))
-          val vecBands = Similarity.hyperBands(
+          val vecBands = vecBandsOf(
             vecCols(batch.join(broadcast(keptIds), Seq("doc_id")))).persist()
           try {
             dedupSink(decisions, id)
@@ -443,7 +452,7 @@ object RollingIngest {
             }
             val annStore = storeView(spark, annStoreDir, annSchema, "vec_id",
               upTo = id, routeFilter)
-              .getOrElse(Similarity.hyperBands(vecCols(b.limit(0))))
+              .getOrElse(vecBandsOf(vecCols(b.limit(0))))
             sink(Similarity.lshAnnIncrementalBands(annStore, vecBands, k,
               routeCols), id)
             // A batch may dedup away ENTIRELY; an empty partitioned write

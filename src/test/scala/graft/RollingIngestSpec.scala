@@ -374,6 +374,82 @@ class RollingIngestSpec extends SparkSpec {
     assert(eff.collect().toSet == want.collect().toSet)
   }
 
+  test("dedupIndexIngest: routed ANN side writes cell-partitioned deltas of keepers only") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_ddi_r").toString
+    val (dd, ann) = (root + "/dedup", root + "/ann")
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b0 = (0L until 6L).map(i => (i, s"unique text $i with own words w$i x${i * 7}",
+      (i % 2).toString, vec(i.toInt)))
+    // 10 duplicates doc 0's text -> dropped; its bands must reach NEITHER store
+    val b1 = Seq((10L, b0.head._2, "0", vec(10)),
+      (11L, tA, "1", vec(11)))
+    val in = MemoryStream[(Long, String, String, Seq[Float])]
+    val q = RollingIngest.dedupIndexIngest(
+      in.toDF().toDF("doc_id", "text", "cell", "embedding"), dd, ann,
+      routeCols = Seq("cell")) { (n, _) => n.collect(): Unit }
+    try Seq(b0, b1).foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // every ANN delta is written partitionBy(cell) — the routed layout
+    val dDirs = new java.io.File(ann).listFiles().filter(_.getName.startsWith("d"))
+    assert(dDirs.nonEmpty && dDirs.forall(
+      _.listFiles().exists(_.getName.startsWith("cell="))),
+      "routed composed ingest must write cell-partitioned ANN deltas")
+    // keepers only, on both stores; the dropped dup reached neither
+    val annSchemaR = Similarity.hyperBands(
+      Seq.empty[(Long, String, Seq[Float])].toDF("vec_id", "cell", "embedding")).schema
+    val annIds = RollingIngest.storeView(spark, ann, annSchemaR, "vec_id").get
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(annIds == Set(0L, 1L, 2L, 3L, 4L, 5L, 11L), s"ann store held $annIds")
+    val ddSchema = graft.operators.Dedup.simhash64Bands(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).schema
+    val ddIds = RollingIngest.storeView(spark, dd, ddSchema, "doc_id").get
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(ddIds == annIds, s"stores diverged: dd=$ddIds ann=$annIds")
+  }
+
+  test("dedupIndexIngest: wide-tier bootstrap stores wide bands and matches its replay") {
+    // the band tier is a bootstrap parameter of a rolling store (its
+    // bands are at rest): wideBands = true must sketch, probe, and store
+    // the 64-lane wide tier end to end, and the sink must equal the same
+    // replay with wide bands
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_ddi_w").toString
+    val (dd, ann) = (root + "/dedup", root + "/ann")
+    def text(i: Long) = s"wide doc $i carrying token t$i and tag g${i % 5}"
+    val b0 = (0L until 8L).map(i => (i, text(i), vec(i.toInt)))
+    val b1 = (8L until 14L).map(i => (i, text(i), vec(i.toInt)))
+    val nbrs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = RollingIngest.dedupIndexIngest(
+      in.toDF().toDF("doc_id", "text", "embedding"), dd, ann,
+      wideBands = true) { (n, id) =>
+      nbrs ++= n.collect().map(r => (id, r.getLong(0), r.getLong(1)))
+    }
+    try Seq(b0, b1).foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val wideSchema = Similarity.hyperBandsWide(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")).schema
+    val eff = RollingIngest.storeView(spark, ann, wideSchema, "vec_id").get
+    // 4 wide bands per vector (narrow would store 2)
+    assert(eff.filter($"vec_id" === 0L).count() == 4,
+      "wide bootstrap must store the 4-band wide tier")
+    val want = Similarity.hyperBandsWide(
+      (b0 ++ b1).map(t => (t._1, t._3)).toDF("vec_id", "embedding"))
+    assert(eff.collect().toSet == want.collect().toSet)
+    // sink equals the wide-band replay per step
+    val expected = Seq(b0, b1).zipWithIndex.flatMap { case (b, i) =>
+      val prior = Seq(b0, b1).take(i).flatten.map(t => (t._1, t._3))
+      Similarity.lshAnnIncrementalBands(
+        Similarity.hyperBandsWide(prior.toDF("vec_id", "embedding")),
+        Similarity.hyperBandsWide(b.map(t => (t._1, t._3)).toDF("vec_id", "embedding")))
+        .collect().map(r => (i.toLong, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(nbrs.toSet == expected)
+  }
+
   test("dedupIndexIngest: delta bytes ∝ batch across >= 2 compactions on both stores") {
     def text(i: Long) = s"doc $i of topic${i % 11} with unique token q$i " +
       s"and marker m${i * 17 % 19} plus padding words here"
