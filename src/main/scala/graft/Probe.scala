@@ -95,6 +95,39 @@ object Probe {
           f"dist_labels=$nDist%d rounds=${operators.Dedup.lastDistributedRounds.get()}%d")
         spark.range(1).toDF("id")
       }),
+      // ABOVE-GATE components A/B: the corpus edge sets all sit under the
+      // 1M driver gate, so this builds a deterministic PROBE_COMPONENTS_EDGES
+      // synthetic set (default 2M: half 10-vertex chains — diameter stress,
+      // half 101-vertex stars — skew stress) and times the driver path
+      // (gate raised) against the distributed path (gate 0) where the
+      // DEFAULT gate would genuinely route distributed. Run PROBE_ITERS=1.
+      "components_above_gate" -> (() => {
+        val n = sys.env.getOrElse("PROBE_COMPONENTS_EDGES", "2000000").toLong
+        val half = n / 2
+        // chains: blocks of 10 consecutive vertices, edges j -> j+1
+        // (div, not '/': Spark's '/' is double division even on longs)
+        val chain = spark.range(half).select(
+          expr("id div 9 * 10 + id % 9").as("doc_a"),
+          expr("id div 9 * 10 + id % 9 + 1").as("doc_b"))
+        // stars: vertex base+s*101 is the hub of 100 leaves (id-offset so
+        // the two families never share vertices)
+        val star = spark.range(half).select(
+          expr("1000000000L + id div 100 * 101").as("doc_a"),
+          expr("1000000000L + id div 100 * 101 + 1 + id % 100").as("doc_b"))
+        val edges = chain.unionByName(star).cache()
+        val m = edges.count()
+        val t0 = System.nanoTime()
+        val nDrv = operators.Dedup.labelPropagation(edges, driverMaxEdges = m + 1).count()
+        val tDrv = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nDist = operators.Dedup.labelPropagation(edges, driverMaxEdges = 0L).count()
+        val tDist = (System.nanoTime() - t1) / 1e9
+        edges.unpersist()
+        System.err.println(f"[probe] components_above_gate edges=$m%d " +
+          f"driver_s=$tDrv%.2f driver_labels=$nDrv%d dist_s=$tDist%.2f " +
+          f"dist_labels=$nDist%d rounds=${operators.Dedup.lastDistributedRounds.get()}%d")
+        spark.range(1).toDF("id")
+      }),
       // BPE merge-budget stress (VERDICT r14 #5): run the memoized training
       // loop at PROBE_BPE_MERGES rounds (default 64) and print the
       // per-round cost law — the driver-loop shape (one vocab-sized

@@ -919,7 +919,18 @@ object Dedup {
 
   /** Distributed path: each vertex repeatedly takes the minimum label among
     * itself and its neighbors until a fixpoint — O(component diameter)
-    * shuffle rounds; lineage truncated by caching each round's labels. */
+    * shuffle rounds. Each round's labels are localCheckpoint'ed, NOT just
+    * cached: a cache truncates recomputation but not the LOGICAL plan, so
+    * round k's plan nests round k−1's executed AQE plan, and Spark's
+    * per-action plan-description stringification (SQL-execution events,
+    * UI on or off) walks the whole nesting — superlinear in round count.
+    * The 3-round corpus edge sets never showed it; the first ≥10-round
+    * run (2M-edge chain/star synthetic, the above-gate probe) spent ~30
+    * minutes single-threaded in generateTreeString before the fix — the
+    * same disease the round-15 BPE loop had, in its iterative-relation
+    * shape. localCheckpoint materializes eagerly (the convergence count
+    * was already an action per round) and resets the plan to a
+    * LogicalRDD, so per-round driver cost is flat in round count. */
   def labelPropagationDistributed(edges0: DataFrame): DataFrame = {
     // Positional contract, matching the driver union-find path's
     // getLong(0)/getLong(1): callers pass any two-long-column edge list
@@ -932,7 +943,7 @@ object Dedup {
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     var labels = sym.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -942,13 +953,14 @@ object Dedup {
           .withColumnRenamed("cluster_id", "n_label"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("n_label").as("n_min"))
+      // localCheckpoint, not cache: constant plan depth across rounds
+      // (see scaladoc) — eager, so it doubles as the round's action
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
       labels = next
     }
     lastDistributedRounds.set(rounds)
