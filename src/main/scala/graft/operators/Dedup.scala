@@ -768,34 +768,43 @@ object Dedup {
   }
 
   /** [[simhashNearDupIncremental]] over a PRE-SKETCHED batch: `newBands`
-    * is the batch's 64-bit band relation (from [[simhash64Bands]]),
+    * is the batch's band relation (from [[simhash64Bands]], or
+    * [[simhash128Bands]] with `sigCols = Seq("sig_lo", "sig_hi")` — the
+    * wide tier a post-knee rolling store bootstraps on, VERDICT r15 #3),
     * already persisted by the caller — the entry a driver that also
     * WRITES the batch bands uses ([[graft.streaming.RollingIngest]]), so
-    * the sketch computes once for probe and append. */
+    * the sketch computes once for probe and append. Hamming is the sum of
+    * per-word bit_count(xor), the same multi-word generalization as
+    * [[simhashNearDupPairs]]. */
   def simhashNearDupIncrementalBands(storeBands: DataFrame, newBands: DataFrame,
-                                     maxHamming: Int = 3): DataFrame = {
+                                     maxHamming: Int = 3,
+                                     sigCols: Seq[String] = Seq("simhash")): DataFrame = {
+    val cols = Seq("doc_id") ++ sigCols ++ Seq("band_id", "band_val")
     // unionByName: a store that was written/projected with a different
     // column order (e.g. partitioned by band) must not silently match
     // doc ids against band ids the way a positional union would;
     // left_anti: batch supersedes store for re-ingested ids
-    val liveStore = storeBands.select("doc_id", "simhash", "band_id", "band_val")
+    val liveStore = storeBands.select(cols.map(col): _*)
       .join(newBands.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     val allBands = liveStore
-      .unionByName(newBands.select("doc_id", "simhash", "band_id", "band_val"))
-    allBands.select(col("band_id"), col("band_val"),
-        col("doc_id").as("ida"), col("simhash").as("ha"))
-      .join(newBands.select(col("band_id"), col("band_val"),
-        col("doc_id").as("idb"), col("simhash").as("hb")),
+      .unionByName(newBands.select(cols.map(col): _*))
+    val hamming = sigCols
+      .map(c => bit_count(col(s"${c}_a").bitwiseXOR(col(s"${c}_b"))))
+      .reduce(_ + _)
+    allBands.select(Seq(col("band_id"), col("band_val"),
+        col("doc_id").as("ida")) ++ sigCols.map(c => col(c).as(s"${c}_ia")): _*)
+      .join(newBands.select(Seq(col("band_id"), col("band_val"),
+        col("doc_id").as("idb")) ++ sigCols.map(c => col(c).as(s"${c}_ib")): _*),
         Seq("band_id", "band_val"))
       .filter(col("ida") =!= col("idb"))
-      .select(least(col("ida"), col("idb")).as("doc_a"),
-        greatest(col("ida"), col("idb")).as("doc_b"),
-        // simhash of the pair in (doc_a, doc_b) order for the verify
-        when(col("ida") < col("idb"), col("ha")).otherwise(col("hb")).as("ha"),
-        when(col("ida") < col("idb"), col("hb")).otherwise(col("ha")).as("hb"))
+      .select(Seq(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b")) ++
+        // signatures of the pair in (doc_a, doc_b) order for the verify
+        sigCols.flatMap(c => Seq(
+          when(col("ida") < col("idb"), col(s"${c}_ia")).otherwise(col(s"${c}_ib")).as(s"${c}_a"),
+          when(col("ida") < col("idb"), col(s"${c}_ib")).otherwise(col(s"${c}_ia")).as(s"${c}_b"))): _*)
       .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -875,11 +884,16 @@ object Dedup {
     * safely inside a normal driver heap; raising `driverMaxEdges` scales
     * that cost linearly (~120 bytes/edge worst case), so keep it well under
     * driver memory / 120. At 100 TB the candidate edge set after LSH
-    * banding exceeds any driver heap and this gate MUST route to
-    * [[labelPropagationDistributed]] — callers never choose a path
-    * explicitly, the single `count()` on the (cached, reused) edge set
-    * decides, so the engine degrades to the O(diameter)-round distributed
-    * algorithm exactly when the driver shortcut stops being safe. */
+    * banding exceeds any driver heap and this gate MUST route distributed —
+    * callers never choose a path explicitly, the single `count()` on the
+    * (cached, reused) edge set decides. The above-gate strategy is
+    * [[starContraction]] (O(log n) rounds regardless of component shape;
+    * VERDICT r15 #7 — the ≥10-round chain synthetic showed
+    * [[labelPropagationDistributed]]'s min-label rounds are O(diameter),
+    * which a crawl-frontier-shaped or linked-list-shaped edge set turns
+    * into thousands of shuffle rounds); min-label propagation stays
+    * available as the explicit diameter-bounded alternative and the
+    * three-way label-equality spec pins all paths identical. */
   def labelPropagation(edges: DataFrame, driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     val cached = edges.cache()
@@ -909,7 +923,7 @@ object Dedup {
         .map(v => (v, find(v))).toSeq
       import spark.implicits._
       rows.toDF("doc_id", "cluster_id")
-    } else labelPropagationDistributed(cached)
+    } else starContraction(cached)
   }
 
   /** Rounds the most recent [[labelPropagationDistributed]] call took to
@@ -919,18 +933,21 @@ object Dedup {
 
   /** Distributed path: each vertex repeatedly takes the minimum label among
     * itself and its neighbors until a fixpoint — O(component diameter)
-    * shuffle rounds. Each round's labels are localCheckpoint'ed, NOT just
-    * cached: a cache truncates recomputation but not the LOGICAL plan, so
-    * round k's plan nests round k−1's executed AQE plan, and Spark's
-    * per-action plan-description stringification (SQL-execution events,
-    * UI on or off) walks the whole nesting — superlinear in round count.
-    * The 3-round corpus edge sets never showed it; the first ≥10-round
-    * run (2M-edge chain/star synthetic, the above-gate probe) spent ~30
-    * minutes single-threaded in generateTreeString before the fix — the
-    * same disease the round-15 BPE loop had, in its iterative-relation
-    * shape. localCheckpoint materializes eagerly (the convergence count
-    * was already an action per round) and resets the plan to a
-    * LogicalRDD, so per-round driver cost is flat in round count. */
+    * shuffle rounds. Each round's labels are rebased on their own RDD
+    * ([[graft.plans.materializeIter]]), NOT just cached: a cache truncates
+    * recomputation but not the LOGICAL plan, so round k's plan nests round
+    * k−1's executed AQE plan, and Spark's per-action plan-description
+    * stringification (SQL-execution events, UI on or off) walks the whole
+    * nesting — superlinear in round count. The 3-round corpus edge sets
+    * never showed it; the first ≥10-round run (2M-edge chain/star
+    * synthetic, the above-gate probe) spent ~30 minutes single-threaded in
+    * generateTreeString before the fix — the same disease the round-15 BPE
+    * loop had, in its iterative-relation shape. Round k−1's persisted
+    * snapshot is UNPERSISTED once round k's convergence count has
+    * materialized (ADVICE r15: the localCheckpoint version leaked every
+    * round's corpus-sized snapshot until driver GC), and the RDD rebase
+    * keeps lineage, so an executor loss recomputes instead of failing the
+    * job the way lost localCheckpoint blocks would. */
   def labelPropagationDistributed(edges0: DataFrame): DataFrame = {
     // Positional contract, matching the driver union-find path's
     // getLong(0)/getLong(1): callers pass any two-long-column edge list
@@ -942,8 +959,11 @@ object Dedup {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
+    val (labels0, rdd0) = graft.plans.materializeIter(
+      sym.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var labels = labels0
+    var labelsRdd = rdd0
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -953,19 +973,129 @@ object Dedup {
           .withColumnRenamed("cluster_id", "n_label"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("n_label").as("n_min"))
-      // localCheckpoint, not cache: constant plan depth across rounds
-      // (see scaladoc) — eager, so it doubles as the round's action
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+      // RDD rebase, not cache: constant plan depth across rounds (see
+      // scaladoc); the convergence count below is the round's action and
+      // fills the lazy persist
+      val (next, nextRdd) = graft.plans.materializeIter(
+        labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id"))).as("cluster_id")))
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
+      // round k−1's snapshot is dead once `changed` has materialized —
+      // release it instead of accumulating O(rounds × |labels|) storage
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
     }
     lastDistributedRounds.set(rounds)
     sym.unpersist()
+    // the final labels stay persisted for the caller's consumption; the
+    // handle goes out of scope and the ContextCleaner reclaims it with the
+    // DataFrame, same lifetime as the localCheckpoint version's last round
     labels
+  }
+
+  /** Rounds the most recent [[starContraction]] call took to converge
+    * (including the final no-change round) — the O(log n) claim as a
+    * number, read by the chain-synthetic probe next to
+    * [[lastDistributedRounds]]. */
+  val lastStarRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Connected components by LARGE-STAR/SMALL-STAR contraction (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    * MapReduce and Beyond", SoCC'14): the above-gate strategy for
+    * CHAIN-SHAPED edge sets, where [[labelPropagationDistributed]]'s
+    * min-label rounds = O(component diameter) (the ≥10-round 2M-edge chain
+    * synthetic measured exactly that hazard; VERDICT r15 #7). Alternating
+    * the two star operations contracts every component onto its minimum
+    * vertex in O(log n) rounds REGARDLESS of diameter:
+    *
+    *   - large-star (grouped by the SMALLER endpoint u of each canonical
+    *     edge): connect every neighbor v > u to m = min(Γ(u) ∪ u);
+    *   - small-star (grouped by the LARGER endpoint u): with S = smaller
+    *     neighbors of u, connect every x ∈ S ∪ u (x ≠ min S) to min S.
+    *
+    * Both operations preserve connectivity (each rewires within a
+    * component, never across), every emitted edge is canonical
+    * (min, other) by construction, and the fixpoint is exactly the star
+    * forest {(component-min, x)} — so labels read directly off the final
+    * edge set. Convergence is checked by an order-independent checksum
+    * (count, sum+xor of xxhash64) — one tiny agg per round, never an
+    * EXCEPT over the corpus-sized edge set.
+    *
+    * Same positional two-long-column contract as the other paths; output
+    * is (doc_id, cluster_id) for every vertex of the input edge set,
+    * label-identical to the union-find (spec-pinned). Per round the edge
+    * relation is rebased on its own RDD ([[graft.plans.materializeIter]])
+    * with the previous round unpersisted — the constant-plan-depth,
+    * bounded-storage discipline every iterative relation here follows. */
+  def starContraction(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    val edges = edges0.toDF("doc_a", "doc_b")
+    val verts = edges.select(col("doc_a").as("doc_id"))
+      .union(edges.select(col("doc_b").as("doc_id"))).distinct().cache()
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      // m = min(Γ(a) ∪ a); a is the group key so least() folds it in
+      val mins = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      canon(sym.filter(col("b") > col("a")).join(mins, "a")
+        .select(col("m").as("u"), col("b").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges (u < v) grouped by their LARGER endpoint v
+      val mins = e.groupBy("v").agg(min("u").as("m"))
+      canon(e.join(mins, "v").filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v"))
+        .union(mins.select(col("m").as("u"), col("v"))))
+    }
+    def checksum(e: DataFrame): (Long, BigDecimal, Long) = {
+      // decimal sum: a long sum of xxhash64 values overflows under ANSI
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(28,0)")),
+        expr("bit_xor(xxhash64(u, v))")).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    val (e0, rdd0) = graft.plans.materializeIter(
+      canon(edges.select(col("doc_a").as("u"), col("doc_b").as("v"))))
+    var e = e0
+    var eRdd = rdd0
+    var sig = checksum(e)
+    var rounds = 0
+    var converged = e.isEmpty // a self-loop-only edge set is already done
+    while (!converged) {
+      rounds += 1
+      val (next, nextRdd) = graft.plans.materializeIter(smallStar(largeStar(e)))
+      val nextSig = checksum(next)
+      eRdd.unpersist(blocking = false)
+      e = next
+      eRdd = nextRdd
+      converged = nextSig == sig
+      sig = nextSig
+    }
+    lastStarRounds.set(rounds)
+    // fixpoint edge set IS the star forest (component-min, member); roots
+    // and self-loop-only vertices label themselves via the left join.
+    // Materialize BEFORE releasing the fixpoint edges — the returned
+    // relation is lazy, and unpersisting first would make the caller's
+    // action recompute every round through the RDD lineage.
+    val (out, _) = graft.plans.materializeIter(verts
+      .join(e.select(col("v").as("doc_id"), col("u").as("root")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id")))
+    out.count()
+    eRdd.unpersist(blocking = false)
+    verts.unpersist()
+    // `out` stays persisted for the caller's consumption, the same
+    // lifetime contract as the min-label path's final round
+    out
   }
 
   /** Near-duplicate clusters: connected components over the PRODUCTION
@@ -1235,11 +1365,15 @@ object Dedup {
 
   /** Scrub reassembly shared by [[ddCrossDocScrub]] (L = 1, every covered
     * position) and [[ddSpanScrub]] (positions inside runs ≥
-    * [[SpanRunMinLen]] only): one per-row array filter of the persisted
-    * positional word lists against the collected covered-position set,
-    * LEFT-joined so untouched docs pass through verbatim. Stats in integer
-    * ppm — derived rationals of exact integers never go through
-    * round(double) (the ta_rarity lesson). */
+    * [[SpanRunMinLen]] only): one per-row pass of the persisted positional
+    * word lists against the SORTED collected covered-position set
+    * ([[graft.plans.scrubWords]] — a two-pointer native expression,
+    * O(n_words + n_covered) per document; the first formulation's
+    * filter + array_contains lambda was O(n_words × n_covered), ~10^8
+    * comparisons in one task for a 10k-word fully-duplicated document —
+    * VERDICT r15 #4), LEFT-joined so untouched docs pass through verbatim.
+    * Stats in integer ppm — derived rationals of exact integers never go
+    * through round(double) (the ta_rarity lesson). */
   private def scrubAssembly(pos: DataFrame, cov: DataFrame): DataFrame = {
     val cl = cov.groupBy("doc_id").agg(collect_set(col("cp")).as("cps"))
     pos.join(cl, Seq("doc_id"), "left")
@@ -1248,7 +1382,7 @@ object Dedup {
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
         size(col("cps")).cast("long").as("n_removed"),
-        expr("concat_ws(' ', filter(ws, (w, i) -> NOT array_contains(cps, i + 1)))")
+        graft.plans.scrubWords(col("ws"), array_sort(col("cps")))
           .as("scrubbed"))
       .select(col("doc_id"), col("n_words"), col("n_removed"),
         expr("CAST(CASE WHEN n_words = 0 THEN 1000000 " +

@@ -1007,6 +1007,17 @@ object TextAnalysis {
     * demonstration training loop (VERDICT r10 #4 asked >= 4). */
   private val bpeTrainRounds = 5
 
+  /** Merge-symbol marker for round k: a Unicode PRIVATE-USE code point
+    * (U+E000 + k), which cannot appear in any corpus text. The first
+    * implementation used `k.toChar` — a control char only for k <= 31, so
+    * the merge-budget stress probe's rounds 32+ used printable ASCII
+    * markers (digits at k = 48–57!) that can collide with genuine vocab
+    * characters and silently corrupt merge semantics (ADVICE r15). The PUA
+    * offset keeps the bound-literal `call_function` approach and stays a
+    * single UTF-16 char, so `length()` counts it as 1 on both engines. */
+  private def bpeMarker(k: Int): String = (0xE000 + k).toChar.toString
+  private def bpeMarkerSql(k: Int): String = s"chr(${0xE000 + k})"
+
   /** The SQL training rounds shared by every BPE oracle: CTEs
     * v0 (corpus vocab), p_k (pair counts), t_k (argmax merge), v_k
     * (merged vocab), for k = 1..n. Generated from ONE template so the
@@ -1022,7 +1033,7 @@ object TextAnalysis {
          |       FROM (SELECT w, wn, unnest(generate_series(1, length(w) - 1)) AS i FROM v${k - 1}) t
          |       GROUP BY 1),
          |t$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
-         |v$k AS (SELECT replace(v${k - 1}.w, t$k.pair, chr($k)) AS w, wn FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
+         |v$k AS (SELECT replace(v${k - 1}.w, t$k.pair, ${bpeMarkerSql(k)}) AS w, wn FROM v${k - 1} CROSS JOIN t$k)""".stripMargin
     b.toString
   }
 
@@ -1066,7 +1077,7 @@ object TextAnalysis {
         tf.groupBy("w").agg(sum("tf").as("wn"))
       }
       // call_function keeps the merge pair a bound literal — markers are
-      // control chars, so splicing them into SQL text would be fragile
+      // private-use chars, so splicing them into SQL text would be fragile
       var wExpr = col("w")
       val merges = Seq.newBuilder[(Int, String, Long)]
       for (k <- 1 to n) {
@@ -1075,7 +1086,7 @@ object TextAnalysis {
           .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
         merges += ((k, top.getString(0), top.getLong(1)))
         wExpr = call_function("replace", wExpr, lit(top.getString(0)),
-          lit(k.toChar.toString))
+          lit(bpeMarker(k)))
         onRound(k, (System.nanoTime() - t0) / 1e9)
       }
       merges.result()
@@ -1089,7 +1100,7 @@ object TextAnalysis {
     * 1-row action), while the evolving vocabulary stays a distributed
     * relation, persisted per round so each iteration re-reads the merged
     * vocab instead of replaying the whole merge lineage. Later merges can
-    * reference earlier merge symbols (markers chr(1)..chr(k-1)), which is
+    * reference earlier merge symbols (private-use markers, see [[bpeMarker]]), which is
     * what makes this BPE rather than independent bigram picks; markers
     * render as `<Mk>` in the output.
     *
@@ -1101,14 +1112,14 @@ object TextAnalysis {
   val taBpeTrain: QueryDef = {
     val n = bpeTrainRounds
     val sql = {
-      val render = (1 to n).foldLeft("pair")((acc, k) => s"replace($acc, chr($k), '<M$k>')")
+      val render = (1 to n).foldLeft("pair")((acc, k) => s"replace($acc, ${bpeMarkerSql(k)}, '<M$k>')")
       s"WITH ${bpeTrainCtes(n)}" + (1 to n).map(k =>
         s"\nSELECT CAST($k AS INTEGER) AS iter, $render AS pair, CAST(n AS BIGINT) AS n FROM t$k")
         .mkString("", "\nUNION ALL", "")
     }
     QueryDef("ta_bpe_train", sql) { (spark, d) =>
       val rendered = bpeMerges(spark, d, n).map { case (k, pr, cnt) =>
-        (k, (1 to n).foldLeft(pr)((s, j) => s.replace(j.toChar.toString, s"<M$j>")), cnt)
+        (k, (1 to n).foldLeft(pr)((s, j) => s.replace(bpeMarker(j), s"<M$j>")), cnt)
       }
       import spark.implicits._
       rendered.toDF("iter", "pair", "n")
@@ -1133,7 +1144,7 @@ object TextAnalysis {
     * as ta_bpe_train, so the two queries' merge tables cannot drift. */
   val taBpeEncode: QueryDef = {
     val n = bpeTrainRounds
-    val chain = (1 to n).foldLeft("w")((acc, k) => s"replace($acc, t$k.pair, chr($k))")
+    val chain = (1 to n).foldLeft("w")((acc, k) => s"replace($acc, t$k.pair, ${bpeMarkerSql(k)})")
     val crossT = (1 to n).map(k => s"CROSS JOIN t$k").mkString(" ")
     QueryDef("ta_bpe_encode",
       s"""WITH ${bpeTrainCtes(n)},
@@ -1157,7 +1168,7 @@ object TextAnalysis {
       val mergedVocab = merges.foldLeft(vocab.withColumn("mw", col("w"))) {
         case (df, (k, pr, _)) =>
           df.withColumn("mw",
-            call_function("replace", col("mw"), lit(pr), lit(k.toChar.toString)))
+            call_function("replace", col("mw"), lit(pr), lit(bpeMarker(k))))
       }
       val tokLen = mergedVocab.select(col("w"), length(col("mw")).cast("long").as("tl"))
       tf.join(tokLen, "w")

@@ -10,6 +10,28 @@ package object plans {
 
   private def expr(c: Column) = ColumnBridge.expression(c)
 
+  /** Constant-plan-depth materialization for ITERATIVE relations — the
+    * shared remedy for the generateTreeString superlinearity found twice in
+    * round 15 (BPE loop, distributed label propagation): round k's relation
+    * must not nest round k−1's executed plan, because Spark stringifies the
+    * full plan description per action (SQL-execution events, UI on or off)
+    * and that walk is superlinear in nesting depth. Rebasing the DataFrame
+    * on its own RDD resets the logical plan to a LogicalRDD (depth 1) while
+    * KEEPING the RDD lineage — an executor loss recomputes through the
+    * lineage, unlike `localCheckpoint` which truncates it and makes lost
+    * blocks unrecoverable mid-job (ADVICE r15). The RDD handle is returned
+    * so the caller can `unpersist` the PREVIOUS round once the next one is
+    * materialized — without it every round's snapshot stays persisted until
+    * driver GC, O(rounds × |relation|) executor storage on long runs.
+    * Persist is lazy; the caller's per-round action (a convergence count, or
+    * an explicit count) fills it. */
+  def materializeIter(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   /** Fixed-shape JSON integer field probe (see [[JsonFieldUtil.extract]]). */
   def jsonLong(json: Column, key: String): Column =
     ColumnBridge.column(JsonLongField(expr(json), Literal(key)))
@@ -75,6 +97,12 @@ package object plans {
     * of tokenize + COUNT(*) GROUP BY (doc, word); explode with `inline`. */
   def wordCounts(text: Column): Column =
     ColumnBridge.column(WordCounts(expr(text)))
+
+  /** Two-pointer scrub reassembly: drop words at the (sorted ascending)
+    * 1-based covered positions, join survivors with ' ' — O(n + m) per row
+    * where the declarative filter/array_contains twin is O(n × m). */
+  def scrubWords(ws: Column, sortedCps: Column): Column =
+    ColumnBridge.column(ScrubWords(expr(ws), expr(sortedCps)))
 
   /** One-pass float-vector quantization to `unit`-scaled longs. */
   def quantizeVec(v: Column, unit: Double = 1e8): Column =

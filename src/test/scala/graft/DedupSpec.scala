@@ -276,13 +276,54 @@ class DedupSpec extends SparkSpec {
     try {
       val drv = Dedup.labelPropagation(edges).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val dist = Dedup.labelPropagation(edges, driverMaxEdges = 0L).collect()
+      val dist = Dedup.labelPropagationDistributed(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the gate's above-threshold strategy is star contraction now
+      val star = Dedup.labelPropagation(edges, driverMaxEdges = 0L).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(drv.nonEmpty, "fixture edge set degenerate — no components to compare")
       assert(dist == drv)
+      assert(star == drv)
       assert(Dedup.lastDistributedRounds.get() >= 2,
         "distributed run must have iterated to a fixpoint (>= 1 change round + 1 quiet round)")
+      assert(Dedup.lastStarRounds.get() >= 1,
+        "star contraction must have iterated at least one contraction round")
     } finally edges.unpersist()
+  }
+
+  test("star contraction converges in O(log n) rounds on a chain and matches union-find") {
+    // the shape that kills min-label propagation: a chain of n vertices
+    // needs n-1 min-label rounds but only ~log2(n) star rounds
+    val n = 200
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.starContraction(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (0L until n.toLong).map(_ -> 0L).toMap)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 2
+    assert(Dedup.lastStarRounds.get() <= bound,
+      s"star contraction took ${Dedup.lastStarRounds.get()} rounds on a $n-chain (bound $bound)")
+  }
+
+  test("star contraction equals union-find labels on random graphs") {
+    val rnd = new scala.util.Random(1716)
+    for (trial <- 1 to 3) {
+      val nv = 40 + trial * 25
+      val edges = Seq.fill(nv)((rnd.nextInt(nv).toLong, rnd.nextInt(nv).toLong))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = Dedup.starContraction(edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial mismatch")
+    }
   }
 
   test("labelPropagation size gate routes to the distributed path above driverMaxEdges") {

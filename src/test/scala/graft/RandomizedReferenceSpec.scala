@@ -102,6 +102,28 @@ class RandomizedReferenceSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: the rebased (>nestAbove) regime is bit-identical to the nested plan") {
+    // VERDICT r15 #6: past nestAbove rounds each iteration is rebased on
+    // its own RDD (constant plan depth); the rebase must change ONLY the
+    // plan, never the exact-integer ranks
+    val rnd = new Random(29)
+    val n = 30
+    val edges = (for {
+      src <- 0 until n
+      dst <- Seq.fill(2)(rnd.nextInt(n).toLong).distinct if dst != src
+    } yield (src.toLong, dst)).distinct
+    val edgesDf = edges.toDF("qid", "nid")
+      .join(edges.toDF("qid", "x").groupBy("qid").agg(count(lit(1)).as("deg")), "qid")
+      .select("qid", "nid", "deg")
+    val nodesDf = (0 until n).map(_.toLong).toDF("vec_id")
+    val iters = 8
+    val rebased = GraphQueries.pagerank(edgesDf, nodesDf, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nested = GraphQueries.pagerank(edgesDf, nodesDf, iters, nestAbove = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rebased == nested)
+  }
+
   test("pagerank core equals the integer reference on random graphs with dangling nodes") {
     val rnd = new Random(13)
     val n = 40
