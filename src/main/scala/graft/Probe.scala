@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   *   sbt 'runMain graft.Probe /root/testdata/sf0.1 o1_topk o1_cents ...'
   */
 object Probe {
+  /** Null-safe directory listing: `File.listFiles` returns null for a
+    * missing directory, and a keeper-less first batch legitimately leaves
+    * the store directory uncreated (ADVICE r15). */
+  private def lsFiles(dir: java.io.File): Array[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+
   def variants(spark: SparkSession, d: String): Map[String, () => DataFrame] = {
     def li = Tables.lineitem(spark, d)
     def ord = Tables.orders(spark, d)
@@ -62,6 +68,14 @@ object Probe {
       // per-batch wall time, delta bytes vs cumulative store bytes, and
       // the live store layout (compaction amortization made visible).
       "ivfpq_ingest_e2e" -> (() => ivfPqIngestE2E(spark, d)),
+      // RETRAIN-CADENCE rolling IVF-PQ ingest (VERDICT r15 #1): same
+      // harness as ivfpq_ingest_e2e but through ivfPqIngestRouted with
+      // PROBE_RETRAIN_STEPS grid steps (default 1 so sf-scale corpora
+      // cross a retrain point mid-run). Prints per-batch wall (cost must
+      // RE-FLATTEN after the retrain), the retrain events, and recall@3
+      // vs brute force at BOTH operating points (bootstrap books vs final
+      // books). Run PROBE_ITERS=1.
+      "ivfpq_ingest_routed_e2e" -> (() => ivfPqIngestRoutedE2E(spark, d)),
       // END-TO-END composed dedup-then-index ingest (VERDICT r14 #4):
       // drives RollingIngest.dedupIndexIngest over the (doc ⋈ embedding)
       // corpus in PROBE_INGEST_BATCHES micro-batches, printing per-batch
@@ -87,12 +101,16 @@ object Probe {
         val nDrv = operators.Dedup.labelPropagation(edges).count()
         val tDrv = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
-        val nDist = operators.Dedup.labelPropagation(edges, driverMaxEdges = 0L).count()
+        val nDist = operators.Dedup.labelPropagationDistributed(edges).count()
         val tDist = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val nStar = operators.Dedup.starContraction(edges).count()
+        val tStar = (System.nanoTime() - t2) / 1e9
         edges.unpersist()
         System.err.println(f"[probe] components_forced_dist edges=$n%d " +
           f"driver_s=$tDrv%.2f driver_labels=$nDrv%d dist_s=$tDist%.2f " +
-          f"dist_labels=$nDist%d rounds=${operators.Dedup.lastDistributedRounds.get()}%d")
+          f"dist_labels=$nDist%d rounds=${operators.Dedup.lastDistributedRounds.get()}%d " +
+          f"star_s=$tStar%.2f star_labels=$nStar%d star_rounds=${operators.Dedup.lastStarRounds.get()}%d")
         spark.range(1).toDF("id")
       }),
       // ABOVE-GATE components A/B: the corpus edge sets all sit under the
@@ -120,12 +138,101 @@ object Probe {
         val nDrv = operators.Dedup.labelPropagation(edges, driverMaxEdges = m + 1).count()
         val tDrv = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
-        val nDist = operators.Dedup.labelPropagation(edges, driverMaxEdges = 0L).count()
+        val nDist = operators.Dedup.labelPropagationDistributed(edges).count()
         val tDist = (System.nanoTime() - t1) / 1e9
+        // the gate's above-threshold strategy (star contraction) — what
+        // labelPropagation(driverMaxEdges = 0) actually runs now
+        val t2 = System.nanoTime()
+        val nStar = operators.Dedup.labelPropagation(edges, driverMaxEdges = 0L).count()
+        val tStar = (System.nanoTime() - t2) / 1e9
         edges.unpersist()
         System.err.println(f"[probe] components_above_gate edges=$m%d " +
           f"driver_s=$tDrv%.2f driver_labels=$nDrv%d dist_s=$tDist%.2f " +
-          f"dist_labels=$nDist%d rounds=${operators.Dedup.lastDistributedRounds.get()}%d")
+          f"dist_labels=$nDist%d rounds=${operators.Dedup.lastDistributedRounds.get()}%d " +
+          f"star_s=$tStar%.2f star_labels=$nStar%d star_rounds=${operators.Dedup.lastStarRounds.get()}%d")
+        spark.range(1).toDF("id")
+      }),
+      // ONE LONG CHAIN (VERDICT r15 #7): the shape where min-label
+      // propagation needs O(diameter) rounds — a PROBE_CHAIN_EDGES chain
+      // (default 2M edges = diameter 2M) is unrunnable under min-label
+      // (2M shuffle rounds) but converges in ~log2(n) star-contraction
+      // rounds. Prints star rounds + wall; min-label is A/B'd only up to
+      // PROBE_CHAIN_MINLABEL_EDGES (default 2048) where diameter rounds
+      // are still feasible. Run PROBE_ITERS=1.
+      "components_chain" -> (() => {
+        val n = sys.env.getOrElse("PROBE_CHAIN_EDGES", "2000000").toLong
+        val chain = spark.range(n).select(col("id").as("doc_a"),
+          (col("id") + 1).as("doc_b")).cache()
+        val m = chain.count()
+        val t0 = System.nanoTime()
+        val nStar = operators.Dedup.starContraction(chain).count()
+        val tStar = (System.nanoTime() - t0) / 1e9
+        val starRounds = operators.Dedup.lastStarRounds.get()
+        chain.unpersist()
+        val mlN = sys.env.getOrElse("PROBE_CHAIN_MINLABEL_EDGES", "2048").toLong
+        val small = spark.range(mlN).select(col("id").as("doc_a"),
+          (col("id") + 1).as("doc_b")).cache()
+        small.count()
+        val t1 = System.nanoTime()
+        val nMl = operators.Dedup.labelPropagationDistributed(small).count()
+        val tMl = (System.nanoTime() - t1) / 1e9
+        small.unpersist()
+        System.err.println(f"[probe] components_chain edges=$m%d " +
+          f"star_s=$tStar%.2f star_labels=$nStar%d star_rounds=$starRounds%d " +
+          f"log2_bound=${(math.log(m.toDouble + 1) / math.log(2.0)).ceil.toInt}%d " +
+          f"minlabel_edges=$mlN%d minlabel_s=$tMl%.2f minlabel_labels=$nMl%d " +
+          f"minlabel_rounds=${operators.Dedup.lastDistributedRounds.get()}%d")
+        spark.range(1).toDF("id")
+      }),
+      // SCRUB REASSEMBLY long-doc probe (VERDICT r15 #4): per-doc cost of
+      // the two-pointer native scrub vs the old filter/array_contains
+      // formulation on synthetic documents of growing length at >=80%
+      // coverage — under the old quadratic the per-doc cost grows
+      // superlinearly in document length; the fix must be ~linear.
+      "scrub_longdoc" -> (() => {
+        import org.apache.spark.sql.functions.{array_sort => asort}
+        for (nw <- Seq(2500, 5000, 10000, 20000, 40000)) {
+          val docs = spark.range(32).select(col("id").as("doc_id"),
+            expr(s"transform(sequence(1, $nw), j -> concat('w', j % 97))").as("ws"),
+            expr(s"array_sort(transform(filter(sequence(1, $nw), j -> j % 5 != 0), j -> CAST(j AS INT)))").as("cps"))
+            .cache()
+          docs.count()
+          val t0 = System.nanoTime()
+          val a = docs.select(graft.plans.scrubWords(col("ws"), asort(col("cps"))).as("s"))
+            .agg(sum(length(col("s")))).collect()(0).getLong(0)
+          val tNative = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val b = docs.select(
+              expr("concat_ws(' ', filter(ws, (w, i) -> NOT array_contains(cps, i + 1)))").as("s"))
+            .agg(sum(length(col("s")))).collect()(0).getLong(0)
+          val tDecl = (System.nanoTime() - t1) / 1e9
+          docs.unpersist()
+          System.err.println(f"[probe] scrub_longdoc words=$nw%d covered_pct=80 " +
+            f"native_s=$tNative%.3f declarative_s=$tDecl%.3f equal=${a == b}%b")
+        }
+        spark.range(1).toDF("id")
+      }),
+      // PAGERANK iteration-budget probe (VERDICT r15 #6): run the core at
+      // PROBE_PAGERANK_ITERS (default 20) over the corpus adjacency and
+      // print per-round wall — flat per-round cost proves the rebased
+      // regime killed the nested-plan superlinearity in this loop shape.
+      "pagerank_iters" -> (() => {
+        val iters = sys.env.getOrElse("PROBE_PAGERANK_ITERS", "20").toInt
+        val e = operators.Similarity.knnEdgesRelation(spark, d).select(col("qid"), col("nid"))
+        val edges = e.join(e.groupBy("qid").agg(count(lit(1)).as("deg")), "qid").cache()
+        edges.count()
+        val nodes = Tables.embeddings(spark, d).select("vec_id").cache()
+        nodes.count()
+        // cumulative timing at increasing budgets; flat per_round across
+        // the three points is the superlinearity check
+        for (k <- Seq(iters / 4, iters / 2, iters)) {
+          val t0 = System.nanoTime()
+          val cnt = operators.GraphQueries.pagerank(edges, nodes, k).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[probe] pagerank_iters iters=$k%d total_s=$dt%.2f " +
+            f"per_round_s=${dt / k}%.3f rows=$cnt%d")
+        }
+        edges.unpersist(); nodes.unpersist()
         spark.range(1).toDF("id")
       }),
       // BPE merge-budget stress (VERDICT r14 #5): run the memoized training
@@ -493,7 +600,7 @@ object Probe {
       in.toDF().toDF("vec_id", "embedding"), dir, coarse, books,
       compactEvery = compactEvery) { (nbrs, _) => emitted += nbrs.count() }
     def duBytes(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(duBytes).sum else f.length()
+      if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
     try (0 until nb).foreach { i =>
       val lo = minId + i * step
       val b = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + step)
@@ -508,13 +615,13 @@ object Probe {
         // equal the interval index when every interval is non-empty, so a
         // loop-index path would silently read 0 bytes on sparse id ranges
         // (ADVICE r14)
-        val delta = store.listFiles()
+        val delta = lsFiles(store)
           .filter(f => f.isDirectory && f.getName.matches("d\\d+"))
           .sortBy(_.getName.drop(1).toLong).lastOption
         System.err.println(f"[probe] ivfpq_ingest_e2e batch=$i%d n=${b.length}%d " +
           f"dt=$dt%.2fs delta_bytes=${delta.map(duBytes).getOrElse(0L)}%d " +
           s"store_bytes=${duBytes(store)} " +
-          s"dirs=${store.listFiles().map(_.getName).sorted.mkString(",")}")
+          s"dirs=${lsFiles(store).map(_.getName).sorted.mkString(",")}")
       }
     } finally q.stop()
     System.err.println(f"[probe] ivfpq_ingest_e2e train=$trainSec%.2fs emitted=$emitted%d")
@@ -537,8 +644,11 @@ object Probe {
     val src = Tables.documents(spark, d).select(col("doc_id"), col("text"))
       .join(Tables.embeddings(spark, d)
         .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
-    val Seq(minId, maxId) = src.agg(min("doc_id"), max("doc_id"))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]): @unchecked
+    // an empty doc-embedding join must fail with a message, not an NPE on
+    // the unchecked row extraction (ADVICE r15)
+    val idRow = src.agg(min("doc_id"), max("doc_id")).collect()(0)
+    require(!idRow.isNullAt(0), s"$d: documents-embeddings join is empty")
+    val (minId, maxId) = (idRow.getLong(0), idRow.getLong(1))
     val step = (maxId - minId) / nb + 1
     val root = java.nio.file.Files.createTempDirectory("graft_ddi_e2e").toString
     val (dd, ann) = (root + "/dedup", root + "/ann")
@@ -557,9 +667,12 @@ object Probe {
       emitted += nbrs.count()
     }
     def duBytes(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(duBytes).sum else f.length()
+      if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
+    // lsFiles: a batch that dedups away ENTIRELY creates no store
+    // directory (keeper-less batches skip the delta write by design), so
+    // every listing here must tolerate a missing dir (ADVICE r15)
     def newestDelta(dir: String): Long =
-      new java.io.File(dir).listFiles()
+      lsFiles(new java.io.File(dir))
         .filter(f => f.isDirectory && f.getName.matches("d\\d+"))
         .sortBy(_.getName.drop(1).toLong).lastOption.map(duBytes).getOrElse(0L)
     try (0 until nb).foreach { i =>
@@ -573,11 +686,92 @@ object Probe {
         System.err.println(f"[probe] dedup_index_ingest_e2e batch=$i%d " +
           f"n=${b.length}%d dt=$dt%.2fs dd_delta=${newestDelta(dd)}%d " +
           f"ann_delta=${newestDelta(ann)}%d " +
-          s"dd_dirs=${new java.io.File(dd).listFiles().map(_.getName).sorted.mkString(",")} " +
-          s"ann_dirs=${new java.io.File(ann).listFiles().map(_.getName).sorted.mkString(",")}")
+          s"dd_dirs=${lsFiles(new java.io.File(dd)).map(_.getName).sorted.mkString(",")} " +
+          s"ann_dirs=${lsFiles(new java.io.File(ann)).map(_.getName).sorted.mkString(",")}")
       }
     } finally q.stop()
     System.err.println(s"[probe] dedup_index_ingest_e2e dropped=$dropped emitted=$emitted")
+    spark.range(1).toDF("id")
+  }
+
+  /** Wall-clock + recall harness for
+    * [[streaming.RollingIngest.ivfPqIngestRouted]]: bootstrap books train
+    * on the first id interval at the ROUTED kc of that slice, then the
+    * census-drift trigger retrains mid-run. Per batch: latency, emitted
+    * rows, newest delta bytes; per retrain: (oldKc, newKc, census). After
+    * the run, recall@3 of 20 sample probes vs exact brute force is
+    * measured under BOTH the bootstrap and the final books over the same
+    * final corpus — the acceptance number at each operating point. */
+  private def ivfPqIngestRoutedE2E(spark: SparkSession, d: String): DataFrame = {
+    import operators.Similarity
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val nb = sys.env.getOrElse("PROBE_INGEST_BATCHES", "8").toInt
+    val compactEvery = sys.env.getOrElse("PROBE_INGEST_COMPACT", "4").toInt
+    val gridSteps = sys.env.getOrElse("PROBE_RETRAIN_STEPS", "1").toInt
+    val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val idRow = emb.agg(min("vec_id"), max("vec_id")).collect()(0)
+    require(!idRow.isNullAt(0), s"$d: embeddings empty")
+    val (minId, maxId) = (idRow.getLong(0), idRow.getLong(1))
+    val step = (maxId - minId) / nb + 1
+    val t0 = System.nanoTime()
+    val trainSlice = emb.filter(col("vec_id") < minId + step)
+    val (kc0, coarse0, books0) = Similarity.ivfPqTrainRouted(trainSlice)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[probe] ivfpq_routed_e2e bootstrap kc=$kc0%d train=$trainSec%.2fs grid_steps=$gridSteps%d")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_rt_e2e").toString + "/store"
+    val in = MemoryStream[(Long, Seq[Float])]
+    var emitted = 0L
+    val q = streaming.RollingIngest.ivfPqIngestRouted(
+      in.toDF().toDF("vec_id", "embedding"), dir, coarse0, books0,
+      compactEvery = compactEvery, retrainGridSteps = gridSteps,
+      onRetrain = (o, n, cz) => System.err.println(
+        f"[probe] ivfpq_routed_e2e RETRAIN old_kc=$o%d new_kc=$n%d census=$cz%d")) {
+      (nbrs, _) => emitted += nbrs.count()
+    }
+    def duBytes(f: java.io.File): Long =
+      if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
+    try (0 until nb).foreach { i =>
+      val lo = minId + i * step
+      val b = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + step)
+        .as[(Long, Seq[Float])].collect() // driver memory ∝ batch
+      if (b.nonEmpty) {
+        val tb = System.nanoTime()
+        in.addData(b.toSeq); q.processAllAvailable()
+        val dt = (System.nanoTime() - tb) / 1e9
+        val store = new java.io.File(dir)
+        val delta = lsFiles(store)
+          .filter(f => f.isDirectory && f.getName.matches("d\\d+"))
+          .sortBy(_.getName.drop(1).toLong).lastOption
+        System.err.println(f"[probe] ivfpq_routed_e2e batch=$i%d n=${b.length}%d " +
+          f"dt=$dt%.2fs delta_bytes=${delta.map(duBytes).getOrElse(0L)}%d " +
+          s"dirs=${lsFiles(store).map(_.getName).sorted.mkString(",")}")
+      }
+    } finally q.stop()
+    // final books off the store; recall@3 at both operating points
+    val bookDir = lsFiles(new java.io.File(dir))
+      .filter(_.getName.startsWith("books"))
+      .maxBy(_.getName.drop("books".length).toLong)
+    val (cN, bN) = streaming.RollingIngest.readBooks(spark, bookDir.toString)
+    System.err.println(s"[probe] ivfpq_routed_e2e final_kc=${cN.size} emitted=$emitted")
+    val probes = emb.filter(col("vec_id") < minId + 20).persist()
+    val exact = Similarity.cosineTopK(probes, emb, 3)
+      .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((label, cc, bb) <- Seq(("bootstrap", coarse0, books0), ("final", cN, bN))) {
+      val codes = Similarity.ivfPqEncode(emb, cc, bb).persist()
+      val pCodes = Similarity.ivfPqEncode(probes, cc, bb)
+      val t1 = System.nanoTime()
+      val got = Similarity.ivfPqIncrementalCodes(codes, pCodes, cc, bb, k = 3, nprobe = 1)
+        .select(col("qid"), col("nid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dt = (System.nanoTime() - t1) / 1e9
+      codes.unpersist()
+      val recall = if (exact.isEmpty) 0.0 else
+        got.intersect(exact).size.toDouble / exact.size
+      System.err.println(f"[probe] ivfpq_routed_e2e recall@3 books=$label%s " +
+        f"kc=${cc.size}%d recall=$recall%.3f probe_s=$dt%.2f")
+    }
+    probes.unpersist()
     spark.range(1).toDF("id")
   }
 

@@ -333,17 +333,209 @@ object RollingIngest {
         store, codes, coarse, books, k, nprobe = 1),
       partitionCols = Seq("cell"), compactEvery, configure)(sink)
 
+  // ---- retrain/re-encode cadence for the rolling IVF-PQ store ----
+  // (VERDICT r15 #1: ivfPqIngest freezes bootstrap books forever, so a
+  // store growing past its training slice re-enters the linear-probe-cost
+  // regime the kc router was built to kill — the same disease one level up)
+
+  /** Serialize (coarse, pq books) as one parquet directory. `ord` records
+    * each codeword's position in its book: assignment tie-breaks are
+    * first-minimum in book ORDER, so a (de)serialization that reordered
+    * codewords would silently change encodes. */
+  private[graft] def writeBooks(spark: SparkSession, path: String,
+                                coarse: Seq[(Int, Array[Long])],
+                                books: Seq[Seq[(Int, Array[Long])]]): Unit = {
+    import spark.implicits._
+    val rows =
+      coarse.zipWithIndex.map { case ((cw, cv), i) => ("coarse", 0, i, cw, cv.toSeq) } ++
+      books.zipWithIndex.flatMap { case (bk, s) =>
+        bk.zipWithIndex.map { case ((cw, cv), i) => ("pq", s + 1, i, cw, cv.toSeq) } }
+    rows.toDF("kind", "s", "ord", "cw", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private[graft] def readBooks(spark: SparkSession, path: String)
+      : (Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]]) = {
+    val rows = spark.read.parquet(path)
+      .select("kind", "s", "ord", "cw", "cv").collect()
+    def book(rs: Seq[org.apache.spark.sql.Row]) = rs.sortBy(_.getInt(2))
+      .map(r => (r.getInt(3), r.getSeq[Long](4).toArray)).toSeq
+    val coarse = book(rows.filter(_.getString(0) == "coarse").toSeq)
+    val m = rows.iterator.filter(_.getString(0) == "pq").map(_.getInt(1)).max
+    val books = (1 to m).map(s =>
+      book(rows.filter(r => r.getString(0) == "pq" && r.getInt(1) == s).toSeq))
+    (coarse, books)
+  }
+
+  /** [[ivfPqIngest]] with a RETRAIN/RE-ENCODE CADENCE (VERDICT r15 #1):
+    * the store OWNS its books (persisted as `books<v>` next to the
+    * base/delta dirs; the caller's bootstrap pair seeds `books-1` on the
+    * first batch), and when the store census pushes the routed cell count
+    * [[graft.operators.Similarity.ivfPqKcRouted]] at least
+    * `retrainGridSteps` power-of-2 grid steps above the trained kc, the
+    * next batch boundary runs the offline event the wideBands precedent
+    * names (re-tiering = offline re-encode):
+    *
+    *   1. TRAIN new books at the routed kc from the effective store's own
+    *      (vec_id, q) rows ([[Similarity.ivfPqTrainQ]] — q is
+    *      books-independent, no raw-embedding re-read);
+    *   2. write `books<v>` (v = newest store element, so a crash here is
+    *      detected as books-newer-than-base and the re-encode resumes);
+    *   3. RE-ENCODE the effective store under the new books
+    *      ([[Similarity.ivfPqEncodeQNorm]] — only cell/codes change;
+    *      vec_id/q/norm are invariant, spec-pinned) into `base<v>`,
+    *      cell-partitioned at the new kc;
+    *   4. sweep superseded deltas/bases/books.
+    *
+    * The event is replay-safe at every crash point: before step 2 the
+    * trigger simply re-fires; between 2 and 3 the resume rule (newest
+    * books version > newest base version) re-runs the re-encode from the
+    * still-live old rows; after 3, commitDelta's normal housekeeping
+    * sweeps the leftovers, and the replayed batch re-reads census/books
+    * from disk and encodes with the new books exactly as the original run
+    * did (the retrain runs at batch START, before the batch's own encode).
+    *
+    * Census is tracked as cumulative appended rows (re-derived from
+    * parquet metadata on restart): re-ingested ids double-count, which
+    * only fires the retrain EARLY — the safe direction. `onRetrain`
+    * observes (oldKc, newKc, census) for probes/monitoring. */
+  def ivfPqIngestRouted(vecs: DataFrame, storeDir: String,
+                        bootstrapCoarse: Seq[(Int, Array[Long])],
+                        bootstrapBooks: Seq[Seq[(Int, Array[Long])]],
+                        k: Int = 3, compactEvery: Int = 8,
+                        retrainGridSteps: Int = 2,
+                        configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity,
+                        onRetrain: (Int, Int, Long) => Unit = (_, _, _) => ())
+                       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    require(retrainGridSteps >= 1, "retrainGridSteps must be >= 1")
+    import graft.operators.Similarity
+    // driver-held cache of (booksVersion, coarse, books, census); rebuilt
+    // from disk on restart — the store, not the driver, is authoritative
+    var cur: Option[(Long, Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]])] = None
+    var census = -1L
+    configure(vecs.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+      if (!b.isEmpty) {
+        val spark = b.sparkSession
+        guardHistory(spark, storeDir, id)
+        // ---- books bootstrap / load / stale sweep ----
+        val bookDirs = dirs(spark, storeDir, "books")
+        val bv = bookDirs.lastOption.map(_._1).getOrElse {
+          writeBooks(spark, s"$storeDir/books-1", bootstrapCoarse, bootstrapBooks)
+          -1L
+        }
+        if (cur.forall(_._1 != bv)) {
+          val (c, bks) =
+            if (bookDirs.isEmpty) (bootstrapCoarse, bootstrapBooks)
+            else readBooks(spark, bookDirs.last._2)
+          cur = Some((bv, c, bks))
+        }
+        var booksVer = cur.get._1
+        var coarse = cur.get._2
+        var books = cur.get._3
+        val schema = Similarity.ivfPqEncode(
+          b.limit(0).select("vec_id", "embedding"), coarse, books).schema
+        def liveDirs = {
+          val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
+          dirs(spark, storeDir, "base").lastOption.toSeq ++
+            dirs(spark, storeDir, "d").filter(_._1 > baseVer)
+        }
+        // ---- census (cumulative appended rows; metadata-cheap re-derive) ----
+        if (census < 0)
+          census = liveDirs.map { case (_, p) => spark.read.parquet(p).count() }.sum
+        // ---- resume a crashed re-encode: books newer than the base ----
+        val baseVer0 = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
+        val needResume = booksVer >= 0 && booksVer > baseVer0 &&
+          dirs(spark, storeDir, "d").exists(_._1 <= booksVer)
+        // ---- retrain trigger at batch start (pre-batch census) ----
+        val trainedKc = coarse.size
+        val targetKc = Similarity.ivfPqKcRouted(math.max(0L, census))
+        val wantRetrain = targetKc >= (trainedKc << retrainGridSteps)
+        val newestEl = liveDirs.map(_._1).maxOption.getOrElse(-1L)
+        if ((wantRetrain || needResume) && newestEl >= 0 && newestEl < id) {
+          val v = newestEl
+          val eff = storeView(spark, storeDir, schema, "vec_id", upTo = id).get
+            .persist()
+          try {
+            val (c2, b2) =
+              if (needResume) (coarse, books) // books<v> already written
+              else {
+                val trained = Similarity.ivfPqTrainQ(
+                  eff.select("vec_id", "q"), targetKc)
+                writeBooks(spark, s"$storeDir/books$v", trained._1, trained._2)
+                trained
+              }
+            // re-encode: vec_id/q/norm invariant, cell/codes re-derived
+            Similarity.ivfPqEncodeQNorm(eff.select("vec_id", "q", "norm"), c2, b2)
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$storeDir/base$v")
+            // sweep superseded elements (idempotent; commitDelta would
+            // also catch deltas <= the new base)
+            dirs(spark, storeDir, "d").filter(_._1 <= v)
+              .foreach { case (_, p) => delete(spark, p) }
+            dirs(spark, storeDir, "base").filter(_._1 < v)
+              .foreach { case (_, p) => delete(spark, p) }
+            dirs(spark, storeDir, "books").filter(_._1 < v)
+              .foreach { case (_, p) => delete(spark, p) }
+            if (!needResume) onRetrain(trainedKc, targetKc, census)
+            cur = Some((v, c2, b2))
+            val t = cur.get; booksVer = t._1; coarse = t._2; books = t._3
+          } finally eff.unpersist()
+        }
+        // ---- normal batch: encode, probe, append (ivfPqIngest's loop) ----
+        val codes = Similarity.ivfPqEncode(
+          dedupDeterministic(b, "vec_id").select("vec_id", "embedding"),
+          coarse, books).persist()
+        try {
+          val cells = codes.select("cell").distinct().collect()
+            .map(_.getInt(0)).toSeq
+          val routeFilter = Some(col("cell").isin(cells: _*))
+          val store = storeView(spark, storeDir, schema, "vec_id",
+            upTo = id, routeFilter).getOrElse(
+            Similarity.ivfPqEncode(b.limit(0).select("vec_id", "embedding"),
+              coarse, books))
+          sink(Similarity.ivfPqIncrementalCodes(store, codes, coarse, books,
+            k, nprobe = 1), id)
+          census += codes.count()
+          commitDelta(spark, storeDir, codes, schema, "vec_id",
+            Seq("cell"), compactEvery, id)
+        } finally codes.unpersist()
+      }
+    }).start()
+  }
+
   /** Rolling simhash near-dup ingest over a streaming relation of
     * (doc_id, text): each micro-batch emits its (doc_a, doc_b, hamming)
-    * pairs touching the batch, then its 64-bit bands join the store.
-    * Same store/delta/compaction contract as [[annIngest]]. */
+    * pairs touching the batch, then its bands join the store. `wideSig`
+    * picks the 128-bit/32-bit-band tier at BOOTSTRAP (VERDICT r15 #3 —
+    * the text-side twin of [[annIngest]]'s `wideBands`): a rolling
+    * store's signatures are at rest, so the tier is a deployment
+    * parameter chosen from the expected store census against the
+    * [[graft.operators.Dedup.SimhashBandKnee]] occupancy knee (the knee
+    * the batch side routes per-call via `simhashNearDupAuto`); changing
+    * it later is an offline re-sketch, like IVF retraining. Note the
+    * tiers are different points on the precision curve (Hamming <= 3
+    * against 128 bits is stricter than against 64), which is exactly why
+    * a post-knee corpus must flip: the narrow tier's extra band
+    * collisions there are noise, not near-duplicates. Same
+    * store/delta/compaction contract as [[annIngest]]. */
   def dedupIngest(docs: DataFrame, storeDir: String, maxHamming: Int = 3,
-                  compactEvery: Int = 8,
+                  compactEvery: Int = 8, wideSig: Boolean = false,
                   configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
-                 (sink: (DataFrame, Long) => Unit): StreamingQuery =
-    ingest(docs, storeDir, "doc_id", Dedup.simhash64Bands,
-      (store, bands) => Dedup.simhashNearDupIncrementalBands(store, bands, maxHamming),
+                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val (bandsOf, sigCols) = dedupTier(wideSig)
+    ingest(docs, storeDir, "doc_id", bandsOf,
+      (store, bands) => Dedup.simhashNearDupIncrementalBands(store, bands,
+        maxHamming, sigCols),
       Nil, compactEvery, configure)(sink)
+  }
+
+  /** The bootstrap band tier of the rolling dedup stores: sketch function
+    * + signature columns, narrow (64-bit sigs, 4 x 16-bit bands) or wide
+    * (128-bit sigs, 4 x 32-bit bands). */
+  private def dedupTier(wideSig: Boolean): (DataFrame => DataFrame, Seq[String]) =
+    if (wideSig) (Dedup.simhash128Bands, Seq("sig_lo", "sig_hi"))
+    else (Dedup.simhash64Bands, Seq("simhash"))
 
   /** COMPOSED rolling dedup-then-index — the streaming twin of the batch
     * composition ([[graft.operators.Similarity.simDedupIndex]] /
@@ -353,7 +545,8 @@ object RollingIngest {
     * canonical (near-dup-free) corpus. Input is a streaming relation of
     * (doc_id, text, embedding[, routeCols…]). Each micro-batch:
     *
-    *   1. sketches 64-bit simhash bands ONCE (probe + dedup-store append);
+    *   1. sketches simhash bands ONCE (probe + dedup-store append) — the
+    *      64-bit tier, or 128-bit under `wideSig` (see [[dedupIngest]]);
     *   2. probes the KEEPER dedup store for near-dup pairs at Hamming <=
     *      `maxHamming` ([[Dedup.simhashNearDupIncrementalBands]] — work ∝
     *      batch, store never reshuffles);
@@ -365,9 +558,10 @@ object RollingIngest {
     *      published history — an arriving near-dup never unpublishes it),
     *      batch-only components keep their min doc_id. `dedupSink`
     *      receives the decisions as (doc_id, keeper_id, kept);
-    *   4. encodes the KEEPERS' embeddings into hyperplane bands, probes
-    *      the ANN store ([[Similarity.lshAnnIncrementalBands]]) and hands
-    *      `sink` the batch's (qid, nid, cosine) neighbor rows;
+    *   4. encodes the KEEPERS' embeddings into the ANN structure's rows
+    *      (hyperplane bands here; PQ codes in [[dedupIndexIngestPq]]),
+    *      probes the ANN store ([[Similarity.lshAnnIncrementalBands]])
+    *      and hands `sink` the batch's (qid, nid, cosine) neighbor rows;
     *   5. appends the keepers' simhash bands and vector bands as deltas
     *      to the two stores (same delta/compaction/replay contract as
     *      [[annIngest]] — both stores hold exactly the canonical corpus,
@@ -389,30 +583,84 @@ object RollingIngest {
   def dedupIndexIngest(docs: DataFrame, dedupStoreDir: String,
                        annStoreDir: String, maxHamming: Int = 3, k: Int = 3,
                        routeCols: Seq[String] = Nil, compactEvery: Int = 8,
-                       wideBands: Boolean = false,
+                       wideBands: Boolean = false, wideSig: Boolean = false,
                        configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity,
                        dedupSink: (DataFrame, Long) => Unit = (_, _) => ())
                       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    require(compactEvery >= 1, "compactEvery must be >= 1")
     val vecBandsOf: DataFrame => DataFrame =
       if (wideBands) Similarity.hyperBandsWide else Similarity.hyperBands
+    composedIngest(docs, dedupStoreDir, annStoreDir, maxHamming, compactEvery,
+      wideSig, configure, dedupSink,
+      vecColsOf = df => df.select(
+        (col("doc_id").as("vec_id") +: routeCols.map(col)) :+ col("embedding"): _*),
+      annBandsOf = vecBandsOf,
+      annProbe = (store, bands) =>
+        Similarity.lshAnnIncrementalBands(store, bands, k, routeCols),
+      annPartitionCols = routeCols)(sink)
+  }
+
+  /** Keeper-gated QUANTIZED ingest — [[dedupIndexIngest]] with the
+    * production retrieval structure on the index side (VERDICT r15 #2):
+    * keepers ENCODE against the FROZEN pre-trained IVF-PQ books
+    * ([[Similarity.ivfPqEncode]], one zero-shuffle projection), probe the
+    * routed code store ([[Similarity.ivfPqIncrementalCodes]] — supersede,
+    * nprobe-1 routing, broadcast ADC, exact rerank; the same nprobe = 1
+    * partition-pruning operating point as [[ivfPqIngest]], see its doc),
+    * and append CELL-PARTITIONED code deltas — the full 100 TB crawl
+    * stack: dedup gate -> quantized encode -> routed probe ->
+    * cell-partitioned delta, fused into one micro-batch loop. The keeper
+    * decision, store layout, compaction, and replay contracts are
+    * [[dedupIndexIngest]]'s verbatim (one shared loop); only the ANN-side
+    * row shape and probe differ. */
+  def dedupIndexIngestPq(docs: DataFrame, dedupStoreDir: String,
+                         annStoreDir: String,
+                         coarse: Seq[(Int, Array[Long])],
+                         books: Seq[Seq[(Int, Array[Long])]],
+                         maxHamming: Int = 3, k: Int = 3,
+                         compactEvery: Int = 8, wideSig: Boolean = false,
+                         configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity,
+                         dedupSink: (DataFrame, Long) => Unit = (_, _) => ())
+                        (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    composedIngest(docs, dedupStoreDir, annStoreDir, maxHamming, compactEvery,
+      wideSig, configure, dedupSink,
+      vecColsOf = df => df.select(col("doc_id").as("vec_id"), col("embedding")),
+      annBandsOf = v => Similarity.ivfPqEncode(v, coarse, books),
+      annProbe = (store, codes) => Similarity.ivfPqIncrementalCodes(
+        store, codes, coarse, books, k, nprobe = 1),
+      annPartitionCols = Seq("cell"))(sink)
+
+  /** The shared composed micro-batch loop behind [[dedupIndexIngest]] and
+    * [[dedupIndexIngestPq]]: simhash-gate the batch against the keeper
+    * dedup store, then run the parameterized ANN side (row encoder, probe,
+    * partition layout) over the keepers only. See [[dedupIndexIngest]]
+    * for the full step-by-step and semantic contract. */
+  private def composedIngest(docs: DataFrame, dedupStoreDir: String,
+                             annStoreDir: String, maxHamming: Int,
+                             compactEvery: Int, wideSig: Boolean,
+                             configure: DataStreamWriter[Row] => DataStreamWriter[Row],
+                             dedupSink: (DataFrame, Long) => Unit,
+                             vecColsOf: DataFrame => DataFrame,
+                             annBandsOf: DataFrame => DataFrame,
+                             annProbe: (DataFrame, DataFrame) => DataFrame,
+                             annPartitionCols: Seq[String])
+                            (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    val (docBandsOf, sigCols) = dedupTier(wideSig)
     configure(docs.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
       if (!b.isEmpty) {
         val spark = b.sparkSession
         guardHistory(spark, dedupStoreDir, id)
         guardHistory(spark, annStoreDir, id)
         def docCols(df: DataFrame) = df.select("doc_id", "text")
-        def vecCols(df: DataFrame) = df.select(
-          (col("doc_id").as("vec_id") +: routeCols.map(col)) :+ col("embedding"): _*)
-        val dedupSchema = Dedup.simhash64Bands(docCols(b.limit(0))).schema
-        val annSchema = vecBandsOf(vecCols(b.limit(0))).schema
+        val dedupSchema = docBandsOf(docCols(b.limit(0))).schema
+        val annSchema = annBandsOf(vecColsOf(b.limit(0))).schema
         val batch = dedupDeterministic(b, "doc_id").persist()
-        val docBands = Dedup.simhash64Bands(docCols(batch)).persist()
+        val docBands = docBandsOf(docCols(batch)).persist()
         try {
           val dedupStore = storeView(spark, dedupStoreDir, dedupSchema, "doc_id",
-            upTo = id).getOrElse(Dedup.simhash64Bands(docCols(b.limit(0))))
+            upTo = id).getOrElse(docBandsOf(docCols(b.limit(0))))
           val pairs = Dedup.simhashNearDupIncrementalBands(
-            dedupStore, docBands, maxHamming)
+            dedupStore, docBands, maxHamming, sigCols)
           // Components over the batch-touching pairs; labels is at most
           // edge-set-sized (∝ batch), so every derived relation below
           // broadcasts. Store members need NO store scan: every pair
@@ -440,21 +688,20 @@ object RollingIngest {
             .persist()
           val keptIds = decisions.filter(col("kept")).select("doc_id")
           val keeperBands = docBands.join(broadcast(keptIds), Seq("doc_id"))
-          val vecBands = vecBandsOf(
-            vecCols(batch.join(broadcast(keptIds), Seq("doc_id")))).persist()
+          val vecBands = annBandsOf(
+            vecColsOf(batch.join(broadcast(keptIds), Seq("doc_id")))).persist()
           try {
             dedupSink(decisions, id)
-            val routeFilter = if (routeCols.isEmpty) None else {
-              val vals = vecBands.select(routeCols.map(col): _*).distinct().collect()
-              Some(routeCols.zipWithIndex.map { case (c, i) =>
+            val routeFilter = if (annPartitionCols.isEmpty) None else {
+              val vals = vecBands.select(annPartitionCols.map(col): _*).distinct().collect()
+              Some(annPartitionCols.zipWithIndex.map { case (c, i) =>
                 col(c).isin(vals.map(_.get(i)).distinct.toSeq: _*)
               }.reduce(_ && _))
             }
             val annStore = storeView(spark, annStoreDir, annSchema, "vec_id",
               upTo = id, routeFilter)
-              .getOrElse(vecBandsOf(vecCols(b.limit(0))))
-            sink(Similarity.lshAnnIncrementalBands(annStore, vecBands, k,
-              routeCols), id)
+              .getOrElse(annBandsOf(vecColsOf(b.limit(0))))
+            sink(annProbe(annStore, vecBands), id)
             // A batch may dedup away ENTIRELY; an empty partitioned write
             // leaves a schema-less directory readBands cannot open, so a
             // keeper-less batch writes no deltas at all — storeView and
@@ -463,7 +710,7 @@ object RollingIngest {
               commitDelta(spark, dedupStoreDir, keeperBands, dedupSchema,
                 "doc_id", Nil, compactEvery, id)
               commitDelta(spark, annStoreDir, vecBands, annSchema,
-                "vec_id", routeCols, compactEvery, id)
+                "vec_id", annPartitionCols, compactEvery, id)
             }
           } finally { vecBands.unpersist(); decisions.unpersist() }
         } finally { docBands.unpersist(); batch.unpersist() }

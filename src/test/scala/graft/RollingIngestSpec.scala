@@ -450,6 +450,224 @@ class RollingIngestSpec extends SparkSpec {
     assert(nbrs.toSet == expected)
   }
 
+  test("ivfPqIngestRouted: census-drift retrain re-encodes the base; content invariant; probes use new books") {
+    // VERDICT r15 #1: bootstrap books at the fixture kc = 8; ingest enough
+    // vectors that ivfPqKcRouted(census) crosses one grid step (>= 16 at
+    // n >= ~128 with retrainGridSteps = 1) and assert the offline event:
+    // new books<v>, re-encoded base<v>, (vec_id, q, norm) invariant,
+    // post-retrain probes identical to the static replay under NEW books.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_ri_rt").toString + "/store"
+    val seed = (0L until 40L).map(i => (i, vec(i.toInt)))
+    val (c0, b0) = Similarity.ivfPqTrain(seed.toDF("vec_id", "embedding"))
+    assert(c0.size == 8)
+    val steps = (0 until 4).map(s =>
+      (s * 60L until (s + 1) * 60L).map(i => (i, vec(i.toInt))))
+    val retrains = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    val nbrs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = RollingIngest.ivfPqIngestRouted(
+      in.toDF().toDF("vec_id", "embedding"), dir, c0, b0,
+      retrainGridSteps = 1,
+      onRetrain = (o, n, cz) => retrains += ((o, n, cz))) { (n, id) =>
+      seen += id
+      nbrs ++= n.collect().map(r => (id, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try steps.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // exactly one retrain: 8 -> 16 once census >= ~128 (n=120 at batch-2
+    // start is exp=3.45->round 3; n=180 at batch-3 start: sqrt=13.4,
+    // log2=3.75 -> 16)
+    assert(retrains.nonEmpty, "census never triggered a retrain")
+    assert(retrains.map(_._2).forall(_ >= 16) && retrains.head._1 == 8,
+      s"unexpected retrain points: $retrains")
+    val (cN, bN) = RollingIngest.readBooks(spark,
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("books"))
+        .map(_.toString).maxBy(p => p.split("books").last.toLong))
+    assert(cN.size == retrains.last._2)
+    // the whole effective store is encoded under the NEWEST books — base
+    // re-encoded, post-retrain deltas natively: content equality
+    val schema = Similarity.ivfPqEncode(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), c0, b0).schema
+    val eff = RollingIngest.storeView(spark, dir, schema, "vec_id").get
+    val corpus = steps.flatten
+    val want = Similarity.ivfPqEncode(corpus.toDF("vec_id", "embedding"), cN, bN)
+    assert(eff.collect().toSet == want.collect().toSet,
+      "store content must equal the new-books encode of the full corpus")
+    // store-content invariance across the re-encode, stated directly:
+    // (vec_id, q, norm) equals the books-independent projection
+    val inv = eff.select("vec_id", "q", "norm").collect().toSet
+    val wantInv = want.select("vec_id", "q", "norm").collect().toSet
+    assert(inv == wantInv)
+    // the books serializer round-trips order-exactly (tie-breaks are
+    // positional)
+    val rtDir = Files.createTempDirectory("graft_books_rt").toString + "/bk"
+    RollingIngest.writeBooks(spark, rtDir, cN, bN)
+    val (cR, bR) = RollingIngest.readBooks(spark, rtDir)
+    assert(cR.map(_._1) == cN.map(_._1) &&
+      cR.map(_._2.toSeq) == cN.map(_._2.toSeq))
+    assert(bR.map(_.map(_._1)) == bN.map(_.map(_._1)))
+    // post-retrain batches' sink rows equal the static replay under the
+    // new books (the probe switched operating points with the store)
+    val postBatch = steps.last
+    val prior = steps.dropRight(1).flatten
+    val expected = Similarity.ivfPqIncrementalCodes(
+      Similarity.ivfPqEncode(prior.toDF("vec_id", "embedding"), cN, bN),
+      Similarity.ivfPqEncode(postBatch.toDF("vec_id", "embedding"), cN, bN),
+      cN, bN, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lastRank = seen.distinct.sorted.last
+    val gotLast = nbrs.filter(_._1 == lastRank).map(t => (t._2, t._3, t._4)).toSet
+    assert(gotLast == expected,
+      "post-retrain probe rows must equal the new-books static replay")
+  }
+
+  test("dedupIndexIngestPq: keeper-gated quantized ingest equals the batch-composition replay") {
+    // VERDICT r15 #2: the production crawl stack — dedup gate -> frozen-book
+    // encode -> routed probe -> cell-partitioned delta — in one loop
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_ddi_pq").toString
+    val (dd, ann) = (root + "/dedup", root + "/ann")
+    val (coarse, books) = Similarity.ivfPqTrain(
+      (0L until 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding"))
+    def text(i: Long) = s"document $i speaks of topic${i % 7} and idea${i % 5} " +
+      s"plus unique token u$i and filler f${i * 31 % 13}"
+    val b0 = (0L until 10L).map(i => (i, text(i), vec(i.toInt)))
+    val b1 = (10L until 18L).map(i => (i, text(i), vec(i.toInt))) :+
+      (18L, text(3), vec(18)) // dup of stored doc 3 -> dropped
+    val b2 = (19L until 25L).map(i => (i, text(i), vec(i.toInt)))
+    val steps = Seq(b0, b1, b2)
+    val nbrs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val decs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = RollingIngest.dedupIndexIngestPq(
+      in.toDF().toDF("doc_id", "text", "embedding"), dd, ann, coarse, books,
+      dedupSink = (d, _) => decs ++= d.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2)))) { (n, id) =>
+      seen += id
+      nbrs ++= n.collect().map(r => (id, r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try steps.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val rank = seen.distinct.sorted.zipWithIndex.toMap
+    assert(decs.filter(!_._3).map(_._1) == Seq(18L))
+    // every ANN delta is cell-partitioned (the IVF layout at rest)
+    val dDirs = new java.io.File(ann).listFiles().filter(_.getName.startsWith("d"))
+    assert(dDirs.nonEmpty && dDirs.forall(
+      _.listFiles().exists(_.getName.startsWith("cell="))),
+      "keeper-gated quantized ingest must write cell-partitioned deltas")
+    // both stores hold exactly the keepers; the code store equals the
+    // frozen-book encode of the accumulated keeper corpus
+    val keeperCorpus = steps.flatten.filterNot(_._1 == 18L).map(t => (t._1, t._3))
+    val codeSchema = Similarity.ivfPqEncode(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), coarse, books).schema
+    val eff = RollingIngest.storeView(spark, ann, codeSchema, "vec_id").get
+    val want = Similarity.ivfPqEncode(
+      keeperCorpus.toDF("vec_id", "embedding"), coarse, books)
+    assert(eff.collect().toSet == want.collect().toSet)
+    val ddSchema = graft.operators.Dedup.simhash64Bands(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).schema
+    val ddIds = RollingIngest.storeView(spark, dd, ddSchema, "doc_id").get
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(ddIds == keeperCorpus.map(_._1).toSet)
+    // sink rows equal the static batch-composition replay: per step, the
+    // keepers' codes probe the accumulated keeper code store
+    var acc = Seq.empty[(Long, Seq[Float])]
+    val expected = scala.collection.mutable.Set.empty[(Int, Long, Long, Double)]
+    steps.zipWithIndex.foreach { case (b, i) =>
+      val kept = b.filterNot(_._1 == 18L).map(t => (t._1, t._3))
+      expected ++= Similarity.ivfPqIncrementalCodes(
+        Similarity.ivfPqEncode(acc.toDF("vec_id", "embedding"), coarse, books),
+        Similarity.ivfPqEncode(kept.toDF("vec_id", "embedding"), coarse, books),
+        coarse, books, nprobe = 1)
+        .collect().map(r => (i, r.getLong(0), r.getLong(1), r.getDouble(2)))
+      acc ++= kept
+    }
+    assert(nbrs.toSet.map((t: (Long, Long, Long, Double)) =>
+      (rank(t._1), t._2, t._3, t._4)) == expected.toSet)
+    assert(nbrs.nonEmpty)
+  }
+
+  test("wideSig bootstrap: 128-bit rolling dedup tier stores wide sigs; keeper decisions match narrow pre-knee") {
+    // VERDICT r15 #3: the text-side twin of wideBands. On a PRE-KNEE
+    // corpus (planted exact dups: Hamming 0 on every tier; unrelated docs:
+    // far above 3 on both) the tiers must make the SAME keeper decisions,
+    // while the wide store holds (sig_lo, sig_hi) 32-bit-band rows.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def text(i: Long) = s"document $i about topic${i % 7} with unique token u$i " +
+      s"and marker m${i * 13 % 11} plus trailing filler words"
+    val b0 = (0L until 9L).map(i => (i, text(i), vec(i.toInt)))
+    val b1 = ((9L until 15L).map(i => (i, text(i), vec(i.toInt))) :+
+      (15L, text(2), vec(15))) :+ (16L, text(9), vec(16)) // dups of 2 and 9
+    val steps = Seq(b0, b1)
+    def run(wide: Boolean): (Seq[(Long, Long, Boolean)], String) = {
+      val root = Files.createTempDirectory(s"graft_ddi_ws$wide").toString
+      val (dd, ann) = (root + "/dedup", root + "/ann")
+      val decs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+      val in = MemoryStream[(Long, String, Seq[Float])]
+      val q = RollingIngest.dedupIndexIngest(
+        in.toDF().toDF("doc_id", "text", "embedding"), dd, ann, wideSig = wide,
+        dedupSink = (d, _) => decs ++= d.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getBoolean(2)))) { (n, _) => n.collect(): Unit }
+      try steps.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      (decs.toSeq, dd)
+    }
+    val (narrowDecs, _) = run(wide = false)
+    val (wideDecs, wideDd) = run(wide = true)
+    assert(narrowDecs.toSet == wideDecs.toSet,
+      s"pre-knee keeper decisions diverged across tiers:\n$narrowDecs\n$wideDecs")
+    assert(wideDecs.filter(!_._3).map(_._1).toSet == Set(15L, 16L))
+    // the wide store holds the 128-bit shape and equals the keeper corpus
+    // sketched wide
+    val wideSchema = graft.operators.Dedup.simhash128Bands(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).schema
+    val eff = RollingIngest.storeView(spark, wideDd, wideSchema, "doc_id").get
+    assert(eff.columns.contains("sig_lo") && eff.columns.contains("sig_hi"))
+    val keepers = steps.flatten.filterNot(t => Set(15L, 16L).contains(t._1))
+      .map(t => (t._1, t._2))
+    val want = graft.operators.Dedup.simhash128Bands(keepers.toDF("doc_id", "text"))
+    assert(eff.collect().toSet == want.collect().toSet)
+  }
+
+  test("dedupIngest wideSig: pair stream equals the wide-tier batch replay") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_ri_ws").toString + "/store"
+    def text(i: Long) = s"doc $i holds token k$i theme t${i % 6} and suffix s${i * 7 % 11}"
+    val b0 = (0L until 8L).map(i => (i, text(i)))
+    val b1 = (8L until 13L).map(i => (i, text(i))) :+ (13L, text(4)) // dup of 4
+    val steps = Seq(b0, b1)
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = RollingIngest.dedupIngest(in.toDF().toDF("doc_id", "text"), dir,
+      wideSig = true) { (p, id) =>
+      seen += id
+      pairs ++= p.collect().map(r => (id, r.getLong(0), r.getLong(1), r.getInt(2)))
+    }
+    try steps.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val rank = seen.distinct.sorted.zipWithIndex.toMap
+    val expected = steps.indices.flatMap { i =>
+      val prior = steps.take(i).flatten
+      graft.operators.Dedup.simhashNearDupIncrementalBands(
+        graft.operators.Dedup.simhash128Bands(prior.toDF("doc_id", "text")),
+        graft.operators.Dedup.simhash128Bands(steps(i).toDF("doc_id", "text")),
+        sigCols = Seq("sig_lo", "sig_hi"))
+        .collect().map(r => (i, r.getLong(0), r.getLong(1), r.getInt(2)))
+    }.toSet
+    assert(pairs.toSet.map((t: (Long, Long, Long, Int)) =>
+      (rank(t._1), t._2, t._3, t._4)) == expected)
+    assert(pairs.exists(p => p._2 == 4L && p._3 == 13L && p._4 == 0),
+      "the planted dup must pair at Hamming 0 on the wide tier")
+  }
+
   test("dedupIndexIngest: delta bytes ∝ batch across >= 2 compactions on both stores") {
     def text(i: Long) = s"doc $i of topic${i % 11} with unique token q$i " +
       s"and marker m${i * 17 % 19} plus padding words here"
