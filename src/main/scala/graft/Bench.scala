@@ -417,6 +417,67 @@ object Bench {
       val s = r.toString
       if (s.startsWith("0.")) s.drop(1) else s
     }
+
+    // ---- sf1 subtotal block (VERDICT r15 #8): per-round scale-drift
+    // visibility between the ad-hoc decade probes. Only on the judged
+    // sf0.1 gate dir (never recursively inside an inflated dir, never
+    // under the attribution knob): build the deterministic 10x inflation
+    // once per scratch dir, min-keep 2 samples of the headline six + the
+    // sim/dd family under the shared quiet budget + a wall-clock budget
+    // (a timed-out artifact is worse than a partial block — unsampled
+    // queries emit null), and ride the result inside the artifact JSON.
+    // Keys are s1_-prefixed, NOT bare query names: the round-over-round
+    // regression scraper collects name:value tokens from the previous
+    // artifact filtered to real query names, and bare names here would
+    // shadow next round's sf0.1 reference times.
+    val sf1Block: Option[String] =
+      if (attributionMode || sys.env.get("SPARK_GRAFT_SF1").contains("0") ||
+          new java.io.File(sfDir).getName != "sf0.1") None
+      else try {
+        val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1_bench")
+        val marker = new java.io.File(dst, "_inflate_done")
+        val tInf0 = System.nanoTime()
+        if (!marker.exists()) {
+          Inflate.run(spark, sfDir, dst, 10)
+          marker.createNewFile()
+        }
+        val inflateSec = (System.nanoTime() - tInf0) / 1e9
+        val fam = headline ++ Seq("sim_ivf_pq", "sim_ivf_pq_incremental",
+          "sim_dedup_index", "sim_pq_recall", "dd_lsh_buckets",
+          "dd_fuzzy_keep", "dd_dup_clusters", "dd_span_scrub")
+        waitQuiet("pre-sf1")
+        val budgetMs =
+          sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SEC", "300").toLong * 1000L
+        val tSweep0 = System.currentTimeMillis()
+        val (a, sa) = procStat()
+        val times = fam.map { name =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            val ok = try { SparkEntry.queries(name)(spark, dst).count(); true }
+            catch { case _: Throwable => false }
+            if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
+          }
+          name -> (if (System.currentTimeMillis() - tSweep0 > budgetMs) -1.0
+          else {
+            val best = math.min(once(), once())
+            if (best == Double.MaxValue) -1.0 else best
+          })
+        }
+        val (b2, sb) = procStat()
+        val st = if (b2 > a) 100.0 * (sb - sa) / (b2 - a) else 0.0
+        val hd6 = times.filter(t => headline.contains(t._1)).map(_._2)
+        val entries = times.map { case (n, v) =>
+          "\"s1_" + n + "\":" + (if (v < 0) "null" else j3(v))
+        } ++ Seq(
+          "\"s1_total_6q\":" + (if (hd6.exists(_ < 0)) "null" else j3(hd6.sum)),
+          "\"s1_steal_pct\":" + j3(st),
+          "\"s1_inflate_sec\":" + j3(inflateSec))
+        Some(entries.mkString("{", ",", "}"))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sf1 block failed: ${e.getMessage}")
+          None
+      }
     // Artifact layout vs the driver's 2000-char merged-stdio tail (VERDICT
     // r7 #1: rounds 3-7 lost headline_total_6q and the alphabetically-first
     // ~25 per-query times to left-truncation; r1/r2 tails prove stderr is
@@ -470,7 +531,7 @@ object Bench {
       .sortBy(-_._2._2).take(12)
       .map { case (k, (_, st)) => "\"" + k + "\":" + j3(st) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all":${j3(allTotal)},"headline_presweep":${presweepHeadline.map(j3).getOrElse("null")},"steal_pct":${j3(stealPct)},"headline_steal_pct":${headlineStealPct.map(j3).getOrElse("null")},"probe_steal_pct":${j3(probeSteal)},"query_steal":$querySteal,"failed":$failedJson,"sf":"${new java.io.File(sfDir).getName}"}""")
+    println(s"""{"metric":"headline_total_6q","value":$headlineTotal,"unit":"sec","queries":$qs,"total_all":${j3(allTotal)},"headline_presweep":${presweepHeadline.map(j3).getOrElse("null")},"steal_pct":${j3(stealPct)},"headline_steal_pct":${headlineStealPct.map(j3).getOrElse("null")},"probe_steal_pct":${j3(probeSteal)},"query_steal":$querySteal,"failed":$failedJson,"sf1":${sf1Block.getOrElse("null")},"sf":"${new java.io.File(sfDir).getName}"}""")
     if (headlineBroken) {
       // exit nonzero so the run records as invalid, not flattering
       spark.stop(); sys.exit(3)
