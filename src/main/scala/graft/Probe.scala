@@ -155,10 +155,10 @@ object Probe {
       // ONE LONG CHAIN (VERDICT r15 #7): the shape where min-label
       // propagation needs O(diameter) rounds — a PROBE_CHAIN_EDGES chain
       // (default 2M edges = diameter 2M) is unrunnable under min-label
-      // (2M shuffle rounds) but converges in ~log2(n) star-contraction
+      // (2M shuffle rounds) but converges in ~2·log2(n) star-contraction
       // rounds. Prints star rounds + wall; min-label is A/B'd only up to
-      // PROBE_CHAIN_MINLABEL_EDGES (default 2048) where diameter rounds
-      // are still feasible. Run PROBE_ITERS=1.
+      // PROBE_CHAIN_MINLABEL_EDGES (default 128) where diameter-many
+      // rounds are still feasible. Run PROBE_ITERS=1.
       "components_chain" -> (() => {
         val n = sys.env.getOrElse("PROBE_CHAIN_EDGES", "2000000").toLong
         val chain = spark.range(n).select(col("id").as("doc_a"),
@@ -169,7 +169,7 @@ object Probe {
         val tStar = (System.nanoTime() - t0) / 1e9
         val starRounds = operators.Dedup.lastStarRounds.get()
         chain.unpersist()
-        val mlN = sys.env.getOrElse("PROBE_CHAIN_MINLABEL_EDGES", "2048").toLong
+        val mlN = sys.env.getOrElse("PROBE_CHAIN_MINLABEL_EDGES", "128").toLong
         val small = spark.range(mlN).select(col("id").as("doc_a"),
           (col("id") + 1).as("doc_b")).cache()
         small.count()
@@ -655,13 +655,34 @@ object Probe {
     val in = MemoryStream[(Long, String, Seq[Float])]
     var emitted = 0L
     var dropped = 0L
-    // PROBE_INGEST_WIDE=1 bootstraps the store on the wide band tier —
-    // the deployment choice for a post-knee census (the sf10 decade A/B)
+    // PROBE_INGEST_WIDE=1 bootstraps the ANN store on the wide band tier,
+    // PROBE_INGEST_WIDESIG=1 the dedup store on the 128-bit signature tier
+    // — the deployment choices for a post-knee census (sf10 decade A/Bs).
+    // PROBE_INGEST_PQ=1 routes the composed pipeline through
+    // dedupIndexIngestPq (frozen books trained at the routed kc on the
+    // first id interval's embeddings) — the keeper-gated QUANTIZED stack.
     val wide = sys.env.get("PROBE_INGEST_WIDE").contains("1")
-    System.err.println(s"[probe] dedup_index_ingest_e2e wide_bands=$wide")
-    val q = streaming.RollingIngest.dedupIndexIngest(
+    val wideSig = sys.env.get("PROBE_INGEST_WIDESIG").contains("1")
+    val pq = sys.env.get("PROBE_INGEST_PQ").contains("1")
+    System.err.println(s"[probe] dedup_index_ingest_e2e wide_bands=$wide " +
+      s"wide_sig=$wideSig pq=$pq")
+    val q = if (pq) {
+      val t0 = System.nanoTime()
+      val (kc, coarse, books) = operators.Similarity.ivfPqTrainRouted(
+        src.filter(col("doc_id") < minId + step)
+          .select(col("doc_id").as("vec_id"), col("embedding")))
+      System.err.println(f"[probe] dedup_index_ingest_e2e pq_train kc=$kc%d " +
+        f"train_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+      streaming.RollingIngest.dedupIndexIngestPq(
+        in.toDF().toDF("doc_id", "text", "embedding"), dd, ann, coarse, books,
+        compactEvery = compactEvery, wideSig = wideSig,
+        dedupSink = (dec, _) =>
+          dropped += dec.filter(!col("kept")).count()) { (nbrs, _) =>
+        emitted += nbrs.count()
+      }
+    } else streaming.RollingIngest.dedupIndexIngest(
       in.toDF().toDF("doc_id", "text", "embedding"), dd, ann,
-      compactEvery = compactEvery, wideBands = wide,
+      compactEvery = compactEvery, wideBands = wide, wideSig = wideSig,
       dedupSink = (dec, _) =>
         dropped += dec.filter(!col("kept")).count()) { (nbrs, _) =>
       emitted += nbrs.count()

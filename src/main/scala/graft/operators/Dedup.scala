@@ -944,10 +944,13 @@ object Dedup {
     * generateTreeString before the fix — the same disease the round-15 BPE
     * loop had, in its iterative-relation shape. Round k−1's persisted
     * snapshot is UNPERSISTED once round k's convergence count has
-    * materialized (ADVICE r15: the localCheckpoint version leaked every
-    * round's corpus-sized snapshot until driver GC), and the RDD rebase
-    * keeps lineage, so an executor loss recomputes instead of failing the
-    * job the way lost localCheckpoint blocks would. */
+    * materialized (ADVICE r15: the first localCheckpoint version leaked
+    * every round's corpus-sized snapshot until driver GC). Lineage is
+    * TRUNCATED per round — a lineage-preserving rebase was tried and died
+    * with StackOverflowError in task serialization at ~40 rounds (the
+    * recursion walks the full history); the fault-tolerance trade and the
+    * reliable-checkpointing alternative for cluster deployments are
+    * documented at [[graft.plans.materializeIter]]. */
   def labelPropagationDistributed(edges0: DataFrame): DataFrame = {
     // Positional contract, matching the driver union-find path's
     // getLong(0)/getLong(1): callers pass any two-long-column edge list

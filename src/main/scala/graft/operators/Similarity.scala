@@ -1185,27 +1185,29 @@ object Similarity {
     * The [[Clustering]] assignedTo shape, reused for subvectors. */
   /** Exact-long squared L2 distances of vector column `v` (with `vv` =
     * v·v) to each literal centroid: |v|² + |c|² − 2v·c via a fused native
-    * dot per centroid. ONE definition of the arithmetic that the PQ
-    * encode ([[argminCw]]), the cell-tagging projection ([[withCell]]),
-    * and the nprobe ranking ([[probeCellsOf]]) must keep bit-identical to
-    * the shared oracle CTEs (code-review r13: three copies had grown). */
-  private def centDists(v: Column, vv: Column,
-                        cents: Seq[(Int, Array[Long])]): Seq[Column] =
+    * dot per centroid. Retained as the DECLARATIVE REFERENCE of the
+    * assignment arithmetic: the production paths ([[argminCw]],
+    * [[withCell]], [[withCode]], [[probeCellsOf]]) all route through ONE
+    * fused expression ([[graft.plans.nearestCells]]) whose loop evaluates
+    * this same arithmetic in vv-reduced form — the kc-literal-expression
+    * form here outgrows whole-stage codegen at the routed kc = √n
+    * operating point (measured interpreted fallback at kc = 512, the
+    * dominant term of the sf10 retrain event) — and the equality spec
+    * pins native ≡ this chain including ties. */
+  private[graft] def centDists(v: Column, vv: Column,
+                               cents: Seq[(Int, Array[Long])]): Seq[Column] =
     cents.map { case (_, cv) =>
       val bb = cv.map(x => x * x).sum
       vv + lit(bb) - lit(2L) * graft.plans.dotQNative(v, lit(cv))
     }
 
-  private def argminCw(v: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
-    val dists = centDists(col("v"), col("vv"), cents)
-    val ids = cents.map(_._1).toArray
-    v.withColumn("vv", graft.plans.dotQNative(col("v"), col("v")))
-      .withColumn("darr", array(dists: _*))
-      .select(col("vec_id"), col("v"),
-        element_at(lit(ids),
-          array_position(col("darr"), array_min(col("darr"))).cast("int"))
-          .as("cw"))
-  }
+  /** The nearest trained centroid's id for a quantized vector column —
+    * (exact L2, book position) argmin via the fused native expression. */
+  private def cellOf(q: Column, cents: Seq[(Int, Array[Long])]): Column =
+    element_at(graft.plans.nearestCells(q, cents, 1), 1)
+
+  private def argminCw(v: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame =
+    v.select(col("vec_id"), col("v"), cellOf(col("v"), cents).as("cw"))
 
   /** One exact-integer Lloyd update round over a (vec_id, v) relation:
     * seed = the k lowest-id vectors, assign (zero-shuffle literal-argmin
@@ -1236,15 +1238,8 @@ object Similarity {
     * the zero-shuffle IVF assignment projection (exact long L2 argmin over
     * literal centroids; ties to the lowest cell id via array_position's
     * first minimum, matching the oracle's ORDER BY d2, cell). */
-  private def withCell(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
-    val dists = centDists(col("q"), col("_vv"), cents)
-    val ids = cents.map(_._1).toArray
-    df.withColumn("_vv", graft.plans.dotQNative(col("q"), col("q")))
-      .withColumn("_darr", array(dists: _*))
-      .withColumn("cell", element_at(lit(ids),
-        array_position(col("_darr"), array_min(col("_darr"))).cast("int")))
-      .drop("_vv", "_darr")
-  }
+  private def withCell(df: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame =
+    df.withColumn("cell", cellOf(col("q"), cents))
 
   /** Each probe's `nprobe` NEAREST trained cells — (qid, pcell) rows, as a
     * zero-shuffle projection: build the (d2, cell) structs against the
@@ -1255,16 +1250,9 @@ object Similarity {
     * trades a bounded candidate increase (probes × nprobe·corpus/cells)
     * for retrieving exactly those. */
   private def probeCellsOf(probes: DataFrame, cents: Seq[(Int, Array[Long])],
-                           nprobe: Int): DataFrame = {
-    val structs: Seq[Column] =
-      centDists(col("q"), col("_vv"), cents).zip(cents.map(_._1)).map {
-        case (d2, id) => struct(d2.as("d2"), lit(id).as("cell"))
-      }
-    probes.withColumn("_vv", graft.plans.dotQNative(col("q"), col("q")))
-      .select(col("vec_id").as("qid"),
-        slice(array_sort(array(structs: _*)), 1, nprobe).as("pcs"))
-      .select(col("qid"), explode(col("pcs.cell")).as("pcell"))
-  }
+                           nprobe: Int): DataFrame =
+    probes.select(col("vec_id").as("qid"),
+        explode(graft.plans.nearestCells(col("q"), cents, nprobe)).as("pcell"))
 
   /** The coarse-quantizer oracle chain — one Lloyd update (seed → assign
     * → integer mean) over the full-dim vectors, then full-corpus
@@ -1843,15 +1831,9 @@ object Similarity {
     * subspace `s` against a frozen book — the same [[centDists]]
     * arithmetic and first-minimum tie-break as every other assignment. */
   private def withCode(df: DataFrame, s: Int, dh: Int,
-                       book: Seq[(Int, Array[Long])]): DataFrame = {
-    val ids = book.map(_._1).toArray
-    df.withColumn("_v", slice(col("q"), (s - 1) * dh + 1, dh))
-      .withColumn("_vv", graft.plans.dotQNative(col("_v"), col("_v")))
-      .withColumn("_darr", array(centDists(col("_v"), col("_vv"), book): _*))
-      .withColumn(s"c$s", element_at(lit(ids),
-        array_position(col("_darr"), array_min(col("_darr"))).cast("int")))
-      .drop("_v", "_vv", "_darr")
-  }
+                       book: Seq[(Int, Array[Long])]): DataFrame =
+    df.withColumn(s"c$s",
+      cellOf(slice(col("q"), (s - 1) * dh + 1, dh), book))
 
   /** Encode a (vec_id, embedding) batch against FROZEN books into the
     * code-store row shape (vec_id, cell, c1..cm, q, norm) — one

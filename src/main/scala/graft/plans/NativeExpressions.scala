@@ -1331,3 +1331,116 @@ case class ScrubWords(left: Expression, right: Expression) extends BinaryExpress
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Static loop behind [[NearestCells]] — one fused pass over the packed
+  * centroid matrix per row, replacing kc separate literal-dot expressions. */
+object CellArgminUtil {
+  /** Book POSITIONS of the `n` nearest centroids of `v` under exact-long
+    * squared L2, ordered by (distance, book position) ascending. Distances
+    * are compared in the vv-free reduced form `cici − 2·v·ci`: the |v|²
+    * term is a per-row constant shift, so every comparison (and every tie)
+    * is identical to the full |v|² + |c|² − 2·v·c the declarative
+    * [[graft.operators.Similarity]] centDists chain evaluates — and the
+    * reduced form cannot overflow where the full one didn't. Tie-break =
+    * first position (array_position-of-array_min semantics); with
+    * id-sorted books (lloydBook sorts, the store serializer preserves
+    * order) this equals the lowest cell id, matching the oracle's
+    * ORDER BY d2, cell. */
+  def nearest(v: ArrayData, flat: Array[Long], cici: Array[Long],
+              dim: Int, n: Int): Array[Int] = {
+    if (v.numElements() != dim) return null
+    val k = cici.length
+    val scores = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var dot = 0L
+      var j = 0
+      val off = i * dim
+      while (j < dim) { dot += flat(off + j) * v.getLong(j); j += 1 }
+      scores(i) = cici(i) - 2L * dot
+      i += 1
+    }
+    val m = math.min(n, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var t = 0
+    while (t < m) {
+      var best = -1
+      var bestScore = Long.MaxValue
+      var c = 0
+      while (c < k) {
+        if (!taken(c) && (best < 0 || scores(c) < bestScore)) {
+          best = c; bestScore = scores(c)
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(t) = best
+      t += 1
+    }
+    out
+  }
+}
+
+/** `graft_nearest_cells(q)`: the `n` nearest trained centroids of a
+  * quantized vector as an array of cell IDS, ordered by (exact-long L2,
+  * book position). The fused replacement for the literal-centroid-table
+  * assignment projection (`array(centDists…)` + array_position-of-min):
+  * that form builds kc separate dot expressions, so at the routed
+  * kc = √n operating point (512 cells at a 200k-vector store) the
+  * projection outgrows whole-stage codegen and falls back to interpreted
+  * per-element lambda dispatch — measured 67 s of pure assignment over a
+  * 200k-row encode at kc = 512, and the dominant term of the sf10 retrain
+  * event. One expression, one tight loop, any kc. */
+case class NearestCells(child: Expression, ids: Seq[Int], flat: Seq[Long],
+                        cici: Seq[Long], dim: Int, n: Int)
+  extends UnaryExpression {
+  require(ids.nonEmpty && flat.length == ids.length * dim &&
+    cici.length == ids.length && n >= 1)
+
+  private lazy val idArr: Array[Int] = ids.toArray
+  private lazy val flatArr: Array[Long] = flat.toArray
+  private lazy val ciciArr: Array[Long] = cici.toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> (a quantized vector), got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val pos = CellArgminUtil.nearest(
+      v.asInstanceOf[ArrayData], flatArr, ciciArr, dim, n)
+    if (pos == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pos.map(idArr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("cellFlat", flatArr, "long[]")
+    val cRef = ctx.addReferenceObj("cellCici", ciciArr, "long[]")
+    val iRef = ctx.addReferenceObj("cellIds", idArr, "int[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val pos = ctx.freshName("pos")
+      val mapped = ctx.freshName("mapped")
+      val t = ctx.freshName("t")
+      s"""
+         |int[] $pos = graft.plans.CellArgminUtil.nearest($c, $fRef, $cRef, $dim, $n);
+         |if ($pos == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $mapped = new int[$pos.length];
+         |  for (int $t = 0; $t < $pos.length; $t++) { $mapped[$t] = $iRef[$pos[$t]]; }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mapped);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

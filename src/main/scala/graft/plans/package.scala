@@ -10,25 +10,40 @@ package object plans {
 
   private def expr(c: Column) = ColumnBridge.expression(c)
 
-  /** Constant-plan-depth materialization for ITERATIVE relations — the
-    * shared remedy for the generateTreeString superlinearity found twice in
-    * round 15 (BPE loop, distributed label propagation): round k's relation
-    * must not nest round k−1's executed plan, because Spark stringifies the
-    * full plan description per action (SQL-execution events, UI on or off)
-    * and that walk is superlinear in nesting depth. Rebasing the DataFrame
-    * on its own RDD resets the logical plan to a LogicalRDD (depth 1) while
-    * KEEPING the RDD lineage — an executor loss recomputes through the
-    * lineage, unlike `localCheckpoint` which truncates it and makes lost
-    * blocks unrecoverable mid-job (ADVICE r15). The RDD handle is returned
-    * so the caller can `unpersist` the PREVIOUS round once the next one is
-    * materialized — without it every round's snapshot stays persisted until
-    * driver GC, O(rounds × |relation|) executor storage on long runs.
-    * Persist is lazy; the caller's per-round action (a convergence count, or
-    * an explicit count) fills it. */
+  /** Constant-depth materialization for ITERATIVE relations — the shared
+    * remedy for TWO superlinearities found in rounds 15–16:
+    *
+    *   - plan depth: round k's LOGICAL plan must not nest round k−1's
+    *     executed plan — Spark stringifies the full plan description per
+    *     action (generateTreeString; SQL-execution events, UI on or off)
+    *     and that walk is superlinear in nesting depth (the r15 BPE loop
+    *     spent 20+ min single-threaded there). Rebasing the DataFrame on
+    *     its own RDD resets the plan to a LogicalRDD (depth 1).
+    *   - RDD lineage depth: each round's RDD referencing round k−1's
+    *     whole dependency graph makes task serialization recurse the
+    *     FULL history — a 2M-edge chain-contraction run (≈ 40 rounds)
+    *     died with StackOverflowError in task serialization before this
+    *     truncation (r16). `localCheckpoint` cuts the lineage at the
+    *     round boundary, so task binaries and driver walks stay O(round).
+    *
+    * The RDD handle is returned so the caller can `unpersist` the
+    * PREVIOUS round once the next one is materialized (ADVICE r15 —
+    * without it every round's corpus-sized snapshot stays persisted
+    * until driver GC, O(rounds × |relation|) executor storage).
+    * Documented trade (ADVICE r15): truncation forfeits lineage
+    * recompute — on an executor loss the checkpointed blocks are gone
+    * and the JOB fails (it must be re-run; results are unaffected). In
+    * local mode block loss means JVM death anyway; a long-running
+    * cluster deployment that cannot tolerate a job retry should swap
+    * this for RELIABLE checkpointing (sc.setCheckpointDir + .checkpoint,
+    * same call shape, storage-backed) — the standard iterative-graph
+    * trade, not an engine-specific one. Persist/checkpoint are lazy; the
+    * caller's per-round action (a convergence count, or an explicit
+    * count) materializes them. */
   def materializeIter(df: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val rdd = df.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
@@ -97,6 +112,18 @@ package object plans {
     * of tokenize + COUNT(*) GROUP BY (doc, word); explode with `inline`. */
   def wordCounts(text: Column): Column =
     ColumnBridge.column(WordCounts(expr(text)))
+
+  /** Fused n-nearest-centroid assignment over a quantized vector column:
+    * array of the n nearest cell ids by (exact-long L2, book position) —
+    * one loop over the packed centroid matrix instead of kc literal dot
+    * expressions (which outgrow codegen at the routed kc = √n operating
+    * point). `cents` is the (id, centroid) book, in book order. */
+  def nearestCells(q: Column, cents: Seq[(Int, Array[Long])], n: Int): Column = {
+    val dim = cents.head._2.length
+    ColumnBridge.column(NearestCells(expr(q),
+      cents.map(_._1), cents.flatMap(_._2.toSeq),
+      cents.map(_._2.map(x => x * x).sum), dim, n))
+  }
 
   /** Two-pointer scrub reassembly: drop words at the (sorted ascending)
     * 1-based covered positions, join survivors with ' ' — O(n + m) per row

@@ -513,7 +513,12 @@ object RollingIngest {
     * parameter chosen from the expected store census against the
     * [[graft.operators.Dedup.SimhashBandKnee]] occupancy knee (the knee
     * the batch side routes per-call via `simhashNearDupAuto`); changing
-    * it later is an offline re-sketch, like IVF retraining. Note the
+    * it later is an offline re-sketch — which, unlike the IVF re-encode
+    * (the code store carries the books-independent q), must RE-READ the
+    * corpus text: band stores hold signatures, not documents, so the tier
+    * choice is the one rolling-store parameter with no store-local
+    * upgrade path. Bootstrap wide when the census forecast is anywhere
+    * near the knee. Note the
     * tiers are different points on the precision curve (Hamming <= 3
     * against 128 bits is stricter than against 64), which is exactly why
     * a post-knee corpus must flip: the narrow tier's extra band

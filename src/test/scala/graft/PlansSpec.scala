@@ -516,4 +516,47 @@ class PlansSpec extends SparkSpec {
     }.mkString(" ")
     assert(out == expected)
   }
+
+  test("graft_nearest_cells equals the declarative centDists chain, ties included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val dim = 16
+    def vec(): Array[Long] = Array.fill(dim)(rnd.nextInt(400000000).toLong - 200000000L)
+    for (kc <- Seq(3, 8, 64)) {
+      // id-sorted book (the invariant every trained/serialized book holds),
+      // with a DUPLICATE centroid planted so distance ties actually occur:
+      // first-position (= lowest id) must win, matching both
+      // array_position-of-min and the oracle's ORDER BY d2, cell
+      val base = Seq.tabulate(kc)(i => (i * 3 + 1, vec()))
+      val cents = base.updated(kc - 1, (base.last._1, base(0)._2.clone()))
+      val rows = (0L until 40L).map { i =>
+        (i, if (i % 7 == 0) cents(rnd.nextInt(kc))._2.toSeq else vec().toSeq)
+      }
+      val df = rows.toDF("vec_id", "q").cache()
+      val ids = cents.map(_._1).toArray
+      val dists = graft.operators.Similarity.centDists(
+        col("q"), graft.plans.dotQNative(col("q"), col("q")), cents)
+      val declArgmin = df.select(col("vec_id"),
+          element_at(lit(ids),
+            array_position(array(dists: _*),
+              array_min(array(dists: _*))).cast("int")).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val nativeArgmin = df.select(col("vec_id"),
+          element_at(graft.plans.nearestCells(col("q"), cents, 1), 1).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(nativeArgmin == declArgmin, s"kc=$kc argmin diverged")
+      // top-3 vs the declarative sorted-struct slice ((d2, cell) order)
+      val structs = dists.zip(cents.map(_._1)).map { case (d2, id) =>
+        struct(d2.as("d2"), lit(id).as("cell")) }
+      val declTop = df.select(col("vec_id"),
+          slice(array_sort(array(structs: _*)), 1, 3).as("pcs"))
+        .select(col("vec_id"), col("pcs.cell").as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      val nativeTop = df.select(col("vec_id"),
+          graft.plans.nearestCells(col("q"), cents, 3).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      assert(nativeTop == declTop, s"kc=$kc top-3 diverged")
+      df.unpersist()
+    }
+  }
 }
