@@ -82,6 +82,54 @@ object Probe {
       // wall time, keeper counts, and both stores' delta bytes — the
       // write ∝ batch contract for the two-store composition.
       "dedup_index_ingest_e2e" -> (() => dedupIndexIngestE2E(spark, d)),
+      // TEXT-SIDE-ONLY rolling dedup ingest (VERDICT r15 #3's isolation
+      // run): drives RollingIngest.dedupIngest — simhash store only, no
+      // ANN side — so the narrow/wide signature tiers A/B without the
+      // vector bands dominating the batch cost. PROBE_INGEST_WIDESIG=1
+      // picks the 128-bit bootstrap tier. Run PROBE_ITERS=1.
+      "dedup_ingest_e2e" -> (() => {
+        implicit val sc = spark.sqlContext
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val nb = sys.env.getOrElse("PROBE_INGEST_BATCHES", "8").toInt
+        val compactEvery = sys.env.getOrElse("PROBE_INGEST_COMPACT", "4").toInt
+        val wideSig = sys.env.get("PROBE_INGEST_WIDESIG").contains("1")
+        val src = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        val idRow = src.agg(min("doc_id"), max("doc_id")).collect()(0)
+        require(!idRow.isNullAt(0), s"$d: documents empty")
+        val (minId, maxId) = (idRow.getLong(0), idRow.getLong(1))
+        val step = (maxId - minId) / nb + 1
+        val dir = java.nio.file.Files.createTempDirectory("graft_dd_e2e").toString + "/store"
+        val in = MemoryStream[(Long, String)]
+        var pairs = 0L
+        System.err.println(s"[probe] dedup_ingest_e2e wide_sig=$wideSig")
+        val q = streaming.RollingIngest.dedupIngest(
+          in.toDF().toDF("doc_id", "text"), dir,
+          compactEvery = compactEvery, wideSig = wideSig) { (p, _) =>
+          pairs += p.count()
+        }
+        def duBytes(f: java.io.File): Long =
+          if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
+        def newestDelta(): Long =
+          lsFiles(new java.io.File(dir))
+            .filter(f => f.isDirectory && f.getName.matches("d\\d+"))
+            .sortBy(_.getName.drop(1).toLong).lastOption.map(duBytes).getOrElse(0L)
+        try (0 until nb).foreach { i =>
+          val lo = minId + i * step
+          val b = src.filter(col("doc_id") >= lo && col("doc_id") < lo + step)
+            .as[(Long, String)].collect()
+          if (b.nonEmpty) {
+            val tb = System.nanoTime()
+            in.addData(b.toSeq); q.processAllAvailable()
+            val dt = (System.nanoTime() - tb) / 1e9
+            System.err.println(f"[probe] dedup_ingest_e2e batch=$i%d n=${b.length}%d " +
+              f"dt=$dt%.2fs delta=${newestDelta()}%d " +
+              s"dirs=${lsFiles(new java.io.File(dir)).map(_.getName).sorted.mkString(",")}")
+          }
+        } finally q.stop()
+        System.err.println(s"[probe] dedup_ingest_e2e pairs=$pairs")
+        spark.range(1).toDF("id")
+      }),
       // kc-ROUTED batch IVF-PQ (VERDICT r14 #2): the √n-cell twin of the
       // declared sim_ivf_pq; PROBE_KC forces a fixed kc for the A/B
       // against the fixture constant.

@@ -215,8 +215,19 @@ object RollingIngest {
                           id: Long): Unit = {
     def emptyBands: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    // the delta write is the ONLY per-batch store write: bytes ∝ batch
-    val w = bands.write.mode("overwrite")
+    // the delta write is the ONLY per-batch store write: bytes ∝ batch.
+    // Partitioned writes REPARTITION BY the partition columns first: a
+    // partitionBy write fans every task out across every value, so a
+    // 32-task batch over 512 cells writes up to 16k ~2 KB files PER DELTA
+    // — and every later storeView pays that file count in listing +
+    // footer reads (measured as the dominant post-retrain batch cost at
+    // the sf10 kc = 512 operating point, ahead of any compute). One
+    // batch-sized shuffle buys one file per populated cell — the layout a
+    // 100 TB store needs anyway.
+    val clustered =
+      if (partitionCols.nonEmpty) bands.repartition(partitionCols.map(col): _*)
+      else bands
+    val w = clustered.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$storeDir/d$id")
     // housekeeping — every step idempotent and replay-safe:
@@ -236,8 +247,12 @@ object RollingIngest {
       .filter { case (v, _) => v > baseVer && v < id }
     if (pending.size >= compactEvery) {
       val compactTo = pending.map(_._1).max
-      val compacted = storeView(spark, storeDir, schema, idCol, upTo = id, None)
+      val compacted0 = storeView(spark, storeDir, schema, idCol, upTo = id, None)
         .getOrElse(emptyBands)
+      // same per-cell clustering as the delta write (see above)
+      val compacted =
+        if (partitionCols.nonEmpty) compacted0.repartition(partitionCols.map(col): _*)
+        else compacted0
       val cw = compacted.write.mode("overwrite")
       (if (partitionCols.nonEmpty) cw.partitionBy(partitionCols: _*) else cw)
         .parquet(s"$storeDir/base$compactTo")
@@ -465,8 +480,12 @@ object RollingIngest {
                 writeBooks(spark, s"$storeDir/books$v", trained._1, trained._2)
                 trained
               }
-            // re-encode: vec_id/q/norm invariant, cell/codes re-derived
+            // re-encode: vec_id/q/norm invariant, cell/codes re-derived;
+            // clustered one-file-per-cell like every partitioned write
+            // here (see commitDelta — the unclustered form wrote ~16k
+            // tiny files at kc = 512 and dominated the retrain event)
             Similarity.ivfPqEncodeQNorm(eff.select("vec_id", "q", "norm"), c2, b2)
+              .repartition(col("cell"))
               .write.mode("overwrite").partitionBy("cell")
               .parquet(s"$storeDir/base$v")
             // sweep superseded elements (idempotent; commitDelta would
