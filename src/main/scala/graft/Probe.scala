@@ -708,12 +708,16 @@ object Probe {
     // — the deployment choices for a post-knee census (sf10 decade A/Bs).
     // PROBE_INGEST_PQ=1 routes the composed pipeline through
     // dedupIndexIngestPq (frozen books trained at the routed kc on the
-    // first id interval's embeddings) — the keeper-gated QUANTIZED stack.
+    // first id interval's embeddings) — the keeper-gated QUANTIZED stack;
+    // PROBE_INGEST_PQ_ROUTED=1 uses dedupIndexIngestPqRouted instead
+    // (store-owned books + the census-drift retrain cadence, grid steps
+    // from PROBE_RETRAIN_STEPS, default 1).
     val wide = sys.env.get("PROBE_INGEST_WIDE").contains("1")
     val wideSig = sys.env.get("PROBE_INGEST_WIDESIG").contains("1")
-    val pq = sys.env.get("PROBE_INGEST_PQ").contains("1")
+    val pqRouted = sys.env.get("PROBE_INGEST_PQ_ROUTED").contains("1")
+    val pq = pqRouted || sys.env.get("PROBE_INGEST_PQ").contains("1")
     System.err.println(s"[probe] dedup_index_ingest_e2e wide_bands=$wide " +
-      s"wide_sig=$wideSig pq=$pq")
+      s"wide_sig=$wideSig pq=$pq pq_routed=$pqRouted")
     val q = if (pq) {
       val t0 = System.nanoTime()
       val (kc, coarse, books) = operators.Similarity.ivfPqTrainRouted(
@@ -721,11 +725,22 @@ object Probe {
           .select(col("doc_id").as("vec_id"), col("embedding")))
       System.err.println(f"[probe] dedup_index_ingest_e2e pq_train kc=$kc%d " +
         f"train_s=${(System.nanoTime() - t0) / 1e9}%.2f")
-      streaming.RollingIngest.dedupIndexIngestPq(
+      val dSink = (dec: org.apache.spark.sql.DataFrame, _: Long) => {
+        dropped += dec.filter(!col("kept")).count(): Unit
+      }
+      if (pqRouted) streaming.RollingIngest.dedupIndexIngestPqRouted(
         in.toDF().toDF("doc_id", "text", "embedding"), dd, ann, coarse, books,
         compactEvery = compactEvery, wideSig = wideSig,
-        dedupSink = (dec, _) =>
-          dropped += dec.filter(!col("kept")).count()) { (nbrs, _) =>
+        retrainGridSteps = sys.env.getOrElse("PROBE_RETRAIN_STEPS", "1").toInt,
+        dedupSink = dSink,
+        onRetrain = (o, n, cz) => System.err.println(
+          f"[probe] dedup_index_ingest_e2e RETRAIN old_kc=$o%d new_kc=$n%d census=$cz%d")) {
+        (nbrs, _) => emitted += nbrs.count()
+      }
+      else streaming.RollingIngest.dedupIndexIngestPq(
+        in.toDF().toDF("doc_id", "text", "embedding"), dd, ann, coarse, books,
+        compactEvery = compactEvery, wideSig = wideSig,
+        dedupSink = dSink) { (nbrs, _) =>
         emitted += nbrs.count()
       }
     } else streaming.RollingIngest.dedupIndexIngest(

@@ -423,84 +423,17 @@ object RollingIngest {
                         onRetrain: (Int, Int, Long) => Unit = (_, _, _) => ())
                        (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
-    require(retrainGridSteps >= 1, "retrainGridSteps must be >= 1")
     import graft.operators.Similarity
-    // driver-held cache of (booksVersion, coarse, books, census); rebuilt
-    // from disk on restart — the store, not the driver, is authoritative
-    var cur: Option[(Long, Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]])] = None
-    var census = -1L
+    val rb = new RoutedBooks(storeDir, bootstrapCoarse, bootstrapBooks,
+      retrainGridSteps, onRetrain)
     configure(vecs.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
       if (!b.isEmpty) {
         val spark = b.sparkSession
         guardHistory(spark, storeDir, id)
-        // ---- books bootstrap / load / stale sweep ----
-        val bookDirs = dirs(spark, storeDir, "books")
-        val bv = bookDirs.lastOption.map(_._1).getOrElse {
-          writeBooks(spark, s"$storeDir/books-1", bootstrapCoarse, bootstrapBooks)
-          -1L
-        }
-        if (cur.forall(_._1 != bv)) {
-          val (c, bks) =
-            if (bookDirs.isEmpty) (bootstrapCoarse, bootstrapBooks)
-            else readBooks(spark, bookDirs.last._2)
-          cur = Some((bv, c, bks))
-        }
-        var booksVer = cur.get._1
-        var coarse = cur.get._2
-        var books = cur.get._3
         val schema = Similarity.ivfPqEncode(
-          b.limit(0).select("vec_id", "embedding"), coarse, books).schema
-        def liveDirs = {
-          val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
-          dirs(spark, storeDir, "base").lastOption.toSeq ++
-            dirs(spark, storeDir, "d").filter(_._1 > baseVer)
-        }
-        // ---- census (cumulative appended rows; metadata-cheap re-derive) ----
-        if (census < 0)
-          census = liveDirs.map { case (_, p) => spark.read.parquet(p).count() }.sum
-        // ---- resume a crashed re-encode: books newer than the base ----
-        val baseVer0 = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
-        val needResume = booksVer >= 0 && booksVer > baseVer0 &&
-          dirs(spark, storeDir, "d").exists(_._1 <= booksVer)
-        // ---- retrain trigger at batch start (pre-batch census) ----
-        val trainedKc = coarse.size
-        val targetKc = Similarity.ivfPqKcRouted(math.max(0L, census))
-        val wantRetrain = targetKc >= (trainedKc << retrainGridSteps)
-        val newestEl = liveDirs.map(_._1).maxOption.getOrElse(-1L)
-        if ((wantRetrain || needResume) && newestEl >= 0 && newestEl < id) {
-          val v = newestEl
-          val eff = storeView(spark, storeDir, schema, "vec_id", upTo = id).get
-            .persist()
-          try {
-            val (c2, b2) =
-              if (needResume) (coarse, books) // books<v> already written
-              else {
-                val trained = Similarity.ivfPqTrainQ(
-                  eff.select("vec_id", "q"), targetKc)
-                writeBooks(spark, s"$storeDir/books$v", trained._1, trained._2)
-                trained
-              }
-            // re-encode: vec_id/q/norm invariant, cell/codes re-derived;
-            // clustered one-file-per-cell like every partitioned write
-            // here (see commitDelta — the unclustered form wrote ~16k
-            // tiny files at kc = 512 and dominated the retrain event)
-            Similarity.ivfPqEncodeQNorm(eff.select("vec_id", "q", "norm"), c2, b2)
-              .repartition(col("cell"))
-              .write.mode("overwrite").partitionBy("cell")
-              .parquet(s"$storeDir/base$v")
-            // sweep superseded elements (idempotent; commitDelta would
-            // also catch deltas <= the new base)
-            dirs(spark, storeDir, "d").filter(_._1 <= v)
-              .foreach { case (_, p) => delete(spark, p) }
-            dirs(spark, storeDir, "base").filter(_._1 < v)
-              .foreach { case (_, p) => delete(spark, p) }
-            dirs(spark, storeDir, "books").filter(_._1 < v)
-              .foreach { case (_, p) => delete(spark, p) }
-            if (!needResume) onRetrain(trainedKc, targetKc, census)
-            cur = Some((v, c2, b2))
-            val t = cur.get; booksVer = t._1; coarse = t._2; books = t._3
-          } finally eff.unpersist()
-        }
+          b.limit(0).select("vec_id", "embedding"),
+          bootstrapCoarse, bootstrapBooks).schema
+        val (coarse, books) = rb.forBatch(spark, id, schema)
         // ---- normal batch: encode, probe, append (ivfPqIngest's loop) ----
         val codes = Similarity.ivfPqEncode(
           dedupDeterministic(b, "vec_id").select("vec_id", "embedding"),
@@ -515,12 +448,114 @@ object RollingIngest {
               coarse, books))
           sink(Similarity.ivfPqIncrementalCodes(store, codes, coarse, books,
             k, nprobe = 1), id)
-          census += codes.count()
+          rb.append(codes.count())
           commitDelta(spark, storeDir, codes, schema, "vec_id",
             Seq("cell"), compactEvery, id)
         } finally codes.unpersist()
       }
     }).start()
+  }
+
+  /** Store-owned frozen books with the census-drift retrain/re-encode
+    * cadence (the machinery of [[ivfPqIngestRouted]], factored so the
+    * composed keeper-gated pipeline [[dedupIndexIngestPqRouted]] shares
+    * ONE implementation). One instance per (query, storeDir). Driver-held
+    * state is a CACHE only — the store is authoritative: a restart
+    * rebuilds books from the newest `books<v>` dir and the census from
+    * parquet row counts. See [[ivfPqIngestRouted]]'s doc for the event
+    * semantics and crash-window analysis (each step resumes or replays
+    * deterministically). */
+  private final class RoutedBooks(
+      storeDir: String,
+      bootstrapCoarse: Seq[(Int, Array[Long])],
+      bootstrapBooks: Seq[Seq[(Int, Array[Long])]],
+      retrainGridSteps: Int,
+      onRetrain: (Int, Int, Long) => Unit) {
+    require(retrainGridSteps >= 1, "retrainGridSteps must be >= 1")
+    import graft.operators.Similarity
+    // (booksVersion, coarse, books); census = cumulative appended rows
+    // (re-ingested ids double-count, which only fires the retrain EARLY —
+    // the safe direction)
+    private var cur: Option[(Long, Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]])] = None
+    private var census = -1L
+
+    /** The batch's operating books: bootstrap/load the newest books dir,
+      * resume a crashed re-encode (books newer than base), fire the
+      * census trigger and run the offline retrain event. Call at batch
+      * START, before the batch's own encode. `schema` is the
+      * (books-independent) code-row shape. */
+    def forBatch(spark: SparkSession, id: Long,
+                 schema: StructType): (Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]]) = {
+      // ---- books bootstrap / load ----
+      val bookDirs = dirs(spark, storeDir, "books")
+      val bv = bookDirs.lastOption.map(_._1).getOrElse {
+        writeBooks(spark, s"$storeDir/books-1", bootstrapCoarse, bootstrapBooks)
+        -1L
+      }
+      if (cur.forall(_._1 != bv)) {
+        val (c, bks) =
+          if (bookDirs.isEmpty) (bootstrapCoarse, bootstrapBooks)
+          else readBooks(spark, bookDirs.last._2)
+        cur = Some((bv, c, bks))
+      }
+      val booksVer = cur.get._1
+      val coarse = cur.get._2
+      val books = cur.get._3
+      def liveDirs = {
+        val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
+        dirs(spark, storeDir, "base").lastOption.toSeq ++
+          dirs(spark, storeDir, "d").filter(_._1 > baseVer)
+      }
+      // ---- census (cumulative appended rows; metadata-cheap re-derive) ----
+      if (census < 0)
+        census = liveDirs.map { case (_, p) => spark.read.parquet(p).count() }.sum
+      // ---- resume a crashed re-encode: books newer than the base ----
+      val baseVer0 = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
+      val needResume = booksVer >= 0 && booksVer > baseVer0 &&
+        dirs(spark, storeDir, "d").exists(_._1 <= booksVer)
+      // ---- retrain trigger at batch start (pre-batch census) ----
+      val trainedKc = coarse.size
+      val targetKc = Similarity.ivfPqKcRouted(math.max(0L, census))
+      val wantRetrain = targetKc >= (trainedKc << retrainGridSteps)
+      val newestEl = liveDirs.map(_._1).maxOption.getOrElse(-1L)
+      if ((wantRetrain || needResume) && newestEl >= 0 && newestEl < id) {
+        val v = newestEl
+        val eff = storeView(spark, storeDir, schema, "vec_id", upTo = id).get
+          .persist()
+        try {
+          val (c2, b2) =
+            if (needResume) (coarse, books) // books<v> already written
+            else {
+              val trained = Similarity.ivfPqTrainQ(
+                eff.select("vec_id", "q"), targetKc)
+              writeBooks(spark, s"$storeDir/books$v", trained._1, trained._2)
+              trained
+            }
+          // re-encode: vec_id/q/norm invariant, cell/codes re-derived;
+          // clustered one-file-per-cell like every partitioned write
+          // here (see commitDelta — the unclustered form wrote ~16k
+          // tiny files at kc = 512 and dominated the retrain event)
+          Similarity.ivfPqEncodeQNorm(eff.select("vec_id", "q", "norm"), c2, b2)
+            .repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$storeDir/base$v")
+          // sweep superseded elements (idempotent; commitDelta would
+          // also catch deltas <= the new base)
+          dirs(spark, storeDir, "d").filter(_._1 <= v)
+            .foreach { case (_, p) => delete(spark, p) }
+          dirs(spark, storeDir, "base").filter(_._1 < v)
+            .foreach { case (_, p) => delete(spark, p) }
+          dirs(spark, storeDir, "books").filter(_._1 < v)
+            .foreach { case (_, p) => delete(spark, p) }
+          if (!needResume) onRetrain(trainedKc, targetKc, census)
+          cur = Some((v, c2, b2))
+        } finally eff.unpersist()
+      }
+      (cur.get._2, cur.get._3)
+    }
+
+    /** Feed this batch's appended row count into the census. */
+    def append(n: Long): Unit = census += n
   }
 
   /** Rolling simhash near-dup ingest over a streaming relation of
@@ -617,9 +652,10 @@ object RollingIngest {
       wideSig, configure, dedupSink,
       vecColsOf = df => df.select(
         (col("doc_id").as("vec_id") +: routeCols.map(col)) :+ col("embedding"): _*),
-      annBandsOf = vecBandsOf,
-      annProbe = (store, bands) =>
-        Similarity.lshAnnIncrementalBands(store, bands, k, routeCols),
+      annSideFor = (_, _) => (vecBandsOf,
+        (store, bands) =>
+          Similarity.lshAnnIncrementalBands(store, bands, k, routeCols),
+        (_: Long) => ()),
       annPartitionCols = routeCols)(sink)
   }
 
@@ -648,10 +684,58 @@ object RollingIngest {
     composedIngest(docs, dedupStoreDir, annStoreDir, maxHamming, compactEvery,
       wideSig, configure, dedupSink,
       vecColsOf = df => df.select(col("doc_id").as("vec_id"), col("embedding")),
-      annBandsOf = v => Similarity.ivfPqEncode(v, coarse, books),
-      annProbe = (store, codes) => Similarity.ivfPqIncrementalCodes(
-        store, codes, coarse, books, k, nprobe = 1),
+      annSideFor = (_, _) => (
+        v => Similarity.ivfPqEncode(v, coarse, books),
+        (store, codes) => Similarity.ivfPqIncrementalCodes(
+          store, codes, coarse, books, k, nprobe = 1),
+        (_: Long) => ()),
       annPartitionCols = Seq("cell"))(sink)
+
+  /** [[dedupIndexIngestPq]] with the RETRAIN/RE-ENCODE CADENCE on the code
+    * store — the full production crawl stack with none of its levers
+    * frozen: dedup gate → encode against the store's CURRENT books →
+    * routed probe → cell-partitioned delta, where the ANN store owns its
+    * books ([[RoutedBooks]], shared verbatim with [[ivfPqIngestRouted]])
+    * and retrains at the census trigger from its own keeper rows. The
+    * dedup side is books-independent, so keeper decisions are identical
+    * to the frozen-book variant's (spec-pinned); the census counts
+    * KEEPERS — the store's actual content — so a duplicate-heavy crawl
+    * retrains on canonical growth, not raw arrival volume. */
+  def dedupIndexIngestPqRouted(docs: DataFrame, dedupStoreDir: String,
+                               annStoreDir: String,
+                               bootstrapCoarse: Seq[(Int, Array[Long])],
+                               bootstrapBooks: Seq[Seq[(Int, Array[Long])]],
+                               maxHamming: Int = 3, k: Int = 3,
+                               compactEvery: Int = 8, wideSig: Boolean = false,
+                               retrainGridSteps: Int = 2,
+                               configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity,
+                               dedupSink: (DataFrame, Long) => Unit = (_, _) => (),
+                               onRetrain: (Int, Int, Long) => Unit = (_, _, _) => ())
+                              (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField}
+    val rb = new RoutedBooks(annStoreDir, bootstrapCoarse, bootstrapBooks,
+      retrainGridSteps, onRetrain)
+    composedIngest(docs, dedupStoreDir, annStoreDir, maxHamming, compactEvery,
+      wideSig, configure, dedupSink,
+      vecColsOf = df => df.select(col("doc_id").as("vec_id"), col("embedding")),
+      annSideFor = (spark, id) => {
+        // code-row shape is books-independent; an empty (vec_id, embedding)
+        // relation derives it without touching the batch
+        val emptyVecs = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("vec_id", LongType),
+            StructField("embedding", ArrayType(FloatType)))))
+        val schema = Similarity.ivfPqEncode(
+          emptyVecs, bootstrapCoarse, bootstrapBooks).schema
+        val (coarse, books) = rb.forBatch(spark, id, schema)
+        (v => Similarity.ivfPqEncode(v, coarse, books),
+          (store, codes) => Similarity.ivfPqIncrementalCodes(
+            store, codes, coarse, books, k, nprobe = 1),
+          (n: Long) => rb.append(n))
+      },
+      annPartitionCols = Seq("cell"))(sink)
+  }
 
   /** The shared composed micro-batch loop behind [[dedupIndexIngest]] and
     * [[dedupIndexIngestPq]]: simhash-gate the batch against the keeper
@@ -664,8 +748,14 @@ object RollingIngest {
                              configure: DataStreamWriter[Row] => DataStreamWriter[Row],
                              dedupSink: (DataFrame, Long) => Unit,
                              vecColsOf: DataFrame => DataFrame,
-                             annBandsOf: DataFrame => DataFrame,
-                             annProbe: (DataFrame, DataFrame) => DataFrame,
+                             // (row encoder, store probe, census append) —
+                             // resolved PER BATCH so a routed/retraining
+                             // ANN side can move its books at batch
+                             // boundaries; static sides ignore (spark, id)
+                             annSideFor: (SparkSession, Long) =>
+                               (DataFrame => DataFrame,
+                                (DataFrame, DataFrame) => DataFrame,
+                                Long => Unit),
                              annPartitionCols: Seq[String])
                             (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
@@ -675,6 +765,7 @@ object RollingIngest {
         val spark = b.sparkSession
         guardHistory(spark, dedupStoreDir, id)
         guardHistory(spark, annStoreDir, id)
+        val (annBandsOf, annProbe, annAppend) = annSideFor(spark, id)
         def docCols(df: DataFrame) = df.select("doc_id", "text")
         val dedupSchema = docBandsOf(docCols(b.limit(0))).schema
         val annSchema = annBandsOf(vecColsOf(b.limit(0))).schema
@@ -733,6 +824,7 @@ object RollingIngest {
             if (!keptIds.isEmpty) {
               commitDelta(spark, dedupStoreDir, keeperBands, dedupSchema,
                 "doc_id", Nil, compactEvery, id)
+              annAppend(vecBands.count())
               commitDelta(spark, annStoreDir, vecBands, annSchema,
                 "vec_id", annPartitionCols, compactEvery, id)
             }
