@@ -436,10 +436,25 @@ object Bench {
       else try {
         val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1_bench")
         val marker = new java.io.File(dst, "_inflate_done")
+        // The marker is STAMPED with a fingerprint of the source dir (per
+        // -table file names + lengths + mtimes) and the inflation factor
+        // (ADVICE r16): a bare marker in the persistent scratch dir made
+        // every later round silently measure a stale corpus if the sf0.1
+        // fixture was ever regenerated. Mismatch → re-inflate.
+        val factor = 10
+        val fp = {
+          val fs = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          s"factor=$factor;${fs.mkString(";")}"
+        }
         val tInf0 = System.nanoTime()
-        if (!marker.exists()) {
-          Inflate.run(spark, sfDir, dst, 10)
-          marker.createNewFile()
+        val stampOk = marker.exists() &&
+          scala.util.Try(scala.io.Source.fromFile(marker).mkString).toOption
+            .contains(fp)
+        if (!stampOk) {
+          Inflate.run(spark, sfDir, dst, factor)
+          val w = new java.io.PrintWriter(marker); try w.print(fp) finally w.close()
         }
         val inflateSec = (System.nanoTime() - tInf0) / 1e9
         val fam = headline ++ Seq("sim_ivf_pq", "sim_ivf_pq_incremental",
@@ -457,9 +472,16 @@ object Bench {
             catch { case _: Throwable => false }
             if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
           }
+          // budget re-checked BETWEEN the two samples (ADVICE r16): a
+          // query that pathologically slowed on the inflated corpus must
+          // not run twice once the block is already over budget — the
+          // artifact always lands, a partial block beats a timed-out run
           name -> (if (System.currentTimeMillis() - tSweep0 > budgetMs) -1.0
           else {
-            val best = math.min(once(), once())
+            val first = once()
+            val best =
+              if (System.currentTimeMillis() - tSweep0 > budgetMs) first
+              else math.min(first, once())
             if (best == Double.MaxValue) -1.0 else best
           })
         }

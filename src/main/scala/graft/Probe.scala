@@ -272,8 +272,13 @@ object Probe {
         val nodes = Tables.embeddings(spark, d).select("vec_id").cache()
         nodes.count()
         // cumulative timing at increasing budgets; flat per_round across
-        // the three points is the superlinearity check
-        for (k <- Seq(iters / 4, iters / 2, iters)) {
+        // the three points is the superlinearity check. Each point is
+        // clamped to >= 1 (ADVICE r16: iters < 4 made the first point
+        // k = 0 — pagerank returns the initial ranks and dt/k prints
+        // Infinity); distinct keeps a tiny budget from timing one point
+        // three times.
+        for (k <- Seq(math.max(1, iters / 4), math.max(1, iters / 2),
+            math.max(1, iters)).distinct) {
           val t0 = System.nanoTime()
           val cnt = operators.GraphQueries.pagerank(edges, nodes, k).count()
           val dt = (System.nanoTime() - t0) / 1e9

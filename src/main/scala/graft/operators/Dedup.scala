@@ -1023,9 +1023,13 @@ object Dedup {
     * component, never across), every emitted edge is canonical
     * (min, other) by construction, and the fixpoint is exactly the star
     * forest {(component-min, x)} — so labels read directly off the final
-    * edge set. Convergence is checked by an order-independent checksum
+    * edge set. Convergence is GATED by an order-independent checksum
     * (count, sum+xor of xxhash64) — one tiny agg per round, never an
-    * EXCEPT over the corpus-sized edge set.
+    * EXCEPT over the corpus-sized edge set per round — and CONFIRMED
+    * exactly at the candidate fixpoint by one anti-join emptiness check
+    * (counts equal + next∖prev = ∅ over two distinct sets proves set
+    * equality), paid only on the terminating round: termination is
+    * never correctness-by-hash.
     *
     * Same positional two-long-column contract as the other paths; output
     * is (doc_id, cluster_id) for every vertex of the input edge set,
@@ -1078,10 +1082,18 @@ object Dedup {
       rounds += 1
       val (next, nextRdd) = graft.plans.materializeIter(smallStar(largeStar(e)))
       val nextSig = checksum(next)
+      // The checksum triple is the cheap per-round GATE; termination
+      // itself is EXACT (VERDICT r16 #5): at a candidate fixpoint the
+      // counts already match (first checksum component), and both sides
+      // are distinct sets, so one anti-join emptiness check proves set
+      // equality — paid only on the terminating round, never per round.
+      // A (astronomically unlikely, ~2^-128) triple collision on unequal
+      // sets now just costs one extra round instead of wrong labels.
+      converged = nextSig == sig &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
       eRdd.unpersist(blocking = false)
       e = next
       eRdd = nextRdd
-      converged = nextSig == sig
       sig = nextSig
     }
     lastStarRounds.set(rounds)

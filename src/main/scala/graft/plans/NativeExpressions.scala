@@ -1349,6 +1349,11 @@ object CellArgminUtil {
   def nearest(v: ArrayData, flat: Array[Long], cici: Array[Long],
               dim: Int, n: Int): Array[Int] = {
     if (v.numElements() != dim) return null
+    // a null element must yield NULL, matching the declarative centDists
+    // chain (ADVICE r16: ArrayData.getLong reads a null slot as 0, which
+    // would silently assign the row a concrete cell the oracle NULLs)
+    var z = 0
+    while (z < dim) { if (v.isNullAt(z)) return null; z += 1 }
     val k = cici.length
     val scores = new Array[Long](k)
     var i = 0
