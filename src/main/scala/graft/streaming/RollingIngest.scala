@@ -209,7 +209,7 @@ object RollingIngest {
     * once `compactEvery` have accumulated. Every step is idempotent and
     * replay-safe — a replayed batch (which reads only elements < id)
     * rebuilds the identical delta and sees the identical effective store. */
-  private def commitDelta(spark: SparkSession, storeDir: String,
+  private[graft] def commitDelta(spark: SparkSession, storeDir: String,
                           bands: DataFrame, schema: StructType, idCol: String,
                           partitionCols: Seq[String], compactEvery: Int,
                           id: Long): Unit = {

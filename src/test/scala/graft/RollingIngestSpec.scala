@@ -911,4 +911,58 @@ class RollingIngestSpec extends SparkSpec {
     assert(plans.exists(_.contains("PartitionFilters")),
       "probe plan must show partition filters on the routed store scan")
   }
+
+  test("partitioned store writes stay clustered: files per element bounded by populated cells") {
+    // VERDICT r16 #6: the repartition-before-partitionBy in commitDelta is
+    // load-bearing (the unclustered form fanned 32 tasks x 512 cells into
+    // ~16k 2 KB files per delta at the sf10 routed operating point —
+    // 425-527 s retrain events vs 28-86 s) but nothing failed if a
+    // refactor dropped it. Pin it at the unit: drive commitDelta with a
+    // worst-case input (every task holds every cell — 16 pre-spread
+    // partitions x 8 cells), across three commits so one compaction folds
+    // a base, and assert every store element (delta AND base) holds at
+    // most one parquet file per populated cell (+1 tolerance). Verified
+    // to bite: with the clustering repartition removed this fails at 128
+    // files per delta / ~60 per base. AQE off + 16 shuffle partitions for
+    // the drive — adaptive coalescing collapses toy shuffles to one
+    // partition, which is clustered by accident.
+    def bandsFor(ids: Range): org.apache.spark.sql.DataFrame =
+      spark.range(ids.start, ids.end).select(
+        col("id").as("vec_id"),
+        (col("id") % 8).cast("int").as("cell"),
+        (col("id") * 7 % 64).as("code"))
+        .repartition(16, col("vec_id"))
+    val schema = bandsFor(0 until 0).schema
+    val dir = Files.createTempDirectory("graft_ri_files").toString + "/store"
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevShuf = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      Seq(0 until 256, 256 until 512, 512 until 768).zipWithIndex.foreach {
+        case (ids, i) => RollingIngest.commitDelta(spark, dir, bandsFor(ids),
+          schema, "vec_id", Seq("cell"), compactEvery = 2, id = i.toLong)
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
+    }
+    val els = new java.io.File(dir).listFiles().toSeq.filter(f =>
+      f.isDirectory && (f.getName.matches("d\\d+") || f.getName.startsWith("base")))
+    assert(els.map(_.getName).toSet == Set("base1", "d2"),
+      s"expected one folded base + the newest delta, got ${els.map(_.getName)}")
+    els.foreach { el =>
+      val files = storeFiles(dir, el.getName).size
+      val cells = spark.read.parquet(el.toString)
+        .select("cell").distinct().count()
+      assert(cells >= 2, s"${el.getName}: multi-cell element required")
+      assert(files <= cells + 1,
+        s"${el.getName}: $files parquet files for $cells populated cells " +
+          "— the clustering repartition before partitionBy was lost")
+    }
+    // the effective store still resolves every row exactly once
+    val eff = RollingIngest.storeView(spark, dir, schema, "vec_id").get
+    assert(eff.count() == 768 &&
+      eff.select("vec_id").distinct().count() == 768)
+  }
 }
