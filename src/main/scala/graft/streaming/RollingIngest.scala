@@ -98,6 +98,46 @@ object RollingIngest {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** Commit `df` as the store element at `path` via a hidden temp dir +
+    * rename: a crash mid-write must never leave a PARTIALLY-visible
+    * element — [[dirs]] lists by directory existence, so a half-written
+    * `base<v>` would otherwise read as the live base (breaking storeView
+    * on unreadable footers, and worse, letting housekeeping sweep the
+    * deltas it was meant to replace — silent data loss on the one crash
+    * point every corpus-sized rewrite has). `.tmp_*` names are invisible
+    * to every reader (no store prefix) and swept by housekeeping; the
+    * rename is atomic on HDFS-semantics filesystems (an object-store
+    * deployment substitutes a manifest committer at this one seam).
+    * `partitionCols`, when present, also cluster the write — one file per
+    * populated partition value (the layout RollingIngestSpec pins; the
+    * unclustered form fanned 32 tasks x 512 cells into ~16k 2 KB files
+    * per element at the sf10 routed operating point). */
+  private def writeElement(spark: SparkSession, path: String, df: DataFrame,
+                           partitionCols: Seq[String]): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent, ".tmp_" + dst.getName)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    val clustered =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df
+    val w = clustered.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
+
+  /** Sweep `.tmp_*` leftovers of a crashed [[writeElement]] (idempotent;
+    * readers never see them — hygiene only). */
+  private def sweepTmp(spark: SparkSession, storeDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp_"))
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
   /** Read one store directory back to the band schema. Partition-column
     * type inference is disabled for the read (then every column is cast
     * to its band-schema type): inference would turn a numeric-looking
@@ -216,23 +256,14 @@ object RollingIngest {
     def emptyBands: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     // the delta write is the ONLY per-batch store write: bytes ∝ batch.
-    // Partitioned writes REPARTITION BY the partition columns first: a
-    // partitionBy write fans every task out across every value, so a
-    // 32-task batch over 512 cells writes up to 16k ~2 KB files PER DELTA
-    // — and every later storeView pays that file count in listing +
-    // footer reads (measured as the dominant post-retrain batch cost at
-    // the sf10 kc = 512 operating point, ahead of any compute). One
-    // batch-sized shuffle buys one file per populated cell — the layout a
-    // 100 TB store needs anyway.
-    val clustered =
-      if (partitionCols.nonEmpty) bands.repartition(partitionCols.map(col): _*)
-      else bands
-    val w = clustered.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(s"$storeDir/d$id")
+    // writeElement clusters partitioned writes (one file per populated
+    // cell — the 16k-tiny-files remedy, pinned by RollingIngestSpec) and
+    // commits via tmp+rename so no crash point leaves a partial element.
+    writeElement(spark, s"$storeDir/d$id", bands, partitionCols)
     // housekeeping — every step idempotent and replay-safe:
     // (1) sweep stale leftovers of a mid-compaction crash (the read
     //     path already ignores them)
+    sweepTmp(spark, storeDir)
     val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
     dirs(spark, storeDir, "base").dropRight(1)
       .foreach { case (_, p) => delete(spark, p) }
@@ -247,25 +278,26 @@ object RollingIngest {
       .filter { case (v, _) => v > baseVer && v < id }
     if (pending.size >= compactEvery) {
       val compactTo = pending.map(_._1).max
-      val compacted0 = storeView(spark, storeDir, schema, idCol, upTo = id, None)
+      val compacted = storeView(spark, storeDir, schema, idCol, upTo = id, None)
         .getOrElse(emptyBands)
-      // same per-cell clustering as the delta write (see above)
-      val compacted =
-        if (partitionCols.nonEmpty) compacted0.repartition(partitionCols.map(col): _*)
-        else compacted0
-      val cw = compacted.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) cw.partitionBy(partitionCols: _*) else cw)
-        .parquet(s"$storeDir/base$compactTo")
+      // same clustering + atomic commit as the delta write: a crash mid-
+      // compaction must never expose a partial base (whose presence would
+      // let the delta sweep below destroy the rows it was folding)
+      writeElement(spark, s"$storeDir/base$compactTo", compacted, partitionCols)
       pending.foreach { case (_, p) => delete(spark, p) }
       if (baseVer >= 0) delete(spark, s"$storeDir/base$baseVer")
     }
   }
 
-  /** The shared micro-batch loop; `bandsOf` sketches a deduplicated
-    * batch, `probe(store, batchBands)` computes the batch's result rows. */
+  /** The shared micro-batch loop; `sideFor(spark, id)` resolves the
+    * batch's (sketcher, prober) pair AT BATCH START — static sides ignore
+    * (spark, id); the dedup side re-reads the store-owned tier marker so
+    * an offline [[migrateDedupTier]] takes effect at the next batch
+    * boundary. `bandsOf` sketches a deduplicated batch,
+    * `probe(store, batchBands)` computes the batch's result rows. */
   private def ingest(src: DataFrame, storeDir: String, idCol: String,
-                     bandsOf: DataFrame => DataFrame,
-                     probe: (DataFrame, DataFrame) => DataFrame,
+                     sideFor: (SparkSession, Long) =>
+                       (DataFrame => DataFrame, (DataFrame, DataFrame) => DataFrame),
                      partitionCols: Seq[String], compactEvery: Int,
                      configure: DataStreamWriter[Row] => DataStreamWriter[Row])
                     (sink: (DataFrame, Long) => Unit): StreamingQuery = {
@@ -274,6 +306,7 @@ object RollingIngest {
       if (!b.isEmpty) {
         val spark = b.sparkSession
         guardHistory(spark, storeDir, id)
+        val (bandsOf, probe) = sideFor(spark, id)
         val schema = bandsOf(b.limit(0)).schema
         val bands = bandsOf(dedupDeterministic(b, idCol)).persist()
         try {
@@ -317,8 +350,10 @@ object RollingIngest {
                 configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
                (sink: (DataFrame, Long) => Unit): StreamingQuery =
     ingest(vecs, storeDir, "vec_id",
-      if (wideBands) Similarity.hyperBandsWide else Similarity.hyperBands,
-      (store, bands) => Similarity.lshAnnIncrementalBands(store, bands, k, routeCols),
+      (_, _) => (
+        if (wideBands) Similarity.hyperBandsWide else Similarity.hyperBands,
+        (store, bands) =>
+          Similarity.lshAnnIncrementalBands(store, bands, k, routeCols)),
       routeCols, compactEvery, configure)(sink)
 
   /** Rolling IVF-PQ ingest over a streaming relation of
@@ -343,9 +378,10 @@ object RollingIngest {
                   configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
                  (sink: (DataFrame, Long) => Unit): StreamingQuery =
     ingest(vecs, storeDir, "vec_id",
-      b => Similarity.ivfPqEncode(b, coarse, books),
-      (store, codes) => Similarity.ivfPqIncrementalCodes(
-        store, codes, coarse, books, k, nprobe = 1),
+      (_, _) => (
+        b => Similarity.ivfPqEncode(b, coarse, books),
+        (store, codes) => Similarity.ivfPqIncrementalCodes(
+          store, codes, coarse, books, k, nprobe = 1)),
       partitionCols = Seq("cell"), compactEvery, configure)(sink)
 
   // ---- retrain/re-encode cadence for the rolling IVF-PQ store ----
@@ -365,8 +401,8 @@ object RollingIngest {
       coarse.zipWithIndex.map { case ((cw, cv), i) => ("coarse", 0, i, cw, cv.toSeq) } ++
       books.zipWithIndex.flatMap { case (bk, s) =>
         bk.zipWithIndex.map { case ((cw, cv), i) => ("pq", s + 1, i, cw, cv.toSeq) } }
-    rows.toDF("kind", "s", "ord", "cw", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    writeElement(spark, path,
+      rows.toDF("kind", "s", "ord", "cw", "cv").coalesce(1), Nil)
   }
 
   private[graft] def readBooks(spark: SparkSession, path: String)
@@ -532,13 +568,14 @@ object RollingIngest {
               trained
             }
           // re-encode: vec_id/q/norm invariant, cell/codes re-derived;
-          // clustered one-file-per-cell like every partitioned write
-          // here (see commitDelta — the unclustered form wrote ~16k
-          // tiny files at kc = 512 and dominated the retrain event)
-          Similarity.ivfPqEncodeQNorm(eff.select("vec_id", "q", "norm"), c2, b2)
-            .repartition(col("cell"))
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(s"$storeDir/base$v")
+          // writeElement clusters one-file-per-cell (the unclustered form
+          // wrote ~16k tiny files at kc = 512 and dominated the retrain
+          // event) and commits via tmp+rename — a crash mid-re-encode
+          // never exposes a partial base whose presence would both break
+          // storeView and let housekeeping sweep the still-needed deltas
+          writeElement(spark, s"$storeDir/base$v",
+            Similarity.ivfPqEncodeQNorm(eff.select("vec_id", "q", "norm"), c2, b2),
+            Seq("cell"))
           // sweep superseded elements (idempotent; commitDelta would
           // also catch deltas <= the new base)
           dirs(spark, storeDir, "d").filter(_._1 <= v)
@@ -562,39 +599,160 @@ object RollingIngest {
     * (doc_id, text): each micro-batch emits its (doc_a, doc_b, hamming)
     * pairs touching the batch, then its bands join the store. `wideSig`
     * picks the 128-bit/32-bit-band tier at BOOTSTRAP (VERDICT r15 #3 —
-    * the text-side twin of [[annIngest]]'s `wideBands`): a rolling
-    * store's signatures are at rest, so the tier is a deployment
-    * parameter chosen from the expected store census against the
+    * the text-side twin of [[annIngest]]'s `wideBands`), chosen from the
+    * expected store census against the
     * [[graft.operators.Dedup.SimhashBandKnee]] occupancy knee (the knee
-    * the batch side routes per-call via `simhashNearDupAuto`); changing
-    * it later is an offline re-sketch — which, unlike the IVF re-encode
-    * (the code store carries the books-independent q), must RE-READ the
-    * corpus text: band stores hold signatures, not documents, so the tier
-    * choice is the one rolling-store parameter with no store-local
-    * upgrade path. Bootstrap wide when the census forecast is anywhere
-    * near the knee. Note the
-    * tiers are different points on the precision curve (Hamming <= 3
-    * against 128 bits is stricter than against 64), which is exactly why
-    * a post-knee corpus must flip: the narrow tier's extra band
-    * collisions there are noise, not near-duplicates. Same
+    * the batch side routes per-call via `simhashNearDupAuto`). The store
+    * OWNS its tier thereafter: a `tier<v>` marker written by the offline
+    * [[migrateDedupTier]] event (VERDICT r16 #1) overrides the bootstrap
+    * parameter at the next batch boundary, so a store that outgrows the
+    * knee upgrades in place — the re-sketch needs the keeper corpus back
+    * (band stores hold signatures, not documents), which is the one
+    * honest difference from the IVF side's self-contained re-encode.
+    * Note the tiers are different points on the precision curve
+    * (Hamming <= 3 against 128 bits is stricter than against 64), which
+    * is exactly why a post-knee corpus must flip: the narrow tier's
+    * extra band collisions there are noise, not near-duplicates. Same
     * store/delta/compaction contract as [[annIngest]]. */
   def dedupIngest(docs: DataFrame, storeDir: String, maxHamming: Int = 3,
                   compactEvery: Int = 8, wideSig: Boolean = false,
                   configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
-                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val (bandsOf, sigCols) = dedupTier(wideSig)
-    ingest(docs, storeDir, "doc_id", bandsOf,
-      (store, bands) => Dedup.simhashNearDupIncrementalBands(store, bands,
-        maxHamming, sigCols),
+                 (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    ingest(docs, storeDir, "doc_id",
+      (spark, _) => {
+        val (bandsOf, sigCols) = dedupTier(resolvedTier(spark, storeDir, wideSig))
+        (bandsOf, (store, bands) =>
+          Dedup.simhashNearDupIncrementalBands(store, bands, maxHamming, sigCols))
+      },
       Nil, compactEvery, configure)(sink)
-  }
 
-  /** The bootstrap band tier of the rolling dedup stores: sketch function
-    * + signature columns, narrow (64-bit sigs, 4 x 16-bit bands) or wide
+  /** The band tier of the rolling dedup stores: sketch function +
+    * signature columns, narrow (64-bit sigs, 4 x 16-bit bands) or wide
     * (128-bit sigs, 4 x 32-bit bands). */
   private def dedupTier(wideSig: Boolean): (DataFrame => DataFrame, Seq[String]) =
     if (wideSig) (Dedup.simhash128Bands, Seq("sig_lo", "sig_hi"))
     else (Dedup.simhash64Bands, Seq("simhash"))
+
+  // ---- store-owned tier + offline narrow→wide migration (VERDICT r16 #1:
+  // the one rolling-store parameter that previously had NO store-local
+  // upgrade path — the text-side twin of the RoutedBooks retrain/re-encode)
+
+  private def writeTier(spark: SparkSession, storeDir: String, v: Long,
+                        wide: Boolean): Unit = {
+    import spark.implicits._
+    writeElement(spark, s"$storeDir/tier$v",
+      Seq(wide).toDF("wide").coalesce(1), Nil)
+  }
+
+  /** The store's OWNED band tier at batch start: the newest `tier<v>`
+    * marker wins over the caller's bootstrap parameter (absent marker =
+    * bootstrap, the pre-migration store). REFUSES to run when the marker
+    * is newer than the newest base — the crash window of an interrupted
+    * [[migrateDedupTier]] (marker written, re-sketched base not yet
+    * renamed in): unlike the IVF side, the text store cannot self-resume
+    * (band rows hold signatures, not documents), so the recovery is
+    * guided — re-run the migration with the keeper corpus. This is the
+    * text-side analog of [[RoutedBooks]]' books-newer-than-base rule. */
+  private def resolvedTier(spark: SparkSession, storeDir: String,
+                           bootstrapWide: Boolean): Boolean =
+    dirs(spark, storeDir, "tier").lastOption match {
+      case None => bootstrapWide
+      case Some((v, p)) =>
+        val baseVer = dirs(spark, storeDir, "base").lastOption
+          .map(_._1).getOrElse(-1L)
+        require(baseVer >= v,
+          s"$storeDir: tier marker tier$v is newer than the newest base " +
+            s"(version $baseVer) — an interrupted tier migration left the " +
+            "store mid-event. Re-run RollingIngest.migrateDedupTier with " +
+            "the keeper corpus to resume (idempotent from any crash " +
+            "point), then restart the stream.")
+        spark.read.parquet(p).select("wide").collect()(0).getBoolean(0)
+    }
+
+  /** Doc-count CENSUS trigger for [[migrateDedupTier]]: true when the
+    * store is still on the narrow tier and its live band rows / 4 (bands
+    * per doc) meet `knee` — [[Dedup.SimhashBandKnee]], the round-7
+    * occupancy law's migration point. Supersede double-counting fires the
+    * trigger EARLY (the safe direction, same rationale as the RoutedBooks
+    * census); the count is parquet-metadata-cheap. The migration itself
+    * stays a manual/offline event because it needs the keeper corpus
+    * back — this helper is the deployment cron's cheap "is it due" check. */
+  def dedupTierMigrationDue(spark: SparkSession, storeDir: String,
+                            knee: Long = Dedup.SimhashBandKnee): Boolean = {
+    val live = {
+      val baseVer = dirs(spark, storeDir, "base").lastOption
+        .map(_._1).getOrElse(-1L)
+      dirs(spark, storeDir, "base").lastOption.toSeq ++
+        dirs(spark, storeDir, "d").filter(_._1 > baseVer)
+    }
+    live.nonEmpty && !resolvedTier(spark, storeDir, bootstrapWide = false) &&
+      !spark.read.parquet(live.head._2).columns.contains("sig_hi") &&
+      live.map { case (_, p) => spark.read.parquet(p).count() }.sum / 4 >= knee
+  }
+
+  /** OFFLINE narrow→wide tier migration for a rolling dedup store
+    * (VERDICT r16 #1) — the text-side analog of the IVF retrain/re-encode
+    * event, with the one honest difference ARCHITECTURE.md documents:
+    * band stores hold signatures, not documents, so the event must be
+    * handed the KEEPER CORPUS back. `corpus` provides (doc_id, text) for
+    * every live store id (checked: a corpus missing keepers would
+    * silently shrink the store — the run aborts before any store change).
+    * Run with the stream STOPPED; it resumes on its own checkpoint and
+    * picks the new tier up from the store marker at the next batch.
+    *
+    * Event steps, each idempotent:
+    *   1. write the `tier<v>` MARKER (v = newest store element) — the
+    *      crash sentinel: marker newer than base = interrupted event
+    *      (resolvedTier refuses to stream; re-running THIS function
+    *      resumes, because the old narrow rows stay live until step 3);
+    *   2. re-sketch the effective store's live ids from `corpus` at the
+    *      128-bit tier and verify coverage;
+    *   3. commit `base<v>` via tmp+rename (never partially visible);
+    *   4. sweep superseded deltas/bases/markers.
+    *
+    * The keeper ID SET is invariant (spec-pinned): migration changes
+    * signatures, never membership. The tiers sit at different points on
+    * the precision curve (Hamming <= 3 against 128 bits is stricter), so
+    * post-migration pairs are judged at the wide tier's threshold — the
+    * point of migrating past the occupancy knee, where narrow band
+    * collisions are noise, not near-duplicates. */
+  def migrateDedupTier(spark: SparkSession, storeDir: String,
+                       corpus: DataFrame): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val live = dirs(spark, storeDir, "base") ++ dirs(spark, storeDir, "d")
+    require(live.nonEmpty, s"$storeDir: empty store — bootstrap the stream " +
+      "with wideSig=true instead of migrating")
+    require(!spark.read.parquet(live.maxBy(_._1)._2).columns.contains("sig_hi"),
+      s"$storeDir: store is already on the wide tier")
+    val v = live.map(_._1).max
+    writeTier(spark, storeDir, v, wide = true)
+    val narrowSchema = Dedup.simhash64Bands(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))).schema
+    val ids = storeView(spark, storeDir, narrowSchema, "doc_id").get
+      .select("doc_id").distinct()
+    val docs = dedupDeterministic(corpus.select("doc_id", "text"), "doc_id")
+      .join(ids, "doc_id")
+    val wide = Dedup.simhash128Bands(docs).persist()
+    try {
+      val nW = wide.select("doc_id").distinct().count()
+      val nIds = ids.count()
+      require(nW == nIds,
+        s"$storeDir: corpus covers $nW of $nIds live store ids — a " +
+          "migration over an incomplete corpus would silently drop " +
+          s"keepers. No store change made (marker tier$v stays; re-run " +
+          "with the full keeper corpus).")
+      writeElement(spark, s"$storeDir/base$v", wide, partitionCols = Nil)
+    } finally wide.unpersist()
+    dirs(spark, storeDir, "d").filter(_._1 <= v)
+      .foreach { case (_, p) => delete(spark, p) }
+    dirs(spark, storeDir, "base").filter(_._1 < v)
+      .foreach { case (_, p) => delete(spark, p) }
+    dirs(spark, storeDir, "tier").filter(_._1 < v)
+      .foreach { case (_, p) => delete(spark, p) }
+    sweepTmp(spark, storeDir)
+  }
 
   /** COMPOSED rolling dedup-then-index — the streaming twin of the batch
     * composition ([[graft.operators.Similarity.simDedupIndex]] /
@@ -759,12 +917,16 @@ object RollingIngest {
                              annPartitionCols: Seq[String])
                             (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
-    val (docBandsOf, sigCols) = dedupTier(wideSig)
     configure(docs.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
       if (!b.isEmpty) {
         val spark = b.sparkSession
         guardHistory(spark, dedupStoreDir, id)
         guardHistory(spark, annStoreDir, id)
+        // tier re-resolved AT BATCH START (store marker wins over the
+        // bootstrap parameter) — an offline migrateDedupTier between
+        // batches takes effect here, same cadence as the ANN side's books
+        val (docBandsOf, sigCols) =
+          dedupTier(resolvedTier(spark, dedupStoreDir, wideSig))
         val (annBandsOf, annProbe, annAppend) = annSideFor(spark, id)
         def docCols(df: DataFrame) = df.select("doc_id", "text")
         val dedupSchema = docBandsOf(docCols(b.limit(0))).schema
