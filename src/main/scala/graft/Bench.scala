@@ -446,7 +446,10 @@ object Bench {
           val fs = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-          s"factor=$factor;${fs.mkString(";")}"
+          // layout=v3: the per-table-sized hash-clustered Inflate layout
+          // (round 17) — bumping this re-inflates scratch dirs built on
+          // older layouts
+          s"factor=$factor;layout=v3;${fs.mkString(";")}"
         }
         val tInf0 = System.nanoTime()
         val stampOk = marker.exists() &&
@@ -459,7 +462,11 @@ object Bench {
         val inflateSec = (System.nanoTime() - tInf0) / 1e9
         val fam = headline ++ Seq("sim_ivf_pq", "sim_ivf_pq_incremental",
           "sim_dedup_index", "sim_pq_recall", "dd_lsh_buckets",
-          "dd_fuzzy_keep", "dd_dup_clusters", "dd_span_scrub")
+          "dd_fuzzy_keep", "dd_dup_clusters", "dd_span_scrub",
+          // ta family (VERDICT r16 #2): drift at two scale factors
+          // separates family noise from plan changes — r16's unexplained
+          // ta_bigram_lm +86% had no sf1 companion number to adjudicate
+          "ta_bigram_lm", "ta_bpe_merge2", "ta_rarity", "ta_corpus_shuffle")
         waitQuiet("pre-sf1")
         val budgetMs =
           sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SEC", "300").toLong * 1000L
@@ -488,10 +495,19 @@ object Bench {
         val (b2, sb) = procStat()
         val st = if (b2 > a) 100.0 * (sb - sa) / (b2 - a) else 0.0
         val hd6 = times.filter(t => headline.contains(t._1)).map(_._2)
+        // sf1 DuckDB proxy total (BASELINE.md §B2, tools/baseline_sf1.py:
+        // the six headline-analogue oracle queries over the SAME inflated
+        // 32-file layout, warm, min of 3) — emitted alongside the ratio so
+        // the artifact carries its own 2x-envelope check at this SF
+        // (VERDICT r16 #3)
+        val proxyTotal6q = 0.616
         val entries = times.map { case (n, v) =>
           "\"s1_" + n + "\":" + (if (v < 0) "null" else j3(v))
         } ++ Seq(
           "\"s1_total_6q\":" + (if (hd6.exists(_ < 0)) "null" else j3(hd6.sum)),
+          "\"s1_proxy_total_6q\":" + j3(proxyTotal6q),
+          "\"s1_vs_proxy\":" + (if (hd6.exists(_ < 0)) "null"
+            else j3(hd6.sum / proxyTotal6q)),
           "\"s1_steal_pct\":" + j3(st),
           "\"s1_inflate_sec\":" + j3(inflateSec))
         Some(entries.mkString("{", ",", "}"))

@@ -30,6 +30,7 @@ object Inflate {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val fileCap = if (args.length > 3) args(3).toInt else 32
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       String.valueOf(Runtime.getRuntime.availableProcessors()))
     val spark = SparkSession.builder()
@@ -39,16 +40,38 @@ object Inflate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, factor)
+    run(spark, src, dst, factor, fileCap)
     spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  /** Per-table part-file counts at factor 10 (scaled by factor/10 for
+    * larger inflations, capped by `fileCap`). Two regimes, both measured
+    * (round 17): scan-bound tables target ~8–16 MB/file — a single-file
+    * single-row-group layout single-threads every engine-side scan
+    * (j4_join_chain was 1.1 s at sf1, ~90% one-task scan+probe), while a
+    * 32-trivial-task wave costs ~90 ms of pure dispatch in local mode
+    * that every sub-second query pays (files=32 → 8 halved the headline
+    * sum). Compute-bound tables (documents, embeddings: sketch/encode
+    * cost per byte is ~100× a scan) keep full fan-out so the sim/dd
+    * family parallelizes (the 32-file layout halved s1_sim_dedup_index
+    * vs single-file). The DuckDB proxy (BASELINE.md §B2) is measured
+    * over the same files. */
+  private val filesAt10: Map[String, Int] = Map(
+    "lineitem" -> 16, "orders" -> 8, "events" -> 8,
+    "customer" -> 2, "supplier" -> 1, "part" -> 2,
+    "documents" -> 32, "embeddings" -> 32)
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+          fileCap: Int = 32): Unit = {
     val reps = spark.range(factor).select(col("id").as("rep"))
     def remap(k: String): Column = col(k) + col("rep") * Span
     def inflate(table: String)(cols: DataFrame => Seq[Column]): Unit = {
       val df = Tables.t(spark, src, table).crossJoin(broadcast(reps))
-      df.select(cols(df): _*)
+      val out = df.select(cols(df): _*)
+      val files = math.max(1, math.min(fileCap,
+        filesAt10(table) * factor / 10))
+      // hash on the leading key column: deterministic content→file mapping
+      out.repartition(files, col(out.columns.head))
         .write.mode("overwrite").parquet(s"$dst/$table.parquet")
     }
     // Pad width must cover the LARGEST remapped key: Spark's lpad TRUNCATES

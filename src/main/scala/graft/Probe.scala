@@ -25,6 +25,16 @@ object Probe {
       "scan_count_docs" -> (() => Tables.documents(spark, d).select(count(lit(1)))),
       "scan_count_cust" -> (() => Tables.customer(spark, d).select(count(lit(1)))),
       "noop_local" -> (() => spark.range(1).select(count(lit(1)))),
+      // single-stage scan+agg floors: what a bare pruned scan of each
+      // headline fact costs — the denominator for "is the query plan-bound
+      // or scan-bound" at each SF (round-17 sf1 attribution)
+      "floor_orders_sum" -> (() => ord.agg(
+        sum((col("o_totalprice") * 100 + 0.5).cast("long")))),
+      "floor_li_sum" -> (() => li.agg(
+        sum((col("l_extendedprice") * 100 + 0.5).cast("long")),
+        sum(col("l_quantity")))),
+      "floor_cust_sum" -> (() => Tables.customer(spark, d)
+        .agg(sum(length(col("c_mktsegment"))), sum(col("c_nationkey")))),
       // window-sort twin of w_topk_per_key (the declared query uses the
       // bounded-state graft_top_k aggregate) — the A/B this operator
       // exists to win
@@ -723,13 +733,20 @@ object Probe {
     val pq = pqRouted || sys.env.get("PROBE_INGEST_PQ").contains("1")
     System.err.println(s"[probe] dedup_index_ingest_e2e wide_bands=$wide " +
       s"wide_sig=$wideSig pq=$pq pq_routed=$pqRouted")
-    val q = if (pq) {
+    // bootstrap books hoisted out of the query construction: the routed
+    // variant's post-run recall acceptance re-probes under BOTH operating
+    // points (VERDICT r16 #4)
+    val pqTrained = if (!pq) None else Some {
       val t0 = System.nanoTime()
-      val (kc, coarse, books) = operators.Similarity.ivfPqTrainRouted(
+      val t = operators.Similarity.ivfPqTrainRouted(
         src.filter(col("doc_id") < minId + step)
           .select(col("doc_id").as("vec_id"), col("embedding")))
-      System.err.println(f"[probe] dedup_index_ingest_e2e pq_train kc=$kc%d " +
+      System.err.println(f"[probe] dedup_index_ingest_e2e pq_train kc=${t._1}%d " +
         f"train_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+      t
+    }
+    val q = if (pq) {
+      val (_, coarse, books) = pqTrained.get
       val dSink = (dec: org.apache.spark.sql.DataFrame, _: Long) => {
         dropped += dec.filter(!col("kept")).count(): Unit
       }
@@ -780,6 +797,49 @@ object Probe {
       }
     } finally q.stop()
     System.err.println(s"[probe] dedup_index_ingest_e2e dropped=$dropped emitted=$emitted")
+    if (pqRouted) {
+      // recall@3 acceptance over the KEEPER corpus at each books operating
+      // point (VERDICT r16 #4): the composed routed stack's retrieval
+      // quality at the moved kc, not just content equality and cost. The
+      // keeper corpus is read back from the ANN store itself (it holds
+      // exactly the canonical ids); the acceptance bound — recall@3 >= the
+      // plain routed ingest's measured 1.000 at nprobe=1 within noise —
+      // is stated in ARCHITECTURE.md.
+      import operators.Similarity
+      val (_, coarse0, books0) = pqTrained.get
+      val bookDir = lsFiles(new java.io.File(ann))
+        .filter(_.getName.startsWith("books"))
+        .maxBy(_.getName.drop("books".length).toLong)
+      val (cN, bN) = streaming.RollingIngest.readBooks(spark, bookDir.toString)
+      val schema = Similarity.ivfPqEncode(
+        src.limit(0).select(col("doc_id").as("vec_id"), col("embedding")),
+        coarse0, books0).schema
+      val keeperIds = streaming.RollingIngest
+        .storeView(spark, ann, schema, "vec_id").get
+        .select("vec_id").distinct()
+      val keepers = src.select(col("doc_id").as("vec_id"), col("embedding"))
+        .join(keeperIds, "vec_id").persist()
+      val probes = keepers.orderBy("vec_id").limit(20).persist()
+      val exact = Similarity.cosineTopK(probes, keepers, 3)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((label, cc, bb) <- Seq(("bootstrap", coarse0, books0), ("final", cN, bN))) {
+        val codes = Similarity.ivfPqEncode(keepers, cc, bb).persist()
+        val pCodes = Similarity.ivfPqEncode(probes, cc, bb)
+        val t1 = System.nanoTime()
+        val got = Similarity.ivfPqIncrementalCodes(codes, pCodes, cc, bb,
+            k = 3, nprobe = 1)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dt = (System.nanoTime() - t1) / 1e9
+        codes.unpersist()
+        val recall = if (exact.isEmpty) 0.0
+          else got.intersect(exact).size.toDouble / exact.size
+        System.err.println(f"[probe] dedup_index_ingest_e2e recall@3 " +
+          f"books=$label%s kc=${cc.size}%d recall=$recall%.3f probe_s=$dt%.2f")
+      }
+      probes.unpersist(); keepers.unpersist()
+    }
     spark.range(1).toDF("id")
   }
 
