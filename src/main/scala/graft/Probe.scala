@@ -318,6 +318,112 @@ object Probe {
           "[probe] bpe_merge_stress: memoized run returned no round timings")
         spark.range(1).toDF("id")
       }),
+      // TEXT-SIDE OCCUPANCY KNEE, forced (VERDICT r16 #7): the round-7 law
+      // said narrow 16-bit band buckets saturate (~n/65536 docs/bucket)
+      // while wide 32-bit buckets stay sparse to n ~ 4e9 — but the narrow
+      // blowup had only ever been PROJECTED on this engine (sf10 = 500k
+      // docs measures tier-independent). Synthesize a diverse corpus at
+      // census points past the knee and measure the production incremental
+      // probe (simhashNearDupIncrementalBands, fixed 100k-doc batch) per
+      // tier: narrow per-batch cost must bend with census, wide stay flat.
+      // Doc texts are 24 words drawn uniformly from a 200k vocab keyed on
+      // xxhash64(doc_id, pos) — near-random signatures, so band occupancy
+      // is the uniform n/buckets the law predicts; everything stays
+      // distributed (no driver collect).
+      "dedup_tier_knee" -> (() => {
+        import graft.operators.Dedup
+        val points = sys.env.getOrElse("PROBE_KNEE_DOCS", "250000,1000000,4000000")
+          .split(',').map(_.trim.toLong).toSeq
+        val batchN = sys.env.getOrElse("PROBE_KNEE_BATCH", "100000").toLong
+        def synth(lo: Long, hi: Long) = spark.range(lo, hi)
+          .select(col("id").as("doc_id"),
+            expr("concat_ws(' ', transform(sequence(1, 24), " +
+              "j -> concat('w', pmod(xxhash64(id, j), 200000))))").as("text"))
+        val tiers = Seq(
+          ("narrow", Dedup.simhash64Bands _, Seq("simhash")),
+          ("wide", Dedup.simhash128Bands _, Seq("sig_lo", "sig_hi")))
+        for (n <- points; (label, bandsOf, sigCols) <- tiers) {
+          val store = bandsOf(synth(0, n)).persist()
+          val tS0 = System.nanoTime()
+          store.count()
+          val sketchS = (System.nanoTime() - tS0) / 1e9
+          val batch = bandsOf(synth(n, n + batchN)).persist()
+          batch.count()
+          val t0 = System.nanoTime()
+          val pairs = Dedup.simhashNearDupIncrementalBands(
+            store, batch, 3, sigCols).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          store.unpersist(); batch.unpersist()
+          System.err.println(f"[probe] dedup_tier_knee census=$n%d tier=$label%s " +
+            f"batch=$batchN%d probe_s=$dt%.2f pairs=$pairs%d sketch_s=$sketchS%.2f " +
+            f"occupancy=${n.toDouble / (if (label == "narrow") 65536 else 4294967296L)}%.3f")
+        }
+        spark.range(1).toDF("id")
+      }),
+      // TIER-MIGRATION decade harness (VERDICT r16 #1): bootstrap the
+      // rolling dedup store NARROW on the same synthetic corpus past the
+      // knee, watch per-batch cost climb with the store census, run the
+      // offline migrateDedupTier event (timed; keeper-set equality
+      // checked), resume the stream on its checkpoint, and watch
+      // per-batch cost re-flatten at the wide tier's occupancy.
+      "dedup_tier_migration_e2e" -> (() => {
+        import graft.operators.Dedup
+        implicit val sc = spark.sqlContext
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val nb = sys.env.getOrElse("PROBE_MIG_BATCHES", "6").toInt
+        val batchN = sys.env.getOrElse("PROBE_MIG_BATCH", "250000").toLong
+        val postB = sys.env.getOrElse("PROBE_MIG_POST", "2").toInt
+        def words(id: Long): String =
+          (1 to 24).map(j => "w" + Math.floorMod(
+            scala.util.hashing.MurmurHash3.productHash((id, j)), 200000)).mkString(" ")
+        val root = java.nio.file.Files.createTempDirectory("graft_mig_e2e").toString
+        val (dir, cp) = (root + "/store", root + "/cp")
+        var pairs = 0L
+        val in = MemoryStream[(Long, String)]
+        def start() = streaming.RollingIngest.dedupIngest(
+          in.toDF().toDF("doc_id", "text"), dir,
+          configure = _.option("checkpointLocation", cp)) { (p, _) =>
+          pairs += p.count()
+        }
+        var q = start()
+        def runBatch(i: Int, phase: String): Unit = {
+          val lo = i * batchN
+          val b = (lo until lo + batchN).map(id => (id, words(id)))
+          val t0 = System.nanoTime()
+          in.addData(b); q.processAllAvailable()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[probe] dedup_tier_migration_e2e batch=$i%d " +
+            f"phase=$phase%s census=${(i + 1) * batchN}%d dt=$dt%.2fs")
+        }
+        try {
+          (0 until nb).foreach(runBatch(_, "narrow"))
+          q.stop()
+          // the offline event: corpus re-read + wide re-sketch + swap
+          val narrowSchema = Dedup.simhash64Bands(
+            Seq.empty[(Long, String)].toDF("doc_id", "text")).schema
+          val before = streaming.RollingIngest
+            .storeView(spark, dir, narrowSchema, "doc_id").get
+            .select("doc_id").distinct().count()
+          val corpus = spark.range(0, nb * batchN).select(col("id").as("doc_id"))
+            .as[Long].map(id => (id, words(id))).toDF("doc_id", "text")
+          val tM0 = System.nanoTime()
+          streaming.RollingIngest.migrateDedupTier(spark, dir, corpus)
+          val migS = (System.nanoTime() - tM0) / 1e9
+          val wideSchema = Dedup.simhash128Bands(
+            Seq.empty[(Long, String)].toDF("doc_id", "text")).schema
+          val after = streaming.RollingIngest
+            .storeView(spark, dir, wideSchema, "doc_id").get
+            .select("doc_id").distinct().count()
+          System.err.println(f"[probe] dedup_tier_migration_e2e MIGRATE " +
+            f"dt=$migS%.2fs ids_before=$before%d ids_after=$after%d " +
+            f"equal=${before == after}%b")
+          q = start()
+          (nb until nb + postB).foreach(runBatch(_, "wide"))
+        } finally q.stop()
+        System.err.println(s"[probe] dedup_tier_migration_e2e pairs=$pairs")
+        spark.range(1).toDF("id")
+      }),
       // gr_common_neighbors drill-down: the persisted undirected edge
       // store alone, then the wedge join alone — attribution of the
       // 2.2 s bench time (cache-read vs wedge vs degree-join assembly)
