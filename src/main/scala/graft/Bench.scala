@@ -88,8 +88,10 @@ object Bench {
     // attributable: steady-state = "queries.j4_join_chain", cold ≈ that
     // plus "cust_geo_build_sec".
     val custGeoT0 = System.nanoTime()
-    try graft.operators.CoreQueries.custGeoRelation(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    try {
+      graft.operators.CoreQueries.custNationRelation(spark, sfDir).count()
+      graft.operators.CoreQueries.nationGeoRelation(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val custGeoBuildSec = (System.nanoTime() - custGeoT0) / 1e9
 
     // Quiet-window gate (VERDICT r10 #1): two rounds running the official
@@ -446,10 +448,11 @@ object Bench {
           val fs = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-          // layout=v3: the per-table-sized hash-clustered Inflate layout
-          // (round 17) — bumping this re-inflates scratch dirs built on
+          // layout=v4: per-table-sized files (v3) + the two big facts
+          // hash-clustered on their hot aggregation key (Inflate.clusterCol,
+          // round 17) — bumping this re-inflates scratch dirs built on
           // older layouts
-          s"factor=$factor;layout=v3;${fs.mkString(";")}"
+          s"factor=$factor;layout=v4;${fs.mkString(";")}"
         }
         val tInf0 = System.nanoTime()
         val stampOk = marker.exists() &&
@@ -500,7 +503,7 @@ object Bench {
         // 32-file layout, warm, min of 3) — emitted alongside the ratio so
         // the artifact carries its own 2x-envelope check at this SF
         // (VERDICT r16 #3)
-        val proxyTotal6q = 0.616
+        val proxyTotal6q = 0.611
         val entries = times.map { case (n, v) =>
           "\"s1_" + n + "\":" + (if (v < 0) "null" else j3(v))
         } ++ Seq(

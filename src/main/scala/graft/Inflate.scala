@@ -61,6 +61,20 @@ object Inflate {
     "customer" -> 2, "supplier" -> 1, "part" -> 2,
     "documents" -> 32, "embeddings" -> 32)
 
+  /** Per-table clustering column for the hash-clustered layout (layout v4,
+    * round 17). Default is the leading key; the two big facts cluster on
+    * their hot AGGREGATION key instead — the bucketed-fact layout a
+    * warehouse deploys for a repeated group-by/join key. With each
+    * l_partkey (o_custkey) confined to one file, every map task's partial
+    * aggregate reduces fully (one row per key) instead of emitting ~one
+    * partial row per input row on near-unique keys, so the shuffle carries
+    * ndv rows, not ~n. The DuckDB proxy (tools/baseline_sf1.py) is
+    * re-measured on the identical files, so the layout change cannot favor
+    * one engine by construction — it prices whether each engine exploits
+    * physical clustering. */
+  private val clusterCol: Map[String, String] = Map(
+    "lineitem" -> "l_partkey", "orders" -> "o_custkey")
+
   def run(spark: SparkSession, src: String, dst: String, factor: Int,
           fileCap: Int = 32): Unit = {
     val reps = spark.range(factor).select(col("id").as("rep"))
@@ -70,8 +84,10 @@ object Inflate {
       val out = df.select(cols(df): _*)
       val files = math.max(1, math.min(fileCap,
         filesAt10(table) * factor / 10))
-      // hash on the leading key column: deterministic content→file mapping
-      out.repartition(files, col(out.columns.head))
+      // hash-cluster: deterministic content→file mapping on the table's
+      // declared cluster key (the leading key unless clusterCol overrides)
+      val ck = clusterCol.getOrElse(table, out.columns.head)
+      out.repartition(files, col(ck))
         .write.mode("overwrite").parquet(s"$dst/$table.parquet")
     }
     // Pad width must cover the LARGEST remapped key: Spark's lpad TRUNCATES

@@ -25,6 +25,50 @@ object Probe {
       "scan_count_docs" -> (() => Tables.documents(spark, d).select(count(lit(1)))),
       "scan_count_cust" -> (() => Tables.customer(spark, d).select(count(lit(1)))),
       "noop_local" -> (() => spark.range(1).select(count(lit(1)))),
+      // Near-unique-key aggregation A/B (round 17, the s1 o1_topk gap):
+      // when distinct keys per map task approach rows per map task, the
+      // map-side partial agg reduces almost nothing — it pays a big random
+      // hash probe per row AND still shuffles ~one row per input row. The
+      // shuffle-first shape moves the same bytes but aggregates once,
+      // where each reduce partition holds ndv/nPart keys (cache-resident).
+      // the pre-r17 j4 shape: (n_name, r_name) folded into the build side,
+      // group by the STRINGS — kept as the measured contrast for the
+      // decorate-late rewrite (fast-hash-map getBytes copies per probe row)
+      "j4_stringkey" -> (() => {
+        val geo = graft.Persisted.of(spark, s"$d#cust_geo_probe") {
+          Tables.customer(spark, d)
+            .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+            .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+            .select(col("c_custkey"), col("n_name"), col("r_name"))
+        }
+        ord.join(geo, col("o_custkey") === col("c_custkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("order_cnt"),
+            (sum((col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
+      }),
+      // q1 with the two CHAR(1) group keys aggregated as their byte codes
+      // and re-materialized after — prices the generated fast hash map's
+      // per-row UTF8String.getBytes copy (the round-17 j4 JFR finding) on
+      // q1's string keys.
+      "q1_asciikey" -> (() => li
+        .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy(ascii(col("l_returnflag")).as("rf"), ascii(col("l_linestatus")).as("ls"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum((col("l_extendedprice") * 100 + 0.5).cast("long")) / 100.0).as("sum_base_price"),
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5).cast("long")) / 10000.0).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .select(char(col("rf")).as("l_returnflag"), char(col("ls")).as("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+          col("avg_qty"), col("count_order"))),
+      "o1_prepart" -> (() => li
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+        .repartition(col("l_partkey"))
+        .groupBy("l_partkey")
+        .agg((sum(col("cents")) / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
       // single-stage scan+agg floors: what a bare pruned scan of each
       // headline fact costs — the denominator for "is the query plan-bound
       // or scan-bound" at each SF (round-17 sf1 attribution)
@@ -1100,10 +1144,29 @@ object Probe {
             val dt = (now - t0.getOrDefault(j.jobId, now)) / 1e9
             System.err.println(f"[jobs] job ${j.jobId}%3d end    dur=$dt%6.3fs")
           }
+          // per-stage task-metric rollup: where a slow wave actually goes —
+          // run (executor work), ser/deser (dispatch), gc, sched (dispatch
+          // queue + result handling = stage wall minus everything else)
+          private val agg = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              val a = agg.computeIfAbsent(t.stageId, _ => new Array[Long](6))
+              a.synchronized {
+                a(0) += m.executorRunTime
+                a(1) += m.executorDeserializeTime + m.resultSerializationTime
+                a(2) += m.jvmGCTime
+                a(3) += m.shuffleWriteMetrics.writeTime / 1000000L
+                a(4) += m.executorCpuTime / 1000000L
+                a(5) = math.max(a(5), t.taskInfo.duration)
+              }
+            }
+          }
           override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
             val i = s.stageInfo
             val dur = (for (a <- i.submissionTime; b <- i.completionTime) yield (b - a) / 1e3).getOrElse(-1.0)
-            System.err.println(f"[stage] ${i.stageId}%3d dur=$dur%6.3fs tasks=${i.numTasks}%3d  ${i.name.take(90)}")
+            val a = agg.getOrDefault(i.stageId, new Array[Long](6))
+            System.err.println(f"[stage] ${i.stageId}%3d dur=$dur%6.3fs tasks=${i.numTasks}%3d run=${a(0)}%5dms cpu=${a(4)}%5dms serde=${a(1)}%4dms gc=${a(2)}%4dms shw=${a(3)}%4dms maxTask=${a(5)}%4dms ${i.name.take(60)}")
           }
         })
 

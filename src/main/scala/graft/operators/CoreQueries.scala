@@ -119,30 +119,45 @@ object CoreQueries {
         sum("k").as("sum_k"))
   }
 
-  /** Denormalized customer geography — customer with its nation/region
-    * names folded in by two broadcast joins, built once per (session, sf
-    * dir). The snowflake chain orders->customer->nation->region re-resolves
-    * the same two tiny dims on every run; pre-joining them into the
-    * customer relation is the classic dim-denormalization: ONE build
-    * amortized across every consumer, and the fact-side join becomes a
-    * single equi-join on c_custkey. At 100 TB the relation is
+  /** Narrow customer→nation-key slice, built once per (session, sf dir) —
+    * the fact-side join's entire build requirement is (c_custkey,
+    * c_nationkey): two longs, so the broadcast is as small as it can be
+    * and the probe row stays fixed-width. At 100 TB the relation is
     * customer-sized (MEMORY_AND_DISK spills) and deliberately carries NO
     * broadcast hint — AQE broadcasts it while it fits and falls back to a
     * shuffled join when it doesn't. While it IS broadcast, the built
     * broadcast itself is kept alive across actions by
     * [[graft.plans.SessionCachedBroadcastExec]], so re-running a consumer
     * re-uses the hash relation instead of re-scanning the dim. */
-  def custGeoRelation(spark: org.apache.spark.sql.SparkSession, d: String) =
-    graft.Persisted.of(spark, s"$d#cust_geo") {
-      Tables.customer(spark, d)
-        .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
-        .select(col("c_custkey"), col("n_name"), col("r_name"))
+  def custNationRelation(spark: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Persisted.of(spark, s"$d#cust_nkey") {
+      Tables.customer(spark, d).select(col("c_custkey"), col("c_nationkey"))
     }
 
-  /** J4 enrichment join chain + group: orders against the persisted
-    * [[custGeoRelation]] (exact fixed-point money sum per the q1_agg
-    * parity note). One join job instead of three broadcast builds. */
+  /** Nation-key → (n_name, r_name) decoration dim (25 rows at every SF). */
+  def nationGeoRelation(spark: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Persisted.of(spark, s"$d#nation_geo") {
+      Tables.nation(spark, d)
+        .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    }
+
+  /** J4 enrichment join chain + group (exact fixed-point money sum per the
+    * q1_agg parity note).
+    *
+    * Planned decorate-LATE: aggregate on the numeric nation key, then join
+    * the 25-row group result to [[nationGeoRelation]] for the names. The
+    * naive shape — fold (n_name, r_name) into the build side and group by
+    * the strings — was measured 2x slower at sf1 (round 17, JFR): half the
+    * map-stage CPU was `UTF8String.getBytes` inside the generated fast
+    * hash map, which COPIES both key strings to hash them on EVERY probe
+    * row. Grouping by the long key keeps the agg on the allocation-free
+    * numeric fast path and shrinks both the broadcast (two longs vs
+    * long+two strings) and the shuffled partial rows. Sound because
+    * n_nationkey is the nation dim's primary key: (n_name, r_name) is
+    * functionally dependent on it, so group-by-key + decorate ≡ the
+    * oracle's group-by-names (a real optimizer derives this from the FD;
+    * Spark doesn't, so the plan states it). */
   val j4JoinChain = QueryDef("j4_join_chain",
     """SELECT r_name, n_name, COUNT(*) AS order_cnt,
       |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
@@ -152,10 +167,13 @@ object CoreQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin) { (spark, d) =>
     Tables.orders(spark, d)
-      .join(custGeoRelation(spark, d), col("o_custkey") === col("c_custkey"))
-      .groupBy("r_name", "n_name")
+      .join(custNationRelation(spark, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
       .agg(count(lit(1)).as("order_cnt"),
         (sum((col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("revenue"))
+      .join(broadcast(nationGeoRelation(spark, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("r_name"), col("n_name"), col("order_cnt"), col("revenue"))
   }
 
   /** W1 first-seen dedup (seed_aic.py:311,336-338). Planned as

@@ -510,8 +510,10 @@ object RollingIngest {
     require(retrainGridSteps >= 1, "retrainGridSteps must be >= 1")
     import graft.operators.Similarity
     // (booksVersion, coarse, books); census = cumulative appended rows
-    // (re-ingested ids double-count, which only fires the retrain EARLY —
-    // the safe direction)
+    // (re-ingested ids double-count, which only fires the retrain CHECK
+    // early — the safe direction; the check itself derives the exact
+    // supersede-resolved live count and resets the census, so inflation
+    // never survives an event boundary)
     private var cur: Option[(Long, Seq[(Int, Array[Long])], Seq[Seq[(Int, Array[Long])]])] = None
     private var census = -1L
 
@@ -550,6 +552,14 @@ object RollingIngest {
       val needResume = booksVer >= 0 && booksVer > baseVer0 &&
         dirs(spark, storeDir, "d").exists(_._1 <= booksVer)
       // ---- retrain trigger at batch start (pre-batch census) ----
+      // The cumulative census only fires a CHECK: re-ingested ids
+      // double-count (appends never decrement), so the event first derives
+      // the exact live count from the supersede-resolved store view — a
+      // heavily re-ingesting store must not retrain to a kc above the
+      // routed point for its LIVE rows (VERDICT r16 watch item). A stale
+      // census resets and writes nothing; a confirmed one retrains at the
+      // live operating point. Census drift is thus bounded to the window
+      // between checks, and every check lands it exactly.
       val trainedKc = coarse.size
       val targetKc = Similarity.ivfPqKcRouted(math.max(0L, census))
       val wantRetrain = targetKc >= (trainedKc << retrainGridSteps)
@@ -559,33 +569,39 @@ object RollingIngest {
         val eff = storeView(spark, storeDir, schema, "vec_id", upTo = id).get
           .persist()
         try {
-          val (c2, b2) =
-            if (needResume) (coarse, books) // books<v> already written
-            else {
-              val trained = Similarity.ivfPqTrainQ(
-                eff.select("vec_id", "q"), targetKc)
-              writeBooks(spark, s"$storeDir/books$v", trained._1, trained._2)
-              trained
-            }
-          // re-encode: vec_id/q/norm invariant, cell/codes re-derived;
-          // writeElement clusters one-file-per-cell (the unclustered form
-          // wrote ~16k tiny files at kc = 512 and dominated the retrain
-          // event) and commits via tmp+rename — a crash mid-re-encode
-          // never exposes a partial base whose presence would both break
-          // storeView and let housekeeping sweep the still-needed deltas
-          writeElement(spark, s"$storeDir/base$v",
-            Similarity.ivfPqEncodeQNorm(eff.select("vec_id", "q", "norm"), c2, b2),
-            Seq("cell"))
-          // sweep superseded elements (idempotent; commitDelta would
-          // also catch deltas <= the new base)
-          dirs(spark, storeDir, "d").filter(_._1 <= v)
-            .foreach { case (_, p) => delete(spark, p) }
-          dirs(spark, storeDir, "base").filter(_._1 < v)
-            .foreach { case (_, p) => delete(spark, p) }
-          dirs(spark, storeDir, "books").filter(_._1 < v)
-            .foreach { case (_, p) => delete(spark, p) }
-          if (!needResume) onRetrain(trainedKc, targetKc, census)
-          cur = Some((v, c2, b2))
+          val live = eff.count()
+          census = live // exact at every event boundary
+          val liveKc = Similarity.ivfPqKcRouted(live)
+          val confirmed = liveKc >= (trainedKc << retrainGridSteps)
+          if (needResume || confirmed) {
+            val (c2, b2) =
+              if (needResume) (coarse, books) // books<v> already written
+              else {
+                val trained = Similarity.ivfPqTrainQ(
+                  eff.select("vec_id", "q"), liveKc)
+                writeBooks(spark, s"$storeDir/books$v", trained._1, trained._2)
+                trained
+              }
+            // re-encode: vec_id/q/norm invariant, cell/codes re-derived;
+            // writeElement clusters one-file-per-cell (the unclustered form
+            // wrote ~16k tiny files at kc = 512 and dominated the retrain
+            // event) and commits via tmp+rename — a crash mid-re-encode
+            // never exposes a partial base whose presence would both break
+            // storeView and let housekeeping sweep the still-needed deltas
+            writeElement(spark, s"$storeDir/base$v",
+              Similarity.ivfPqEncodeQNorm(eff.select("vec_id", "q", "norm"), c2, b2),
+              Seq("cell"))
+            // sweep superseded elements (idempotent; commitDelta would
+            // also catch deltas <= the new base)
+            dirs(spark, storeDir, "d").filter(_._1 <= v)
+              .foreach { case (_, p) => delete(spark, p) }
+            dirs(spark, storeDir, "base").filter(_._1 < v)
+              .foreach { case (_, p) => delete(spark, p) }
+            dirs(spark, storeDir, "books").filter(_._1 < v)
+              .foreach { case (_, p) => delete(spark, p) }
+            if (!needResume) onRetrain(trainedKc, liveKc, live)
+            cur = Some((v, c2, b2))
+          }
         } finally eff.unpersist()
       }
       (cur.get._2, cur.get._3)

@@ -24,18 +24,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("l_comment"))
   }
 
-  test("j4_join_chain: one broadcast of the persisted denormalized dim, no shuffle join") {
-    // the nation/region lookups are pre-folded into the persisted cust_geo
-    // relation, so the fact side sees exactly ONE join, and AQE broadcasts
-    // the dim while it fits
+  test("j4_join_chain: decorate-late — numeric-key agg between two broadcast joins, no shuffle join") {
+    // round 17: the fact side probes the two-long cust→nationkey broadcast,
+    // the aggregate runs on the NUMERIC c_nationkey (the string group keys
+    // were half the map CPU in getBytes — PLANS.md), and a 25-row broadcast
+    // decorates (n_name, r_name) after. So: exactly TWO outer BHJs, no
+    // shuffle join, and the agg keys contain c_nationkey, not n_name.
     val root = outerPlan("j4_join_chain")
     val bhj = root.collect {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
-    assert(bhj.size == 1, s"expected exactly 1 outer BHJ:\n$root")
+    assert(bhj.size == 2, s"expected exactly 2 outer BHJs:\n$root")
     assert(root.collect {
       case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s }.isEmpty)
     assert(root.toString.contains("InMemoryTableScan"),
-      s"expected the persisted cust_geo dim:\n$root")
+      s"expected the persisted cust_nkey dim:\n$root")
+    val aggs = root.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h }
+    assert(aggs.nonEmpty && aggs.forall(_.groupingExpressions.forall(
+        _.references.map(_.name).forall(_ == "c_nationkey"))),
+      s"aggregate must group on the numeric key only:\n$root")
   }
 
   test("o1_topk: top-k is TakeOrderedAndProject, not a global sort") {

@@ -614,6 +614,46 @@ class RollingIngestSpec extends SparkSpec {
       n.drop(1).toLong <= baseVers.max))
   }
 
+  test("ivfPqIngestRouted: re-ingesting the same ids never retrains past the live operating point") {
+    // VERDICT r16 watch item: the cumulative census double-counts
+    // re-ingested ids (appends never decrement). The retrain CHECK must
+    // derive the exact supersede-resolved live count, skip the stale
+    // trigger, and reset the census — a 60-vector store that has seen the
+    // same 60 ids five times must stay at its bootstrap kc, not retrain
+    // to the kc of its 300-row append history.
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_ri_reingest").toString + "/store"
+    val seed = (0L until 40L).map(i => (i, vec(i.toInt)))
+    val (c0, b0) = Similarity.ivfPqTrain(seed.toDF("vec_id", "embedding"))
+    assert(c0.size == 8)
+    val batch = (0L until 60L).map(i => (i, vec(i.toInt)))
+    // live kc stays at the bootstrap grid point while cumulative appends
+    // cross the next one: kcRouted(60) = 8, kcRouted(>=240 cumulative) = 16
+    assert(Similarity.ivfPqKcRouted(60) == 8 &&
+      Similarity.ivfPqKcRouted(300) >= 16)
+    val retrains = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = RollingIngest.ivfPqIngestRouted(
+      in.toDF().toDF("vec_id", "embedding"), dir, c0, b0,
+      retrainGridSteps = 1,
+      onRetrain = (o, n, cz) => retrains += ((o, n, cz))) { (n, _) => n.collect(): Unit }
+    try (0 until 5).foreach { _ => in.addData(batch); q.processAllAvailable() }
+    finally q.stop()
+    assert(retrains.isEmpty,
+      s"stale cumulative census must not fire a retrain: $retrains")
+    // no books beyond the bootstrap marker, and the store content is the
+    // supersede-resolved 60 rows under the BOOTSTRAP books
+    val bookVers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("books")).map(_.drop(5).toLong)
+    assert(bookVers.toSeq == Seq(-1L), s"unexpected books dirs: ${bookVers.toSeq}")
+    val schema = Similarity.ivfPqEncode(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"), c0, b0).schema
+    val eff = RollingIngest.storeView(spark, dir, schema, "vec_id").get
+    val want = Similarity.ivfPqEncode(batch.toDF("vec_id", "embedding"), c0, b0)
+    assert(eff.collect().toSet == want.collect().toSet)
+  }
+
   test("dedupIndexIngestPq: keeper-gated quantized ingest equals the batch-composition replay") {
     // VERDICT r15 #2: the production crawl stack — dedup gate -> frozen-book
     // encode -> routed probe -> cell-partitioned delta — in one loop

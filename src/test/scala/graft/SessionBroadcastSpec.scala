@@ -30,10 +30,10 @@ class SessionBroadcastSpec extends SparkSpec {
   }
 
   test("Persisted.clear drops ONLY broadcasts over the evicted relation") {
-    // two actions: the FIRST materializes the cust_geo IMR (whose
-    // pre-materialization join-product stats make the planner broadcast
-    // the fact side instead); the SECOND plans the dim broadcast that
-    // populates the cache
+    // two actions: the FIRST materializes the cust_nkey IMR (whose
+    // pre-materialization stats can make the planner pick a different
+    // build side); the SECOND plans the dim broadcasts that populate the
+    // cache
     runJ4().count(); runJ4().count()
     val (n0, _, _) = SessionBroadcastCache.stats(spark.sparkContext)
     assert(n0 >= 1)
@@ -48,8 +48,8 @@ class SessionBroadcastSpec extends SparkSpec {
     Persisted.clear(spark, "spec#bystander")
     assert(SessionBroadcastCache.stats(spark.sparkContext)._1 == n0,
       "evicting an unrelated relation must keep the dim broadcast")
-    // evicting cust_geo itself must invalidate its broadcast entry
-    Persisted.clear(spark, s"$sf0001#cust_geo")
+    // evicting the fact-side dim itself must invalidate its broadcast entry
+    Persisted.clear(spark, s"$sf0001#cust_nkey")
     val (n1, _, _) = SessionBroadcastCache.stats(spark.sparkContext)
     assert(n1 < n0, "the evicted relation's broadcast must be dropped")
     // and later actions transparently rebuild (two again: the first
