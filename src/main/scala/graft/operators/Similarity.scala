@@ -1684,9 +1684,13 @@ object Similarity {
         |${narrowKnnOracleSql(cellEq = false, k,
              srcCond = " WHERE vec_id NOT IN (SELECT vec_id FROM removed)")
              .stripPrefix("WITH ")}""".stripMargin) { (spark, d) =>
-      val removed = Clustering.ddSemdedup.fn(spark, d)
-        .filter(col("vec_id") =!= col("keeper_id")).select("vec_id")
+      // the SemDeDup chain is constructed INSIDE the Persisted block: its
+      // logical plan alone costs ~1 s of Catalyst per construction (JFR,
+      // round 17 — the recursive chain dominates this query's plan_min),
+      // and on a band-store hit none of it is needed
       val bands = graft.Persisted.of(spark, s"$d#dedup_index_bands") {
+        val removed = Clustering.ddSemdedup.fn(spark, d)
+          .filter(col("vec_id") =!= col("keeper_id")).select("vec_id")
         hyperBandsOfQNorm(
           qnormRelation(spark, d).join(removed, Seq("vec_id"), "left_anti")
             .select("vec_id", "q", "norm"))
@@ -1707,11 +1711,17 @@ object Similarity {
 
   def dedupThenIndexAuto(spark: SparkSession, d: String, k: Int = 3,
                          knee: Long = KnnBandKnee): DataFrame = {
-    val removed = Clustering.ddSemdedup.fn(spark, d)
-      .filter(col("vec_id") =!= col("keeper_id")).select("vec_id")
-    val survivors = qnormRelation(spark, d)
-      .join(removed, Seq("vec_id"), "left_anti")
-      .select("vec_id", "q", "norm")
+    // survivors is a DEF: the SemDeDup chain's logical plan costs ~1 s of
+    // Catalyst to construct (JFR, round 17), so it is only built where a
+    // memo/store MISS actually needs it — a warm session's repeat call
+    // touches neither the chain nor its analysis
+    def survivors = {
+      val removed = Clustering.ddSemdedup.fn(spark, d)
+        .filter(col("vec_id") =!= col("keeper_id")).select("vec_id")
+      qnormRelation(spark, d)
+        .join(removed, Seq("vec_id"), "left_anti")
+        .select("vec_id", "q", "norm")
+    }
     // gate count memoized per (session, dir): recomputing it would replay
     // the whole SemDeDup chain on every invocation (code-review r13)
     val n: Long = survivorCountMemo.of(spark, s"$d#dedup_survivors")(
