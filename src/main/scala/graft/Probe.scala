@@ -184,6 +184,60 @@ object Probe {
         System.err.println(s"[probe] dedup_ingest_e2e pairs=$pairs")
         spark.range(1).toDF("id")
       }),
+      // Rolling connected components (round 17): per-batch cost vs store
+      // census, and the BRIDGE event — one edge joining two grown
+      // components must cost one ledger row, not a relabel of the larger
+      // side. PROBE_CC_BATCHES chain-edge batches of PROBE_CC_N edges each
+      // build two disjoint chains; the final batch is a single bridging
+      // edge. Prints per-batch wall + delta bytes, then the bridge's.
+      "components_ingest_e2e" -> (() => {
+        implicit val sc = spark.sqlContext
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val nb = sys.env.getOrElse("PROBE_CC_BATCHES", "6").toInt
+        val n = sys.env.getOrElse("PROBE_CC_N", "100000").toLong
+        val compactEvery = sys.env.getOrElse("PROBE_CC_COMPACT", "4").toInt
+        val dir = java.nio.file.Files.createTempDirectory("graft_cc_e2e").toString + "/store"
+        val in = MemoryStream[(Long, Long)]
+        val q = streaming.RollingIngest.componentsIngest(
+          in.toDF().toDF("u", "v"), dir, compactEvery) { (_, _) => () }
+        def duBytes(f: java.io.File): Long =
+          if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
+        def newestDelta(): Long =
+          lsFiles(new java.io.File(dir))
+            .filter(f => f.isDirectory && f.getName.matches("d\\d+"))
+            .sortBy(_.getName.drop(1).toLong).lastOption.map(duBytes).getOrElse(0L)
+        // two chains: evens extend from node 2, odds from node 1+2k+1 —
+        // disjoint until the bridge. Each batch appends n/nb edges to BOTH.
+        val per = n / nb
+        try {
+          (0 until nb).foreach { i =>
+            val b = (0L until per).flatMap { j =>
+              val k = i * per + j
+              Seq((2 * k, 2 * k + 2), (2 * k + 1, 2 * k + 3))
+            }
+            val tb = System.nanoTime()
+            in.addData(b); q.processAllAvailable()
+            val dt = (System.nanoTime() - tb) / 1e9
+            System.err.println(f"[probe] cc_e2e batch=$i%d edges=${b.size}%d " +
+              f"dt=$dt%.2fs delta=${newestDelta()}%d")
+          }
+          // the BRIDGE: both components hold ~n nodes each by now
+          val tb = System.nanoTime()
+          in.addData(Seq((0L, 1L))); q.processAllAvailable()
+          val dt = (System.nanoTime() - tb) / 1e9
+          System.err.println(f"[probe] cc_e2e BRIDGE dt=$dt%.2fs " +
+            f"delta=${newestDelta()}%d " +
+            s"dirs=${lsFiles(new java.io.File(dir)).map(_.getName).sorted.mkString(",")}")
+          // verify: a sampled node from each side resolves to the min (0)
+          val got = streaming.RollingIngest.componentLabels(spark, dir).get
+            .filter(col("node").isin(0L, 1L, 2 * n - 2, 2 * (n / 2) + 1))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          System.err.println(s"[probe] cc_e2e sampled_labels=$got")
+          require(got.values.forall(_ == 0L), s"bridge must merge to min id: $got")
+        } finally q.stop()
+        spark.range(1).toDF("id")
+      }),
       // kc-ROUTED batch IVF-PQ (VERDICT r14 #2): the √n-cell twin of the
       // declared sim_ivf_pq; PROBE_KC forces a fixed kc for the A/B
       // against the fixture constant.

@@ -1011,4 +1011,200 @@ object RollingIngest {
       }
     }).start()
   }
+
+  // ---- rolling connected components (round 17): incremental labels via a
+  // label-merge ledger ----
+
+  private val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("node",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("label",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** The merge LEDGER strictly before `upTo`: (from, to) label renames,
+    * collected to the driver. Bounded: every entry retires one label
+    * forever, compaction folds all entries < its fold point into the node
+    * rows and deletes them — so the ledger holds at most one entry per
+    * component merge since the last compaction, the small indirection
+    * that makes a merge O(1) instead of a relabel of the larger side. */
+  private def mergeLedger(spark: SparkSession, storeDir: String,
+                          upTo: Long): Seq[(Long, Long)] =
+    dirs(spark, storeDir, "m").filter(_._1 < upTo).flatMap { case (_, p) =>
+      spark.read.parquet(p).collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+
+  /** Iterative path-halving find over a parent map (the [[Dedup]]
+    * union-find discipline: O(1) stack depth on any chain shape). */
+  private def pathFind(parent: scala.collection.mutable.Map[Long, Long])
+                      (x0: Long): Long = {
+    var x = x0
+    var p = parent.getOrElse(x, x)
+    while (p != x) {
+      val gp = parent.getOrElse(p, p)
+      parent(x) = gp
+      x = gp
+      p = parent.getOrElse(x, x)
+    }
+    x
+  }
+
+  /** Resolve a label DataFrame through the ledger: entries become a
+    * broadcast rename map; labels outside it pass through. */
+  private def resolveLabels(labels: DataFrame,
+                            ledger: Seq[(Long, Long)]): DataFrame = {
+    if (ledger.isEmpty) labels
+    else {
+      val spark = labels.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      ledger.foreach { case (f, t) =>
+        val (rf, rt) = (pathFind(parent)(f), pathFind(parent)(t))
+        if (rf != rt) parent(math.max(rf, rt)) = math.min(rf, rt)
+      }
+      val renames = ledger.map(_._1).distinct
+        .map(l => (l, pathFind(parent)(l))).toDF("label", "__canon")
+      labels.join(broadcast(renames), Seq("label"), "left")
+        .select(col("node"),
+          coalesce(col("__canon"), col("label")).as("label"))
+    }
+  }
+
+  /** Every node's component label, resolved through the live ledger —
+    * the store's read API. Labels follow the [[Dedup.labelPropagation]]
+    * convention (min node id in the component). */
+  def componentLabels(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    storeView(spark, storeDir, labelSchema, "node")
+      .map(resolveLabels(_, mergeLedger(spark, storeDir, Long.MaxValue)))
+
+  /** [[commitDelta]]'s components twin: commit the batch's label delta and
+    * ledger element, then compact with LEDGER FOLDING — the compacted base
+    * is written with every label resolved through the ledger < the batch,
+    * after which those ledger elements are deleted (every row they could
+    * rename is inside the new base; the current batch's own delta carries
+    * only post-resolution labels by construction, so it references no
+    * retired label). The fold writes base<compactTo> as a FRESH element
+    * (tmp+rename, no in-place overwrite of a live base — the one crash
+    * window an in-place rewrite would open). Every step idempotent and
+    * replay-safe under the shared upTo < id read discipline. */
+  private def commitComponents(spark: SparkSession, storeDir: String,
+                               labels: DataFrame, retired: Option[DataFrame],
+                               compactEvery: Int, id: Long): Unit = {
+    writeElement(spark, s"$storeDir/d$id", labels, Nil)
+    retired.foreach(r => writeElement(spark, s"$storeDir/m$id", r, Nil))
+    sweepTmp(spark, storeDir)
+    val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
+    dirs(spark, storeDir, "base").dropRight(1)
+      .foreach { case (_, p) => delete(spark, p) }
+    (dirs(spark, storeDir, "d") ++ dirs(spark, storeDir, "m"))
+      .filter(_._1 <= baseVer).foreach { case (_, p) => delete(spark, p) }
+    val pending = dirs(spark, storeDir, "d")
+      .filter { case (v, _) => v > baseVer && v < id }
+    if (pending.size >= compactEvery) {
+      val compactTo = pending.map(_._1).max
+      val ledger = mergeLedger(spark, storeDir, upTo = id)
+      val compacted = resolveLabels(
+        storeView(spark, storeDir, labelSchema, "node", upTo = id)
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], labelSchema)),
+        ledger)
+      writeElement(spark, s"$storeDir/base$compactTo", compacted, Nil)
+      pending.foreach { case (_, p) => delete(spark, p) }
+      if (baseVer >= 0) delete(spark, s"$storeDir/base$baseVer")
+      dirs(spark, storeDir, "m").filter(_._1 < id)
+        .foreach { case (_, p) => delete(spark, p) }
+    }
+  }
+
+  /** Rolling connected-components ingest over a streaming relation of
+    * undirected edges `(u, v)` — e.g. the near-dup pairs [[dedupIngest]]
+    * emits. Maintains node→label rows under the element contract
+    * (base/deltas, supersede by node) PLUS a label-merge ledger (`m<id>`
+    * elements): when a batch edge connects two existing components, the
+    * larger side is NOT relabeled — one ledger entry renames its label,
+    * and readers resolve through the ledger. Per-batch work is therefore
+    * ∝ batch (+ the ledger, which compaction empties), never ∝ corpus:
+    * the cascade that makes naive incremental components degenerate to a
+    * full relabel on a single bridging edge costs one ledger row here.
+    *
+    * Batch algorithm (driver memory ∝ batch + ledger, both documented):
+    *   1. canonicalize batch edges (min,max), drop self-loops, distinct;
+    *   2. the store rows of TOUCHED nodes only (corpus-sized scan,
+    *      batch-sized result via broadcast semi-join) come back to the
+    *      driver, resolved through the ledger;
+    *   3. driver union-find over batch edges + (node → prior label)
+    *      bindings; canonical label = min member (ids and labels share
+    *      the id domain, so min-of-mins is the component min);
+    *   4. delta `d<id>` rewrites the touched nodes' labels; ledger
+    *      element `m<id>` records (old resolved label → canon) for every
+    *      label the batch retired; `sink` receives the touched nodes'
+    *      resolved (node, label) rows.
+    * Compaction (same `compactEvery` contract as every store) folds
+    * deltas AND the ledger < the fold point into the new base — ledger
+    * entries are deleted only once every row they could rename is folded.
+    * Replay-safe like the band stores: a replayed batch reads elements
+    * strictly below its id and rebuilds the identical delta + ledger
+    * element. After every batch, [[componentLabels]] over the edge
+    * history equals [[Dedup.labelPropagation]] over the full edge set
+    * (spec-pinned, including the one-edge bridge of two grown
+    * components). */
+  def componentsIngest(edges: DataFrame, storeDir: String,
+                       compactEvery: Int = 8,
+                       configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
+                      (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    configure(edges.writeStream.foreachBatch { (b0: DataFrame, id: Long) =>
+      if (!b0.isEmpty) {
+        val spark = b0.sparkSession
+        import spark.implicits._
+        guardHistory(spark, storeDir, id)
+        val cols = b0.columns
+        val eb = b0.select(
+            org.apache.spark.sql.functions.least(col(cols(0)), col(cols(1))).cast("long").as("u"),
+            org.apache.spark.sql.functions.greatest(col(cols(0)), col(cols(1))).cast("long").as("v"))
+          .filter(col("u") =!= col("v")).distinct().persist()
+        try {
+          val touched = eb.select(col("u").as("node"))
+            .union(eb.select(col("v").as("node"))).distinct()
+          val ledger = mergeLedger(spark, storeDir, upTo = id)
+          // prior labels of touched nodes: batch-sized result, resolved
+          // through the ledger on the driver
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          ledger.foreach { case (f, t) =>
+            val (rf, rt) = (pathFind(parent)(f), pathFind(parent)(t))
+            if (rf != rt) parent(math.max(rf, rt)) = math.min(rf, rt)
+          }
+          val prior: Map[Long, Long] =
+            storeView(spark, storeDir, labelSchema, "node", upTo = id)
+              .map(_.join(broadcast(touched), Seq("node"))
+                .collect().map(r => r.getLong(0) -> pathFind(parent)(r.getLong(1)))
+                .toMap)
+              .getOrElse(Map.empty)
+          // driver union-find: batch edges + prior-label bindings.
+          // min-union (attach the larger root under the smaller) keeps the
+          // component representative = min id, the labelPropagation
+          // convention.
+          val ePairs = eb.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val uf = scala.collection.mutable.Map.empty[Long, Long]
+          def union(a: Long, b: Long): Unit = {
+            val (ra, rb) = (pathFind(uf)(a), pathFind(uf)(b))
+            if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          ePairs.foreach { case (a, b) => union(a, b) }
+          prior.foreach { case (n, l) => union(n, l) }
+          val touchedIds = prior.keySet ++
+            ePairs.flatMap(p => Seq(p._1, p._2))
+          val newLabels = touchedIds.toSeq.sorted
+            .map(n => (n, pathFind(uf)(n)))
+          // retired labels: a prior label whose canon moved
+          val retired = prior.values.toSeq.distinct
+            .map(l => (l, pathFind(uf)(l))).filter { case (f, t) => f != t }
+          val labelsDf = newLabels.toDF("node", "label")
+          sink(labelsDf, id)
+          commitComponents(spark, storeDir, labelsDf,
+            if (retired.nonEmpty) Some(retired.toDF("from", "to")) else None,
+            compactEvery, id)
+        } finally eb.unpersist()
+      }
+    }).start()
+  }
 }

@@ -1005,4 +1005,87 @@ class RollingIngestSpec extends SparkSpec {
     assert(eff.count() == 768 &&
       eff.select("vec_id").distinct().count() == 768)
   }
+
+  // ---- rolling connected components (round 17) ----
+
+  /** Drive edge batches through componentsIngest; after EVERY batch assert
+    * the resolved store equals labelPropagation over the full edge
+    * history. Returns the store dir for post-hoc layout assertions. */
+  private def runComponents(batches: Seq[Seq[(Long, Long)]],
+                            compactEvery: Int): String = {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_cc").toString + "/store"
+    val in = MemoryStream[(Long, Long)]
+    val q = RollingIngest.componentsIngest(
+      in.toDF().toDF("u", "v"), dir, compactEvery) { (_, _) => () }
+    try {
+      var history = Seq.empty[(Long, Long)]
+      batches.foreach { b =>
+        in.addData(b); q.processAllAvailable()
+        history ++= b
+        val want = graft.operators.Dedup.labelPropagation(
+          history.toDF("u", "v").select(
+            least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b"))
+            .filter(col("a") =!= col("b")).distinct())
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = RollingIngest.componentLabels(spark, dir).get
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want,
+          s"resolved store must equal full-history labelPropagation after " +
+            s"this batch: got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
+      }
+    } finally q.stop()
+    dir
+  }
+
+  test("componentsIngest: labels equal full-history components after every batch") {
+    // grows two separate components over two batches, then BRIDGES them
+    // with a single edge — the cascade case: the store holds many rows of
+    // both labels, and the merge must cost one ledger entry, not a relabel
+    runComponents(Seq(
+      Seq((10L, 11L), (11L, 12L), (20L, 21L)),          // two components
+      Seq((12L, 13L), (21L, 22L), (22L, 23L)),          // both grow
+      Seq((13L, 21L)),                                  // one bridging edge
+      Seq((30L, 31L), (5L, 10L))                        // new comp + new min
+    ), compactEvery = 100)
+  }
+
+  test("componentsIngest: the bridge writes a ledger element, not a relabel of untouched rows") {
+    val dir = runComponents(Seq(
+      Seq((10L, 11L), (11L, 12L), (20L, 21L), (21L, 22L)),
+      Seq((12L, 20L))), compactEvery = 100)
+    // the bridge batch touched only {12, 20} (+ their labels via the
+    // ledger): its delta must be batch-sized, with the rename in m<id>
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith("m")), s"expected a ledger element: $names")
+    val lastDelta = names.filter(_.startsWith("d")).map(_.drop(1).toLong).max
+    val deltaRows = spark.read.parquet(s"$dir/d$lastDelta").count()
+    assert(deltaRows <= 4,
+      s"bridge delta must stay batch-sized (touched nodes + labels), got $deltaRows")
+    // untouched chain members (11, 21, 22) still resolve to the merged min
+    val got = RollingIngest.componentLabels(spark, dir).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(10L, 11L, 12L, 20L, 21L, 22L).forall(got(_) == 10L))
+  }
+
+  test("componentsIngest: compaction folds the ledger into the base and deletes it") {
+    val dir = runComponents(Seq(
+      Seq((10L, 11L), (20L, 21L)),
+      Seq((10L, 20L)),                 // merge -> ledger entry
+      Seq((40L, 41L)),
+      Seq((50L, 51L)),
+      Seq((60L, 61L))), compactEvery = 3)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith("base")), s"expected a compacted base: $names")
+    assert(!names.exists(n => n.startsWith("m") && !n.startsWith("base")),
+      s"compaction must fold + delete ledger elements: $names")
+    // folded base rows carry the RESOLVED labels directly
+    val base = names.filter(_.startsWith("base")).head
+    val baseRows = spark.read.parquet(s"$dir/$base")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(10L, 11L, 20L, 21L).forall(n => baseRows.get(n).forall(_ == 10L)),
+      s"folded base must hold resolved labels: $baseRows")
+  }
 }
