@@ -1153,58 +1153,99 @@ object RollingIngest {
                       (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     configure(edges.writeStream.foreachBatch { (b0: DataFrame, id: Long) =>
-      if (!b0.isEmpty) {
-        val spark = b0.sparkSession
-        import spark.implicits._
-        guardHistory(spark, storeDir, id)
-        val cols = b0.columns
-        val eb = b0.select(
-            org.apache.spark.sql.functions.least(col(cols(0)), col(cols(1))).cast("long").as("u"),
-            org.apache.spark.sql.functions.greatest(col(cols(0)), col(cols(1))).cast("long").as("v"))
-          .filter(col("u") =!= col("v")).distinct().persist()
-        try {
-          val touched = eb.select(col("u").as("node"))
-            .union(eb.select(col("v").as("node"))).distinct()
-          val ledger = mergeLedger(spark, storeDir, upTo = id)
-          // prior labels of touched nodes: batch-sized result, resolved
-          // through the ledger on the driver
-          val parent = scala.collection.mutable.Map.empty[Long, Long]
-          ledger.foreach { case (f, t) =>
-            val (rf, rt) = (pathFind(parent)(f), pathFind(parent)(t))
-            if (rf != rt) parent(math.max(rf, rt)) = math.min(rf, rt)
-          }
-          val prior: Map[Long, Long] =
-            storeView(spark, storeDir, labelSchema, "node", upTo = id)
-              .map(_.join(broadcast(touched), Seq("node"))
-                .collect().map(r => r.getLong(0) -> pathFind(parent)(r.getLong(1)))
-                .toMap)
-              .getOrElse(Map.empty)
-          // driver union-find: batch edges + prior-label bindings.
-          // min-union (attach the larger root under the smaller) keeps the
-          // component representative = min id, the labelPropagation
-          // convention.
-          val ePairs = eb.collect().map(r => (r.getLong(0), r.getLong(1)))
-          val uf = scala.collection.mutable.Map.empty[Long, Long]
-          def union(a: Long, b: Long): Unit = {
-            val (ra, rb) = (pathFind(uf)(a), pathFind(uf)(b))
-            if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
-          }
-          ePairs.foreach { case (a, b) => union(a, b) }
-          prior.foreach { case (n, l) => union(n, l) }
-          val touchedIds = prior.keySet ++
-            ePairs.flatMap(p => Seq(p._1, p._2))
-          val newLabels = touchedIds.toSeq.sorted
-            .map(n => (n, pathFind(uf)(n)))
-          // retired labels: a prior label whose canon moved
-          val retired = prior.values.toSeq.distinct
-            .map(l => (l, pathFind(uf)(l))).filter { case (f, t) => f != t }
-          val labelsDf = newLabels.toDF("node", "label")
-          sink(labelsDf, id)
-          commitComponents(spark, storeDir, labelsDf,
-            if (retired.nonEmpty) Some(retired.toDF("from", "to")) else None,
-            compactEvery, id)
-        } finally eb.unpersist()
-      }
+      if (!b0.isEmpty)
+        sink(componentsBatch(b0.sparkSession, storeDir, b0, compactEvery, id), id)
     }).start()
   }
+
+  /** One components micro-batch against `storeDir`: update the label store
+    * with `edges0` (first two columns = endpoints) under batch `id`,
+    * commit, and return the touched nodes' resolved (node, label) rows —
+    * the per-batch core of [[componentsIngest]], shared by the composed
+    * [[dedupClustersIngest]]. Empty edge sets short-circuit to an empty
+    * result with no store write (version gaps are tolerated by
+    * construction). */
+  private def componentsBatch(spark: SparkSession, storeDir: String,
+                              edges0: DataFrame, compactEvery: Int,
+                              id: Long): DataFrame = {
+    import spark.implicits._
+    guardHistory(spark, storeDir, id)
+    val cols = edges0.columns
+    val eb = edges0.select(
+        org.apache.spark.sql.functions.least(col(cols(0)), col(cols(1))).cast("long").as("u"),
+        org.apache.spark.sql.functions.greatest(col(cols(0)), col(cols(1))).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    try {
+      // driver memory ∝ batch edges (the documented contract; the probe
+      // batches carry the same comment) + the ledger
+      val ePairs = eb.collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (ePairs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], labelSchema)
+      else {
+        val touched = eb.select(col("u").as("node"))
+          .union(eb.select(col("v").as("node"))).distinct()
+        val ledger = mergeLedger(spark, storeDir, upTo = id)
+        // prior labels of touched nodes: batch-sized result, resolved
+        // through the ledger on the driver
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        ledger.foreach { case (f, t) =>
+          val (rf, rt) = (pathFind(parent)(f), pathFind(parent)(t))
+          if (rf != rt) parent(math.max(rf, rt)) = math.min(rf, rt)
+        }
+        val prior: Map[Long, Long] =
+          storeView(spark, storeDir, labelSchema, "node", upTo = id)
+            .map(_.join(broadcast(touched), Seq("node"))
+              .collect().map(r => r.getLong(0) -> pathFind(parent)(r.getLong(1)))
+              .toMap)
+            .getOrElse(Map.empty)
+        // driver union-find: batch edges + prior-label bindings.
+        // min-union (attach the larger root under the smaller) keeps the
+        // component representative = min id, the labelPropagation
+        // convention.
+        val uf = scala.collection.mutable.Map.empty[Long, Long]
+        def union(a: Long, b: Long): Unit = {
+          val (ra, rb) = (pathFind(uf)(a), pathFind(uf)(b))
+          if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        ePairs.foreach { case (a, b) => union(a, b) }
+        prior.foreach { case (n, l) => union(n, l) }
+        val touchedIds = prior.keySet ++ ePairs.flatMap(p => Seq(p._1, p._2))
+        val newLabels = touchedIds.toSeq.sorted
+          .map(n => (n, pathFind(uf)(n)))
+        // retired labels: a prior label whose canon moved
+        val retired = prior.values.toSeq.distinct
+          .map(l => (l, pathFind(uf)(l))).filter { case (f, t) => f != t }
+        val labelsDf = newLabels.toDF("node", "label")
+        commitComponents(spark, storeDir, labelsDf,
+          if (retired.nonEmpty) Some(retired.toDF("from", "to")) else None,
+          compactEvery, id)
+        labelsDf
+      }
+    } finally eb.unpersist()
+  }
+
+  /** The crawl stack's cluster view in ONE micro-batch loop: simhash
+    * near-dup pairs against the rolling band store ([[dedupIngest]]) feed
+    * the components store ([[componentsBatch]]) within the same batch, so
+    * every emitted pair immediately updates durable cluster identity.
+    * `sink` receives the batch's resolved (node, label) rows — the docs
+    * whose cluster membership this batch created or changed; a doc with
+    * no near-dup edge is its own implicit singleton (the
+    * [[Dedup.labelPropagation]] convention — stores hold edge endpoints
+    * only). Both stores commit under the SAME batch id; a crash between
+    * the two commits replays the batch, which rebuilds both elements
+    * deterministically (pairs are a pure function of store< id + batch,
+    * and [[guardHistory]] admits the half-written replay shape). */
+  def dedupClustersIngest(docs: DataFrame, dedupStoreDir: String,
+                          ccStoreDir: String, maxHamming: Int = 3,
+                          compactEvery: Int = 8, wideSig: Boolean = false,
+                          configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity)
+                         (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    dedupIngest(docs, dedupStoreDir, maxHamming, compactEvery, wideSig,
+      configure) { (pairs, id) =>
+      val spark = pairs.sparkSession
+      val p = pairs.select("doc_a", "doc_b").persist()
+      try sink(componentsBatch(spark, ccStoreDir, p, compactEvery, id), id)
+      finally p.unpersist()
+    }
 }

@@ -1088,4 +1088,48 @@ class RollingIngestSpec extends SparkSpec {
     assert(Seq(10L, 11L, 20L, 21L).forall(n => baseRows.get(n).forall(_ == 10L)),
       s"folded base must hold resolved labels: $baseRows")
   }
+
+  test("dedupClustersIngest: durable cluster labels equal components over the replayed pair stream") {
+    // the composed crawl stack: near-dup pairs update the components store
+    // inside the SAME micro-batch; the resolved label view must equal
+    // labelPropagation over every pair the dedup replay produces
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_ddcc").toString
+    val (dd, cc) = (root + "/dedup", root + "/cc")
+    def text(i: Long) = s"doc $i holds token k$i theme t${i % 6} and suffix s${i * 7 % 11}"
+    val b0 = (0L until 8L).map(i => (i, text(i)))
+    val b1 = (8L until 13L).map(i => (i, text(i))) :+ (13L, text(4))  // dup of 4
+    val b2 = Seq((14L, text(4)), (15L, text(9)))                     // dups of 4 and 9
+    val steps = Seq(b0, b1, b2)
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = RollingIngest.dedupClustersIngest(
+      in.toDF().toDF("doc_id", "text"), dd, cc) { (labels, _) =>
+      sunk ++= labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try steps.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // expected pairs: the static incremental replay per step, unioned
+    val allPairs = steps.indices.flatMap { i =>
+      val prior = steps.take(i).flatten
+      graft.operators.Dedup.simhashNearDupIncrementalBands(
+        graft.operators.Dedup.simhash64Bands(prior.toDF("doc_id", "text")),
+        graft.operators.Dedup.simhash64Bands(steps(i).toDF("doc_id", "text")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(allPairs.nonEmpty, "fixture must produce near-dup pairs")
+    val want = graft.operators.Dedup.labelPropagation(
+      allPairs.toDF("u", "v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = RollingIngest.componentLabels(spark, cc).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"composed cluster store must equal full-pair components: got " +
+        s"${got.toSeq.sorted} want ${want.toSeq.sorted}")
+    // the sink saw every store row at least once (labels may be re-sunk
+    // when later batches touch them)
+    assert(want.subsetOf(
+      sunk.toSet ++ got), "sink rows + store must cover the component set")
+  }
 }
