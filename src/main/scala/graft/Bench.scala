@@ -486,12 +486,18 @@ object Bench {
           // query that pathologically slowed on the inflated corpus must
           // not run twice once the block is already over budget — the
           // artifact always lands, a partial block beats a timed-out run
+          // headline queries keep a THIRD sample (they are the judged
+          // ratio, and a min-of-2 let one noisy sample inflate the r17
+          // artifact's q1 by 50%); the family keeps min-of-2
+          val samples = if (headline.contains(name)) 3 else 2
           name -> (if (System.currentTimeMillis() - tSweep0 > budgetMs) -1.0
           else {
-            val first = once()
-            val best =
-              if (System.currentTimeMillis() - tSweep0 > budgetMs) first
-              else math.min(first, once())
+            var best = once()
+            var s = 1
+            while (s < samples &&
+                System.currentTimeMillis() - tSweep0 <= budgetMs) {
+              best = math.min(best, once()); s += 1
+            }
             if (best == Double.MaxValue) -1.0 else best
           })
         }
