@@ -138,6 +138,18 @@ object RollingIngest {
       .foreach(s => fs.delete(s.getPath, true))
   }
 
+  /** Delete the given store elements EXCEPT those named in `keep` — the
+    * one primitive every sweep site goes through, so a pinned snapshot's
+    * retention ([[pinSnapshot]]) is enforced uniformly: an element
+    * referenced by any live pin manifest survives housekeeping,
+    * compaction, retrain and migration sweeps until its last pin is
+    * dropped. */
+  private def sweepEls(spark: SparkSession, els: Seq[(Long, String)],
+                       keep: Set[String]): Unit =
+    els.filterNot { case (_, p) =>
+      keep(new org.apache.hadoop.fs.Path(p).getName) }
+      .foreach { case (_, p) => delete(spark, p) }
+
   /** Read one store directory back to the band schema. Partition-column
     * type inference is disabled for the read (then every column is cast
     * to its band-schema type): inference would turn a numeric-looking
@@ -169,35 +181,29 @@ object RollingIngest {
       .select(schema.fields.toSeq.map(f => col(f.name)): _*)
   }
 
-  /** The effective store under `storeDir` strictly BEFORE batch `upTo`
-    * (pass Long.MaxValue for "everything committed"): live base rows plus
-    * supersede-resolved delta rows. `routeFilter`, if given, is applied
-    * to every directory read BEFORE the union — on a `partitionBy`
-    * routed store this prunes to the filter's partitions. Returns None
-    * when the store holds nothing below `upTo`. */
-  private[graft] def storeView(spark: SparkSession, storeDir: String,
-                               schema: StructType, idCol: String,
-                               upTo: Long = Long.MaxValue,
-                               routeFilter: Option[Column] = None): Option[DataFrame] = {
+  /** Supersede resolution over an EXPLICIT element set (one optional base
+    * dir + delta dirs with their versions) — the shared core of the live
+    * [[storeView]] and the pinned [[snapshotView]].
+    *
+    * Deltas are read UNFILTERED: supersede winners and the base anti-join
+    * id set must see EVERY delta row. Route columns can be pure functions
+    * of the payload (the IVF cell is), so re-ingesting an id with a
+    * changed payload moves it across route values — a route-pruned delta
+    * read would drop the superseding row while the stale one survives
+    * (resurrection). Deltas are batch-sized, so the unpruned read stays
+    * ∝ batch; the route filter is applied to resolved row CONTENT.
+    * The corpus-sized base keeps the pruned read (partition pruning at
+    * rest): any stale base row is removed by the unfiltered-id anti-join
+    * regardless of which partitions were scanned. */
+  private def resolveView(spark: SparkSession, baseDir: Option[String],
+                          deltas: Seq[(Long, String)], schema: StructType,
+                          idCol: String,
+                          routeFilter: Option[Column]): Option[DataFrame] = {
     val filt = (df: DataFrame) => routeFilter.map(df.filter).getOrElse(df)
-    val baseOpt = dirs(spark, storeDir, "base").filter(_._1 < upTo).lastOption
-    val baseVer = baseOpt.map(_._1).getOrElse(-1L)
-    val live = dirs(spark, storeDir, "d")
-      .filter { case (v, _) => v > baseVer && v < upTo }
-    // Deltas are read UNFILTERED: supersede winners and the base anti-join
-    // id set must see EVERY delta row. Route columns can be pure functions
-    // of the payload (the IVF cell is), so re-ingesting an id with a
-    // changed payload moves it across route values — a route-pruned delta
-    // read would drop the superseding row while the stale one survives
-    // (resurrection). Deltas are batch-sized, so the unpruned read stays
-    // ∝ batch; the route filter is applied to resolved row CONTENT below.
-    // The corpus-sized base keeps the pruned read (partition pruning at
-    // rest): any stale base row is removed by the unfiltered-id anti-join
-    // regardless of which partitions were scanned.
-    val deltaAll = live
+    val deltaAll = deltas
       .map { case (v, p) => readBands(spark, p, schema).withColumn("__b", lit(v)) }
       .reduceOption(_ unionByName _)
-    (baseOpt.map(b => filt(readBands(spark, b._2, schema))), deltaAll) match {
+    (baseDir.map(b => filt(readBands(spark, b, schema))), deltaAll) match {
       case (None, None)       => None
       case (Some(base), None) => Some(base)
       case (None, Some(d))    => Some(filt(resolveDeltas(d, idCol, schema)))
@@ -208,6 +214,26 @@ object RollingIngest {
         Some(base.join(broadcast(ids), Seq(idCol), "left_anti")
           .unionByName(filt(resolveDeltas(d, idCol, schema))))
     }
+  }
+
+  /** The effective store under `storeDir` strictly BEFORE batch `upTo`
+    * (pass Long.MaxValue for "everything committed"): live base rows plus
+    * supersede-resolved delta rows. `routeFilter`, if given, is applied
+    * to every directory read BEFORE the union — on a `partitionBy`
+    * routed store this prunes to the filter's partitions. Returns None
+    * when the store holds nothing below `upTo`. Elements retained only
+    * by a pin ([[pinSnapshot]]) never enter this view: a retained delta
+    * or base is always <= the live base's version, which this listing
+    * filter excludes by construction. */
+  private[graft] def storeView(spark: SparkSession, storeDir: String,
+                               schema: StructType, idCol: String,
+                               upTo: Long = Long.MaxValue,
+                               routeFilter: Option[Column] = None): Option[DataFrame] = {
+    val baseOpt = dirs(spark, storeDir, "base").filter(_._1 < upTo).lastOption
+    val baseVer = baseOpt.map(_._1).getOrElse(-1L)
+    val live = dirs(spark, storeDir, "d")
+      .filter { case (v, _) => v > baseVer && v < upTo }
+    resolveView(spark, baseOpt.map(_._2), live, schema, idCol, routeFilter)
   }
 
   /** Deterministic one-row-per-id pick: min xxhash64 over every column.
@@ -260,15 +286,15 @@ object RollingIngest {
     // cell — the 16k-tiny-files remedy, pinned by RollingIngestSpec) and
     // commits via tmp+rename so no crash point leaves a partial element.
     writeElement(spark, s"$storeDir/d$id", bands, partitionCols)
-    // housekeeping — every step idempotent and replay-safe:
+    // housekeeping — every step idempotent and replay-safe; every delete
+    // spares elements retained by a pin manifest (snapshot retention):
     // (1) sweep stale leftovers of a mid-compaction crash (the read
     //     path already ignores them)
     sweepTmp(spark, storeDir)
+    val keep = pinnedNames(spark, storeDir)
     val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
-    dirs(spark, storeDir, "base").dropRight(1)
-      .foreach { case (_, p) => delete(spark, p) }
-    dirs(spark, storeDir, "d").filter(_._1 <= baseVer)
-      .foreach { case (_, p) => delete(spark, p) }
+    sweepEls(spark, dirs(spark, storeDir, "base").dropRight(1), keep)
+    sweepEls(spark, dirs(spark, storeDir, "d").filter(_._1 <= baseVer), keep)
     // (2) compact deltas STRICTLY OLDER than this batch once K have
     //     accumulated: fold them + the base into base<newest folded
     //     delta>, amortizing the corpus-sized write to corpus/K per
@@ -284,9 +310,224 @@ object RollingIngest {
       // compaction must never expose a partial base (whose presence would
       // let the delta sweep below destroy the rows it was folding)
       writeElement(spark, s"$storeDir/base$compactTo", compacted, partitionCols)
-      pending.foreach { case (_, p) => delete(spark, p) }
-      if (baseVer >= 0) delete(spark, s"$storeDir/base$baseVer")
+      sweepEls(spark, pending, keep)
+      if (baseVer >= 0)
+        sweepEls(spark, Seq((baseVer, s"$storeDir/base$baseVer")), keep)
     }
+  }
+
+  // ---- pinned snapshots: durable, reproducible reads of a rolling store
+  //      (round 17) --------------------------------------------------------
+  //
+  // A training run needs to name the exact corpus it read — and re-read it
+  // byte-identically a year later, while the crawl keeps ingesting. The
+  // element contract already gives every commit an immutable identity
+  // (elements are written once, never rewritten in place); the only thing
+  // destroying history is housekeeping. A PIN is therefore just a manifest
+  // naming the store's live element set; every sweep site spares pinned
+  // elements ([[sweepEls]]), so the snapshot stays readable at zero write
+  // cost — the write path is unchanged, and retention is ∝ the pinned
+  // history (the Iceberg/Delta snapshot-expiry trade, re-derived for this
+  // store). Retained elements never leak into live reads: a retained
+  // delta/base/ledger element is always <= the live base's version, which
+  // every live listing filter excludes; retained books/tier markers are
+  // older than the newest, which the resolution reads ignore.
+  //
+  // Pin at a batch boundary (from the sink callback — the store then holds
+  // exactly the batches up to and including the one just committed — or
+  // with the stream stopped). Pinning concurrently with a commit races the
+  // compaction listing and may capture a mid-fold element set; the
+  // manifest write itself is atomic (tmp+rename), so the failure mode is a
+  // wrong pin, never a corrupt store.
+
+  private def pinsPath(storeDir: String) =
+    new org.apache.hadoop.fs.Path(storeDir, ".pins")
+
+  /** Element-dir names retained by any pin manifest under `storeDir` —
+    * the set every sweep spares. One small-file read per manifest, once
+    * per commit: metadata-cheap at any store size. */
+  private def pinnedNames(spark: SparkSession, storeDir: String): Set[String] = {
+    val pins = pinsPath(storeDir)
+    val fs = pins.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pins)) Set.empty
+    else fs.listStatus(pins).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .flatMap(s => readManifestFile(fs, s.getPath)).toSet
+  }
+
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    val out = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096)
+    finally in.close()
+    out.toString("UTF-8").split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** The element names of snapshot `name` (loud failure on an unknown
+    * name — a misspelled snapshot must not read as an empty store). */
+  private def readManifest(spark: SparkSession, storeDir: String,
+                           name: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(pinsPath(storeDir), name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$storeDir holds no snapshot '$name' " +
+      s"(listSnapshots names the live pins)")
+    readManifestFile(fs, p)
+  }
+
+  /** Parse an element-dir name into (kind, version); kinds are the store
+    * contract's prefixes: base/books/tier/m/d. */
+  private[graft] def parseEl(n: String): Option[(String, Long)] =
+    Seq("base", "books", "tier", "m", "d").collectFirst {
+      case p if n.startsWith(p) && n.drop(p.length).toLongOption.isDefined =>
+        (p, n.drop(p.length).toLong)
+    }
+
+  /** Pin the store's CURRENT effective contents as snapshot `name`:
+    * capture the live element set — newest base, the deltas above it, the
+    * live ledger elements, and the newest books/tier marker (a PQ code
+    * store's rows are meaningless without the books that encoded them;
+    * a dedup store's signature width is declared by its tier marker) —
+    * into an atomic manifest under `storeDir/.pins/`. Returns the pinned
+    * element names. Refuses an existing name (pins are immutable; drop
+    * and re-pin to move one) and an empty store. */
+  def pinSnapshot(spark: SparkSession, storeDir: String,
+                  name: String): Seq[String] = {
+    require(name.nonEmpty && !name.contains("/") && !name.startsWith("."),
+      s"invalid snapshot name '$name'")
+    val pins = pinsPath(storeDir)
+    val fs = pins.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(pins, name)
+    require(!fs.exists(dst),
+      s"snapshot '$name' already exists under $storeDir (pins are " +
+        "immutable — unpinSnapshot first to re-pin)")
+    val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
+    val els =
+      dirs(spark, storeDir, "base").lastOption.toSeq ++
+        dirs(spark, storeDir, "d").filter(_._1 > baseVer) ++
+        dirs(spark, storeDir, "m").filter(_._1 > baseVer) ++
+        dirs(spark, storeDir, "books").lastOption.toSeq ++
+        dirs(spark, storeDir, "tier").lastOption.toSeq
+    require(els.nonEmpty, s"$storeDir holds no committed elements to pin")
+    val names = els.map { case (_, p) => new org.apache.hadoop.fs.Path(p).getName }
+    fs.mkdirs(pins)
+    val tmp = new org.apache.hadoop.fs.Path(pins, ".tmp_" + name)
+    val out = fs.create(tmp, true)
+    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    names
+  }
+
+  /** Drop snapshot `name`; its elements become reclaimable at the next
+    * housekeeping pass (any commit's sweep, or an explicit
+    * [[vacuumStore]]). Returns whether the pin existed. */
+  def unpinSnapshot(spark: SparkSession, storeDir: String,
+                    name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(pinsPath(storeDir), name)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  /** Live pins under `storeDir`, as (name, pinned element names). */
+  def listSnapshots(spark: SparkSession,
+                    storeDir: String): Seq[(String, Seq[String])] = {
+    val pins = pinsPath(storeDir)
+    val fs = pins.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pins)) Seq.empty
+    else fs.listStatus(pins).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName -> readManifestFile(fs, s.getPath))
+      .sortBy(_._1)
+  }
+
+  /** The pinned snapshot's effective rows — the same supersede resolution
+    * as the live [[storeView]], over exactly the manifest's base + delta
+    * elements. Loud failure when a pinned element is missing on disk
+    * (someone deleted around the pin contract): a silently smaller corpus
+    * is the one failure mode a reproducibility feature must not have. */
+  def snapshotView(spark: SparkSession, storeDir: String, name: String,
+                   schema: StructType, idCol: String,
+                   routeFilter: Option[Column] = None): Option[DataFrame] = {
+    val els = manifestEls(spark, storeDir, name)
+    val baseOpt = els.filter(_._1 == "base").map(_._2).maxOption
+      .map(v => s"$storeDir/base$v")
+    val deltas = els.filter(_._1 == "d")
+      .map { case (_, v) => (v, s"$storeDir/d$v") }.sortBy(_._1)
+    resolveView(spark, baseOpt, deltas, schema, idCol, routeFilter)
+  }
+
+  /** Manifest elements as (kind, version), existence-checked. */
+  private def manifestEls(spark: SparkSession, storeDir: String,
+                          name: String): Seq[(String, Long)] = {
+    val names = readManifest(spark, storeDir, name)
+    val sp = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val missing = names.filterNot(n =>
+      fs.exists(new org.apache.hadoop.fs.Path(sp, n)))
+    require(missing.isEmpty,
+      s"snapshot '$name' of $storeDir references missing elements " +
+        s"[${missing.mkString(",")}] — the store was modified outside " +
+        "the pin contract; the snapshot is NOT reproducible")
+    names.flatMap(parseEl)
+  }
+
+  /** [[snapshotView]] for a rolling dedup store, with the band schema
+    * derived from the pinned elements themselves (presence of `sig_hi`
+    * = the 128-bit wide tier) — so a reader needs only the store dir and
+    * the snapshot name. */
+  def snapshotDedupView(spark: SparkSession, storeDir: String,
+                        name: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val els = manifestEls(spark, storeDir, name)
+    val newest = els.filter(e => e._1 == "base" || e._1 == "d")
+      .maxByOption(_._2)
+    newest.flatMap { case (kind, v) =>
+      val wide = spark.read.parquet(s"$storeDir/$kind$v")
+        .columns.contains("sig_hi")
+      val emptyDocs = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+      val schema = (if (wide) Dedup.simhash128Bands(emptyDocs)
+                    else Dedup.simhash64Bands(emptyDocs)).schema
+      snapshotView(spark, storeDir, name, schema, "doc_id")
+    }
+  }
+
+  /** The pinned component labels of a [[componentsIngest]] store:
+    * [[snapshotView]]'s label rows resolved through the manifest's OWN
+    * ledger elements (never the live ledger — later merges must not leak
+    * into the snapshot). */
+  def snapshotComponentLabels(spark: SparkSession, storeDir: String,
+                              name: String): Option[DataFrame] = {
+    val els = manifestEls(spark, storeDir, name)
+    val ledger = ledgerOf(spark, els.filter(_._1 == "m").map(_._2).sorted
+      .map(v => s"$storeDir/m$v"))
+    snapshotView(spark, storeDir, name, labelSchema, "node")
+      .map(resolveLabels(_, ledger))
+  }
+
+  /** Offline reclamation: the same stale-element sweep every commit runs
+    * (superseded bases/deltas/ledger elements, outdated books/tier
+    * markers, `.tmp_*` leftovers), pin-guarded — the call to make after
+    * [[unpinSnapshot]] when the next commit is far away. Safe on a live
+    * store between batches: it deletes only elements the live read path
+    * already ignores. */
+  def vacuumStore(spark: SparkSession, storeDir: String): Unit = {
+    val keep = pinnedNames(spark, storeDir)
+    val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
+    sweepEls(spark, dirs(spark, storeDir, "base").dropRight(1), keep)
+    sweepEls(spark, (dirs(spark, storeDir, "d") ++ dirs(spark, storeDir, "m"))
+      .filter(_._1 <= baseVer), keep)
+    sweepEls(spark, dirs(spark, storeDir, "books").dropRight(1), keep)
+    sweepEls(spark, dirs(spark, storeDir, "tier").dropRight(1), keep)
+    sweepTmp(spark, storeDir)
+    // manifest-write leftovers of a crashed pinSnapshot
+    val pins = pinsPath(storeDir)
+    val fs = pins.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(pins)) fs.listStatus(pins).toSeq
+      .filter(s => s.getPath.getName.startsWith(".tmp_"))
+      .foreach(s => fs.delete(s.getPath, false))
   }
 
   /** The shared micro-batch loop; `sideFor(spark, id)` resolves the
@@ -592,13 +833,13 @@ object RollingIngest {
               Similarity.ivfPqEncodeQNorm(eff.select("vec_id", "q", "norm"), c2, b2),
               Seq("cell"))
             // sweep superseded elements (idempotent; commitDelta would
-            // also catch deltas <= the new base)
-            dirs(spark, storeDir, "d").filter(_._1 <= v)
-              .foreach { case (_, p) => delete(spark, p) }
-            dirs(spark, storeDir, "base").filter(_._1 < v)
-              .foreach { case (_, p) => delete(spark, p) }
-            dirs(spark, storeDir, "books").filter(_._1 < v)
-              .foreach { case (_, p) => delete(spark, p) }
+            // also catch deltas <= the new base) — pin-guarded, so a
+            // snapshot pinned before the retrain keeps its codes AND the
+            // books that decode them
+            val keep = pinnedNames(spark, storeDir)
+            sweepEls(spark, dirs(spark, storeDir, "d").filter(_._1 <= v), keep)
+            sweepEls(spark, dirs(spark, storeDir, "base").filter(_._1 < v), keep)
+            sweepEls(spark, dirs(spark, storeDir, "books").filter(_._1 < v), keep)
             if (!needResume) onRetrain(trainedKc, liveKc, live)
             cur = Some((v, c2, b2))
           }
@@ -761,12 +1002,10 @@ object RollingIngest {
           "with the full keeper corpus).")
       writeElement(spark, s"$storeDir/base$v", wide, partitionCols = Nil)
     } finally wide.unpersist()
-    dirs(spark, storeDir, "d").filter(_._1 <= v)
-      .foreach { case (_, p) => delete(spark, p) }
-    dirs(spark, storeDir, "base").filter(_._1 < v)
-      .foreach { case (_, p) => delete(spark, p) }
-    dirs(spark, storeDir, "tier").filter(_._1 < v)
-      .foreach { case (_, p) => delete(spark, p) }
+    val keep = pinnedNames(spark, storeDir)
+    sweepEls(spark, dirs(spark, storeDir, "d").filter(_._1 <= v), keep)
+    sweepEls(spark, dirs(spark, storeDir, "base").filter(_._1 < v), keep)
+    sweepEls(spark, dirs(spark, storeDir, "tier").filter(_._1 < v), keep)
     sweepTmp(spark, storeDir)
   }
 
@@ -1027,9 +1266,23 @@ object RollingIngest {
     * rows and deletes them — so the ledger holds at most one entry per
     * component merge since the last compaction, the small indirection
     * that makes a merge O(1) instead of a relabel of the larger side. */
+  /** The live ledger in (`sinceExclusive`, `upTo`): ledger elements at or
+    * below the base version are part of the folded base (their renames
+    * are already applied to every row they could touch) — and once pins
+    * can RETAIN folded ledger elements on disk, the floor is what keeps
+    * them from re-entering live reads. (Re-applying a folded rename is
+    * semantically a no-op — a retired label never re-emerges, since a
+    * component's min member only decreases — so the floor is a cost
+    * bound, not a correctness fix.) */
   private def mergeLedger(spark: SparkSession, storeDir: String,
+                          sinceExclusive: Long,
                           upTo: Long): Seq[(Long, Long)] =
-    dirs(spark, storeDir, "m").filter(_._1 < upTo).flatMap { case (_, p) =>
+    ledgerOf(spark, dirs(spark, storeDir, "m")
+      .filter { case (v, _) => v > sinceExclusive && v < upTo }.map(_._2))
+
+  private def ledgerOf(spark: SparkSession,
+                       paths: Seq[String]): Seq[(Long, Long)] =
+    paths.flatMap { p =>
       spark.read.parquet(p).collect().map(r => (r.getLong(0), r.getLong(1)))
     }
 
@@ -1072,9 +1325,11 @@ object RollingIngest {
   /** Every node's component label, resolved through the live ledger —
     * the store's read API. Labels follow the [[Dedup.labelPropagation]]
     * convention (min node id in the component). */
-  def componentLabels(spark: SparkSession, storeDir: String): Option[DataFrame] =
+  def componentLabels(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
     storeView(spark, storeDir, labelSchema, "node")
-      .map(resolveLabels(_, mergeLedger(spark, storeDir, Long.MaxValue)))
+      .map(resolveLabels(_, mergeLedger(spark, storeDir, baseVer, Long.MaxValue)))
+  }
 
   /** [[commitDelta]]'s components twin: commit the batch's label delta and
     * ledger element, then compact with LEDGER FOLDING — the compacted base
@@ -1092,26 +1347,26 @@ object RollingIngest {
     writeElement(spark, s"$storeDir/d$id", labels, Nil)
     retired.foreach(r => writeElement(spark, s"$storeDir/m$id", r, Nil))
     sweepTmp(spark, storeDir)
+    val keep = pinnedNames(spark, storeDir)
     val baseVer = dirs(spark, storeDir, "base").lastOption.map(_._1).getOrElse(-1L)
-    dirs(spark, storeDir, "base").dropRight(1)
-      .foreach { case (_, p) => delete(spark, p) }
-    (dirs(spark, storeDir, "d") ++ dirs(spark, storeDir, "m"))
-      .filter(_._1 <= baseVer).foreach { case (_, p) => delete(spark, p) }
+    sweepEls(spark, dirs(spark, storeDir, "base").dropRight(1), keep)
+    sweepEls(spark, (dirs(spark, storeDir, "d") ++ dirs(spark, storeDir, "m"))
+      .filter(_._1 <= baseVer), keep)
     val pending = dirs(spark, storeDir, "d")
       .filter { case (v, _) => v > baseVer && v < id }
     if (pending.size >= compactEvery) {
       val compactTo = pending.map(_._1).max
-      val ledger = mergeLedger(spark, storeDir, upTo = id)
+      val ledger = mergeLedger(spark, storeDir, baseVer, upTo = id)
       val compacted = resolveLabels(
         storeView(spark, storeDir, labelSchema, "node", upTo = id)
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], labelSchema)),
         ledger)
       writeElement(spark, s"$storeDir/base$compactTo", compacted, Nil)
-      pending.foreach { case (_, p) => delete(spark, p) }
-      if (baseVer >= 0) delete(spark, s"$storeDir/base$baseVer")
-      dirs(spark, storeDir, "m").filter(_._1 < id)
-        .foreach { case (_, p) => delete(spark, p) }
+      sweepEls(spark, pending, keep)
+      if (baseVer >= 0)
+        sweepEls(spark, Seq((baseVer, s"$storeDir/base$baseVer")), keep)
+      sweepEls(spark, dirs(spark, storeDir, "m").filter(_._1 < id), keep)
     }
   }
 
@@ -1184,7 +1439,9 @@ object RollingIngest {
       else {
         val touched = eb.select(col("u").as("node"))
           .union(eb.select(col("v").as("node"))).distinct()
-        val ledger = mergeLedger(spark, storeDir, upTo = id)
+        val ledgerBase = dirs(spark, storeDir, "base")
+          .filter(_._1 < id).lastOption.map(_._1).getOrElse(-1L)
+        val ledger = mergeLedger(spark, storeDir, ledgerBase, upTo = id)
         // prior labels of touched nodes: batch-sized result, resolved
         // through the ledger on the driver
         val parent = scala.collection.mutable.Map.empty[Long, Long]
