@@ -510,6 +510,23 @@ object Bench {
         // the artifact carries its own 2x-envelope check at this SF
         // (VERDICT r16 #3)
         val proxyTotal6q = 0.611
+        // sim/dd/ta family DuckDB proxies over the SAME inflated corpus
+        // (BASELINE.md §B3, tools/baseline_sf1.py, warm min-of-2 under a
+        // 120 s interrupt budget — round 17): the same declarative oracle
+        // computation both engines receive. sim_dedup_index exceeded the
+        // budget (>120 s vs Spark ~3.6 s) and is EXCLUDED from the ratio
+        // (the honest direction: excluding it UNDERSTATES the engine);
+        // the family ratio is Spark/(DuckDB proxy) over completed pairs.
+        val proxyFamily: Map[String, Double] = Map(
+          "sim_ivf_pq" -> 10.914, "sim_ivf_pq_incremental" -> 4.811,
+          "sim_dedup_index" -> -1.0, "sim_pq_recall" -> 15.496,
+          "dd_lsh_buckets" -> 1.787, "dd_fuzzy_keep" -> 22.676,
+          "dd_dup_clusters" -> 18.657, "dd_span_scrub" -> 2.431,
+          "ta_bigram_lm" -> 0.774, "ta_bpe_merge2" -> 0.126,
+          "ta_rarity" -> 0.430, "ta_corpus_shuffle" -> 0.075)
+        val famPairs = times.filter { case (n, v) =>
+          v >= 0 && proxyFamily.get(n).exists(_ >= 0) }
+        val famProxy = famPairs.map(t => proxyFamily(t._1)).sum
         val entries = times.map { case (n, v) =>
           "\"s1_" + n + "\":" + (if (v < 0) "null" else j3(v))
         } ++ Seq(
@@ -517,6 +534,9 @@ object Bench {
           "\"s1_proxy_total_6q\":" + j3(proxyTotal6q),
           "\"s1_vs_proxy\":" + (if (hd6.exists(_ < 0)) "null"
             else j3(hd6.sum / proxyTotal6q)),
+          "\"s1_proxy_family\":" + j3(famProxy),
+          "\"s1_family_vs_proxy\":" + (if (famPairs.isEmpty) "null"
+            else j3(famPairs.map(_._2).sum / famProxy)),
           "\"s1_steal_pct\":" + j3(st),
           "\"s1_inflate_sec\":" + j3(inflateSec))
         Some(entries.mkString("{", ",", "}"))

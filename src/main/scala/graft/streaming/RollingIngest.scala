@@ -507,6 +507,42 @@ object RollingIngest {
       .map(resolveLabels(_, ledger))
   }
 
+  /** Lineage between two pins of the same store: one row per id whose
+    * effective content differs, with `change` ∈ added | removed |
+    * updated (`from`'s perspective: an id only in `to` is `added`).
+    * An id's content is its full effective row SET (a band store holds
+    * several rows per id), compared order-independently by (row count,
+    * xor of per-row xxhash64) — a 64-bit content compare, so a
+    * same-count set collision is ~2^-64 per id: fine for a lineage
+    * REPORT (nothing downstream branches on it), unlike a termination
+    * criterion. Both sides are snapshot-sized and the one shuffle
+    * is the per-id aggregate — an offline lineage query, not a hot-path
+    * op: "what entered the corpus between training runs v1 and v2" is
+    * exactly the question a dataset card answers with this. */
+  def snapshotDiff(spark: SparkSession, storeDir: String,
+                   from: String, to: String,
+                   schema: StructType, idCol: String): DataFrame = {
+    def sig(name: String): DataFrame = {
+      val v = snapshotView(spark, storeDir, name, schema, idCol)
+        .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+      val h = xxhash64(schema.fieldNames.sorted.toSeq.map(col): _*)
+      v.groupBy(idCol).agg(
+        org.apache.spark.sql.functions.bit_xor(h).as("__h"),
+        org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+    }
+    import org.apache.spark.sql.functions.when
+    sig(from).withColumnRenamed("__h", "__hf").withColumnRenamed("__n", "__nf")
+      .join(sig(to).withColumnRenamed("__h", "__ht").withColumnRenamed("__n", "__nt"),
+        Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("__hf").isNull, lit("added"))
+          .when(col("__ht").isNull, lit("removed"))
+          .when(col("__hf") =!= col("__ht") || col("__nf") =!= col("__nt"),
+            lit("updated")))
+      .filter(col("change").isNotNull)
+      .select(col(idCol), col("change"))
+  }
+
   /** Offline reclamation: the same stale-element sweep every commit runs
     * (superseded bases/deltas/ledger elements, outdated books/tier
     * markers, `.tmp_*` leftovers), pin-guarded — the call to make after

@@ -51,7 +51,22 @@ class RollingSnapshotSpec extends SparkSpec {
         pinned = RollingIngest.storeView(spark, dir, annSchema, "vec_id")
           .get.collect().toSet
       }
+      if (i == 4) RollingIngest.pinSnapshot(spark, dir, "train-v2")
     } finally q.stop()
+    // lineage between the two pins: batches 2-4 added 14..25, and the
+    // re-ingests of 2 and 9 changed those ids' content in place
+    val diff = RollingIngest.snapshotDiff(spark, dir, "train-v1", "train-v2",
+      annSchema, "vec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == ((14L until 26L).map(i => (i, "added")).toSet
+      ++ Set((2L, "updated"), (9L, "updated"))), s"unexpected diff $diff")
+    // and the reverse direction flips added <-> removed
+    val rev = RollingIngest.snapshotDiff(spark, dir, "train-v2", "train-v1",
+      annSchema, "vec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rev == ((14L until 26L).map(i => (i, "removed")).toSet
+      ++ Set((2L, "updated"), (9L, "updated"))))
+    assert(RollingIngest.unpinSnapshot(spark, dir, "train-v2"))
     // the manifest named the then-live elements, and they are still on disk
     assert(manifest.nonEmpty && manifest.forall(elNames(dir).contains),
       s"pinned elements $manifest must survive housekeeping; disk has ${elNames(dir)}")
