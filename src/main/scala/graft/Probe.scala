@@ -184,6 +184,91 @@ object Probe {
         System.err.println(s"[probe] dedup_ingest_e2e pairs=$pairs")
         spark.range(1).toDF("id")
       }),
+      // Pinned snapshots (round 17): the retention + read cost of a pin
+      // at scale. dedupIngest over the corpus in PROBE_INGEST_BATCHES
+      // batches, pinning after the midpoint batch and letting later
+      // folds supersede the pinned elements; prints per-batch dt (the
+      // pin must not bend the slope — the write path is unchanged), the
+      // bytes retained purely for the pin once the live store has moved
+      // past it, snapshot-vs-live read wall, and the bytes reclaimed by
+      // unpin + vacuum. Run PROBE_ITERS=1.
+      "snapshot_pin" -> (() => {
+        implicit val sc = spark.sqlContext
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val nb = sys.env.getOrElse("PROBE_INGEST_BATCHES", "8").toInt
+        val compactEvery = sys.env.getOrElse("PROBE_INGEST_COMPACT", "4").toInt
+        val src = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        val idRow = src.agg(min("doc_id"), max("doc_id")).collect()(0)
+        require(!idRow.isNullAt(0), s"$d: documents empty")
+        val (minId, maxId) = (idRow.getLong(0), idRow.getLong(1))
+        val step = (maxId - minId) / nb + 1
+        val dir = java.nio.file.Files.createTempDirectory("graft_snap_p").toString + "/store"
+        val in = MemoryStream[(Long, String)]
+        val q = streaming.RollingIngest.dedupIngest(
+          in.toDF().toDF("doc_id", "text"), dir,
+          compactEvery = compactEvery) { (p, _) => p.count(): Unit }
+        def duBytes(f: java.io.File): Long =
+          if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
+        def duStore(): Long = duBytes(new java.io.File(dir))
+        var manifest = Seq.empty[String]
+        try (0 until nb).foreach { i =>
+          val lo = minId + i * step
+          val b = src.filter(col("doc_id") >= lo && col("doc_id") < lo + step)
+            .as[(Long, String)].collect()
+          if (b.nonEmpty) {
+            val tb = System.nanoTime()
+            in.addData(b.toSeq); q.processAllAvailable()
+            val dt = (System.nanoTime() - tb) / 1e9
+            System.err.println(f"[probe] snapshot_pin batch=$i%d n=${b.length}%d " +
+              f"dt=$dt%.2fs store_bytes=${duStore()}%d" +
+              (if (manifest.nonEmpty) " (pinned)" else ""))
+            if (i == nb / 2 - 1) {
+              manifest = streaming.RollingIngest.pinSnapshot(spark, dir, "probe")
+              System.err.println(s"[probe] snapshot_pin PIN after batch $i: " +
+                s"${manifest.mkString(",")}")
+            }
+          }
+        } finally q.stop()
+        // bytes retained purely for the pin = pinned elements no longer in
+        // the live view (folded/superseded but spared by the pin guard)
+        val els = lsFiles(new java.io.File(dir)).filter(_.isDirectory)
+        val baseVer = els.map(_.getName).flatMap(n =>
+          streaming.RollingIngest.parseEl(n))
+          .filter(_._1 == "base").map(_._2).maxOption.getOrElse(-1L)
+        val liveNames = els.map(_.getName).flatMap(n =>
+          streaming.RollingIngest.parseEl(n).map(p => (n, p))).collect {
+          case (n, ("base", v)) if v == baseVer => n
+          case (n, ("d", v)) if v > baseVer     => n
+          case (n, ("tier", _))                 => n
+        }.toSet
+        val retained = manifest.filterNot(liveNames)
+        val retainedBytes = retained.map(n => duBytes(new java.io.File(dir, n))).sum
+        System.err.println(s"[probe] snapshot_pin retained=${retained.mkString(",")} " +
+          s"retained_bytes=$retainedBytes of store_bytes=${duStore()}")
+        def timed[T](what: String)(f: => T): T = {
+          val t0 = System.nanoTime()
+          val r = f
+          System.err.println(f"[probe] snapshot_pin $what%s " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+          r
+        }
+        val snapN = timed("snapshot_read")(
+          streaming.RollingIngest.snapshotDedupView(spark, dir, "probe")
+            .get.count())
+        val ddSchema = operators.Dedup.simhash64Bands(
+          Seq.empty[(Long, String)].toDF("doc_id", "text")).schema
+        val liveN = timed("live_read")(
+          streaming.RollingIngest.storeView(spark, dir, ddSchema, "doc_id")
+            .get.count())
+        System.err.println(s"[probe] snapshot_pin snap_rows=$snapN live_rows=$liveN")
+        val before = duStore()
+        streaming.RollingIngest.unpinSnapshot(spark, dir, "probe")
+        streaming.RollingIngest.vacuumStore(spark, dir)
+        System.err.println(s"[probe] snapshot_pin vacuum reclaimed=" +
+          s"${before - duStore()} bytes; store_bytes=${duStore()}")
+        spark.range(1).toDF("id")
+      }),
       // Rolling connected components (round 17): per-batch cost vs store
       // census, and the BRIDGE event — one edge joining two grown
       // components must cost one ledger row, not a relabel of the larger
