@@ -1205,7 +1205,15 @@ object RollingIngest {
                                (DataFrame => DataFrame,
                                 (DataFrame, DataFrame) => DataFrame,
                                 Long => Unit),
-                             annPartitionCols: Seq[String])
+                             annPartitionCols: Seq[String],
+                             // batch-deterministic pre-dedup gate (the
+                             // curation funnel's quality/decontam stages);
+                             // receives the deduplicated batch, returns
+                             // the rows admitted to the dedup probe.
+                             // Deterministic per (batch, static config) =>
+                             // replay rebuilds identical decisions/deltas.
+                             preGate: (SparkSession, Long, DataFrame) => DataFrame =
+                               (_, _, b) => b)
                             (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     configure(docs.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
@@ -1222,7 +1230,8 @@ object RollingIngest {
         def docCols(df: DataFrame) = df.select("doc_id", "text")
         val dedupSchema = docBandsOf(docCols(b.limit(0))).schema
         val annSchema = annBandsOf(vecColsOf(b.limit(0))).schema
-        val batch = dedupDeterministic(b, "doc_id").persist()
+        val batch0 = dedupDeterministic(b, "doc_id").persist()
+        val batch = preGate(spark, id, batch0).persist()
         val docBands = docBandsOf(docCols(batch)).persist()
         try {
           val dedupStore = storeView(spark, dedupStoreDir, dedupSchema, "doc_id",
@@ -1282,9 +1291,94 @@ object RollingIngest {
                 "vec_id", annPartitionCols, compactEvery, id)
             }
           } finally { vecBands.unpersist(); decisions.unpersist() }
-        } finally { docBands.unpersist(); batch.unpersist() }
+        } finally { docBands.unpersist(); batch.unpersist(); batch0.unpersist() }
       }
     }).start()
+  }
+
+  /** The FULL curation funnel as one rolling micro-batch loop — the shape
+    * a production LLM-data crawl actually runs. Per batch of
+    * (doc_id, text, embedding):
+    *
+    *   1. QUALITY gate — [[graft.operators.TextAnalysis.keepFilter]]'s
+    *      rule cascade (too-short / too-long / stopword-ratio /
+    *      word-length / in-batch exact duplicate), all scan-stage
+    *      metrics, one digest-keyed batch-sized shuffle;
+    *   2. DECONTAMINATION gate — word-3-gram shingle overlap against the
+    *      held-out benchmark corpus
+    *      ([[graft.operators.TextAnalysis.decontaminate]]: broadcast
+    *      dictionary at fixture sizes, bloom + exact re-check past
+    *      `broadcastMaxIds` — the benchmark side is sketched + persisted
+    *      ONCE at stream construction, never per batch);
+    *   3. NEAR-DUP gate + INDEX — survivors flow into the keeper-gated
+    *      quantized pipeline ([[dedupIndexIngestPq]]'s loop verbatim):
+    *      simhash probe against the rolling keeper store,
+    *      first-seen-wins components, keeper bands + PQ codes appended
+    *      as deltas.
+    *
+    * `curationSink` receives each batch's pre-dedup DROP rows as
+    * (doc_id, stage ∈ quality|decontam, reason); survivors carry no row
+    * there — their keep/drop decision arrives via `dedupSink` like the
+    * composed pipeline, so the union of the two sinks is the complete
+    * per-doc funnel account. Both gates are deterministic functions of
+    * (batch, static benchmark), so a checkpoint replay rebuilds identical
+    * decisions and deltas — the composed loop's replay contract is
+    * unchanged.
+    *
+    * Scale shape: gate work is ∝ batch (quality metrics in the scan
+    * stage; the decontam dictionary is a broadcast/bloom probed by the
+    * batch's exploded shingles, the asymmetric corpus-vs-reference shape
+    * of [[graft.operators.TextAnalysis.decontaminate]]); the store-probe
+    * cost structure of [[dedupIndexIngestPq]] is unchanged. Reference
+    * semantics: the GPT-3/C4-style curation order (quality -> decontam ->
+    * dedup) with each stage's account auditable per batch. */
+  def curatedIngest(docs: DataFrame, benchDocs: DataFrame,
+                    dedupStoreDir: String, annStoreDir: String,
+                    coarse: Seq[(Int, Array[Long])],
+                    books: Seq[Seq[(Int, Array[Long])]],
+                    maxHamming: Int = 3, k: Int = 3,
+                    compactEvery: Int = 8, wideSig: Boolean = false,
+                    broadcastMaxIds: Long = 4000000L,
+                    configure: DataStreamWriter[Row] => DataStreamWriter[Row] = identity,
+                    curationSink: (DataFrame, Long) => Unit = (_, _) => (),
+                    dedupSink: (DataFrame, Long) => Unit = (_, _) => ())
+                   (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.operators.{Dedup => D, Similarity, TextAnalysis}
+    // benchmark dictionary: sketched + persisted once at construction (a
+    // static reference relation, like the routed pipeline's bootstrap
+    // books); its distinct-shingle count picks the decontam tier up front
+    // so the gate itself runs no sizing job per batch
+    val benchWids = D.docWidArrays(benchDocs.select("doc_id", "text")).persist()
+    val dictIds = benchWids
+      .select(org.apache.spark.sql.functions.explode(col("wids")).as("wid"))
+      .distinct().count()
+    val gate = (spark: SparkSession, id: Long, batch: DataFrame) => {
+      val q = TextAnalysis.keepFilter(batch.select("doc_id", "text"))
+      val qDrops = q.filter(!col("keep"))
+        .select(col("doc_id"), lit("quality").as("stage"), col("reason"))
+      val qKept = batch.join(
+        broadcast(q.filter(col("keep")).select("doc_id")), Seq("doc_id"))
+      // evaluated twice (sink + anti-join), both off the PERSISTED batch
+      // relation — re-deriving a batch-sized gate beats holding another
+      // cached relation per batch
+      val contaminated = TextAnalysis.decontaminate(
+        D.docWidArrays(qKept.select("doc_id", "text")), benchWids,
+        dictIds, broadcastMaxIds)
+        .filter(col("contaminated")).select("doc_id")
+      val dDrops = contaminated.select(col("doc_id"),
+        lit("decontam").as("stage"), lit("contaminated").as("reason"))
+      curationSink(qDrops.unionByName(dDrops), id)
+      qKept.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    }
+    composedIngest(docs, dedupStoreDir, annStoreDir, maxHamming, compactEvery,
+      wideSig, configure, dedupSink,
+      vecColsOf = df => df.select(col("doc_id").as("vec_id"), col("embedding")),
+      annSideFor = (_, _) => (
+        v => Similarity.ivfPqEncode(v, coarse, books),
+        (store, codes) => Similarity.ivfPqIncrementalCodes(
+          store, codes, coarse, books, k, nprobe = 1),
+        (_: Long) => ()),
+      annPartitionCols = Seq("cell"), preGate = gate)(sink)
   }
 
   // ---- rolling connected components (round 17): incremental labels via a
