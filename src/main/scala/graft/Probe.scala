@@ -184,6 +184,65 @@ object Probe {
         System.err.println(s"[probe] dedup_ingest_e2e pairs=$pairs")
         spark.range(1).toDF("id")
       }),
+      // FULL curation funnel (round 17): quality -> decontam -> near-dup
+      // keeper gate -> quantized index in one loop (curatedIngest), the
+      // mod-50 documents slice standing in for the held-out benchmark
+      // (the ta_decontam fixture convention). Per batch: latency and the
+      // cumulative funnel account. The gates must not bend the composed
+      // pipeline's per-batch slope — they are scan-stage work ∝ batch.
+      // Run PROBE_ITERS=1.
+      "curated_ingest_e2e" -> (() => {
+        implicit val sc = spark.sqlContext
+        import spark.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val nb = sys.env.getOrElse("PROBE_INGEST_BATCHES", "8").toInt
+        val compactEvery = sys.env.getOrElse("PROBE_INGEST_COMPACT", "4").toInt
+        val all = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        val bench = all.filter(col("doc_id") % 50 === 0)
+        val src = all.filter(col("doc_id") % 50 =!= 0)
+          .join(Tables.embeddings(spark, d)
+            .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        val idRow = src.agg(min("doc_id"), max("doc_id")).collect()(0)
+        require(!idRow.isNullAt(0), s"$d: documents-embeddings join is empty")
+        val (minId, maxId) = (idRow.getLong(0), idRow.getLong(1))
+        val step = (maxId - minId) / nb + 1
+        val root = java.nio.file.Files.createTempDirectory("graft_cur_e2e").toString
+        val (dd, ann) = (root + "/dedup", root + "/ann")
+        val (_, coarse, books) = operators.Similarity.ivfPqTrainRouted(
+          src.filter(col("doc_id") < minId + step)
+            .select(col("doc_id").as("vec_id"), col("embedding")))
+        var (qualityN, decontamN, dedupN, keptN, emitted) = (0L, 0L, 0L, 0L, 0L)
+        val in = MemoryStream[(Long, String, Seq[Float])]
+        val q = streaming.RollingIngest.curatedIngest(
+          in.toDF().toDF("doc_id", "text", "embedding"), bench, dd, ann,
+          coarse, books, compactEvery = compactEvery,
+          curationSink = (c, _) => {
+            val byStage = c.groupBy("stage").count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            qualityN += byStage.getOrElse("quality", 0L)
+            decontamN += byStage.getOrElse("decontam", 0L)
+          },
+          dedupSink = (dec, _) => {
+            dedupN += dec.filter(!col("kept")).count()
+            keptN += dec.filter(col("kept")).count()
+          }) { (nbrs, _) => emitted += nbrs.count() }
+        try (0 until nb).foreach { i =>
+          val lo = minId + i * step
+          val b = src.filter(col("doc_id") >= lo && col("doc_id") < lo + step)
+            .as[(Long, String, Seq[Float])].collect() // driver memory ∝ batch
+          if (b.nonEmpty) {
+            val tb = System.nanoTime()
+            in.addData(b.toSeq); q.processAllAvailable()
+            val dt = (System.nanoTime() - tb) / 1e9
+            System.err.println(f"[probe] curated_ingest_e2e batch=$i%d " +
+              f"n=${b.length}%d dt=$dt%.2fs funnel: quality=$qualityN%d " +
+              f"decontam=$decontamN%d near_dup=$dedupN%d kept=$keptN%d")
+          }
+        } finally q.stop()
+        System.err.println(s"[probe] curated_ingest_e2e emitted=$emitted " +
+          s"quality=$qualityN decontam=$decontamN near_dup=$dedupN kept=$keptN")
+        spark.range(1).toDF("id")
+      }),
       // Pinned snapshots (round 17): the retention + read cost of a pin
       // at scale. dedupIngest over the corpus in PROBE_INGEST_BATCHES
       // batches, pinning after the midpoint batch and letting later
