@@ -534,7 +534,8 @@ object Bench {
           "\"s1_proxy_total_6q\":" + j3(proxyTotal6q),
           "\"s1_vs_proxy\":" + (if (hd6.exists(_ < 0)) "null"
             else j3(hd6.sum / proxyTotal6q)),
-          "\"s1_proxy_family\":" + j3(famProxy),
+          "\"s1_proxy_family\":" + (if (famPairs.isEmpty) "null"
+            else j3(famProxy)),
           "\"s1_family_vs_proxy\":" + (if (famPairs.isEmpty) "null"
             else j3(famPairs.map(_._2).sum / famProxy)),
           "\"s1_steal_pct\":" + j3(st),

@@ -16,6 +16,11 @@ object Probe {
   private def lsFiles(dir: java.io.File): Array[java.io.File] =
     Option(dir.listFiles()).getOrElse(Array.empty)
 
+  /** Recursive directory byte count (shared by every store-layout probe;
+    * null-safe via [[lsFiles]]). */
+  private def duBytes(f: java.io.File): Long =
+    if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
+
   def variants(spark: SparkSession, d: String): Map[String, () => DataFrame] = {
     def li = Tables.lineitem(spark, d)
     def ord = Tables.orders(spark, d)
@@ -162,8 +167,6 @@ object Probe {
           compactEvery = compactEvery, wideSig = wideSig) { (p, _) =>
           pairs += p.count()
         }
-        def duBytes(f: java.io.File): Long =
-          if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
         def newestDelta(): Long =
           lsFiles(new java.io.File(dir))
             .filter(f => f.isDirectory && f.getName.matches("d\\d+"))
@@ -267,8 +270,6 @@ object Probe {
         val q = streaming.RollingIngest.dedupIngest(
           in.toDF().toDF("doc_id", "text"), dir,
           compactEvery = compactEvery) { (p, _) => p.count(): Unit }
-        def duBytes(f: java.io.File): Long =
-          if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
         def duStore(): Long = duBytes(new java.io.File(dir))
         var manifest = Seq.empty[String]
         try (0 until nb).foreach { i =>
@@ -282,50 +283,58 @@ object Probe {
             System.err.println(f"[probe] snapshot_pin batch=$i%d n=${b.length}%d " +
               f"dt=$dt%.2fs store_bytes=${duStore()}%d" +
               (if (manifest.nonEmpty) " (pinned)" else ""))
-            if (i == nb / 2 - 1) {
+            // first non-empty batch at-or-past the midpoint pins (an
+            // exact-midpoint match misses entirely at nb=1 or when the
+            // id-interval batching leaves that batch empty)
+            if (manifest.isEmpty && i >= nb / 2 - 1) {
               manifest = streaming.RollingIngest.pinSnapshot(spark, dir, "probe")
               System.err.println(s"[probe] snapshot_pin PIN after batch $i: " +
                 s"${manifest.mkString(",")}")
             }
           }
         } finally q.stop()
-        // bytes retained purely for the pin = pinned elements no longer in
-        // the live view (folded/superseded but spared by the pin guard)
-        val els = lsFiles(new java.io.File(dir)).filter(_.isDirectory)
-        val baseVer = els.map(_.getName).flatMap(n =>
-          streaming.RollingIngest.parseEl(n))
-          .filter(_._1 == "base").map(_._2).maxOption.getOrElse(-1L)
-        val liveNames = els.map(_.getName).flatMap(n =>
-          streaming.RollingIngest.parseEl(n).map(p => (n, p))).collect {
-          case (n, ("base", v)) if v == baseVer => n
-          case (n, ("d", v)) if v > baseVer     => n
-          case (n, ("tier", _))                 => n
-        }.toSet
-        val retained = manifest.filterNot(liveNames)
-        val retainedBytes = retained.map(n => duBytes(new java.io.File(dir, n))).sum
-        System.err.println(s"[probe] snapshot_pin retained=${retained.mkString(",")} " +
-          s"retained_bytes=$retainedBytes of store_bytes=${duStore()}")
-        def timed[T](what: String)(f: => T): T = {
-          val t0 = System.nanoTime()
-          val r = f
-          System.err.println(f"[probe] snapshot_pin $what%s " +
-            f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
-          r
+        if (manifest.isEmpty)
+          System.err.println("[probe] snapshot_pin no batch reached the " +
+            "pin point (empty corpus?) — skipping the snapshot reads")
+        else {
+          // bytes retained purely for the pin = pinned elements no longer
+          // in the live view (folded/superseded, spared by the pin guard)
+          val els = lsFiles(new java.io.File(dir)).filter(_.isDirectory)
+          val baseVer = els.map(_.getName).flatMap(n =>
+            streaming.RollingIngest.parseEl(n))
+            .filter(_._1 == "base").map(_._2).maxOption.getOrElse(-1L)
+          val liveNames = els.map(_.getName).flatMap(n =>
+            streaming.RollingIngest.parseEl(n).map(p => (n, p))).collect {
+            case (n, ("base", v)) if v == baseVer => n
+            case (n, ("d", v)) if v > baseVer     => n
+            case (n, ("tier", _))                 => n
+          }.toSet
+          val retained = manifest.filterNot(liveNames)
+          val retainedBytes = retained.map(n => duBytes(new java.io.File(dir, n))).sum
+          System.err.println(s"[probe] snapshot_pin retained=${retained.mkString(",")} " +
+            s"retained_bytes=$retainedBytes of store_bytes=${duStore()}")
+          def timed[T](what: String)(f: => T): T = {
+            val t0 = System.nanoTime()
+            val r = f
+            System.err.println(f"[probe] snapshot_pin $what%s " +
+              f"wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
+            r
+          }
+          val snapN = timed("snapshot_read")(
+            streaming.RollingIngest.snapshotDedupView(spark, dir, "probe")
+              .get.count())
+          val ddSchema = operators.Dedup.simhash64Bands(
+            Seq.empty[(Long, String)].toDF("doc_id", "text")).schema
+          val liveN = timed("live_read")(
+            streaming.RollingIngest.storeView(spark, dir, ddSchema, "doc_id")
+              .get.count())
+          System.err.println(s"[probe] snapshot_pin snap_rows=$snapN live_rows=$liveN")
+          val before = duStore()
+          streaming.RollingIngest.unpinSnapshot(spark, dir, "probe")
+          streaming.RollingIngest.vacuumStore(spark, dir)
+          System.err.println(s"[probe] snapshot_pin vacuum reclaimed=" +
+            s"${before - duStore()} bytes; store_bytes=${duStore()}")
         }
-        val snapN = timed("snapshot_read")(
-          streaming.RollingIngest.snapshotDedupView(spark, dir, "probe")
-            .get.count())
-        val ddSchema = operators.Dedup.simhash64Bands(
-          Seq.empty[(Long, String)].toDF("doc_id", "text")).schema
-        val liveN = timed("live_read")(
-          streaming.RollingIngest.storeView(spark, dir, ddSchema, "doc_id")
-            .get.count())
-        System.err.println(s"[probe] snapshot_pin snap_rows=$snapN live_rows=$liveN")
-        val before = duStore()
-        streaming.RollingIngest.unpinSnapshot(spark, dir, "probe")
-        streaming.RollingIngest.vacuumStore(spark, dir)
-        System.err.println(s"[probe] snapshot_pin vacuum reclaimed=" +
-          s"${before - duStore()} bytes; store_bytes=${duStore()}")
         spark.range(1).toDF("id")
       }),
       // Rolling connected components (round 17): per-batch cost vs store
@@ -345,8 +354,6 @@ object Probe {
         val in = MemoryStream[(Long, Long)]
         val q = streaming.RollingIngest.componentsIngest(
           in.toDF().toDF("u", "v"), dir, compactEvery) { (_, _) => () }
-        def duBytes(f: java.io.File): Long =
-          if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
         def newestDelta(): Long =
           lsFiles(new java.io.File(dir))
             .filter(f => f.isDirectory && f.getName.matches("d\\d+"))
@@ -1010,8 +1017,6 @@ object Probe {
     val q = streaming.RollingIngest.ivfPqIngest(
       in.toDF().toDF("vec_id", "embedding"), dir, coarse, books,
       compactEvery = compactEvery) { (nbrs, _) => emitted += nbrs.count() }
-    def duBytes(f: java.io.File): Long =
-      if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
     try (0 until nb).foreach { i =>
       val lo = minId + i * step
       val b = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + step)
@@ -1120,8 +1125,6 @@ object Probe {
         dropped += dec.filter(!col("kept")).count()) { (nbrs, _) =>
       emitted += nbrs.count()
     }
-    def duBytes(f: java.io.File): Long =
-      if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
     // lsFiles: a batch that dedups away ENTIRELY creates no store
     // directory (keeper-less batches skip the delta write by design), so
     // every listing here must tolerate a missing dir (ADVICE r15)
@@ -1227,8 +1230,6 @@ object Probe {
         f"[probe] ivfpq_routed_e2e RETRAIN old_kc=$o%d new_kc=$n%d census=$cz%d")) {
       (nbrs, _) => emitted += nbrs.count()
     }
-    def duBytes(f: java.io.File): Long =
-      if (f.isDirectory) lsFiles(f).map(duBytes).sum else f.length()
     try (0 until nb).foreach { i =>
       val lo = minId + i * step
       val b = emb.filter(col("vec_id") >= lo && col("vec_id") < lo + step)

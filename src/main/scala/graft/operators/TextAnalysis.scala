@@ -529,6 +529,39 @@ object TextAnalysis {
         .join(dict, Seq("wid")))
   }
 
+  /** A PREBUILT decontamination gate over a static benchmark — for loops
+    * that apply the same dictionary to many relations (the rolling
+    * curation funnel): the distinct-shingle dictionary is derived,
+    * persisted, and counted ONCE here, the tier picked from the exact
+    * count, and the bloom (when tiered past broadcast) built exactly
+    * once — so per application the corpus side pays only its own explode
+    * + probe, never a benchmark-sized job. Returns (gate, release):
+    * `release()` unpersists the dictionary and destroys the bloom; call
+    * it when the owning loop terminates (idempotent). */
+  def decontamGate(benchWids: DataFrame, broadcastMaxIds: Long = 4000000L,
+                   fpp: Double = 0.01): (DataFrame => DataFrame, () => Unit) = {
+    val spark = benchWids.sparkSession
+    val dict = benchWids.select(explode(col("wids")).as("wid"))
+      .distinct().persist()
+    val dictIds = dict.count()
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    if (dictIds <= broadcastMaxIds)
+      (corpus => decontamAgg(
+        decontamExploded(corpus).join(broadcast(dict), Seq("wid"))),
+        () => if (released.compareAndSet(false, true)) dict.unpersist(): Unit)
+    else {
+      val bloom = spark.sparkContext.broadcast(
+        dict.stat.bloomFilter("wid", dictIds, fpp))
+      (corpus => decontamAgg(
+        decontamExploded(corpus)
+          .filter(graft.plans.bloomContains(col("wid"), bloom))
+          .join(dict, Seq("wid"))),
+        () => if (released.compareAndSet(false, true)) {
+          dict.unpersist(); bloom.destroy()
+        })
+    }
+  }
+
   /** Size-tiered decontamination entry: broadcast dictionary up to
     * `broadcastMaxIds` distinct shingle ids (default 4M ≈ 200 MB as a
     * broadcast hash relation — the practical executor ceiling), bloom +

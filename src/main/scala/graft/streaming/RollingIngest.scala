@@ -364,10 +364,20 @@ object RollingIngest {
     out.toString("UTF-8").split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** One definition of a legal snapshot name, enforced on BOTH halves of
+    * the API: a name pinSnapshot would reject must never resolve on the
+    * read/delete side either (".." or "/" would escape `.pins/` — an
+    * unvalidated unpinSnapshot could delete an arbitrary store file). */
+  private def requireValidName(name: String): Unit =
+    require(name.nonEmpty && !name.contains("/") && !name.contains("\\") &&
+      !name.startsWith(".") && name != ".." ,
+      s"invalid snapshot name '$name'")
+
   /** The element names of snapshot `name` (loud failure on an unknown
     * name — a misspelled snapshot must not read as an empty store). */
   private def readManifest(spark: SparkSession, storeDir: String,
                            name: String): Seq[String] = {
+    requireValidName(name)
     val p = new org.apache.hadoop.fs.Path(pinsPath(storeDir), name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"$storeDir holds no snapshot '$name' " +
@@ -393,8 +403,7 @@ object RollingIngest {
     * and re-pin to move one) and an empty store. */
   def pinSnapshot(spark: SparkSession, storeDir: String,
                   name: String): Seq[String] = {
-    require(name.nonEmpty && !name.contains("/") && !name.startsWith("."),
-      s"invalid snapshot name '$name'")
+    requireValidName(name)
     val pins = pinsPath(storeDir)
     val fs = pins.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(pins, name)
@@ -424,6 +433,7 @@ object RollingIngest {
     * [[vacuumStore]]). Returns whether the pin existed. */
   def unpinSnapshot(spark: SparkSession, storeDir: String,
                     name: String): Boolean = {
+    requireValidName(name)
     val p = new org.apache.hadoop.fs.Path(pinsPath(storeDir), name)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
   }
@@ -1344,14 +1354,40 @@ object RollingIngest {
                     dedupSink: (DataFrame, Long) => Unit = (_, _) => ())
                    (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     import graft.operators.{Dedup => D, Similarity, TextAnalysis}
-    // benchmark dictionary: sketched + persisted once at construction (a
-    // static reference relation, like the routed pipeline's bootstrap
-    // books); its distinct-shingle count picks the decontam tier up front
-    // so the gate itself runs no sizing job per batch
-    val benchWids = D.docWidArrays(benchDocs.select("doc_id", "text")).persist()
-    val dictIds = benchWids
-      .select(org.apache.spark.sql.functions.explode(col("wids")).as("wid"))
-      .distinct().count()
+    // the benchmark dictionary is derived, persisted, counted, and
+    // tiered ONCE at construction (a static reference relation, like the
+    // routed pipeline's bootstrap books) — per batch the gate pays only
+    // the batch side's explode + probe, never a benchmark-sized job
+    val (decontam, releaseDict) = TextAnalysis.decontamGate(
+      D.docWidArrays(benchDocs.select("doc_id", "text")), broadcastMaxIds)
+    // the cached dictionary lives exactly as long as its stream: released
+    // on termination (the r15 ADVICE class of leak — a per-stream cached
+    // relation with no owner outliving its loop). releaseDict is
+    // idempotent, so the post-registration liveness check below may
+    // double-fire safely.
+    def releaseOn(q: StreamingQuery): StreamingQuery = {
+      val spark = benchDocs.sparkSession
+      val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            releaseDict()
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(l)
+      // a query that terminated BEFORE the registration above never posts
+      // its event to this listener — release directly in that case
+      if (!spark.streams.active.exists(_.id == q.id)) {
+        releaseDict()
+        spark.streams.removeListener(l)
+      }
+      q
+    }
     val gate = (spark: SparkSession, id: Long, batch: DataFrame) => {
       val q = TextAnalysis.keepFilter(batch.select("doc_id", "text"))
       val qDrops = q.filter(!col("keep"))
@@ -1361,24 +1397,27 @@ object RollingIngest {
       // evaluated twice (sink + anti-join), both off the PERSISTED batch
       // relation — re-deriving a batch-sized gate beats holding another
       // cached relation per batch
-      val contaminated = TextAnalysis.decontaminate(
-        D.docWidArrays(qKept.select("doc_id", "text")), benchWids,
-        dictIds, broadcastMaxIds)
+      val contaminated = decontam(D.docWidArrays(qKept.select("doc_id", "text")))
         .filter(col("contaminated")).select("doc_id")
       val dDrops = contaminated.select(col("doc_id"),
         lit("decontam").as("stage"), lit("contaminated").as("reason"))
       curationSink(qDrops.unionByName(dDrops), id)
       qKept.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     }
-    composedIngest(docs, dedupStoreDir, annStoreDir, maxHamming, compactEvery,
-      wideSig, configure, dedupSink,
-      vecColsOf = df => df.select(col("doc_id").as("vec_id"), col("embedding")),
-      annSideFor = (_, _) => (
-        v => Similarity.ivfPqEncode(v, coarse, books),
-        (store, codes) => Similarity.ivfPqIncrementalCodes(
-          store, codes, coarse, books, k, nprobe = 1),
-        (_: Long) => ()),
-      annPartitionCols = Seq("cell"), preGate = gate)(sink)
+    val query = try {
+      composedIngest(docs, dedupStoreDir, annStoreDir, maxHamming,
+        compactEvery, wideSig, configure, dedupSink,
+        vecColsOf = df => df.select(col("doc_id").as("vec_id"), col("embedding")),
+        annSideFor = (_, _) => (
+          v => Similarity.ivfPqEncode(v, coarse, books),
+          (store, codes) => Similarity.ivfPqIncrementalCodes(
+            store, codes, coarse, books, k, nprobe = 1),
+          (_: Long) => ()),
+        annPartitionCols = Seq("cell"), preGate = gate)(sink)
+    } catch {
+      case e: Throwable => releaseDict(); throw e
+    }
+    releaseOn(query)
   }
 
   // ---- rolling connected components (round 17): incremental labels via a

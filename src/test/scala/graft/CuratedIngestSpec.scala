@@ -96,4 +96,29 @@ class CuratedIngestSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(staticQ == Set((94L, "duplicate")))
   }
+
+  test("decontamGate: both tiers equal the one-shot decontaminate; release is idempotent") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val bench = Seq((1000L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // full overlap
+      (2L, "alpha beta gamma unrelated tokens here entirely"),
+      (3L, "nothing shared at all with the benchmark"))
+      .toDF("doc_id", "text")
+    val benchWids = Dedup.docWidArrays(bench)
+    val corpusWids = Dedup.docWidArrays(corpus)
+    val dictIds = benchWids.select(explode(col("wids"))).distinct().count()
+    val want = TextAnalysis.decontaminate(corpusWids, benchWids, dictIds)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    Seq(Long.MaxValue /* broadcast tier */, 0L /* bloom tier */).foreach { cap =>
+      val (gate, release) = TextAnalysis.decontamGate(benchWids, cap)
+      val got = gate(corpusWids)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+      assert(got == want, s"tier cap=$cap must equal one-shot decontaminate")
+      release(); release() // idempotent (the stream-termination hook may double-fire)
+    }
+    assert(want.exists(t => t._1 == 1L && t._3),
+      "the full-overlap doc must be contaminated (else the test is vacuous)")
+  }
 }

@@ -30,7 +30,13 @@ FAMILY = ["sim_ivf_pq", "sim_ivf_pq_incremental", "sim_dedup_index",
 
 def timed(con, sql, budget_s):
     """(seconds, rows) or (None, None) when the budget interrupted it."""
-    timer = threading.Timer(budget_s, con.interrupt)
+    done = [False]
+
+    def kill():
+        if not done[0]:
+            con.interrupt()
+
+    timer = threading.Timer(budget_s, kill)
     timer.start()
     t0 = time.time()
     try:
@@ -39,7 +45,16 @@ def timed(con, sql, budget_s):
     except duckdb.InterruptException:
         return None, None
     finally:
+        done[0] = True
         timer.cancel()
+        # absorb an interrupt that fired in the window between execute()
+        # returning and done being set — a pending interrupt on the shared
+        # connection would otherwise kill the NEXT query instantly and
+        # misreport a fast query as '>budget'
+        try:
+            con.execute("SELECT 1")
+        except duckdb.InterruptException:
+            pass
 
 
 def sweep(con, oracle, names, samples, budget_s):
