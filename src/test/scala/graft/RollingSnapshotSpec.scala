@@ -231,6 +231,58 @@ class RollingSnapshotSpec extends SparkSpec {
     assert(snap.map(_.getAs[Long]("doc_id")) == (0L until 20L).toSet)
   }
 
+  test("a pinned snapshot yields identical training shards after the live store moves on") {
+    // the end-to-end reproducibility story the feature exists for: pin ->
+    // derive the keeper ids -> pack training shards; a year of further
+    // ingest (here: two more batches and a compaction fold) must not
+    // change one byte of the packed output
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_snap_pack").toString + "/store"
+    def text(i: Long) = s"pack doc $i body " +
+      (0 until (8 + (i % 5)).toInt).map(j => s"t${i}w$j").mkString(" ")
+    val steps = Seq((0L until 15L), (15L until 27L), (27L until 40L), (40L until 55L))
+      .map(_.map(i => (i, text(i))))
+    val corpus = steps.flatten.toDF("doc_id", "text")
+    def shardsOf(ids: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] = {
+      val toks = corpus.join(ids, "doc_id").select(col("doc_id"),
+        size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+          .cast("long").as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      toks.withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("n_tok"),
+          expr("(cum - n_tok) div 64").as("shard_id"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = RollingIngest.dedupIngest(in.toDF().toDF("doc_id", "text"),
+      dir, compactEvery = 2) { (_, _) => () }
+    var shardsAtPin: Seq[(Long, Long, Long)] = Seq.empty
+    try steps.zipWithIndex.foreach { case (b, i) =>
+      in.addData(b); q.processAllAvailable()
+      if (i == 1) {
+        RollingIngest.pinSnapshot(spark, dir, "train")
+        shardsAtPin = shardsOf(RollingIngest
+          .snapshotDedupView(spark, dir, "train").get
+          .select("doc_id").distinct())
+      }
+    } finally q.stop()
+    val shardsNow = shardsOf(RollingIngest
+      .snapshotDedupView(spark, dir, "train").get
+      .select("doc_id").distinct())
+    assert(shardsNow == shardsAtPin && shardsNow.nonEmpty,
+      "packed shards from the pinned snapshot must be identical after the store moved")
+    assert(shardsNow.map(_._1).toSet == (0L until 27L).toSet)
+    // and the live store genuinely moved (same pack over live ids differs)
+    val liveIds = RollingIngest.storeView(spark, dir,
+      graft.operators.Dedup.simhash64Bands(
+        Seq.empty[(Long, String)].toDF("doc_id", "text")).schema, "doc_id")
+      .get.select("doc_id").distinct()
+    assert(shardsOf(liveIds).map(_._1).toSet == (0L until 55L).toSet)
+  }
+
   test("a manually deleted pinned element fails the snapshot read loudly") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
