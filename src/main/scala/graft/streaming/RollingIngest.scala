@@ -576,6 +576,91 @@ object RollingIngest {
       .foreach(s => fs.delete(s.getPath, false))
   }
 
+  /** Read-only store diagnostic (fsck): verify the element contract's
+    * on-disk invariants and name the recovery for each violation —
+    * nothing is modified. Findings are (level, subject, detail) with
+    * level ∈ error | warn | info:
+    *
+    *   - error: a pin references a missing element (the snapshot is not
+    *     reproducible), or an element's parquet footer does not open
+    *     (partial write outside the tmp+rename contract);
+    *   - warn: a crash-window shape awaiting its documented recovery —
+    *     books newer than the newest base (interrupted re-encode; the
+    *     stream resumes it), tier marker newer than the newest base
+    *     (interrupted migration; the stream REFUSES until it is re-run);
+    *   - info: reclaimable state housekeeping will sweep (`.tmp_*`
+    *     leftovers, superseded bases/deltas/ledger elements not retained
+    *     by a pin), and unrecognized directory names.
+    *
+    * The read cost is one listing plus one footer open per element —
+    * metadata-cheap at any store size; run it before trusting a store
+    * handed over from another owner. */
+  def fsckStore(spark: SparkSession,
+                storeDir: String): Seq[(String, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq(("info", storeDir, "store does not exist"))
+    val keep = pinnedNames(spark, storeDir)
+    val entries = fs.listStatus(root).toSeq
+    val dirsByKind = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .map(n => n -> parseEl(n))
+    dirsByKind.collect { case (n, None) =>
+      out += (("info", n, "unrecognized directory name (not a store element)"))
+    }
+    val els = dirsByKind.collect { case (n, Some(kv)) => (n, kv._1, kv._2) }
+    def newest(kind: String): Long =
+      els.filter(_._2 == kind).map(_._3).maxOption.getOrElse(-1L)
+    val baseVer = newest("base")
+    // crash windows (each names its recovery)
+    entries.filter(_.getPath.getName.startsWith(".tmp_")).foreach(s =>
+      out += (("info", s.getPath.getName,
+        "leftover of a crashed element write; swept at the next commit or vacuumStore")))
+    val booksVer = newest("books")
+    if (booksVer >= 0 && booksVer > baseVer &&
+        els.exists(e => e._2 == "d" && e._3 <= booksVer))
+      out += (("warn", s"books$booksVer",
+        s"newer than base$baseVer with deltas at or below it — an " +
+          "interrupted retrain re-encode; the routed stream resumes it at " +
+          "the next batch"))
+    val tierVer = newest("tier")
+    if (tierVer >= 0 && tierVer > baseVer)
+      out += (("warn", s"tier$tierVer",
+        s"newer than base$baseVer — an interrupted tier migration; the " +
+          "stream refuses to start until migrateDedupTier is re-run"))
+    // reclaimable (pin-aware: retained elements are deliberate)
+    els.filter(e => (e._2 == "base" && e._3 < baseVer) ||
+        ((e._2 == "d" || e._2 == "m") && e._3 <= baseVer))
+      .foreach { case (n, _, _) =>
+        out += (("info", n,
+          if (keep(n)) "superseded but retained by a pin"
+          else "superseded and unpinned; reclaimable by any commit or vacuumStore"))
+      }
+    // element integrity: every element (tier markers included) is parquet
+    // and must open
+    els.foreach { case (n, _, _) =>
+      try spark.read.parquet(s"$storeDir/$n").schema
+      catch {
+        case e: Throwable =>
+          out += (("error", n,
+            s"element does not open as parquet (${e.getMessage.take(120)}) — " +
+              "a partial write outside the tmp+rename contract; restore it " +
+              "or roll the store back to a pinned snapshot"))
+      }
+    }
+    // pins: every referenced element must exist
+    listSnapshots(spark, storeDir).foreach { case (name, names) =>
+      val missing = names.filterNot(n =>
+        fs.exists(new org.apache.hadoop.fs.Path(root, n)))
+      if (missing.nonEmpty)
+        out += (("error", name,
+          s"pin references missing elements [${missing.mkString(",")}] — " +
+            "the snapshot is NOT reproducible"))
+    }
+    out.toSeq
+  }
+
   /** The shared micro-batch loop; `sideFor(spark, id)` resolves the
     * batch's (sketcher, prober) pair AT BATCH START — static sides ignore
     * (spark, id); the dedup side re-reads the store-owned tier marker so

@@ -283,6 +283,45 @@ class RollingSnapshotSpec extends SparkSpec {
     assert(shardsOf(liveIds).map(_._1).toSet == (0L until 55L).toSet)
   }
 
+  test("fsckStore: healthy is silent; every planted violation is found with its recovery") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_fsck").toString + "/store"
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = RollingIngest.annIngest(in.toDF().toDF("vec_id", "embedding"),
+      dir, compactEvery = 2) { (_, _) => () }
+    try (0 until 3).foreach { i =>
+      in.addData((i * 10L until (i + 1) * 10L).map(j => (j, vec(j.toInt))))
+      q.processAllAvailable()
+    } finally q.stop()
+    def levels(f: Seq[(String, String, String)]) = f.groupBy(_._1)
+    // healthy: no errors, no warns (infos allowed — e.g. none here)
+    val healthy = RollingIngest.fsckStore(spark, dir)
+    assert(!healthy.exists(t => t._1 == "error" || t._1 == "warn"),
+      s"healthy store must fsck clean, got $healthy")
+    // plant: a crashed-write leftover, an interrupted-migration marker,
+    // a corrupt element, and a pin with a deleted element
+    new java.io.File(dir, ".tmp_junk").mkdirs()
+    Seq(true).toDF("wide").write.parquet(s"$dir/tier99")
+    val bad = new java.io.File(dir, "d98"); bad.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/d98/part-garbage.parquet"), "not parquet")
+    val manifest = RollingIngest.pinSnapshot(spark, dir, "s")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(dir, manifest.filter(_.startsWith("d")).head))
+    val found = RollingIngest.fsckStore(spark, dir)
+    val byLevel = levels(found)
+    assert(byLevel("info").exists(_._2 == ".tmp_junk"))
+    assert(byLevel("warn").exists(t => t._2 == "tier99" &&
+      t._3.contains("migrateDedupTier")))
+    assert(byLevel("error").exists(t => t._2 == "d98" &&
+      t._3.contains("tmp+rename")))
+    assert(byLevel("error").exists(t => t._2 == "s" &&
+      t._3.contains("NOT reproducible")))
+  }
+
   test("a manually deleted pinned element fails the snapshot read loudly") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
