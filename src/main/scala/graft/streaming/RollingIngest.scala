@@ -370,7 +370,7 @@ object RollingIngest {
     * unvalidated unpinSnapshot could delete an arbitrary store file). */
   private def requireValidName(name: String): Unit =
     require(name.nonEmpty && !name.contains("/") && !name.contains("\\") &&
-      !name.startsWith(".") && name != ".." ,
+      !name.startsWith("."),  // startsWith(".") subsumes ".." and ".tmp_*"
       s"invalid snapshot name '$name'")
 
   /** The element names of snapshot `name` (loud failure on an unknown
@@ -594,14 +594,25 @@ object RollingIngest {
     *
     * The read cost is one listing plus one footer open per element —
     * metadata-cheap at any store size; run it before trusting a store
-    * handed over from another owner. */
+    * handed over from another owner.
+    *
+    * One shape deliberately NOT flagged: `books<v>` at v equal to the
+    * base version is the NORMAL post-retrain layout, and the
+    * superficially similar corrupt state (new books written, crash
+    * before the re-encoded base, all deltas already below base) is
+    * unreachable — a retrain only fires when the census has grown, the
+    * census only grows on delta appends, and the batch's delta always
+    * sits ABOVE the base at event time, so an interrupted re-encode
+    * always leaves a delta <= booksVer for the resume rule (and the
+    * `booksVer > baseVer` warning here) to see. */
   def fsckStore(spark: SparkSession,
                 storeDir: String): Seq[(String, String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq(("info", storeDir, "store does not exist"))
-    val keep = pinnedNames(spark, storeDir)
+    val pins = listSnapshots(spark, storeDir)
+    val keep = pins.flatMap(_._2).toSet
     val entries = fs.listStatus(root).toSeq
     val dirsByKind = entries.filter(_.isDirectory).map(_.getPath.getName)
       .filterNot(_.startsWith("."))
@@ -642,15 +653,18 @@ object RollingIngest {
     els.foreach { case (n, _, _) =>
       try spark.read.parquet(s"$storeDir/$n").schema
       catch {
-        case e: Throwable =>
+        // NonFatal + toString: a truncated footer commonly throws
+        // message-less EOFException — the diagnostic must report it, not
+        // NPE on it; and an OOM must propagate, not read as corruption
+        case scala.util.control.NonFatal(e) =>
           out += (("error", n,
-            s"element does not open as parquet (${e.getMessage.take(120)}) — " +
+            s"element does not open as parquet (${e.toString.take(160)}) — " +
               "a partial write outside the tmp+rename contract; restore it " +
               "or roll the store back to a pinned snapshot"))
       }
     }
     // pins: every referenced element must exist
-    listSnapshots(spark, storeDir).foreach { case (name, names) =>
+    pins.foreach { case (name, names) =>
       val missing = names.filterNot(n =>
         fs.exists(new org.apache.hadoop.fs.Path(root, n)))
       if (missing.nonEmpty)

@@ -47,10 +47,13 @@ def timed(con, sql, budget_s):
     finally:
         done[0] = True
         timer.cancel()
-        # absorb an interrupt that fired in the window between execute()
+        # cancel() does not wait for an in-flight callback: join the timer
+        # thread so kill() cannot interrupt AFTER the absorber below, then
+        # absorb any interrupt that fired in the window between execute()
         # returning and done being set — a pending interrupt on the shared
         # connection would otherwise kill the NEXT query instantly and
         # misreport a fast query as '>budget'
+        timer.join()
         try:
             con.execute("SELECT 1")
         except duckdb.InterruptException:
