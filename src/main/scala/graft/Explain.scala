@@ -16,6 +16,10 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same extensions as Bench/Probe: without them the asof-native and
+      // session-broadcast plans explain as their un-rewritten fallbacks,
+      // i.e. NOT the plans the bench actually times
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -769,6 +769,75 @@ object Probe {
       // 5 ppm) — the A/B that prices the declared query's DECIMAL(38)
       // exactness at scale
       "agg_corr_double" -> (() => operators.QualityQueries.corrDouble(spark, d)),
+      // A/B for agg_corr's per-row arithmetic (round 17): the declared
+      // query multiplied DECIMAL(38,0) values per ROW (dec(x)*y) when the
+      // products provably fit a long (x ≤ 5e3 cents, y ≤ ~1.1e7 cents ⇒
+      // x·y ≤ 5.5e10, y² ≤ 1.3e14) — only the SUMS need int128-class
+      // accumulators. This variant is the long-product/decimal-accumulate
+      // form measured before promoting it into the declared query.
+      // A/B for frameOverlapIncremental's double-emission collapse (round
+      // 17): the declared path pays a full-width .distinct() Exchange over
+      // the (md5, pair, counts) stream ONLY to dedupe batch×batch pairs
+      // that the join emits twice. This variant flags batch membership on
+      // the build side (one broadcast of batch ids) and keeps a pair iff
+      // the build row is store-side OR ida < idb — exactly one row per
+      // (unordered pair, md5), no distinct Exchange.
+      // MEASURED AND REJECTED (round 17, min-of-7 ×2 interleaved at sf0.1):
+      // 1.09/1.26 s vs the declared distinct path's 0.99/1.10 s — the saved
+      // Exchange is outweighed by the added broadcast flag join + wider
+      // probe rows at this scale; kept as the A/B witness.
+      "mm_frame_inc_nodup" -> (() => {
+        val fr = operators.Multimodal.framesRelation(spark, d)
+        val store = graft.Persisted.of(spark, s"$d#mm_frames_store_mod4") {
+          fr.filter(col("doc_id") % 4 =!= 0)
+        }
+        val batchFr = fr.filter(col("doc_id") % 4 === 0)
+        val batchIds = batchFr.select("doc_id").distinct()
+        val live = store.select("doc_id", "frame_md5")
+          .join(batchIds, Seq("doc_id"), "left_anti")
+        val corpus = live.unionByName(batchFr.select("doc_id", "frame_md5"))
+        val kept = operators.Multimodal.keptFrames(
+          corpus, operators.Multimodal.FrameDfGate, "inc")
+        val flagged = kept.join(
+          broadcast(batchIds.withColumn("is_b", lit(true))), Seq("doc_id"), "left")
+          .withColumn("is_b", coalesce(col("is_b"), lit(false)))
+        val keptBatch = flagged.filter(col("is_b"))
+        flagged.select(col("doc_id").as("ida"), col("frame_md5"),
+            col("nf").as("nia"), col("is_b"))
+          .join(keptBatch.select(col("doc_id").as("idb"), col("frame_md5"),
+            col("nf").as("nib")), Seq("frame_md5"))
+          .filter(!col("is_b") || col("ida") < col("idb"))
+          .filter(col("ida") =!= col("idb"))
+          .select(least(col("ida"), col("idb")).as("doc_a"),
+            greatest(col("ida"), col("idb")).as("doc_b"),
+            when(col("ida") < col("idb"), col("nia")).otherwise(col("nib")).as("nfa"),
+            when(col("ida") < col("idb"), col("nib")).otherwise(col("nia")).as("nfb"))
+          .groupBy("doc_a", "doc_b", "nfa", "nfb").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .select(col("doc_a"), col("doc_b"), col("n_shared"),
+            expr("(n_shared * 1000000) div least(nfa, nfb)").as("overlap_ppm"))
+      }),
+      "agg_corr_longprod" -> (() => {
+        val t = li.select(col("l_returnflag").as("flag"),
+          round(col("l_quantity") * 100).cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val m = t.groupBy("flag").agg(
+          count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x") * col("y"))).as("sxy"),
+          sum(dec(col("x") * col("x"))).as("sxx"),
+          sum(dec(col("y") * col("y"))).as("syy"))
+        m.select(col("flag"), col("n").cast("long").as("n"),
+            (dec(col("n")) * col("sxy") - col("sx") * col("sy")).as("cov"),
+            (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("vx"),
+            (dec(col("n")) * col("syy") - col("sy") * col("sy")).as("vy"))
+          .filter(col("vx") > 0 && col("vy") > 0)
+          .select(col("flag"), col("n"),
+            expr("(abs(cov) * 1000000 div vx) * (abs(cov) * 1000000 div vy) div 1000000")
+              .cast("long").as("r2_ppm"),
+            when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L)
+              .as("sign"))
+      }),
       "scan_sum_qty" -> (() => li.select(sum(col("l_quantity")))),
       "scan_sum_double" -> (() => li.select(sum(col("l_extendedprice")))),
       "scan_sum_decimal" -> (() => li.select(sum(col("l_extendedprice").cast("decimal(18,2)")))),

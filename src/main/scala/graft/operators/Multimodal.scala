@@ -370,7 +370,7 @@ object Multimodal {
                                      d: String): DataFrame =
     keptFrames(framesRelation(spark, d), FrameDfGate, "full")
 
-  private def keptFrames(fr: DataFrame, dfGate: Int, tag: String): DataFrame = {
+  private[graft] def keptFrames(fr: DataFrame, dfGate: Int, tag: String): DataFrame = {
     val spark = fr.sparkSession
     // Eviction is scoped per CONSUMER (`tag`): the full-overlap and
     // incremental queries gate different input plans, and a shared prefix

@@ -217,6 +217,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("agg_corr long-product moments equal the per-row DECIMAL-product form") {
+    // round-17 optimization pin: the declared query now computes x·y, x²,
+    // y² as LONGs (domain-bounded: x ≤ 5e3, y ≤ ~1.1e7 cents) and widens
+    // to DECIMAL(38,0) only at the accumulator — this spec holds the
+    // rewrite to the original widen-first form at full output precision,
+    // so a future edit that lets a product overflow a long fails here
+    // (and documents the bound the rewrite rests on)
+    import org.apache.spark.sql.functions._
+    val t = graft.Tables.lineitem(spark, sf0001).select(
+      col("l_returnflag").as("flag"),
+      round(col("l_quantity") * 100).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val widenFirst = t.groupBy("flag").agg(
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val longProd = t.groupBy("flag").agg(
+      sum(dec(col("x") * col("y"))).as("sxy"),
+      sum(dec(col("x") * col("x"))).as("sxx"),
+      sum(dec(col("y") * col("y"))).as("syy"))
+    // belt-and-braces: the bound itself, on the real fixture
+    val mx = t.agg(max(abs(col("x"))), max(abs(col("y")))).head()
+    assert(mx.getLong(0) <= 5000L && mx.getLong(1) <= 20000000L,
+      s"domain bound moved: max|x|=${mx.getLong(0)} max|y|=${mx.getLong(1)}")
+    val a = widenFirst.collect().map(r => r.getString(0) ->
+      ((r.getDecimal(1), r.getDecimal(2), r.getDecimal(3)))).toMap
+    val b = longProd.collect().map(r => r.getString(0) ->
+      ((r.getDecimal(1), r.getDecimal(2), r.getDecimal(3)))).toMap
+    assert(a === b)
+  }
+
   test("wav codec: RIFF chunk walk survives extra/odd chunks, rejects non-PCM and truncation") {
     import java.nio.{ByteBuffer, ByteOrder}
     val wav = MediaCodec.encodeWav(300, 8000, 5L)
