@@ -769,12 +769,6 @@ object Probe {
       // 5 ppm) — the A/B that prices the declared query's DECIMAL(38)
       // exactness at scale
       "agg_corr_double" -> (() => operators.QualityQueries.corrDouble(spark, d)),
-      // A/B for agg_corr's per-row arithmetic (round 17): the declared
-      // query multiplied DECIMAL(38,0) values per ROW (dec(x)*y) when the
-      // products provably fit a long (x ≤ 5e3 cents, y ≤ ~1.1e7 cents ⇒
-      // x·y ≤ 5.5e10, y² ≤ 1.3e14) — only the SUMS need int128-class
-      // accumulators. This variant is the long-product/decimal-accumulate
-      // form measured before promoting it into the declared query.
       // A/B for frameOverlapIncremental's double-emission collapse (round
       // 17): the declared path pays a full-width .distinct() Exchange over
       // the (md5, pair, counts) stream ONLY to dedupe batch×batch pairs
@@ -817,6 +811,13 @@ object Probe {
           .select(col("doc_a"), col("doc_b"), col("n_shared"),
             expr("(n_shared * 1000000) div least(nfa, nfb)").as("overlap_ppm"))
       }),
+      // A/B for agg_corr's per-row arithmetic (round 17): the declared
+      // query multiplied DECIMAL(38,0) values per ROW (dec(x)*y) when the
+      // products provably fit a long (x ≤ 5e3 cents, y ≤ ~1.1e7 cents ⇒
+      // x·y ≤ 5.5e10, y² ≤ 1.3e14) — only the SUMS need int128-class
+      // accumulators. This long-product/decimal-accumulate form measured
+      // 0.87 → 0.69 s at sf0.1 and was PROMOTED into the declared query;
+      // kept as the A/B witness of the pre-promotion shape.
       "agg_corr_longprod" -> (() => {
         val t = li.select(col("l_returnflag").as("flag"),
           round(col("l_quantity") * 100).cast("long").as("x"),
