@@ -167,18 +167,22 @@ object QualityQueries {
     // Per-row products stay LONG (round 17, guide §2.3 "narrower types"):
     // the domain bounds them — x = quantity·100 ≤ 5·10³, y = price·100 ≤
     // ~1.1·10⁷, so x·y ≤ 5.5·10¹⁰ and y² ≤ 1.3·10¹⁴, far inside 2⁶³ —
-    // while the SUMS (~n·10¹⁴) genuinely need the DECIMAL(38) accumulator.
-    // The old dec(x)*y form did a per-row BigDecimal multiply; moving the
-    // widening to the accumulate boundary measured 0.87 → 0.69 s at sf0.1
-    // (probe agg_corr vs agg_corr_longprod, min-of-8 ×2). Bit-identical by
-    // construction (no long overflow ⇒ same integer sums; oracle re-run
-    // green). The residual gap to corrDouble (0.41 s) is the priced cost
-    // of int128-exact moments — the production twin keeps that honest.
+    // while the SUMS (~n·10¹⁴) genuinely need an int128-class accumulator.
+    // Two measured steps (probe A/Bs, interleaved min-of-8 ×2 at sf0.1):
+    // dec(x)*y → dec(x*y) killed the per-row BigDecimal MULTIPLY (0.87 →
+    // 0.69 s); [[graft.plans.Sum128]] then killed the per-row BigDecimal
+    // ADD — the five moments accumulate on a two-long codegen buffer and
+    // materialize DECIMAL(38,0) once per group (0.69 → 0.36–0.43 s, at or
+    // below the corrDouble twin while staying exact). Equality: Sum128 ≡
+    // sum(dec(·)) under its documented bounds (per-row ≤ 2⁶², total
+    // < 2.1·10³⁷ — here ~10¹⁴·n, eleven orders of margin at 10¹² rows);
+    // oracle re-run green, Sum128Spec pins sign/merge/null edges.
+    val s128 = (c: org.apache.spark.sql.Column) => graft.plans.sum128(c)
     val m = t.groupBy("flag").agg(
-      count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
-      sum(dec(col("x") * col("y"))).as("sxy"),
-      sum(dec(col("x") * col("x"))).as("sxx"),
-      sum(dec(col("y") * col("y"))).as("syy"))
+      count(lit(1)).as("n"), s128(col("x")).as("sx"), s128(col("y")).as("sy"),
+      s128(col("x") * col("y")).as("sxy"),
+      s128(col("x") * col("x")).as("sxx"),
+      s128(col("y") * col("y")).as("syy"))
     m.select(col("flag"), col("n").cast("long").as("n"),
         (dec(col("n")) * col("sxy") - col("sx") * col("sy")).as("cov"),
         (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("vx"),

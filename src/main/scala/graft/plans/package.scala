@@ -102,6 +102,12 @@ package object plans {
   def topK(s: Column, k: Int): Column =
     ColumnBridge.column(TopKStructs(expr(s), k).toAggregateExpression())
 
+  /** Exact bigint sum into DECIMAL(38,0) on a two-long codegen buffer —
+    * for sums whose per-row terms fit a long (|x| ≤ 2⁶²) but whose totals
+    * outgrow one (see [[Sum128]] for the carry fold and bounds). */
+  def sum128(c: Column): Column =
+    ColumnBridge.column(Sum128(expr(c)).toAggregateExpression())
+
   /** Codegen'd membership probe of a broadcast bloom filter over a bigint
     * column (the decontam dictionary tier past broadcast-join size). */
   def bloomContains(wid: Column,
