@@ -295,7 +295,11 @@ object EventAnalytics {
         col("cents"))
       .groupBy("channel")
       .agg(count(lit(1)).as("n_conv"),
-        sum(col("cents").cast("decimal(38,0)")).cast("long").as("attributed_cents"))
+        // sum128 (round 17): per-row cents = round(value·100) is orders
+        // inside the 2⁶² per-row bound; only the channel TOTAL outgrows a
+        // long — the exact case the two-long accumulator exists for
+        // (Sum128 ≡ sum(dec(·)) under its scaladoc'd bounds; oracle green)
+        graft.plans.sum128(col("cents")).cast("long").as("attributed_cents"))
   }
 
   val waAttribution = QueryDef("wa_attribution",
