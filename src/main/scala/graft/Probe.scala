@@ -811,41 +811,17 @@ object Probe {
           .select(col("doc_a"), col("doc_b"), col("n_shared"),
             expr("(n_shared * 1000000) div least(nfa, nfb)").as("overlap_ppm"))
       }),
-      // A/B for the DECIMAL(38) accumulators themselves (round 17,
-      // stage 2): same long products as the declared query, but the five
-      // moment sums accumulate on graft.plans.sum128's two-long codegen
-      // buffer instead of a per-row BigDecimal add, materializing the
-      // decimal once per group — the exactness contract is Sum128's
-      // documented bound (per-row ≤ 2⁶², total < 2.1e37).
-      "agg_corr_sum128" -> (() => {
-        val t = li.select(col("l_returnflag").as("flag"),
-          round(col("l_quantity") * 100).cast("long").as("x"),
-          round(col("l_extendedprice") * 100).cast("long").as("y"))
-        val s128 = (c: org.apache.spark.sql.Column) => graft.plans.sum128(c)
-        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-        val m = t.groupBy("flag").agg(
-          count(lit(1)).as("n"), s128(col("x")).as("sx"), s128(col("y")).as("sy"),
-          s128(col("x") * col("y")).as("sxy"),
-          s128(col("x") * col("x")).as("sxx"),
-          s128(col("y") * col("y")).as("syy"))
-        m.select(col("flag"), col("n").cast("long").as("n"),
-            (dec(col("n")) * col("sxy") - col("sx") * col("sy")).as("cov"),
-            (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("vx"),
-            (dec(col("n")) * col("syy") - col("sy") * col("sy")).as("vy"))
-          .filter(col("vx") > 0 && col("vy") > 0)
-          .select(col("flag"), col("n"),
-            expr("(abs(cov) * 1000000 div vx) * (abs(cov) * 1000000 div vy) div 1000000")
-              .cast("long").as("r2_ppm"),
-            when(col("cov") > 0, 1L).when(col("cov") < 0, -1L).otherwise(0L)
-              .as("sign"))
-      }),
       // A/B for agg_corr's per-row arithmetic (round 17): the declared
       // query multiplied DECIMAL(38,0) values per ROW (dec(x)*y) when the
       // products provably fit a long (x ≤ 5e3 cents, y ≤ ~1.1e7 cents ⇒
       // x·y ≤ 5.5e10, y² ≤ 1.3e14) — only the SUMS need int128-class
       // accumulators. This long-product/decimal-accumulate form measured
-      // 0.87 → 0.69 s at sf0.1 and was PROMOTED into the declared query;
-      // kept as the A/B witness of the pre-promotion shape.
+      // 0.87 → 0.69 s at sf0.1; the declared query then went one further
+      // (graft.plans.sum128's two-long buffer, 0.69 → 0.36–0.43 s, probed
+      // by its REAL name per the promoted-variant convention above) —
+      // kept as the witness that isolates the per-row BigDecimal ADD
+      // (this variant) from the per-row BigDecimal MULTIPLY (agg_corr as
+      // it shipped before round 17).
       "agg_corr_longprod" -> (() => {
         val t = li.select(col("l_returnflag").as("flag"),
           round(col("l_quantity") * 100).cast("long").as("x"),
