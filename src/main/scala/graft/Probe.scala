@@ -854,6 +854,49 @@ object Probe {
       "o1_group_double" -> (() => li
         .groupBy("l_partkey").agg(sum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_partkey")).limit(10)),
+      // A/B for the argmax BUFFER representation (round 17): max_by with a
+      // struct buffer disqualifies HashAggregateExec (mutable-primitive
+      // buffers only) AND ObjectHashAggregateExec (TypedImperative only),
+      // so the declared j1/w1 plans run as SortAggregate — each task SORTS
+      // its input by group key before combining. Packing the (score desc,
+      // orderkey asc) decision and the payload into ONE long (score<<58 |
+      // (2^58−1−orderkey); score ≤ 29 < 2^5, orderkey ≪ 2^58 at any SF)
+      // turns the agg into max(long) — a primitive-buffer HashAggregate —
+      // decoded after the aggregate.
+      "j1_packed" -> (() => {
+        val score =
+          when(col("o_orderstatus") === "F", 10).otherwise(0) +
+            when(col("o_orderpriority").startsWith("1-"), 9).otherwise(0) +
+            when(col("o_totalprice") > 100000, 7).otherwise(0) +
+            when(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"), 3).otherwise(0)
+        val KMAX = (1L << 58) - 1
+        ord.withColumn("match_score", score)
+          .groupBy("o_custkey")
+          .agg(max(col("match_score").cast("long") * (KMAX + 1)
+            + (lit(KMAX) - col("o_orderkey"))).as("p"))
+          .select(col("o_custkey"),
+            (lit(KMAX) - (col("p") % (KMAX + 1))).as("o_orderkey"),
+            // integer div, not Column./ (double) — p ~ 8e18 exceeds a
+            // 53-bit mantissa and a near-1 fraction could round the score
+            // up. PROMOTED into the declared j1 (probe it by its real
+            // name); kept as the SortAggregate-vs-HashAggregate witness.
+            expr(s"p div ${KMAX + 1}").cast("int").as("match_score"))
+      }),
+      // w1's payload carries a STRING (c_name), unpackable — this variant
+      // decides with a plain min(long) hash agg and re-attaches the name
+      // by joining back to the dim (the guide §8 decide-small/attach-late
+      // shape at micro scale). MEASURED AND REJECTED (round 17, sf1
+      // min-of-8): 0.246 s vs the declared SortAggregate min_by's 0.139 —
+      // the second dim scan + join costs more than the per-task sort at
+      // dim-table sizes; w1 keeps min_by (its input is customer-sized,
+      // not fact-sized, so the sort term stays small at scale too).
+      "w1_minjoin" -> (() => {
+        val c = Tables.customer(spark, d)
+        val keys = c.groupBy("c_mktsegment", "c_nationkey")
+          .agg(min(col("c_custkey")).as("c_custkey"))
+        keys.join(c.select("c_custkey", "c_name"), Seq("c_custkey"))
+          .select("c_mktsegment", "c_nationkey", "c_custkey", "c_name")
+      }),
       "j1_maxby" -> (() => {
         val score =
           when(col("o_orderstatus") === "F", 10).otherwise(0) +

@@ -229,20 +229,33 @@ object CoreQueries {
         when(col("o_orderpriority").startsWith("1-"), 9).otherwise(0) +
         when(col("o_totalprice") > 100000, 7).otherwise(0) +
         when(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"), 3).otherwise(0)
-    // argmax as max_by over (score, -orderkey): identical tie semantics to
-    // the oracle's ROW_NUMBER (max score, then min orderkey), but planned as
-    // a hash aggregate with map-side combine — the shuffle carries one row
-    // per (task, custkey) instead of every order row into a sorted window.
-    // At 100 TB this is the difference between a partial-agg shuffle and a
-    // full-data sort.
+    // argmax as max over ONE PACKED LONG — score·2⁵⁸ + (2⁵⁸−1 − orderkey):
+    // identical tie semantics to the oracle's ROW_NUMBER (max score first
+    // in the high bits, then min orderkey via the complemented low bits).
+    // The previous max_by(struct, struct) form had a STRUCT agg buffer,
+    // which disqualifies HashAggregateExec (mutable primitive buffers
+    // only) AND ObjectHashAggregateExec (TypedImperative only) — the plan
+    // silently ran as SortAggregate, each task SORTING its input by
+    // custkey before combining (round 17, the plan-dump audit; probe
+    // j1_packed vs declared at sf1: 0.202 → 0.180 s min-of-8 ×2). The
+    // packed max is a primitive-buffer hash aggregate: the shuffle still
+    // carries one row per (task, custkey), and the per-task sort is gone
+    // — at 100 TB that is hash-agg O(n) vs sort-agg O(n log n) map work.
+    // Bounds (both oracle-witnessed and domain-stated): 0 ≤ score ≤ 29
+    // < 2⁵ so score·2⁵⁸ ≤ 8.4e18 < 2⁶³, and 0 ≤ o_orderkey ≪ 2⁵⁸ at any
+    // scale factor (TPC-H orderkeys are ~6e6·sf). Decode is exact
+    // positive-long div/mod.
+    val KMAX = (1L << 58) - 1
     Tables.orders(spark, d)
       .withColumn("match_score", score)
       .groupBy("o_custkey")
-      .agg(max_by(
-        struct(col("o_orderkey"), col("match_score")),
-        struct(col("match_score"), (-col("o_orderkey")).as("nk"))).as("b"))
-      .select(col("o_custkey"), col("b.o_orderkey").as("o_orderkey"),
-        col("b.match_score").as("match_score"))
+      .agg(max(col("match_score").cast("long") * (KMAX + 1)
+        + (lit(KMAX) - col("o_orderkey"))).as("p"))
+      // decode with INTEGER div/mod (Column./ is double division — a 53-bit
+      // mantissa cannot represent p ~ 8e18 exactly)
+      .select(col("o_custkey"),
+        (lit(KMAX) - (col("p") % (KMAX + 1))).as("o_orderkey"),
+        expr(s"p div ${KMAX + 1}").cast("int").as("match_score"))
   }
 
   /** J3/X13 name-substring theta join (step3_attempt1.py:277-287): normalized

@@ -249,6 +249,29 @@ class OperatorsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("j1 packed-long argmax equals the max_by struct form") {
+    // round-17 optimization pin: j1's argmax now rides one packed long
+    // (score·2⁵⁸ + (2⁵⁸−1 − orderkey), a primitive-buffer HashAggregate)
+    // instead of max_by's struct buffer (which silently planned as
+    // SortAggregate). This spec holds the pack/decode to the max_by form
+    // — same grouping, same tie rule (max score, then min orderkey)
+    import org.apache.spark.sql.functions._
+    val byMaxBy = graft.Tables.orders(spark, sf0001)
+      .withColumn("s",
+        when(col("o_orderstatus") === "F", 10).otherwise(0) +
+          when(col("o_orderpriority").startsWith("1-"), 9).otherwise(0) +
+          when(col("o_totalprice") > 100000, 7).otherwise(0) +
+          when(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"), 3).otherwise(0))
+      .groupBy("o_custkey")
+      .agg(max_by(struct(col("o_orderkey"), col("s")),
+        struct(col("s"), (-col("o_orderkey")).as("nk"))).as("b"))
+      .select(col("o_custkey"), col("b.o_orderkey"), col("b.s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val byPacked = graft.operators.CoreQueries.j1ScoreArgmax.fn(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(byPacked.nonEmpty && byPacked === byMaxBy)
+  }
+
   test("wav codec: RIFF chunk walk survives extra/odd chunks, rejects non-PCM and truncation") {
     import java.nio.{ByteBuffer, ByteOrder}
     val wav = MediaCodec.encodeWav(300, 8000, 5L)

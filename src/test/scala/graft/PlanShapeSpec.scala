@@ -58,8 +58,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("j1_score_argmax: argmax is a hash aggregate with map-side combine") {
+    // round 17: the max_by struct buffer silently planned as SortAggregate
+    // (struct buffers disqualify HashAggregateExec; DeclarativeAggregate
+    // disqualifies ObjectHashAggregateExec) — the packed-long max restores
+    // a TRUE primitive-buffer hash aggregate, which this spec now pins
     val p = plan("j1_score_argmax")
-    assert(p.contains("max_by") && p.contains("partial_max_by"))
+    assert(p.contains("HashAggregate") && p.contains("partial_max"),
+      s"expected packed-long hash argmax with map-side combine:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"struct-buffer argmax would fall back to SortAggregate:\n$p")
     assert(!p.contains("Window"))
   }
 
